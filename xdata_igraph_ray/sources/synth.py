@@ -1,0 +1,165 @@
+"""Deterministic synthetic inputs (FIXTURES.md).
+
+Everything derives from one integer seed via
+``numpy.random.Generator(PCG64(seed))`` — no external data.  Two
+generators:
+
+* :func:`generate_pages` — the Common-Crawl-shaped ``pages`` table
+  (url, warc_ts, html, text, lang) with a power-law link graph embedded
+  in the html.  ``text`` is produced by running the frozen extractor on
+  the generated html, so generator and extractor are
+  inverse-consistent by construction, and the embedded edge list is
+  written alongside as the golden edge table.
+* :func:`generate_edges` — a bare power-law edge table for large
+  benchmark graphs (skips html synthesis).
+
+The link model mirrors the reference's generator roles
+(Barabási/zipf hub skew, reference src/games.c:473): out-degree is
+zipf-ish capped, targets are drawn zipf-over-rank through a seeded
+permutation, yielding power-law in-degree (hub pages) — the skew
+stressor the north rule calls out.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.extract import extract_text
+
+_WORDS = np.array(
+    "the of and to in page link data graph web crawl rank node edge "
+    "site index text anchor corpus stream batch shard block arrow ray "
+    "vector column table query engine".split()
+)
+
+
+def _urls_for(n_pages: int, seed: int) -> np.ndarray:
+    """Unique page urls with zipf-skewed site sizes."""
+    rng = np.random.default_rng(np.random.PCG64(seed + 1))
+    sites = np.minimum(rng.zipf(1.5, n_pages), 99_999) - 1
+    order = np.argsort(sites, kind="stable")
+    within = np.arange(n_pages) - np.concatenate(
+        ([0], np.cumsum(np.bincount(sites[order])))
+    )[sites[order]]
+    page_no = np.empty(n_pages, dtype=np.int64)
+    page_no[order] = within
+    return np.array(
+        [
+            f"https://site{s:05d}.example/page{p:06d}"
+            for s, p in zip(sites, page_no)
+        ],
+        dtype=object,
+    )
+
+
+def _edge_arrays(
+    n_pages: int, seed: int, mean_out: float = 12.0, dangling_frac: float = 0.05
+) -> tuple[np.ndarray, np.ndarray]:
+    """(src_idx, out_counts): concatenated target indices per page.
+
+    Power-law out-degree (zipf capped), zipf-over-rank targets through a
+    seeded permutation (power-law in-degree), ~5% dangling pages.
+    """
+    rng = np.random.default_rng(np.random.PCG64(seed + 2))
+    k = np.minimum(rng.zipf(1.7, n_pages), 4 * int(mean_out) + 8)
+    k[rng.random(n_pages) < dangling_frac] = 0
+    total = int(k.sum())
+    perm = rng.permutation(n_pages)
+    ranks = rng.zipf(1.3, total)
+    targets = perm[(ranks - 1) % n_pages]
+    return targets, k
+
+
+def generate_edges(
+    n_vertices: int, seed: int = 42, mean_out: float = 12.0
+) -> pa.Table:
+    """Bare (src, dst) power-law edge table for benchmarks."""
+    targets, k = _edge_arrays(n_vertices, seed, mean_out)
+    src = np.repeat(np.arange(n_vertices, dtype=np.int64), k)
+    return pa.table(
+        {"src": src, "dst": targets.astype(np.int64)}
+    )
+
+
+def generate_pages(
+    out_dir: str,
+    n_pages: int,
+    seed: int = 42,
+    rows_per_batch: int = 20_000,
+) -> dict[str, str]:
+    """Write ``pages.parquet`` + golden ``edges.parquet`` under out_dir.
+
+    Idempotent: skips work if both files already exist (the content is
+    a pure function of (n_pages, seed)).  Returns the two paths.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    edges_path = os.path.join(out_dir, "edges.parquet")
+    done = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}")
+    if os.path.exists(done):
+        return {"pages": pages_path, "edges": edges_path}
+
+    urls = _urls_for(n_pages, seed)
+    targets, k = _edge_arrays(n_pages, seed)
+    offsets = np.concatenate(([0], np.cumsum(k)))
+    rng = np.random.default_rng(np.random.PCG64(seed + 3))
+    langs = rng.choice(
+        np.array(["en", "de", "fr"]), n_pages, p=[0.9, 0.05, 0.05]
+    )
+    n_words = rng.integers(20, 80, n_pages)
+    word_ids = rng.integers(0, len(_WORDS), int(n_words.sum()))
+    w_off = np.concatenate(([0], np.cumsum(n_words)))
+    base_ts = np.datetime64("2025-01-01T00:00:00", "ms")
+
+    from .. import schemas
+
+    pw = pq.ParquetWriter(pages_path, schemas.PAGES)
+    ew = pq.ParquetWriter(edges_path, schemas.EDGES_URL)
+    for lo in range(0, n_pages, rows_per_batch):
+        hi = min(lo + rows_per_batch, n_pages)
+        htmls, texts, esrc, edst = [], [], [], []
+        for i in range(lo, hi):
+            words = _WORDS[word_ids[w_off[i] : w_off[i + 1]]]
+            outs = urls[targets[offsets[i] : offsets[i + 1]]]
+            parts = [
+                f"<html><head><title>T{i}</title>"
+                f"<script>var x={i};</script></head><body><p>"
+            ]
+            step = max(1, len(words) // (len(outs) + 1))
+            pos = 0
+            for j, t in enumerate(outs):
+                parts.append(" ".join(words[pos : pos + step]))
+                parts.append(f' <a href="{t}">anchor{j}</a> ')
+                pos += step
+            parts.append(" ".join(words[pos:]))
+            parts.append("</p></body></html>")
+            html = "".join(parts).encode()
+            htmls.append(html)
+            texts.append(extract_text(html))
+            esrc.extend([urls[i]] * len(outs))
+            edst.extend(outs)
+        ts = base_ts + np.arange(lo, hi) * np.timedelta64(1000, "ms")
+        pw.write_table(
+            pa.table(
+                {
+                    "url": urls[lo:hi],
+                    "warc_ts": ts,
+                    "html": htmls,
+                    "text": texts,
+                    "lang": langs[lo:hi],
+                },
+                schema=schemas.PAGES,
+            )
+        )
+        ew.write_table(
+            pa.table({"src_url": esrc, "dst_url": edst}, schema=schemas.EDGES_URL)
+        )
+    pw.close()
+    ew.close()
+    with open(done, "w") as f:
+        f.write("ok")
+    return {"pages": pages_path, "edges": edges_path}
