@@ -1,0 +1,155 @@
+"""Weakly / strongly connected components on the BSP shard engine.
+
+WCC (reference igraph_clusters_weak, src/components.c:88-161): the
+reference BFS-labels components in increasing-vertex-id order, so a
+component's id is the rank of its minimum vertex id.  Distributed
+min-label propagation converges to label = min vid per component;
+renumbering labels by ascending value then reproduces igraph's
+numbering exactly.  Messages flow along both edge directions; only
+vertices whose label changed re-scatter (frontier), so late supersteps
+are sparse.
+
+SCC (reference igraph_clusters_strong, src/components.c:163-273,
+Kosaraju): DFS finish order is inherently sequential, so we use the
+standard distributed FW-BW-Trim coloring scheme instead and compare
+after canonical renumbering (component label = min vid in the
+component, components numbered by ascending min vid; igraph's raw SCC
+numbering is DFS-order-defined and not portable — SURVEY.md §5):
+
+  repeat until all assigned:
+    trim     — unassigned vertices with no unassigned in- or
+               out-neighbors are singleton SCCs (kills DAG chains)
+    color    — forward min-vid propagation in the unassigned subgraph
+    backward — from each color root r (color[r] == r), propagate
+               reachability backwards within the color class; reached
+               vertices form SCC(r), labeled r (provably the SCC's
+               min vid)
+"""
+
+from __future__ import annotations
+
+import time
+
+import ray
+
+from .engine import GraphEngine
+
+
+def wcc(
+    engine: GraphEngine,
+    max_iter: int = 10_000,
+    ckpt_root: str | None = None,
+    ckpt_every: int = 10,
+    resume: bool = False,
+    renumber: bool = True,
+) -> dict:
+    """Min-label propagation to fixpoint; labels in state ``label``."""
+    P, shards = engine.P, engine.shards
+    start_iter = 0
+    if resume and ckpt_root:
+        last = GraphEngine.latest_checkpoint(ckpt_root, "wcc")
+        if last is not None:
+            engine.restore(ckpt_root, "wcc", last, ["label", "changed"])
+            start_iter = last + 1
+    if start_iter == 0:
+        ray.get([s.cc_init.remote() for s in shards])
+
+    lineage = {"algo": "wcc", "n": engine.n, "edges": engine.edge_count}
+    it, changed = start_iter, -1
+    t0 = time.time()
+    while it < max_iter and changed != 0:
+        t_it = time.time()
+        outs = [
+            s.cc_scatter.options(num_returns=P + 1).remote(("fwd", "rev"))
+            for s in shards
+        ]
+        outs = [list(o) for o in outs]
+        stats = ray.get([
+            shards[q].cc_gather.remote(*[outs[p][q] for p in range(P)])
+            for q in range(P)
+        ])
+        changed = sum(s["changed"] for s in stats)
+        if ckpt_root and (it % ckpt_every == 0 or changed == 0):
+            rows = [
+                {"part": q, "iter": it, "msgs": 0, "bytes": 0,
+                 "wall_s": time.time() - t_it,
+                 "delta": float(stats[q]["changed"])}
+                for q in range(P)
+            ]
+            engine.checkpoint(
+                ckpt_root, "wcc", it, ["label", "changed"], rows, lineage
+            )
+        it += 1
+    ncomp = engine.renumber_labels("label") if renumber else None
+    return {
+        "iterations": it - start_iter,
+        "components": ncomp,
+        "wall_s": time.time() - t0,
+    }
+
+
+def _sparse_round(shards, P, scatter, gather, *scatter_args) -> int:
+    outs = [
+        getattr(s, scatter).options(num_returns=P + 1).remote(*scatter_args)
+        for s in shards
+    ]
+    outs = [list(o) for o in outs]
+    stats = ray.get([
+        getattr(shards[q], gather).remote(*[outs[p][q] for p in range(P)])
+        for q in range(P)
+    ])
+    return sum(s["changed"] for s in stats)
+
+
+def scc(
+    engine: GraphEngine, max_rounds: int = 10_000, renumber: bool = True
+) -> dict:
+    """FW-BW-Trim coloring SCC; labels in state ``scc``."""
+    P, shards = engine.P, engine.shards
+    ray.get([s.scc_init.remote() for s in shards])
+    t0 = time.time()
+    rounds = 0
+    while True:
+        unassigned = sum(ray.get([s.scc_unassigned.remote() for s in shards]))
+        if unassigned == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError("scc: did not converge")
+        # trim to fixpoint (peeling cascades along DAG chains)
+        while True:
+            in_flags = [
+                s.scc_neighbor_flags.options(num_returns=P).remote("fwd")
+                for s in shards
+            ]
+            out_flags = [
+                s.scc_neighbor_flags.options(num_returns=P).remote("rev")
+                for s in shards
+            ]
+            in_flags = [[f] if P == 1 else list(f) for f in in_flags]
+            out_flags = [[f] if P == 1 else list(f) for f in out_flags]
+            trimmed = sum(ray.get([
+                shards[q].scc_trim.remote(
+                    P,
+                    *[in_flags[p][q] for p in range(P)],
+                    *[out_flags[p][q] for p in range(P)],
+                )
+                for q in range(P)
+            ]))
+            if trimmed == 0:
+                break
+        # forward coloring to fixpoint
+        ray.get([s.scc_color_reset.remote() for s in shards])
+        while _sparse_round(shards, P, "scc_color_scatter", "scc_color_gather"):
+            pass
+        # backward reachability within color classes
+        ray.get([s.scc_bwd_init.remote() for s in shards])
+        while _sparse_round(shards, P, "scc_bwd_scatter", "scc_bwd_gather"):
+            pass
+        ray.get([s.scc_assign.remote() for s in shards])
+    ncomp = engine.renumber_labels("scc") if renumber else None
+    return {
+        "rounds": rounds,
+        "components": ncomp,
+        "wall_s": time.time() - t0,
+    }

@@ -1,0 +1,602 @@
+"""Partitioned BSP graph engine: the distributed analog of igraph's
+indexed edge list.
+
+The reference's ``igraph_t`` is an edge list plus CSR/CSC index
+permutations (include/igraph_datatype.h:78-88, built by
+src/type_indexededgelist.c:835-877).  Here the same structure is
+sharded: vertex ids are range-partitioned into P contiguous ranges
+whose boundaries are chosen from the *edge* distribution (degree-based
+partitioning — a hub-heavy range gets fewer vertices), and each shard
+actor holds
+
+* fwd CSR over its src range (analog of ``oi``/``os``),
+* rev CSR over its dst range (analog of ``ii``/``is``),
+* pre-computed per-destination-shard segmentation of both edge arrays
+  (so a superstep's messages are produced partition-contiguously), and
+* the per-vertex state arrays (scores / labels / frontiers) for its
+  range — the attribute columns of igraph's attribute table
+  (src/cattributes.c), as numpy arrays.
+
+A superstep is scatter (pure-numpy per shard: repeat state along CSR,
+``bincount``/segment-min pre-aggregation per destination shard — the
+combiner that bounds hub fan-in) followed by gather (each shard sums /
+mins the P pre-aggregated message blocks it receives).  Messages move
+through the object store; the driver only ever sees scalars
+(convergence deltas, mass sums).
+
+Why actors and not a Ray Data ``groupby`` per superstep: the state is
+a partitioned, mutated-every-iteration index that must stay resident
+across supersteps (the "shared mutable index" case), and a Ray Data
+all-to-all costs 10-30 s fixed per call in this environment — measured
+in BASELINE.md — versus ~50 ms for this exchange.  Ingress and egress
+are still Datasets (``from_edges`` consumes block refs,
+``state_dataset`` re-exports state as a Dataset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from .. import schemas
+from ..exchange import block_refs
+
+DEFAULT_SHARDS = 8
+_PLAN_BUCKETS = 4096
+
+
+# ---------------------------------------------------------------------------
+# partition planning & routing
+
+
+@ray.remote
+def _bucket_counts(block: pa.Table, col: str, width: int, nbuckets: int):
+    v = block[col].to_numpy()
+    return np.bincount(v // width, minlength=nbuckets)
+
+
+def plan_bounds(refs, n: int, P: int) -> np.ndarray:
+    """Vertex-range boundaries balanced by out-edge count (degree-based
+    repartitioning: hubs concentrate edges, so their ranges shrink)."""
+    width = max(1, -(-n // _PLAN_BUCKETS))
+    nbuckets = -(-n // width)
+    counts = sum(ray.get([_bucket_counts.remote(r, "src", width, nbuckets) for r in refs]))
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    targets = cum[-1] * np.arange(1, P) / P
+    cut_buckets = np.searchsorted(cum, targets)
+    bounds = np.concatenate(([0], cut_buckets * width, [n])).astype(np.int64)
+    return np.maximum.accumulate(np.minimum(bounds, n))
+
+
+@ray.remote
+def _route(block: pa.Table, bounds, col: str):
+    """Split an edge block by owner(col) range; returns P sub-tables."""
+    P = len(bounds) - 1
+    v = block[col].to_numpy()
+    part = np.searchsorted(bounds, v, side="right") - 1
+    order = np.argsort(part, kind="stable")
+    t = block.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    out = [t.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(P)]
+    return tuple(out) if P > 1 else out[0]
+
+
+def _min_by_key(keys: np.ndarray, vals: np.ndarray):
+    """(unique_keys, min val per key) — sender-side combiner for
+    min-propagation messages."""
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order]
+    uk, idx = np.unique(ks, return_index=True)
+    return uk, np.minimum.reduceat(vs, idx) if len(uk) else vs
+
+
+def _dedup_pairs(keys: np.ndarray, vals: np.ndarray):
+    """Distinct (key, val) pairs, sorted by key — message combiner."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.lexsort((vals, keys))
+    k, v = keys[order], vals[order]
+    keep = np.ones(len(k), dtype=bool)
+    keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+    return k[keep], v[keep]
+
+
+# ---------------------------------------------------------------------------
+# shard actor
+
+
+@ray.remote
+class GraphShard:
+    def __init__(self, part_id: int, bounds, n: int, weighted: bool):
+        self.p = part_id
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.P = len(self.bounds) - 1
+        self.lo = int(self.bounds[part_id])
+        self.hi = int(self.bounds[part_id + 1])
+        self.size = self.hi - self.lo
+        self.n = n
+        self.weighted = weighted
+        self._fwd: list[pa.Table] = []
+        self._rev: list[pa.Table] = []
+        self.state: dict[str, np.ndarray] = {}
+        self.meta: dict = {}
+
+    # -- build ---------------------------------------------------------------
+
+    def ingest_fwd(self, *tbls):
+        self._fwd.extend(t for t in tbls if t is not None and len(t))
+
+    def ingest_rev(self, *tbls):
+        self._rev.extend(t for t in tbls if t is not None and len(t))
+
+    def _csr(self, pieces, key_col, other_col, lo):
+        if pieces:
+            t = pa.concat_tables(pieces, promote_options="default")
+            key = t[key_col].to_numpy()
+            other = t[other_col].to_numpy()
+            w = t["weight"].to_numpy() if self.weighted else None
+        else:
+            key = other = np.empty(0, dtype=np.int64)
+            w = np.empty(0) if self.weighted else None
+        order = np.argsort(key, kind="stable")
+        indptr = np.concatenate(
+            ([0], np.cumsum(np.bincount(key - lo, minlength=self.size)))
+        )
+        other = other[order]
+        w = w[order] if w is not None else None
+        # per-destination-shard segmentation of the edge array
+        dperm = np.argsort(other, kind="stable")
+        dsorted = other[dperm]
+        seg = np.searchsorted(dsorted, self.bounds)
+        return indptr, other, w, dperm, dsorted, seg
+
+    def finalize(self):
+        (self.fw_indptr, self.fw_dst, self.fw_w,
+         self.fw_dperm, self.fw_dst_sorted, self.fw_seg) = self._csr(
+            self._fwd, "src", "dst", self.lo)
+        (self.rv_indptr, self.rv_src, self.rv_w,
+         self.rv_sperm, self.rv_src_sorted, self.rv_seg) = self._csr(
+            self._rev, "dst", "src", self.lo)
+        self._fwd = self._rev = None
+        self.out_deg = np.diff(self.fw_indptr).astype(np.int64)
+        self.in_deg = np.diff(self.rv_indptr).astype(np.int64)
+        if self.weighted:
+            self.out_strength = np.add.reduceat(
+                np.concatenate((self.fw_w, [0.0])), self.fw_indptr[:-1]
+            ) * (self.out_deg > 0)
+        else:
+            self.out_strength = self.out_deg.astype(np.float64)
+        return {
+            "part": self.p, "lo": self.lo, "hi": self.hi,
+            "edges": int(len(self.fw_dst)),
+        }
+
+    # -- generic state access ------------------------------------------------
+
+    def set_state(self, **arrays):
+        for k, v in arrays.items():
+            self.state[k] = (
+                np.full(self.size, v[1], dtype=v[0])
+                if isinstance(v, tuple) else np.asarray(v)
+            )
+
+    def get_state(self, *names):
+        return {k: self.state[k] for k in names}
+
+    def degree_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": np.arange(self.lo, self.hi, dtype=np.int64),
+                "out_deg": self.out_deg,
+                "in_deg": self.in_deg,
+                "out_strength": self.out_strength,
+            }
+        )
+
+    def state_table(self, cols, rename=None) -> pa.Table:
+        data = {"vid": np.arange(self.lo, self.hi, dtype=np.int64)}
+        for c in cols:
+            data[(rename or {}).get(c, c)] = self.state[c]
+        return pa.table(data)
+
+    # -- dense/sparse message helpers ---------------------------------------
+
+    def _split_dense_sum(self, dst_sorted, seg, vals_sorted):
+        """Per-destination-shard dense contribution arrays (bincount
+        combiner: hub fan-in is pre-summed here)."""
+        out = []
+        for q in range(self.P):
+            s, e = seg[q], seg[q + 1]
+            out.append(
+                np.bincount(
+                    dst_sorted[s:e] - self.bounds[q],
+                    weights=vals_sorted[s:e],
+                    minlength=self.bounds[q + 1] - self.bounds[q],
+                )
+            )
+        return out
+
+    def _split_sparse_min(self, keys, vals):
+        """Per-destination-shard (ids, min-val) sparse messages."""
+        uk, mv = _min_by_key(keys, vals)
+        seg = np.searchsorted(uk, self.bounds)
+        return [
+            (uk[seg[q]:seg[q + 1]], mv[seg[q]:seg[q + 1]]) for q in range(self.P)
+        ]
+
+    # -- PageRank (semantics: reference src/centrality.c:894-973) ------------
+
+    def pr_init(self, damping: float, weighted: bool, keep_scores: bool = False):
+        self.meta["pr_damping"] = damping
+        self.meta["pr_weighted"] = weighted and self.weighted
+        if self.meta["pr_weighted"]:
+            # PRPACK drops edges with weight <= 0 at conversion
+            # (src/prpack/prpack_igraph_graph.cpp:55-59); clamping to 0
+            # in both numerator and denominator is arithmetically
+            # identical and keeps the CSR intact.
+            w = np.maximum(self.fw_w, 0.0)
+            self.meta["pr_w"] = w
+            denom = np.add.reduceat(
+                np.concatenate((w, [0.0])), self.fw_indptr[:-1]
+            ) * (self.out_deg > 0) if self.size else np.empty(0)
+        else:
+            denom = self.out_deg
+        self.meta["pr_denom"] = np.asarray(denom, dtype=np.float64)
+        if not keep_scores:
+            self.state["pr"] = np.full(self.size, 1.0 / self.n)
+
+    def pr_sum(self) -> float:
+        return float(self.state["pr"].sum())
+
+    def pr_scatter(self):
+        """Returns P dense contribution arrays + a scalar dict.
+
+        sumfrom follows igraph exactly: dangling vertices contribute
+        their whole mass to teleport, others (1-d) of it
+        (src/centrality.c:926-939)."""
+        p = self.state["pr"]
+        d = self.meta["pr_damping"]
+        denom = self.meta["pr_denom"]
+        dang = denom == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tmp = np.where(dang, 0.0, p / denom)
+        counts = np.diff(self.fw_indptr)
+        vals = np.repeat(tmp, counts)
+        if self.meta["pr_weighted"]:
+            vals = vals * self.meta["pr_w"]
+        v = vals[self.fw_dperm]
+        outs = self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, v)
+        sumfrom = float(p[dang].sum() + (1.0 - d) * p[~dang].sum())
+        return (*outs, {"sumfrom": sumfrom, "msgs": int(len(vals))})
+
+    def pr_gather(self, sumfrom_total: float, reset_uniform: bool, *contribs):
+        d = self.meta["pr_damping"]
+        acc = np.zeros(self.size)
+        for c in contribs:
+            acc += c
+        new = d * acc + sumfrom_total / self.n
+        old = self.state["pr"]
+        delta = np.abs(new - old)
+        self.state["pr"] = new
+        return {
+            "linf": float(delta.max(initial=0.0)),
+            "l1": float(delta.sum()),
+            "sum": float(new.sum()),
+        }
+
+    def pr_normalize(self, total: float):
+        self.state["pr"] /= total
+
+    # -- min-label propagation (WCC, reference src/components.c:88-161) ------
+
+    def cc_init(self):
+        self.state["label"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        self.state["changed"] = np.ones(self.size, dtype=bool)
+
+    def cc_scatter(self, directions=("fwd", "rev")):
+        """Labels of changed vertices flow along requested directions;
+        sparse (ids, min label) messages per destination shard."""
+        lab = self.state["label"]
+        act = self.state["changed"]
+        keys_parts, vals_parts = [], []
+        if "fwd" in directions and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            mask = np.repeat(act, counts)
+            keys_parts.append(self.fw_dst[mask])
+            vals_parts.append(np.repeat(lab, counts)[mask])
+        if "rev" in directions and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            mask = np.repeat(act, counts)
+            keys_parts.append(self.rv_src[mask])
+            vals_parts.append(np.repeat(lab, counts)[mask])
+        keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
+        vals = np.concatenate(vals_parts) if vals_parts else np.empty(0, np.int64)
+        msgs = self._split_sparse_min(keys, vals)
+        return (*msgs, {"msgs": int(len(keys))})
+
+    def cc_gather(self, *msgs):
+        lab = self.state["label"]
+        new = lab.copy()
+        for ids, vals in msgs:
+            if len(ids):
+                idx = ids - self.lo
+                np.minimum.at(new, idx, vals)
+        changed = new < lab
+        self.state["label"] = new
+        self.state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    # -- SCC (FW-BW-Trim coloring; see components.py for the driver) ---------
+
+    def scc_init(self):
+        self.state["scc"] = np.full(self.size, -1, dtype=np.int64)
+        self.state["color"] = np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def scc_unassigned(self) -> int:
+        return int((self.state["scc"] < 0).sum())
+
+    def scc_neighbor_flags(self, direction: str):
+        """Scatter 1 along ``direction`` edges from unassigned vertices
+        so receivers learn their unassigned in/out-neighbor counts."""
+        un = (self.state["scc"] < 0).astype(np.float64)
+        if direction == "fwd":
+            counts = np.diff(self.fw_indptr)
+            vals = np.repeat(un, counts)[self.fw_dperm]
+            out = self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, vals)
+        else:
+            counts = np.diff(self.rv_indptr)
+            vals = np.repeat(un, counts)[self.rv_sperm]
+            out = self._split_dense_sum(self.rv_src_sorted, self.rv_seg, vals)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def scc_trim(self, n_in: int, *counts) -> int:
+        """First n_in arrays: unassigned-in-neighbor counts; rest:
+        unassigned-out-neighbor counts.  Unassigned vertices with either
+        total zero are singleton SCCs (labeled own vid)."""
+        cin = np.zeros(self.size)
+        cout = np.zeros(self.size)
+        for c in counts[:n_in]:
+            cin += c
+        for c in counts[n_in:]:
+            cout += c
+        un = self.state["scc"] < 0
+        trim = un & ((cin == 0) | (cout == 0))
+        self.state["scc"][trim] = np.arange(self.lo, self.hi)[trim]
+        return int(trim.sum())
+
+    def scc_color_reset(self):
+        self.state["color"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        self.state["changed"] = self.state["scc"] < 0
+
+    def scc_color_scatter(self):
+        """Forward min-color propagation within the unassigned subgraph."""
+        act = self.state["changed"] & (self.state["scc"] < 0)
+        col = self.state["color"]
+        counts = np.diff(self.fw_indptr)
+        mask = np.repeat(act, counts)
+        keys = self.fw_dst[mask]
+        vals = np.repeat(col, counts)[mask]
+        msgs = self._split_sparse_min(keys, vals)
+        return (*msgs, {"msgs": int(len(keys))})
+
+    def scc_color_gather(self, *msgs):
+        un = self.state["scc"] < 0
+        col = self.state["color"]
+        new = col.copy()
+        for ids, vals in msgs:
+            if len(ids):
+                np.minimum.at(new, ids - self.lo, vals)
+        new = np.where(un, new, col)
+        changed = new < col
+        self.state["color"] = new
+        self.state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    def scc_bwd_init(self) -> int:
+        """Roots: unassigned vertices whose color is their own vid."""
+        un = self.state["scc"] < 0
+        vid = np.arange(self.lo, self.hi)
+        self.state["reached"] = un & (self.state["color"] == vid)
+        self.state["changed"] = self.state["reached"].copy()
+        return int(self.state["reached"].sum())
+
+    def scc_bwd_scatter(self):
+        """Reachability flows backwards (to in-neighbors) carrying the
+        sender's color; receivers accept only matching colors."""
+        act = self.state["changed"]
+        col = self.state["color"]
+        counts = np.diff(self.rv_indptr)
+        mask = np.repeat(act, counts)
+        keys = self.rv_src[mask]
+        vals = np.repeat(col, counts)[mask]
+        keys, vals = _dedup_pairs(keys, vals)
+        seg = np.searchsorted(keys, self.bounds)
+        msgs = [
+            (keys[seg[q]:seg[q + 1]], vals[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+        return (*msgs, {"msgs": int(len(keys))})
+
+    def scc_bwd_gather(self, *msgs):
+        un = self.state["scc"] < 0
+        col = self.state["color"]
+        reached = self.state["reached"]
+        newly = np.zeros(self.size, dtype=bool)
+        for ids, vals in msgs:
+            if len(ids):
+                idx = ids - self.lo
+                ok = un[idx] & ~reached[idx] & (col[idx] == vals)
+                newly[idx[ok]] = True
+        reached |= newly
+        self.state["reached"] = reached
+        self.state["changed"] = newly
+        return {"changed": int(newly.sum())}
+
+    def scc_assign(self) -> int:
+        done = self.state["reached"] & (self.state["scc"] < 0)
+        self.state["scc"][done] = self.state["color"][done]
+        return int(done.sum())
+
+    def relabel(self, old_labels, new_labels, state_key="label"):
+        """Map label values through (sorted old -> new) pairs."""
+        lab = self.state[state_key]
+        pos = np.searchsorted(old_labels, lab)
+        self.state[state_key] = new_labels[pos]
+
+    # -- checkpoint / restore -------------------------------------------------
+
+    def save_state(self, directory: str, cols) -> dict:
+        os.makedirs(directory, exist_ok=True)
+        tmp = os.path.join(directory, f".part={self.p}.tmp")
+        final = os.path.join(directory, f"part={self.p}.parquet")
+        pq.write_table(self.state_table(cols), tmp)
+        os.replace(tmp, final)
+        return {"part": self.p, "rows": self.size}
+
+    def load_state(self, directory: str, cols):
+        t = pq.read_table(os.path.join(directory, f"part={self.p}.parquet"))
+        for c in cols:
+            self.state[c] = t[c].to_numpy().copy()
+        return self.p
+
+
+# ---------------------------------------------------------------------------
+# driver-side engine handle
+
+
+class GraphEngine:
+    """Driver handle over P GraphShard actors.
+
+    Build once per graph (the analog of igraph_create +
+    igraph_i_create_start, reference src/type_indexededgelist.c:258,835);
+    algorithms in sibling modules drive supersteps against it.
+    """
+
+    def __init__(self, shards, bounds, n: int, edges: int, weighted: bool):
+        self.shards = shards
+        self.bounds = bounds
+        self.P = len(shards)
+        self.n = n
+        self.edge_count = edges
+        self.weighted = weighted
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: Dataset | pa.Table | list,
+        n: int | None = None,
+        P: int = DEFAULT_SHARDS,
+        weighted: bool = False,
+    ) -> "GraphEngine":
+        if isinstance(edges, pa.Table):
+            refs = [ray.put(edges)]
+        elif isinstance(edges, list):
+            refs = edges
+        else:
+            refs = block_refs(edges)
+        if n is None:
+            @ray.remote
+            def _mx(b):
+                if len(b) == 0:
+                    return -1
+                return max(int(pa.compute.max(b["src"]).as_py()),
+                           int(pa.compute.max(b["dst"]).as_py()))
+            n = max(ray.get([_mx.remote(r) for r in refs])) + 1
+        P = max(1, min(P, max(1, n)))
+        bounds = plan_bounds(refs, n, P)
+        shards = [
+            GraphShard.remote(p, bounds, n, weighted) for p in range(P)
+        ]
+        waits = []
+        for r in refs:
+            fparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "src")
+            rparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
+            fparts = [fparts] if P == 1 else fparts
+            rparts = [rparts] if P == 1 else rparts
+            for p in range(P):
+                waits.append(shards[p].ingest_fwd.remote(fparts[p]))
+                waits.append(shards[p].ingest_rev.remote(rparts[p]))
+        ray.get(waits)
+        infos = ray.get([s.finalize.remote() for s in shards])
+        edges_total = sum(i["edges"] for i in infos)
+        return cls(shards, bounds, n, edges_total, weighted)
+
+    def shutdown(self):
+        """Release shard actors eagerly (GC also reclaims them, but
+        engine-churning callers — tests, benches — should be explicit)."""
+        for s in self.shards:
+            ray.kill(s, no_restart=True)
+        self.shards = []
+
+    # -- exports -------------------------------------------------------------
+
+    def degrees(self) -> Dataset:
+        return rd.from_arrow_refs([s.degree_table.remote() for s in self.shards])
+
+    def state_dataset(self, cols, rename=None) -> Dataset:
+        return rd.from_arrow_refs(
+            [s.state_table.remote(cols, rename) for s in self.shards]
+        )
+
+    def state_arrays(self, col) -> np.ndarray:
+        """Driver-side dense array of a state column (test/small-scale)."""
+        parts = ray.get([s.get_state.remote(col) for s in self.shards])
+        return np.concatenate([p[col] for p in parts])
+
+    # -- label renumbering ----------------------------------------------------
+
+    def renumber_labels(self, state_key="label"):
+        """Replace label values with their rank among distinct labels in
+        ascending order — reproduces igraph's WCC numbering (component id
+        = rank of its minimum vertex id, src/components.c:119-149)."""
+        uniq = ray.get([
+            s.get_state.remote(state_key) for s in self.shards
+        ])
+        all_labels = np.unique(np.concatenate([u[state_key] for u in uniq]))
+        ranks = np.arange(len(all_labels), dtype=np.int64)
+        lref, rref = ray.put(all_labels), ray.put(ranks)
+        ray.get([
+            s.relabel.remote(lref, rref, state_key) for s in self.shards
+        ])
+        return len(all_labels)
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def checkpoint(self, ckpt_root, algo, it, cols, metrics_rows, lineage):
+        d = os.path.join(ckpt_root, algo, f"iter={it}")
+        ray.get([s.save_state.remote(d, cols) for s in self.shards])
+        pq.write_table(
+            pa.Table.from_pylist(metrics_rows, schema=schemas.CKPT_METRICS),
+            os.path.join(d, "metrics.parquet"),
+        )
+        with open(os.path.join(d, "lineage.json"), "w") as f:
+            json.dump({**lineage, "iter": it, "ts": time.time()}, f)
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write("ok")
+
+    @staticmethod
+    def latest_checkpoint(ckpt_root, algo) -> int | None:
+        d = os.path.join(ckpt_root, algo)
+        if not os.path.isdir(d):
+            return None
+        its = [
+            int(e.split("=")[1])
+            for e in os.listdir(d)
+            if e.startswith("iter=")
+            and os.path.exists(os.path.join(d, e, "_SUCCESS"))
+        ]
+        return max(its) if its else None
+
+    def restore(self, ckpt_root, algo, it, cols):
+        d = os.path.join(ckpt_root, algo, f"iter={it}")
+        ray.get([s.load_state.remote(d, cols) for s in self.shards])

@@ -1,0 +1,105 @@
+"""PageRank over the BSP shard engine.
+
+Semantics are pinned to the reference's defining matvec
+(src/centrality.c:894-973):
+
+    new[v]  = d * sum_{u->v} p[u] / outdeg[u]  +  sumfrom * reset[v]
+    sumfrom = sum_{dangling} p[u] + (1-d) * sum_{non-dangling} p[u]
+
+(uniform reset[v] = 1/n unless personalized).  Dangling vertices send
+their whole mass to teleport; the update is mass-preserving, so no
+per-iteration renormalization is needed (one final normalize guards
+float drift, matching src/centrality.c:1516-1519).  Multi-edges and
+self-loops are kept, per PRPACK's conversion
+(src/prpack/prpack_igraph_graph.cpp:69-71).  Weighted: contribution is
+w * p[u] / out_strength[u]; weights <= 0 are dropped at ingest, per
+prpack_igraph_graph.cpp:55-59.
+
+Each superstep: shard-local scatter (p/outdeg repeated along fwd CSR,
+bincount-combined per destination shard — hub out-degree splitting
+composes because contributions are sums) -> object-store all-to-all ->
+gather (sum + teleport).  The driver sees only scalars.  Convergence:
+L1 and Linf of the score delta below ``tol`` (PRPACK iterates on the
+1-norm, src/prpack/prpack_solver.cpp:346-393).
+"""
+
+from __future__ import annotations
+
+import time
+
+import ray
+
+from .engine import GraphEngine
+
+
+def pagerank(
+    engine: GraphEngine,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    weighted: bool = False,
+    ckpt_root: str | None = None,
+    ckpt_every: int = 10,
+    resume: bool = False,
+) -> dict:
+    """Run to convergence; returns run metrics.  Scores live in shard
+    state ``pr`` — export with ``engine.state_dataset(["pr"],
+    rename={"pr": "score"})``."""
+    P = engine.P
+    shards = engine.shards
+    start_iter = 0
+    if resume and ckpt_root:
+        last = GraphEngine.latest_checkpoint(ckpt_root, "pagerank")
+        if last is not None:
+            engine.restore(ckpt_root, "pagerank", last, ["pr"])
+            ray.get([
+                s.pr_init.remote(damping, weighted, True) for s in shards
+            ])
+            start_iter = last + 1
+    if start_iter == 0:
+        ray.get([s.pr_init.remote(damping, weighted) for s in shards])
+
+    lineage = {
+        "algo": "pagerank", "damping": damping, "tol": tol,
+        "weighted": weighted, "n": engine.n, "edges": engine.edge_count,
+    }
+    it = start_iter
+    linf = l1 = float("inf")
+    t0 = time.time()
+    while it < max_iter and (linf > tol or l1 > tol):
+        t_it = time.time()
+        outs = [
+            s.pr_scatter.options(num_returns=P + 1).remote() for s in shards
+        ]
+        outs = [[o] if P + 1 == 1 else list(o) for o in outs]
+        scalars = ray.get([o[P] for o in outs])
+        sumfrom = sum(s["sumfrom"] for s in scalars)
+        msgs = sum(s["msgs"] for s in scalars)
+        stats = ray.get([
+            shards[q].pr_gather.remote(
+                sumfrom, True, *[outs[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ])
+        linf = max(s["linf"] for s in stats)
+        l1 = sum(s["l1"] for s in stats)
+        if ckpt_root and (it % ckpt_every == 0 or (linf <= tol and l1 <= tol)):
+            rows = [
+                {"part": q, "iter": it, "msgs": msgs // P, "bytes": 0,
+                 "wall_s": time.time() - t_it, "delta": stats[q]["l1"]}
+                for q in range(P)
+            ]
+            engine.checkpoint(ckpt_root, "pagerank", it, ["pr"], rows, lineage)
+        it += 1
+
+    total = sum(ray.get([s.pr_sum.remote() for s in shards]))
+    ray.get([s.pr_normalize.remote(total) for s in shards])
+    wall = time.time() - t0
+    iters = it - start_iter
+    return {
+        "iterations": iters,
+        "linf": linf,
+        "l1": l1,
+        "wall_s": wall,
+        "edges_per_sec": engine.edge_count * iters / wall if wall > 0 else 0.0,
+    }
