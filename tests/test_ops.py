@@ -1,0 +1,84 @@
+"""Relational graph operators vs hand-computed / pandas oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xdata_igraph_ray.graph import ops
+
+
+def ds(src, dst):
+    return rd.from_arrow(
+        pa.table({"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64)})
+    )
+
+
+def pairs(dataset):
+    df = dataset.to_pandas()
+    if len(df) == 0:
+        return set()
+    return set(zip(df["src"], df["dst"]))
+
+
+G1 = ([0, 0, 1, 2], [1, 2, 2, 0])
+G2 = ([0, 1, 3], [1, 0, 2])
+
+
+def test_union_intersection_difference():
+    assert pairs(ops.edge_union(ds(*G1), ds(*G2), P=2)) == {
+        (0, 1), (0, 2), (1, 2), (2, 0), (1, 0), (3, 2)
+    }
+    assert pairs(ops.edge_intersection(ds(*G1), ds(*G2), P=2)) == {(0, 1)}
+    assert pairs(ops.edge_difference(ds(*G1), ds(*G2), P=2)) == {
+        (0, 2), (1, 2), (2, 0)
+    }
+
+
+def test_disjoint_union():
+    out = pairs(ops.disjoint_union(ds(*G1), ds(*G2), n1=3, P=2))
+    assert out == {(0, 1), (0, 2), (1, 2), (2, 0), (3, 4), (4, 3), (6, 5)}
+
+
+def test_compose():
+    # g1: 0->1 ; g2: 1->5  => 0->5
+    out = pairs(ops.compose(ds([0, 2], [1, 1]), ds([1], [5]), P=2))
+    assert out == {(0, 5), (2, 5)}
+
+
+def test_conversions():
+    assert pairs(ops.to_undirected(ds([1, 0, 2], [0, 1, 2]), P=2)) == {
+        (0, 1), (2, 2)
+    }
+    assert pairs(ops.to_directed_mutual(ds([0], [1]))) == {(0, 1), (1, 0)}
+    assert pairs(ops.reverse(ds([0, 1], [1, 2]))) == {(1, 0), (2, 1)}
+
+
+def test_induced_subgraph():
+    e = ds([0, 1, 2, 3], [1, 2, 3, 0])
+    assert pairs(ops.induced_subgraph(e, [0, 1, 2])) == {(0, 1), (1, 2)}
+    rel = ops.induced_subgraph(e, [1, 3], relabel=True)
+    assert pairs(rel) == set()
+    rel2 = ops.induced_subgraph(e, [2, 3], relabel=True)
+    assert pairs(rel2) == {(0, 1)}
+
+
+def test_contract_and_multiplicity():
+    e = ds([0, 1, 2, 3], [1, 0, 3, 2])
+    mapping = np.array([0, 0, 1, 1])
+    out = pairs(ops.contract_vertices(e, mapping, P=2))
+    assert out == set()  # contracted edges become loops, simplified away
+    cm = ops.count_multiple(ds([0, 0, 1], [1, 1, 2]), P=2).to_pandas()
+    cm = cm.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(cm["count"]) == [2, 1]
+
+
+def test_predicates_scalars():
+    assert ops.is_simple(ds([0, 1], [1, 2]), P=2)
+    assert not ops.is_simple(ds([0, 0], [1, 1]), P=2)
+    assert not ops.is_simple(ds([0], [0]), P=2)
+    assert ops.edge_count(ds(*G1)) == 4
+    assert abs(ops.density(ds(*G1), n=3) - 4 / 6) < 1e-12
+    # reciprocity: edges 0->1,1->0,1->2 => 2 of 3 reciprocal
+    assert abs(ops.reciprocity(ds([0, 1, 1], [1, 0, 2]), P=2) - 2 / 3) < 1e-12

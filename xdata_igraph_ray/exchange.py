@@ -77,10 +77,22 @@ def split_by_hash(tbl: pa.Table, keys: Sequence[str], P: int) -> list[pa.Table]:
 # block plumbing
 
 
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
 def block_refs(ds: Dataset) -> list["ray.ObjectRef"]:
     """Materialize a Dataset into object-store Arrow blocks (refs only;
-    nothing is pulled to the driver)."""
-    return ds.materialize().to_arrow_refs()
+    nothing is pulled to the driver).  Ray Data emits 0-row blocks with
+    EMPTY schemas (no columns) which poison downstream Arrow kernels —
+    drop them here (keeping one block if everything is empty)."""
+    refs = ds.materialize().to_arrow_refs()
+    if len(refs) <= 1:
+        return refs
+    rows = ray.get([_block_rows.remote(r) for r in refs])
+    kept = [r for r, n in zip(refs, rows) if n > 0]
+    return kept if kept else refs[:1]
 
 
 def to_dataset(refs: list["ray.ObjectRef"]) -> Dataset:

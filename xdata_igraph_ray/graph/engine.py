@@ -334,6 +334,128 @@ class GraphShard:
         self.state["changed"] = changed
         return {"changed": int(changed.sum())}
 
+    # -- label propagation (reference src/community.c:2124-2359) -------------
+
+    def lpa_init(self, initial=None, fixed=None):
+        # .copy(): arrays arriving via ray.put are read-only views
+        self.state["label"] = (
+            np.arange(self.lo, self.hi, dtype=np.int64)
+            if initial is None
+            else np.array(initial[self.lo:self.hi], dtype=np.int64)
+        )
+        self.state["lpa_fixed"] = (
+            np.zeros(self.size, dtype=bool)
+            if fixed is None else np.array(fixed[self.lo:self.hi], dtype=bool)
+        )
+
+    def _pair_messages(self, keys, labels, weights):
+        """Combiner: sum weight per (key, label); split by key owner."""
+        if len(keys) == 0:
+            e = np.empty(0, np.int64)
+            return [(e, e, np.empty(0))] * self.P
+        order = np.lexsort((labels, keys))
+        k, l, w = keys[order], labels[order], weights[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
+        idx = np.flatnonzero(new)
+        uk, ul = k[idx], l[idx]
+        uw = np.add.reduceat(w, idx)
+        seg = np.searchsorted(uk, self.bounds)
+        return [
+            (uk[seg[q]:seg[q + 1]], ul[seg[q]:seg[q + 1]], uw[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def lpa_scatter(self, mode: str, weighted: bool):
+        """Send (my label, edge weight) to neighbors: along fwd edges
+        the receiver sees me as an IN-neighbor (igraph's default
+        adjacency for LPA is IGRAPH_IN, src/community.c:2082-2086)."""
+        lab = self.state["label"]
+        keys_l, lbl_l, w_l = [], [], []
+        if mode in ("in", "all") and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            keys_l.append(self.fw_dst)
+            lbl_l.append(np.repeat(lab, counts))
+            w_l.append(
+                self.fw_w if (weighted and self.fw_w is not None)
+                else np.ones(len(self.fw_dst))
+            )
+        if mode in ("out", "all") and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            keys_l.append(self.rv_src)
+            lbl_l.append(np.repeat(lab, counts))
+            w_l.append(
+                self.rv_w if (weighted and self.rv_w is not None)
+                else np.ones(len(self.rv_src))
+            )
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+        lbls = np.concatenate(lbl_l) if lbl_l else np.empty(0, np.int64)
+        ws = np.concatenate(w_l) if w_l else np.empty(0)
+        msgs = self._pair_messages(keys, lbls, ws)
+        return (*msgs, {"msgs": int(len(keys))})
+
+    def lpa_gather(self, parity, *msgs):
+        """Adopt the dominant incoming label (ties -> smallest label —
+        the deterministic stand-in for igraph's random tie-break,
+        src/community.c:2298-2301).  Vertices with no messages or with
+        ``fixed`` set keep their label.  ``parity`` (0/1/None) enables
+        red/black alternation: only vids of that parity update."""
+        ks = [m[0] for m in msgs if len(m[0])]
+        if not ks:
+            return {"changed": 0}
+        keys = np.concatenate(ks)
+        lbls = np.concatenate([m[1] for m in msgs if len(m[0])])
+        ws = np.concatenate([m[2] for m in msgs if len(m[0])])
+        order = np.lexsort((lbls, keys))
+        k, l, w = keys[order], lbls[order], ws[order]
+        new_pair = np.ones(len(k), dtype=bool)
+        new_pair[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
+        idx = np.flatnonzero(new_pair)
+        uk, ul = k[idx], l[idx]
+        uw = np.add.reduceat(w, idx)
+        # per key: first row (in (weight desc, label asc) order) wins
+        sel = np.lexsort((ul, -uw, uk))
+        first = np.ones(len(sel), dtype=bool)
+        su = uk[sel]
+        first[1:] = su[1:] != su[:-1]
+        win_k = su[first]
+        win_l = ul[sel][first]
+        win_w = uw[sel][first]
+        lab = self.state["label"]
+        idx2 = win_k - self.lo
+        # weight of the CURRENT label among incoming labels: a vertex
+        # whose label is already dominant keeps it (igraph's invariant
+        # requires dominance, not minimality — src/community.c:2302-2306;
+        # switching between equally-dominant labels would just churn)
+        cur_w = np.zeros(len(win_k))
+        own = ul == lab[uk - self.lo]
+        if own.any():
+            cur_w[np.searchsorted(win_k, uk[own])] = uw[own]
+        updatable = ~self.state["lpa_fixed"][idx2] & (cur_w < win_w)
+        if parity is not None:
+            # deterministic pseudo-random half-subsample per round:
+            # adjacent oscillating pairs are split with prob 1/2 per
+            # round, so any sync 2-cycle dies geometrically
+            with np.errstate(over="ignore"):  # uint64 wraparound intended
+                h = (
+                    win_k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(parity) * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+            updatable &= ((h >> np.uint64(33)) & np.uint64(1)) == 0
+        changed = (lab[idx2] != win_l) & updatable
+        lab[idx2[changed]] = win_l[changed]
+        return {"changed": int(changed.sum())}
+
+    def label_min_vids(self):
+        """(label, min vid carrying it) pairs for first-appearance
+        renumbering (src/community.c:2320-2339)."""
+        lab = self.state["label"]
+        order = np.argsort(lab, kind="stable")
+        ul, idx = np.unique(lab[order], return_index=True)
+        vids = np.arange(self.lo, self.hi)[order]
+        mins = np.minimum.reduceat(vids, idx) if len(ul) else vids
+        return ul, mins
+
     # -- SCC (FW-BW-Trim coloring; see components.py for the driver) ---------
 
     def scc_init(self):

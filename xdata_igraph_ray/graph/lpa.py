@@ -1,0 +1,89 @@
+"""Label propagation (reference igraph_community_label_propagation,
+src/community.c:2124-2359).
+
+The reference is asynchronous with RNG-shuffled vertex order and random
+tie-breaks — a stream a distributed engine cannot replay (SURVEY.md
+§7.4).  This is the synchronous deterministic variant: every superstep
+each vertex adopts the dominant label among its IN-neighbors (igraph's
+adjacency mode, src/community.c:2082-2086; ``mode="all"`` for
+undirected semantics), ties broken by smallest label.  Convergence =
+no label changed, which implies igraph's stop criterion (every label
+dominant in its neighborhood, src/community.c:2302-2306).
+
+Synchronous LPA can 2-cycle (e.g. a<->b swap labels forever); after
+``sync_iters`` supersteps the driver switches to red/black alternation
+(only even/odd vids update in alternating rounds), which is
+oscillation-free.  Final labels are renumbered by first appearance in
+vertex-id order, exactly reproducing src/community.c:2320-2339.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import ray
+
+from .engine import GraphEngine
+
+
+def label_propagation(
+    engine: GraphEngine,
+    mode: str = "in",
+    weighted: bool = False,
+    initial=None,
+    fixed=None,
+    max_iter: int = 500,
+    sync_iters: int = 30,
+    renumber: bool = True,
+) -> dict:
+    """Labels land in shard state ``label``; export with
+    ``engine.state_dataset(["label"])``."""
+    P, shards = engine.P, engine.shards
+    init_ref = ray.put(initial) if initial is not None else None
+    fixed_ref = ray.put(fixed) if fixed is not None else None
+    ray.get([s.lpa_init.remote(init_ref, fixed_ref) for s in shards])
+    t0 = time.time()
+    it = 0
+    while it < max_iter:
+        # past sync_iters, damp oscillations with hash-subsampled
+        # rounds; every 4th round is full and decides convergence
+        full = it < sync_iters or it % 4 == 3
+        outs = [
+            s.lpa_scatter.options(num_returns=P + 1).remote(mode, weighted)
+            for s in shards
+        ]
+        outs = [list(o) for o in outs]
+        stats = ray.get([
+            shards[q].lpa_gather.remote(
+                None if full else it, *[outs[p][q] for p in range(P)]
+            )
+            for q in range(P)
+        ])
+        changed = sum(s["changed"] for s in stats)
+        it += 1
+        if changed == 0 and full:
+            break
+
+    if renumber:
+        pairs = ray.get([s.label_min_vids.remote() for s in shards])
+        labels = np.concatenate([p[0] for p in pairs])
+        mins = np.concatenate([p[1] for p in pairs])
+        order = np.argsort(labels, kind="stable")
+        labels, mins = labels[order], mins[order]
+        ul, idx = np.unique(labels, return_index=True)
+        umin = np.minimum.reduceat(mins, idx) if len(ul) else mins
+        # first-appearance order = ascending min carrier vid
+        rank_order = np.argsort(umin, kind="stable")
+        new_ids = np.empty(len(ul), dtype=np.int64)
+        new_ids[rank_order] = np.arange(len(ul))
+        lref, rref = ray.put(ul), ray.put(new_ids)
+        ray.get([s.relabel.remote(lref, rref, "label") for s in shards])
+        ncomm = len(ul)
+    else:
+        ncomm = None
+    return {
+        "iterations": it,
+        "communities": ncomm,
+        "wall_s": time.time() - t0,
+    }

@@ -1,0 +1,272 @@
+"""Relational graph operators (reference src/operators.c, conversions
+src/conversion.c, structural predicates src/structural_properties.c).
+
+All operate on (src, dst[, weight]) edge Datasets and return Datasets;
+set semantics are igraph's: ``union``/``intersection``/``difference``
+work on the edge sets of graphs over the same vertex id space
+(src/operators.c:705,418,922 — multiplicities collapse, matching the
+sorted-merge igraph_i_merge semantics of distinct edge rows);
+``disjoint_union`` shifts the second graph's ids
+(src/operators.c:71-184); ``compose`` is relational composition
+g1 o g2 (src/operators.c:1151-1215).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..exchange import (
+    DEFAULT_PARTITIONS,
+    block_refs,
+    distinct,
+    exchange,
+    groupby_agg,
+    hash_join,
+    to_dataset,
+)
+
+
+@ray.remote
+def _apply(fn, tbl):
+    return fn(tbl)
+
+
+def _refs(ds):
+    return ds if isinstance(ds, list) else block_refs(ds)
+
+
+def edge_union(g1, g2, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges present in either graph (igraph_union, src/operators.c:705)."""
+    return distinct(_refs(g1) + _refs(g2), ["src", "dst"], P=P)
+
+
+def edge_intersection(g1, g2, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges present in both (igraph_intersection, src/operators.c:418)."""
+    a = distinct(_refs(g1), ["src", "dst"], P=P, as_refs=True)
+    b = distinct(_refs(g2), ["src", "dst"], P=P, as_refs=True)
+    return hash_join(a, b, keys=["src", "dst"], how="left semi", P=P)
+
+
+def edge_difference(g1, g2, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges of g1 not in g2 (igraph_difference, src/operators.c:922)."""
+    a = distinct(_refs(g1), ["src", "dst"], P=P, as_refs=True)
+    b = distinct(_refs(g2), ["src", "dst"], P=P, as_refs=True)
+    return hash_join(a, b, keys=["src", "dst"], how="left anti", P=P)
+
+
+def disjoint_union(g1, g2, n1: int, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Relabel g2 ids by +n1 and concatenate
+    (igraph_disjoint_union, src/operators.c:71)."""
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.add(t["src"], n1),
+                "dst": pc.add(t["dst"], n1),
+                **{c: t[c] for c in t.column_names if c not in ("src", "dst")},
+            }
+        )
+
+    shifted = [_apply.remote(shift, r) for r in _refs(g2)]
+    return to_dataset(_refs(g1) + shifted)
+
+
+def compose(g1, g2, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges (a, c) where a->b in g1 and b->c in g2
+    (igraph_compose, src/operators.c:1151)."""
+
+    def as_mid_left(t):
+        return pa.table({"a": t["src"], "mid": t["dst"]})
+
+    def as_mid_right(t):
+        return pa.table({"mid": t["src"], "c": t["dst"]})
+
+    left = [_apply.remote(as_mid_left, r) for r in _refs(g1)]
+    right = [_apply.remote(as_mid_right, r) for r in _refs(g2)]
+    joined = hash_join(left, right, keys=["mid"], P=P, as_refs=True)
+
+    def project(t):
+        return pa.table({"src": t["a"], "dst": t["c"]})
+
+    return distinct([_apply.remote(project, r) for r in joined], ["src", "dst"], P=P)
+
+
+# ---------------------------------------------------------------------------
+# conversions (reference src/conversion.c)
+
+
+def to_undirected(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Each directed edge becomes a canonical (min,max) pair, collapsed
+    (igraph_to_undirected COLLAPSE mode, src/conversion.c:441)."""
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table(
+            {"src": np.minimum(s, d), "dst": np.maximum(s, d)}
+        )
+
+    return distinct([_apply.remote(canon, r) for r in _refs(edges)], ["src", "dst"], P=P)
+
+
+def to_directed_mutual(edges) -> Dataset:
+    """Each undirected edge becomes both arcs
+    (igraph_to_directed MUTUAL mode, src/conversion.c:341)."""
+
+    def both(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table(
+            {"src": np.concatenate((s, d)), "dst": np.concatenate((d, s))}
+        )
+
+    return to_dataset([_apply.remote(both, r) for r in _refs(edges)])
+
+
+def reverse(edges) -> Dataset:
+    """Transpose: swap src/dst."""
+
+    def rev(t: pa.Table) -> pa.Table:
+        cols = {"src": t["dst"], "dst": t["src"]}
+        for c in t.column_names:
+            if c not in ("src", "dst"):
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return to_dataset([_apply.remote(rev, r) for r in _refs(edges)])
+
+
+# ---------------------------------------------------------------------------
+# subgraphs / contraction (reference src/structural_properties.c)
+
+
+def induced_subgraph(
+    edges, vertex_ids, P: int = DEFAULT_PARTITIONS, relabel: bool = False
+) -> Dataset:
+    """Edges with BOTH endpoints in ``vertex_ids``
+    (igraph_induced_subgraph, src/structural_properties.c:1942).
+    The vertex set is broadcast once via ray.put and probed per batch
+    (semi-join by broadcast: no shuffle).  With ``relabel``, ids are
+    remapped to 0..k-1 in ascending original order
+    (induced_subgraph_map semantics)."""
+    vids = np.unique(np.asarray(vertex_ids, dtype=np.int64))
+    vref = ray.put(vids)
+
+    @ray.remote
+    def filt(t: pa.Table, vs) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = np.isin(s, vs) & np.isin(d, vs)
+        out = t.filter(pa.array(keep))
+        if relabel:
+            s2 = np.searchsorted(vs, out["src"].to_numpy())
+            d2 = np.searchsorted(vs, out["dst"].to_numpy())
+            cols = {"src": s2, "dst": d2}
+            for c in out.column_names:
+                if c not in ("src", "dst"):
+                    cols[c] = out[c]
+            out = pa.table(cols)
+        return out
+
+    return to_dataset([filt.remote(r, vref) for r in _refs(edges)])
+
+
+def subgraph_edges(edges, predicate, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges satisfying a vectorized predicate(table)->bool mask
+    (igraph_subgraph_edges, src/structural_properties.c:2071)."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(np.asarray(predicate(t), dtype=bool)))
+
+    return to_dataset([_apply.remote(filt, r) for r in _refs(edges)])
+
+
+def contract_vertices(
+    edges, mapping: np.ndarray, simplify_result: bool = True,
+    P: int = DEFAULT_PARTITIONS,
+) -> Dataset:
+    """Relabel endpoints through ``mapping[vid]`` (igraph_contract_vertices,
+    src/structural_properties.c:6235); optionally simplify."""
+    mref = ray.put(np.asarray(mapping, dtype=np.int64))
+
+    @ray.remote
+    def remap(t: pa.Table, m) -> pa.Table:
+        return pa.table(
+            {"src": m[t["src"].to_numpy()], "dst": m[t["dst"].to_numpy()]}
+        )
+
+    out = [remap.remote(r, mref) for r in _refs(edges)]
+    if simplify_result:
+        from .build import simplify
+
+        return simplify(out, P=P)
+    return to_dataset(out)
+
+
+# ---------------------------------------------------------------------------
+# predicates / scalars (reference src/structural_properties.c)
+
+
+def count_multiple(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """(src, dst, count) multiplicity per distinct edge
+    (igraph_count_multiple, src/structural_properties.c:3624)."""
+    return groupby_agg(_refs(edges), ["src", "dst"], [(None, "count", "count")], P=P)
+
+
+def _scalar_sum(refs, fn) -> float:
+    return sum(ray.get([_apply.remote(fn, r) for r in refs]))
+
+
+def is_simple(edges, P: int = DEFAULT_PARTITIONS) -> bool:
+    """No loops, no multi-edges (igraph_is_simple,
+    src/structural_properties.c:3404)."""
+    refs = _refs(edges)
+    loops = _scalar_sum(refs, lambda t: int(
+        pc.sum(pc.equal(t["src"], t["dst"])).as_py() or 0))
+    if loops:
+        return False
+    total = _scalar_sum(refs, lambda t: len(t))
+    dist = distinct(refs, ["src", "dst"], P=P, as_refs=True)
+    dtotal = _scalar_sum(dist, lambda t: len(t))
+    return total == dtotal
+
+
+def edge_count(edges) -> int:
+    return int(_scalar_sum(_refs(edges), lambda t: len(t)))
+
+
+def density(edges, n: int, directed: bool = True, loops: bool = False) -> float:
+    """igraph_density (src/structural_properties.c:2774)."""
+    m = edge_count(edges)
+    if loops:
+        denom = n * n if directed else n * (n + 1) / 2
+    else:
+        denom = n * (n - 1) if directed else n * (n - 1) / 2
+    return m / denom if denom else float("nan")
+
+
+def reciprocity(edges, P: int = DEFAULT_PARTITIONS) -> float:
+    """Fraction of non-loop edges with a reciprocal arc
+    (igraph_reciprocity ignore-loops default,
+    src/structural_properties.c:2346)."""
+    refs = _refs(edges)
+
+    def noloop(t):
+        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+    nl = [_apply.remote(noloop, r) for r in refs]
+    dist = distinct(nl, ["src", "dst"], P=P, as_refs=True)
+
+    def swap(t):
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    swapped = [_apply.remote(swap, r) for r in dist]
+    mutual = hash_join(dist, swapped, keys=["src", "dst"], how="left semi",
+                       P=P, as_refs=True)
+    m = _scalar_sum(dist, lambda t: len(t))
+    mu = _scalar_sum(mutual, lambda t: len(t))
+    return mu / m if m else float("nan")

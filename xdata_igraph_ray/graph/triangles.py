@@ -1,0 +1,282 @@
+"""Triangle counting / transitivity (reference src/triangles.c).
+
+The reference counts triangles by degree-ordering vertices and
+intersecting forward-neighbor lists with a mark array
+(igraph_transitivity / igraph_adjacent_triangles,
+src/triangles.c:617-699, 507-546, template
+src/triangles_template.h:24-123).  The distributed re-expression
+(SURVEY.md §2.1):
+
+1. simplify to the undirected support: canonical (min,max) endpoint
+   pairs, loops dropped, multi-edges collapsed (the reference's
+   adjlist-simplify step, src/triangles.c:399-428);
+2. orient each edge from lower to higher (degree, vid) rank — the
+   reference's degree-ordered rank with vid tie-break
+   (src/triangles.c:100-107); oriented out-degree is O(sqrt(m)),
+   which is the skew bound that makes the wedge step safe on
+   power-law graphs;
+3. wedge-generate per pivot: for pivot a with oriented out-neighbors
+   x1..xk (rank-sorted), emit probes (xi, xj, a) for i<j — an
+   exchange keyed by pivot;
+4. probe: partitioned hash semi-join of probes against the oriented
+   edge set on (x, y); every match is one triangle, counted once;
+5. scatter matches to all three corners and count per vertex.
+
+Every triangle (u,v,w) is generated exactly once, at its lowest-rank
+corner — so the global count is exact, no division by 3/6 needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..exchange import (
+    DEFAULT_PARTITIONS,
+    block_refs,
+    distinct,
+    exchange,
+    groupby_agg,
+    hash_join,
+    to_dataset,
+)
+
+
+@ray.remote
+def _canonicalize(tbl: pa.Table) -> pa.Table:
+    names = tbl.column_names
+    s, d = ("a", "b") if "a" in names else ("src", "dst")
+    src = tbl[s].to_numpy()
+    dst = tbl[d].to_numpy()
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    return pa.table(
+        {"a": np.minimum(src, dst), "b": np.maximum(src, dst)}
+    )
+
+
+def undirected_support(edges: Dataset | list, P: int = DEFAULT_PARTITIONS):
+    """Distinct loop-free (min,max) endpoint pairs, as refs."""
+    refs = edges if isinstance(edges, list) else block_refs(edges)
+    canon = [_canonicalize.remote(r) for r in refs]
+    return distinct(canon, ["a", "b"], P=P, as_refs=True)
+
+
+def _rank(deg: np.ndarray, vid: np.ndarray) -> np.ndarray:
+    """Order-isomorphic scalar encoding of (degree, vid) rank."""
+    return deg.astype(np.int64) * (1 << 40) + vid
+
+
+def triangles(
+    edges: Dataset | list,
+    n: int,
+    P: int = DEFAULT_PARTITIONS,
+    per_vertex: bool = True,
+):
+    """Returns (total_triangles, per-vertex Dataset (vid, count) or None).
+
+    Per-vertex counts are igraph_adjacent_triangles semantics
+    (src/triangles.c:507-546)."""
+    und = undirected_support(edges, P=P)
+
+    # degrees on the simplified support
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
+        )
+
+    deg = groupby_agg(
+        [_project.remote(both, r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+
+    # orient by (deg, vid) rank: join both endpoints against degrees
+    j1 = hash_join(
+        und, [_rename.remote(r, {"vid": "a", "deg": "deg_a"}) for r in deg],
+        keys=["a"], P=P, as_refs=True,
+    )
+    j2 = hash_join(
+        j1, [_rename.remote(r, {"vid": "b", "deg": "deg_b"}) for r in deg],
+        keys=["b"], P=P, as_refs=True,
+    )
+    oriented = [_orient.remote(r) for r in j2]
+
+    # wedges per pivot (exchange keyed by pivot, pair-expand per group)
+    wedges = exchange(
+        oriented, ["pivot"], P=P, reduce_fn=_wedges_of_partition, as_refs=True
+    )
+
+    # probe wedges against oriented edges on (x, y)
+    matches = hash_join(
+        wedges,
+        [_probe_table.remote(r) for r in oriented],
+        keys=["x", "y"],
+        how="inner",
+        P=P,
+        as_refs=True,
+    )
+    total = int(sum(ray.get([_rows.remote(r) for r in matches])))
+    if not per_vertex:
+        return total, None
+
+    corners = [_corners.remote(r) for r in matches]
+    zeros = block_refs(
+        rd.range(n).map_batches(
+            lambda b: pa.table(
+                {"vid": b["id"], "c": np.zeros(len(b["id"]), np.int64)}
+            ),
+            batch_format="numpy",
+        )
+    )
+    counts = groupby_agg(
+        corners + zeros, ["vid"], [("c", "sum", "count")], P=P
+    )
+    return total, counts
+
+
+@ray.remote
+def _project(fn, tbl):
+    return fn(tbl)
+
+
+@ray.remote
+def _rename(tbl: pa.Table, mapping: dict):
+    return tbl.rename_columns([mapping.get(c, c) for c in tbl.column_names])
+
+
+@ray.remote
+def _rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _orient(tbl: pa.Table) -> pa.Table:
+    a = tbl["a"].to_numpy()
+    b = tbl["b"].to_numpy()
+    ra = _rank(tbl["deg_a"].to_numpy(), a)
+    rb = _rank(tbl["deg_b"].to_numpy(), b)
+    lo_first = ra < rb
+    pivot = np.where(lo_first, a, b)
+    head = np.where(lo_first, b, a)
+    return pa.table(
+        {
+            "pivot": pivot,
+            "head": head,
+            "rank_head": np.where(lo_first, rb, ra),
+        }
+    )
+
+
+def _wedges_of_partition(tbl: pa.Table) -> pa.Table:
+    """All rank-ordered out-neighbor pairs per pivot: probes (x,y,pivot)."""
+    if len(tbl) == 0:
+        return pa.table(
+            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+             "pivot": pa.array([], pa.int64())}
+        )
+    piv = tbl["pivot"].to_numpy()
+    head = tbl["head"].to_numpy()
+    rk = tbl["rank_head"].to_numpy()
+    order = np.lexsort((rk, piv))
+    piv, head = piv[order], head[order]
+    grp_start = np.ones(len(piv), dtype=bool)
+    grp_start[1:] = piv[1:] != piv[:-1]
+    starts = np.flatnonzero(grp_start)
+    sizes = np.diff(np.concatenate((starts, [len(piv)])))
+    pos = np.arange(len(piv)) - np.repeat(starts, sizes)
+    k = np.repeat(sizes, sizes)
+    tail = k - 1 - pos  # pairs where this row is the lower-rank member
+    total = int(tail.sum())
+    if total == 0:
+        return pa.table(
+            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+             "pivot": pa.array([], pa.int64())}
+        )
+    row_i = np.repeat(np.arange(len(piv)), tail)
+    # offset of each pair within its row's tail
+    first_pair = np.concatenate(([0], np.cumsum(tail)))[:-1]
+    off = np.arange(total) - first_pair[row_i]
+    row_j = row_i + 1 + off
+    return pa.table(
+        {"x": head[row_i], "y": head[row_j], "pivot": piv[row_i]}
+    )
+
+
+@ray.remote
+def _probe_table(tbl: pa.Table) -> pa.Table:
+    """Oriented edges as the probe target: key (x=pivot-side low,
+    y=head) ordered by rank — but wedge pairs (x, y) are rank-ordered,
+    and an edge between x and y is oriented x->y exactly when
+    rank(x)<rank(y), so the oriented pair matches directly."""
+    return pa.table(
+        {"x": tbl["pivot"], "y": tbl["head"],
+         "hit": pa.array(np.ones(len(tbl), np.int8))}
+    )
+
+
+@ray.remote
+def _corners(tbl: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "vid": np.concatenate(
+                (tbl["x"].to_numpy(), tbl["y"].to_numpy(), tbl["pivot"].to_numpy())
+            ),
+            "c": np.ones(3 * len(tbl), np.int64),
+        }
+    )
+
+
+def transitivity_global(edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS) -> float:
+    """2 * closed triples / open+closed triples — reference
+    igraph_transitivity_undirected (src/triangles.c:617-699)."""
+    und = undirected_support(edges, P=P)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
+        )
+
+    deg = groupby_agg(
+        [_project.remote(both, r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P,
+    ).to_pandas()
+    triples = float((deg["deg"] * (deg["deg"] - 1) / 2).sum())
+    total, _ = triangles(und, n, P=P, per_vertex=False)
+    return (3.0 * total) / triples if triples else float("nan")
+
+
+def transitivity_local(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """Per-vertex clustering coefficient (mode 4 semantics: all
+    vertices; deg<2 -> NaN, matching igraph_transitivity_local_undirected,
+    src/triangles.c:173-505)."""
+    und = undirected_support(edges, P=P)
+    _, counts = triangles(und, n, P=P, per_vertex=True)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy())),
+             "c": np.zeros(2 * len(t), np.int64)}
+        )
+
+    deg_refs = groupby_agg(
+        [_project.remote(both, r) for r in und] ,
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    joined = hash_join(block_refs(counts), deg_refs, keys=["vid"], how="left outer", P=P, as_refs=True)
+
+    @ray.remote
+    def local_t(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.nan_to_num(d)
+        c = t["count"].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lt = np.where(d >= 2, 2.0 * c / (d * (d - 1)), np.nan)
+        return pa.table({"vid": t["vid"], "transitivity": lt})
+
+    return to_dataset([local_t.remote(r) for r in joined])
