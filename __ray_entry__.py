@@ -1,44 +1,602 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per operator,
+oracle_sql() DuckDB equivalents.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Two input families:
+
+* the TPC-H-ish tables under ``sf_dir`` (pre-registered as DuckDB
+  views) — graph queries derive a 1000-vertex multigraph from lineitem
+  (``src = l_orderkey % 1000, dst = l_partkey % 1000``), expressible
+  identically in SQL; every vertex has out-edges at sf>=0.01, so the
+  PageRank oracle needs no dangling term (asserted in tests);
+* a deterministic synthetic ``pages`` fixture (BASELINE.json
+  input_hint shape) generated under /tmp as a pure function of
+  (scale, seed=42) with the golden embedded edge list written
+  alongside — oracles read those parquet files directly.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+NV = 1000  # lineitem-graph vertex-id space
+PR_ITERS = 40
+PR_DAMPING = 0.85
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+
+
+def _pages_n(sf_dir: str) -> int:
+    try:
+        sf = float(_sf_name(sf_dir).replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(1000, min(100_000, int(round(sf * 1_000_000))))
+
+
+def pages_fixture(sf_dir: str) -> dict[str, str]:
+    from xdata_igraph_ray.sources.synth import generate_pages
+
+    n = _pages_n(sf_dir)
+    return generate_pages(os.path.join(FIXTURE_ROOT, f"pages_{n}"), n, seed=42)
+
+
+# pre-generate the scales the driver touches so oracle SQL (which reads
+# the parquet paths) never races the Ray side
+for _sf in ("sf0.001", "sf0.01"):
+    try:
+        pages_fixture(f"/root/testdata/{_sf}")
+    except Exception:
+        pass
+
+
+def _li_edges(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV,
+                "dst": t["l_partkey"].to_numpy() % NV,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_LI_E = f"(SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst FROM lineitem)"
+_LI_V = f"(SELECT range AS vid FROM range(0, {NV}))"
+
+
+def _engine(sf_dir: str, P: int = 8):
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    return GraphEngine.from_edges(_li_edges(sf_dir), n=NV, P=P)
+
+
+# ---------------------------------------------------------------------------
+# query callables
+
+
+def q_extract_text(sf_dir: str):
+    from xdata_igraph_ray.stages.extract import extracted_text
+
+    paths = pages_fixture(sf_dir)
+    return extracted_text(rd.read_parquet(paths["pages"]))
+
+
+def q_extract_edges(sf_dir: str):
+    from xdata_igraph_ray.stages.extract import extracted_edges
+
+    paths = pages_fixture(sf_dir)
+    return extracted_edges(rd.read_parquet(paths["pages"]))
+
+
+def q_vertices_pages(sf_dir: str):
+    from xdata_igraph_ray.graph.build import vertex_dict
+    from xdata_igraph_ray.stages.extract import extracted_edges
+
+    paths = pages_fixture(sf_dir)
+    return vertex_dict(extracted_edges(rd.read_parquet(paths["pages"])), P=8)
+
+
+def q_pagerank_pages(sf_dir: str):
+    """Flagship: pages -> extract -> dictionary -> engine -> pagerank."""
+    from xdata_igraph_ray.graph.build import build_graph_tables
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.pagerank import pagerank
+
+    paths = pages_fixture(sf_dir)
+    verts, edges = build_graph_tables(rd.read_parquet(paths["pages"]), P=8)
+    eng = GraphEngine.from_edges(edges, P=8)
+    pagerank(eng, tol=1e-10)
+    out = (
+        eng.state_dataset(["pr"], rename={"pr": "score"})
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    eng.shutdown()
+    return out
+
+
+def q_degrees(sf_dir: str):
+    from xdata_igraph_ray.graph.build import degrees
+
+    return degrees(_li_edges(sf_dir), n=NV, P=8)
+
+
+def q_simplify(sf_dir: str):
+    from xdata_igraph_ray.graph.build import simplify
+
+    return simplify(_li_edges(sf_dir), P=8)
+
+
+def q_count_multiple(sf_dir: str):
+    from xdata_igraph_ray.graph.ops import count_multiple
+
+    return count_multiple(_li_edges(sf_dir), P=8)
+
+
+def q_top_out_degree(sf_dir: str):
+    from xdata_igraph_ray.graph.build import degrees
+
+    df = degrees(_li_edges(sf_dir), n=NV, P=8).to_pandas()
+    df = df.sort_values(["out_deg", "vid"], ascending=[False, True]).head(20)
+    return df[["vid", "out_deg"]].reset_index(drop=True)
+
+
+def q_wcc(sf_dir: str):
+    from xdata_igraph_ray.graph.components import wcc
+
+    eng = _engine(sf_dir)
+    wcc(eng)
+    lab = eng.state_arrays("label")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "wcc": lab.astype(np.int64)})
+
+
+def q_scc(sf_dir: str):
+    from xdata_igraph_ray.graph.components import scc
+
+    eng = _engine(sf_dir)
+    scc(eng)
+    lab = eng.state_arrays("scc")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "scc": lab.astype(np.int64)})
+
+
+def q_pagerank_li(sf_dir: str):
+    """Fixed-iteration PageRank on the lineitem graph (no dangling
+    vertices, asserted in tests -> the SQL oracle needs no dangling
+    term).  Scores rounded to 6 dp for float-order robustness."""
+    from xdata_igraph_ray.graph.pagerank import pagerank
+
+    eng = _engine(sf_dir)
+    pagerank(eng, tol=0.0, max_iter=PR_ITERS)
+    scores = eng.state_arrays("pr")
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "score": np.round(scores, 6)}
+    )
+
+
+def q_triangles_total(sf_dir: str):
+    from xdata_igraph_ray.graph.triangles import triangles
+
+    total, _ = triangles(_li_edges(sf_dir), n=NV, P=8, per_vertex=False)
+    return pd.DataFrame({"total": [total]})
+
+
+def q_triangles_per_vertex(sf_dir: str):
+    from xdata_igraph_ray.graph.triangles import triangles
+
+    _, per_v = triangles(_li_edges(sf_dir), n=NV, P=8)
+    return per_v
+
+
+def q_lpa(sf_dir: str):
+    from xdata_igraph_ray.graph.lpa import label_propagation
+
+    eng = _engine(sf_dir)
+    label_propagation(eng, mode="in")
+    lab = eng.state_arrays("label")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "label": lab.astype(np.int64)})
+
+
+def q_edge_ops(sf_dir: str):
+    """union/intersection/difference cardinalities of two derived
+    graphs — one row, three counts."""
+    from xdata_igraph_ray.graph import ops
+
+    e1 = _li_edges(sf_dir)
+    ds2 = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["l_partkey"].to_numpy() % NV,
+             "dst": t["l_suppkey"].to_numpy() % NV}
+        ),
+        batch_format="pyarrow",
+    )
+    u = ops.edge_union(e1, ds2, P=8).count()
+    i = ops.edge_intersection(e1, ds2, P=8).count()
+    d = ops.edge_difference(e1, ds2, P=8).count()
+    return pd.DataFrame({"u": [u], "i": [i], "d": [d]})
+
+
+def q_reciprocity(sf_dir: str):
+    from xdata_igraph_ray.graph.ops import reciprocity
+
+    return pd.DataFrame(
+        {"reciprocity": [round(reciprocity(_li_edges(sf_dir), P=8), 6)]}
+    )
+
+
+# -- documents / text -------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_stats(sf_dir: str):
+    from xdata_igraph_ray.stages.text import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def q_lang_histogram(sf_dir: str):
+    from xdata_igraph_ray.exchange import groupby_agg
+
+    return groupby_agg(_docs(sf_dir), ["lang"], [(None, "count", "n")], P=4)
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    from xdata_igraph_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(_docs(sf_dir), P=4)
+    return out.select_columns(["doc_id"])
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from xdata_igraph_ray.stages.text import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def q_quality_docs(sf_dir: str):
+    from xdata_igraph_ray.stages.text import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def q_langid_docs(sf_dir: str):
+    from xdata_igraph_ray.stages.text import detect_language
+
+    return detect_language(_docs(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from xdata_igraph_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.7, P=4)
+    return out.select_columns(["a", "b"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    from xdata_igraph_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3, P=4)
+
+
+def q_knn(sf_dir: str):
+    from xdata_igraph_ray.stages.similarity import knn_brute
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack([r["embedding"] for r in emb.take(4)])
+    out = knn_brute(emb, q, k=10)
+    return out.select(["query_id", "vec_id"])
+
+
+def q_knn_ivf(sf_dir: str):
+    from xdata_igraph_ray.stages.similarity import knn_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack([r["embedding"] for r in emb.take(4)])
+    out = knn_ivf(emb, q, k=10, n_clusters=8, nprobe=8)
+    return out.select(["query_id", "vec_id"])
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from xdata_igraph_ray.stages.dedup import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.95, P=4)
+
+
+def q_multimodal_features(sf_dir: str):
+    from xdata_igraph_ray.stages.multimodal import extract_features, synth_media
+
+    n = max(200, _pages_n(sf_dir) // 10)
+    feats = extract_features(rd.from_arrow(synth_media(n)))
+    return feats.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "f0": pa.array(
+                    np.round(
+                        np.stack(t["feature"].to_pandas().to_numpy())[:, 0], 5
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# -- events / relational ----------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    from xdata_igraph_ray.exchange import groupby_agg
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = groupby_agg(
+        ev, ["user_id", "hour"],
+        [(None, "count", "n"), ("value", "sum", "total")], P=8,
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("total"), "total",
+            pc.round(t["total"], ndigits=4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped aggregate through the engine's exchange."""
+    from xdata_igraph_ray.exchange import groupby_agg
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "revenue": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = groupby_agg(
+        li, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("revenue", "sum", "revenue"),
+         (None, "count", "n")], P=4,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], ndigits=2),
+                "revenue": pc.round(t["revenue"], ndigits=2),
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: pages -> extract -> graph ->
+    pagerank -> scores."""
+    return q_pagerank_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text_pages": q_extract_text,
+        "extract_edges_pages": q_extract_edges,
+        "vertices_pages": q_vertices_pages,
+        "pagerank_pages": q_pagerank_pages,
+        "degrees_li": q_degrees,
+        "simplify_li": q_simplify,
+        "count_multiple_li": q_count_multiple,
+        "top_out_degree_li": q_top_out_degree,
+        "wcc_li": q_wcc,
+        "scc_li": q_scc,
+        "pagerank_li": q_pagerank_li,
+        "triangles_total_li": q_triangles_total,
+        "triangles_per_vertex_li": q_triangles_per_vertex,
+        "lpa_li": q_lpa,
+        "edge_ops_li": q_edge_ops,
+        "reciprocity_li": q_reciprocity,
+        "token_stats_docs": q_token_stats,
+        "lang_histogram_docs": q_lang_histogram,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "quality_docs": q_quality_docs,
+        "langid_docs": q_langid_docs,
+        "minhash_pairs_docs": q_minhash_pairs,
+        "simhash_pairs_docs": q_simhash_pairs,
+        "knn_embeddings": q_knn,
+        "knn_ivf_embeddings": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_pages = _pages_n("/root/testdata/sf0.01")
+    pages_pq = os.path.join(FIXTURE_ROOT, f"pages_{n_pages}", "pages.parquet")
+    edges_pq = os.path.join(FIXTURE_ROOT, f"pages_{n_pages}", "edges.parquet")
+    und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
+    tri_join = (
+        f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "
+        f"JOIN {und} e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
+    return {
+        "extract_text_pages": f"SELECT url, text FROM read_parquet('{pages_pq}')",
+        "extract_edges_pages": f"SELECT src_url, dst_url FROM read_parquet('{edges_pq}')",
+        "vertices_pages": f"""
+            SELECT row_number() OVER (ORDER BY url) - 1 AS vid, url FROM (
+              SELECT DISTINCT src_url AS url FROM read_parquet('{edges_pq}')
+              UNION
+              SELECT DISTINCT dst_url FROM read_parquet('{edges_pq}')
+            )""",
+        "degrees_li": f"""
+            SELECT v.vid,
+                   coalesce(o.c, 0) AS out_deg,
+                   coalesce(i.c, 0) AS in_deg
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT src AS vid, count(*) AS c FROM {_LI_E} GROUP BY src) o USING (vid)
+            LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM {_LI_E} GROUP BY dst) i USING (vid)
+            """,
+        "simplify_li": f"SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst",
+        "count_multiple_li": f"SELECT src, dst, count(*) AS count FROM {_LI_E} GROUP BY src, dst",
+        "top_out_degree_li": f"""
+            SELECT src AS vid, count(*) AS out_deg FROM {_LI_E}
+            GROUP BY src ORDER BY out_deg DESC, vid LIMIT 20""",
+        "wcc_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+            v AS {_LI_V},
+            reach(v, l) AS (
+              SELECT vid, vid FROM v
+              UNION
+              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
+            )
+            SELECT v AS vid,
+                   dense_rank() OVER (ORDER BY ml) - 1 AS wcc
+            FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
+            """,
+        "scc_li": f"""
+            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
+            v AS {_LI_V},
+            r(s, t) AS (
+              SELECT vid, vid FROM v
+              UNION
+              SELECT r.s, de.dst FROM r JOIN de ON de.src = r.t
+            )
+            SELECT vid, dense_rank() OVER (ORDER BY ml) - 1 AS scc FROM (
+              SELECT a.t AS vid, min(a.s) AS ml
+              FROM r a JOIN r b ON a.s = b.t AND a.t = b.s
+              GROUP BY a.t
+            )
+            """,
+        "pagerank_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
+            pr(v, score, outdeg, iter) AS (
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
+              FROM v JOIN deg d ON d.vid = v.vid
+              UNION ALL
+              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
+                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
+                FROM pr p JOIN e ON e.src = p.v
+                UNION ALL
+                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.outdeg, p.iter
+                FROM pr p
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < {PR_ITERS}
+            )
+            SELECT v AS vid, round(score, 6) AS score FROM pr
+            WHERE iter = {PR_ITERS}
+            """,
+        "triangles_total_li": f"SELECT count(*) AS total FROM {tri_join}",
+        "triangles_per_vertex_li": f"""
+            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
+            corners AS (
+              SELECT x AS vid FROM t UNION ALL
+              SELECT y FROM t UNION ALL
+              SELECT z FROM t
+            )
+            SELECT v.vid, coalesce(c.cnt, 0) AS count
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT vid, count(*) AS cnt FROM corners GROUP BY vid) c USING (vid)
+            """,
+        "edge_ops_li": f"""
+            WITH e1 AS (SELECT DISTINCT src, dst FROM {_LI_E}),
+            e2 AS (SELECT DISTINCT l_partkey % {NV} AS src, l_suppkey % {NV} AS dst FROM lineitem)
+            SELECT
+              (SELECT count(*) FROM (SELECT * FROM e1 UNION SELECT * FROM e2)) AS u,
+              (SELECT count(*) FROM (SELECT * FROM e1 INTERSECT SELECT * FROM e2)) AS i,
+              (SELECT count(*) FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e2)) AS d
+            """,
+        "reciprocity_li": f"""
+            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst)
+            SELECT round(
+              (SELECT count(*) FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
+              / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
+            """,
+        "token_stats_docs": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
+            FROM documents
+            """,
+        "lang_histogram_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+            """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            """,
+    }

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Headline benchmarks.  Prints ONE JSON line:
+{"metric": ..., "value": <headline sec>, "unit": "sec",
+ "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+Workloads (BASELINE.md):
+* pagerank_web — PageRank (damping .85, tol 1e-6) on the deterministic
+  power-law web graph (>= 1e7 edges by default; override with
+  GRAFT_BENCH_VERTICES).  The headline value; edges/sec + iterations
+  reported alongside.
+* wcc_web / lpa_web — components + label propagation on the same graph.
+* extract_pages — html->text+edges extraction over the pages fixture.
+* triangles_web — exact triangle count on a medium power-law graph.
+* dedup/knn/query benches over the $GRAFT_SF_DIR tables.
+
+`bench.py --scaling` runs the same job in two fresh processes at
+num_cpus=8 and 32 (N vs 4N stand-in, see BASELINE.md) and reports both
+throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_V = int(os.environ.get("GRAFT_BENCH_VERTICES", "1000000"))
+TRI_V = int(os.environ.get("GRAFT_TRI_VERTICES", "200000"))
+CACHE = "/tmp/graft_bench"
+
+
+def _edges_parquet(n: int) -> str:
+    """Edge table cached on disk so scaling runs share the same input
+    (and generation stays off the clock)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(CACHE, f"edges_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        from xdata_igraph_ray.sources.synth import generate_edges
+
+        pq.write_table(generate_edges(n, seed=42), path + ".tmp",
+                       row_group_size=1 << 20)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def main():
+    import ray
+    import ray.data as rd
+
+    ray.init(
+        address="local", num_cpus=NCPU, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from xdata_igraph_ray.graph.components import wcc
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.lpa import label_propagation
+    from xdata_igraph_ray.graph.pagerank import pagerank
+    from xdata_igraph_ray.graph.triangles import triangles
+    from xdata_igraph_ray.stages.extract import extracted_edges
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+    P = max(2, min(NCPU, 32))
+
+    # -- pagerank / wcc / lpa on the big web graph -------------------------
+    path = _edges_parquet(BENCH_V)
+    edges = rd.read_parquet(path)
+    # warm page cache (off the clock)
+    edges.count()
+    t0 = time.time()
+    eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)
+    queries["build_graph"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    info = pagerank(eng, tol=1e-6)
+    queries["pagerank_web"] = round(time.time() - t0, 3)
+    extras["pagerank_iterations"] = info["iterations"]
+    extras["pagerank_edges_per_sec"] = round(info["edges_per_sec"])
+    extras["edges"] = eng.edge_count
+
+    t0 = time.time()
+    wcc(eng)
+    queries["wcc_web"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    label_propagation(eng, max_iter=60)
+    queries["lpa_web"] = round(time.time() - t0, 3)
+    eng.shutdown()
+
+    # -- triangles on a medium power-law graph -----------------------------
+    tri_path = _edges_parquet(TRI_V)
+    t0 = time.time()
+    total, _ = triangles(
+        rd.read_parquet(tri_path), n=TRI_V, P=P, per_vertex=False
+    )
+    queries["triangles_web"] = round(time.time() - t0, 3)
+    extras["triangles_total"] = total
+
+    # -- extraction over the pages fixture ---------------------------------
+    import __ray_entry__ as entry
+
+    paths = entry.pages_fixture(SF_DIR)
+    pages = rd.read_parquet(paths["pages"])
+    pages.count()  # warm
+    t0 = time.time()
+    extracted_edges(pages).materialize()
+    queries["extract_pages"] = round(time.time() - t0, 3)
+
+    # -- sf-table benches ---------------------------------------------------
+    t0 = time.time()
+    entry.q_lineitem_pricing(SF_DIR).materialize()
+    queries["lineitem_pricing"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry.q_minhash_pairs(SF_DIR).materialize()
+    queries["minhash_docs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    entry.q_knn(SF_DIR)
+    queries["knn_embeddings"] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "pagerank_web_wall_sec (1e-6 tol, power-law web graph)",
+        "value": queries["pagerank_web"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        **extras,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+def scaling():
+    """Same pagerank job in fresh processes at 8 and 32 CPUs."""
+    _edges_parquet(BENCH_V)  # pre-generate so both runs share input
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["pagerank_web"]
+    t_hi = r_hi["queries"]["pagerank_web"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "pagerank_web scaling N=8 -> 4N=32 cpus",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "edges_per_sec_8": r_lo["pagerank_edges_per_sec"],
+        "edges_per_sec_32": r_hi["pagerank_edges_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "edges": r_hi["edges"],
+        "iterations": r_hi["pagerank_iterations"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

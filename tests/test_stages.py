@@ -1,0 +1,140 @@
+"""Text analysis, dedup, similarity, multimodal stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from xdata_igraph_ray.stages import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_token_stats_matches_python():
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["Hello, world 42!", ""]})
+    )
+    out = text.token_stats(ds).to_pandas().sort_values("doc_id")
+    assert list(out["n_words"]) == [3, 0]  # Hello world 42
+    assert list(out["n_chars"]) == [16, 0]
+    assert out["n_tokens"][0] > 3  # punctuation tokens counted
+
+
+def test_quality_and_langid_and_fingerprint():
+    ds = docs_ds()
+    q = text.quality_scores(ds).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    lang = text.detect_language(ds.limit(50)).to_pandas()
+    assert set(lang["lang_pred"]).issubset({"en", "de", "fr", "und"})
+    fp = text.fingerprint(ds.limit(20)).to_pandas()
+    fp2 = text.fingerprint(ds.limit(20)).to_pandas()
+    assert (fp.sort_values("doc_id")["fp"].to_numpy()
+            == fp2.sort_values("doc_id")["fp"].to_numpy()).all()
+
+
+def dup_docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "the quick brown fox jumps over the lazy dog " * 5,          # exact dup of 0
+        "the quick brown fox jumped over the lazy dog " * 5,         # near dup
+        "completely different content about ray data pipelines " * 5,
+        "another unrelated document discussing arrow tables " * 5,
+    ]
+    return rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+
+
+def test_exact_dedup():
+    out = dedup.exact_duplicates(dup_docs(), P=2).to_pandas().sort_values("doc_id")
+    assert list(out["rep_id"]) == [0, 0, 2, 3, 4]
+    kept = dedup.dedup_exact(dup_docs(), P=2).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = dedup.minhash_lsh_pairs(dup_docs(), threshold=0.5, P=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any({3, 4} & set(p) for p in got)
+    clusters = dedup.dedup_clusters(
+        rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    ).to_pandas()
+    lut = clusters.set_index("doc_id")["cluster"]
+    assert lut[0] == lut[1] == lut[2]
+
+
+def test_simhash_pairs():
+    pairs = dedup.simhash_pairs(dup_docs(), max_hamming=6, P=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_embedding_near_dup_and_knn():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((50, 16))
+    # rows 0,1 nearly identical; row 2 equal to 0 with tiny noise
+    base[1] = base[0] + 0.001 * rng.standard_normal(16)
+    base[2] = base[0] + 0.002 * rng.standard_normal(16)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(50, dtype=np.int64),
+                "embedding": pa.array(
+                    [r.tolist() for r in base], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.99, P=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values))
+    assert (0, 1) in got and (0, 2) in got
+
+    res = similarity.knn_brute(emb, base[[0]], k=3).to_pandas()
+    assert set(res["vec_id"]) == {0, 1, 2}
+    # ivf with full probe ≈ exact for this size
+    res2 = similarity.knn_ivf(
+        emb, base[[0]], k=3, n_clusters=4, nprobe=4
+    ).to_pandas()
+    assert 0 in set(res2["vec_id"])
+
+
+def test_knn_on_testdata_embeddings():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.stack(emb.take(2, batch_format=None) if False else
+                 [r["embedding"] for r in emb.take(2)])
+    res = similarity.knn_brute(emb, q, k=5).to_pandas()
+    # the query vectors are their own nearest neighbors
+    top = res.sort_values(["query_id", "cosine"], ascending=[True, False]) \
+             .groupby("query_id").head(1)
+    assert list(top["vec_id"]) == [0, 1]
+
+
+def test_multimodal_plumbing():
+    media = rd.from_arrow(multimodal.synth_media(100))
+    feats = multimodal.extract_features(media).to_pandas()
+    assert len(feats) == 100
+    assert len(feats["feature"][0]) == multimodal.FEATURE_DIM
+    # determinism
+    feats2 = multimodal.extract_features(rd.from_arrow(multimodal.synth_media(100))).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["feature"].to_numpy())
+    assert np.allclose(a, b)
+    frames = multimodal.sample_frames(media).to_pandas()
+    assert (frames.groupby("media_id").size() >= 1).all()
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            media, extractor=multimodal.RealCodecStage
+        ).materialize()

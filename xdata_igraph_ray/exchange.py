@@ -252,9 +252,28 @@ def hash_join(
     def _join(nl: int, *parts: pa.Table):
         lt = pa.concat_tables(parts[:nl], promote_options="default")
         rt = pa.concat_tables(parts[nl:], promote_options="default")
-        return lt.join(
-            rt, keys=keys, right_keys=right_keys, join_type=how, use_threads=False
-        )
+        try:
+            return lt.join(
+                rt, keys=keys, right_keys=right_keys, join_type=how,
+                use_threads=False,
+            )
+        except pa.lib.ArrowInvalid:
+            # Arrow's join kernel rejects nested / extension payload
+            # columns (e.g. tensor columns); fall back to pandas
+            ldf, rdf = lt.to_pandas(), rt.to_pandas()
+            if how == "left semi":
+                out = ldf[ldf.set_index(keys).index.isin(
+                    rdf.set_index(right_keys).index)]
+            elif how == "left anti":
+                out = ldf[~ldf.set_index(keys).index.isin(
+                    rdf.set_index(right_keys).index)]
+            else:
+                pd_how = {"inner": "inner", "left outer": "left",
+                          "right outer": "right", "full outer": "outer"}[how]
+                out = ldf.merge(
+                    rdf, left_on=keys, right_on=right_keys, how=pd_how
+                )
+            return pa.Table.from_pandas(out, preserve_index=False)
 
     out = [_join.remote(len(lsh[p]), *lsh[p], *rsh[p]) for p in range(P)]
     return out if as_refs else to_dataset(out)

@@ -113,8 +113,12 @@ def _dedup_pairs(keys: np.ndarray, vals: np.ndarray):
 # shard actor
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 class GraphShard:
+    """num_cpus=0: shards are resident state holders that compute only
+    inside BSP calls; reserving a CPU per shard would let an engine of
+    P shards starve every other task on a P-CPU node (actor-capacity
+    deadlock).  The OS schedules the actual superstep compute."""
     def __init__(self, part_id: int, bounds, n: int, weighted: bool):
         self.p = part_id
         self.bounds = np.asarray(bounds, dtype=np.int64)
@@ -243,41 +247,50 @@ class GraphShard:
             # in both numerator and denominator is arithmetically
             # identical and keeps the CSR intact.
             w = np.maximum(self.fw_w, 0.0)
-            self.meta["pr_w"] = w
+            self.meta["pr_w_sorted"] = w[self.fw_dperm]
             denom = np.add.reduceat(
                 np.concatenate((w, [0.0])), self.fw_indptr[:-1]
             ) * (self.out_deg > 0) if self.size else np.empty(0)
         else:
             denom = self.out_deg
         self.meta["pr_denom"] = np.asarray(denom, dtype=np.float64)
+        # local src index per edge, in dst-sorted order: one fancy-index
+        # gather per superstep instead of repeat+permute
+        counts = np.diff(self.fw_indptr)
+        self.meta["pr_src_by_dst"] = np.repeat(
+            np.arange(self.size, dtype=np.int64), counts
+        )[self.fw_dperm]
         if not keep_scores:
             self.state["pr"] = np.full(self.size, 1.0 / self.n)
+        return self._pr_sumfrom()
+
+    def _pr_sumfrom(self) -> float:
+        """igraph's teleport mass: dangling vertices contribute their
+        whole mass, others (1-d) of it (src/centrality.c:926-939)."""
+        p = self.state["pr"]
+        d = self.meta["pr_damping"]
+        dang = self.meta["pr_denom"] == 0
+        return float(p[dang].sum() + (1.0 - d) * p[~dang].sum())
 
     def pr_sum(self) -> float:
         return float(self.state["pr"].sum())
 
     def pr_scatter(self):
-        """Returns P dense contribution arrays + a scalar dict.
-
-        sumfrom follows igraph exactly: dangling vertices contribute
-        their whole mass to teleport, others (1-d) of it
-        (src/centrality.c:926-939)."""
+        """P dense per-destination-shard contribution arrays."""
         p = self.state["pr"]
-        d = self.meta["pr_damping"]
         denom = self.meta["pr_denom"]
-        dang = denom == 0
         with np.errstate(divide="ignore", invalid="ignore"):
-            tmp = np.where(dang, 0.0, p / denom)
-        counts = np.diff(self.fw_indptr)
-        vals = np.repeat(tmp, counts)
+            tmp = np.where(denom == 0, 0.0, p / denom)
+        v = tmp[self.meta["pr_src_by_dst"]]
         if self.meta["pr_weighted"]:
-            vals = vals * self.meta["pr_w"]
-        v = vals[self.fw_dperm]
+            v = v * self.meta["pr_w_sorted"]
         outs = self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, v)
-        sumfrom = float(p[dang].sum() + (1.0 - d) * p[~dang].sum())
-        return (*outs, {"sumfrom": sumfrom, "msgs": int(len(vals))})
+        return tuple(outs) if self.P > 1 else outs[0]
 
-    def pr_gather(self, sumfrom_total: float, reset_uniform: bool, *contribs):
+    def pr_gather(self, sumfrom_total: float, *contribs):
+        """Applies the update and returns convergence scalars PLUS the
+        next iteration's sumfrom partial — so the driver needs exactly
+        one synchronization per superstep."""
         d = self.meta["pr_damping"]
         acc = np.zeros(self.size)
         for c in contribs:
@@ -290,6 +303,8 @@ class GraphShard:
             "linf": float(delta.max(initial=0.0)),
             "l1": float(delta.sum()),
             "sum": float(new.sum()),
+            "sumfrom": self._pr_sumfrom(),
+            "msgs": int(len(self.fw_dst)),
         }
 
     def pr_normalize(self, total: float):

@@ -48,16 +48,17 @@ def pagerank(
     P = engine.P
     shards = engine.shards
     start_iter = 0
+    resumed = False
     if resume and ckpt_root:
         last = GraphEngine.latest_checkpoint(ckpt_root, "pagerank")
         if last is not None:
             engine.restore(ckpt_root, "pagerank", last, ["pr"])
-            ray.get([
-                s.pr_init.remote(damping, weighted, True) for s in shards
-            ])
             start_iter = last + 1
-    if start_iter == 0:
-        ray.get([s.pr_init.remote(damping, weighted) for s in shards])
+            resumed = True
+    partials = ray.get([
+        s.pr_init.remote(damping, weighted, resumed) for s in shards
+    ])
+    sumfrom = sum(partials)
 
     lineage = {
         "algo": "pagerank", "damping": damping, "tol": tol,
@@ -69,23 +70,22 @@ def pagerank(
     while it < max_iter and (linf > tol or l1 > tol):
         t_it = time.time()
         outs = [
-            s.pr_scatter.options(num_returns=P + 1).remote() for s in shards
+            s.pr_scatter.options(num_returns=P if P > 1 else 1).remote()
+            for s in shards
         ]
-        outs = [[o] if P + 1 == 1 else list(o) for o in outs]
-        scalars = ray.get([o[P] for o in outs])
-        sumfrom = sum(s["sumfrom"] for s in scalars)
-        msgs = sum(s["msgs"] for s in scalars)
+        outs = [[o] if P == 1 else list(o) for o in outs]
         stats = ray.get([
             shards[q].pr_gather.remote(
-                sumfrom, True, *[outs[p][q] for p in range(P)]
+                sumfrom, *[outs[p][q] for p in range(P)]
             )
             for q in range(P)
         ])
         linf = max(s["linf"] for s in stats)
         l1 = sum(s["l1"] for s in stats)
+        sumfrom = sum(s["sumfrom"] for s in stats)
         if ckpt_root and (it % ckpt_every == 0 or (linf <= tol and l1 <= tol)):
             rows = [
-                {"part": q, "iter": it, "msgs": msgs // P, "bytes": 0,
+                {"part": q, "iter": it, "msgs": stats[q]["msgs"], "bytes": 0,
                  "wall_s": time.time() - t_it, "delta": stats[q]["l1"]}
                 for q in range(P)
             ]
