@@ -252,6 +252,50 @@ def q_reciprocity(sf_dir: str):
     )
 
 
+def q_sssp(sf_dir: str):
+    """Hop distance from vertex 0 over the lineitem graph (-1 =
+    unreachable)."""
+    from xdata_igraph_ray.graph.paths import sssp
+
+    eng = _engine(sf_dir)
+    d = sssp(eng, [0], mode="out")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "dist": d.astype(np.int64)})
+
+
+def q_coreness(sf_dir: str):
+    from xdata_igraph_ray.graph.cores import coreness
+
+    eng = _engine(sf_dir)
+    coreness(eng)
+    core = eng.state_arrays("core")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "core": core.astype(np.int64)})
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank, reset mass 0.6/0.4 on vertices 0/1,
+    fixed iterations, rounded — SQL-oracled."""
+    from xdata_igraph_ray.graph.pagerank import pagerank
+
+    reset = np.zeros(NV)
+    reset[0], reset[1] = 0.6, 0.4
+    eng = _engine(sf_dir)
+    pagerank(eng, tol=0.0, max_iter=PR_ITERS, reset=reset)
+    scores = eng.state_arrays("pr")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "score": np.round(scores, 6)})
+
+
+def q_pseudo_diameter(sf_dir: str):
+    from xdata_igraph_ray.graph.paths import pseudo_diameter
+
+    eng = _engine(sf_dir)
+    d = pseudo_diameter(eng, mode="all")
+    eng.shutdown()
+    return pd.DataFrame({"pseudo_diameter": [d]})
+
+
 # -- documents / text -------------------------------------------------------
 
 
@@ -454,6 +498,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_li": q_lpa,
         "edge_ops_li": q_edge_ops,
         "reciprocity_li": q_reciprocity,
+        "sssp_li": q_sssp,
+        "coreness_li": q_coreness,
+        "personalized_pagerank_li": q_ppr,
+        "pseudo_diameter_li": q_pseudo_diameter,
         "token_stats_docs": q_token_stats,
         "lang_histogram_docs": q_lang_histogram,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -577,6 +625,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(
               (SELECT count(*) FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
               / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
+            """,
+        "sssp_li": f"""
+            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
+            r(v, d) AS (
+              SELECT 0, 0
+              UNION
+              -- depth bound >> the dense graph's true diameter (~4);
+              -- keeps the closure small without risking false -1s
+              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
+              WHERE r.d < 16
+            )
+            SELECT v.vid, coalesce(m.d, -1) AS dist
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
+              ON m.v = v.vid
+            """,
+        "personalized_pagerank_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
+            pr(v, score, outdeg, iter) AS (
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
+              FROM v JOIN deg d ON d.vid = v.vid
+              UNION ALL
+              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
+                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
+                FROM pr p JOIN e ON e.src = p.v
+                UNION ALL
+                SELECT p.v,
+                       (1.0 - {PR_DAMPING})
+                       * (CASE p.v WHEN 0 THEN 0.6 WHEN 1 THEN 0.4 ELSE 0.0 END),
+                       p.outdeg, p.iter
+                FROM pr p
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < {PR_ITERS}
+            )
+            SELECT v AS vid, round(score, 6) AS score FROM pr
+            WHERE iter = {PR_ITERS}
             """,
         "token_stats_docs": r"""
             SELECT doc_id,

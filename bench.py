@@ -39,7 +39,9 @@ def _edges_parquet(n: int) -> str:
     (and generation stays off the clock)."""
     import pyarrow.parquet as pq
 
-    path = os.path.join(CACHE, f"edges_{n}.parquet")
+    from xdata_igraph_ray.sources.synth import GEN_VERSION
+
+    path = os.path.join(CACHE, f"edges_v{GEN_VERSION}_{n}.parquet")
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
         from xdata_igraph_ray.sources.synth import generate_edges
@@ -87,6 +89,18 @@ def main():
     extras["pagerank_iterations"] = info["iterations"]
     extras["pagerank_edges_per_sec"] = round(info["edges_per_sec"])
     extras["edges"] = eng.edge_count
+
+    if os.environ.get("GRAFT_BENCH_FAST"):
+        # scaling mode: headline job only
+        out = {
+            "metric": "pagerank_web_wall_sec (1e-6 tol, power-law web graph)",
+            "value": queries["pagerank_web"], "unit": "sec",
+            "queries": queries, "sf": SF_DIR, "num_cpus": NCPU, **extras,
+        }
+        print(json.dumps(out))
+        eng.shutdown()
+        ray.shutdown()
+        return out
 
     t0 = time.time()
     wcc(eng)
@@ -149,7 +163,8 @@ def scaling():
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_FAST="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -59,14 +59,9 @@ def wcc(
     t0 = time.time()
     while it < max_iter and changed != 0:
         t_it = time.time()
-        outs = [
-            s.cc_scatter.options(num_returns=P + 1).remote(("fwd", "rev"))
-            for s in shards
-        ]
-        outs = [list(o) for o in outs]
+        outs = [s.cc_scatter.remote(("fwd", "rev")) for s in shards]
         stats = ray.get([
-            shards[q].cc_gather.remote(*[outs[p][q] for p in range(P)])
-            for q in range(P)
+            shards[q].cc_gather.remote(*outs) for q in range(P)
         ])
         changed = sum(s["changed"] for s in stats)
         if ckpt_root and (it % ckpt_every == 0 or changed == 0):
@@ -89,14 +84,9 @@ def wcc(
 
 
 def _sparse_round(shards, P, scatter, gather, *scatter_args) -> int:
-    outs = [
-        getattr(s, scatter).options(num_returns=P + 1).remote(*scatter_args)
-        for s in shards
-    ]
-    outs = [list(o) for o in outs]
+    outs = [getattr(s, scatter).remote(*scatter_args) for s in shards]
     stats = ray.get([
-        getattr(shards[q], gather).remote(*[outs[p][q] for p in range(P)])
-        for q in range(P)
+        getattr(shards[q], gather).remote(*outs) for q in range(P)
     ])
     return sum(s["changed"] for s in stats)
 
@@ -118,22 +108,10 @@ def scc(
             raise RuntimeError("scc: did not converge")
         # trim to fixpoint (peeling cascades along DAG chains)
         while True:
-            in_flags = [
-                s.scc_neighbor_flags.options(num_returns=P).remote("fwd")
-                for s in shards
-            ]
-            out_flags = [
-                s.scc_neighbor_flags.options(num_returns=P).remote("rev")
-                for s in shards
-            ]
-            in_flags = [[f] if P == 1 else list(f) for f in in_flags]
-            out_flags = [[f] if P == 1 else list(f) for f in out_flags]
+            in_flags = [s.scc_neighbor_flags.remote("fwd") for s in shards]
+            out_flags = [s.scc_neighbor_flags.remote("rev") for s in shards]
             trimmed = sum(ray.get([
-                shards[q].scc_trim.remote(
-                    P,
-                    *[in_flags[p][q] for p in range(P)],
-                    *[out_flags[p][q] for p in range(P)],
-                )
+                shards[q].scc_trim.remote(P, *in_flags, *out_flags)
                 for q in range(P)
             ]))
             if trimmed == 0:

@@ -214,18 +214,32 @@ class GraphShard:
     # -- dense/sparse message helpers ---------------------------------------
 
     def _split_dense_sum(self, dst_sorted, seg, vals_sorted):
-        """Per-destination-shard dense contribution arrays (bincount
-        combiner: hub fan-in is pre-summed here)."""
+        """Per-destination-shard pre-summed contributions (the
+        combiner that bounds hub fan-in).  Adaptive layout: a dense
+        array when this sender touches most of the receiver's range,
+        else sparse (ids, sums) — computed with reduceat over the
+        already-sorted dst segment.  Cuts all-to-all bytes from
+        P x n to O(edges) on sparse exchanges."""
         out = []
         for q in range(self.P):
             s, e = seg[q], seg[q + 1]
-            out.append(
-                np.bincount(
-                    dst_sorted[s:e] - self.bounds[q],
-                    weights=vals_sorted[s:e],
-                    minlength=self.bounds[q + 1] - self.bounds[q],
+            size_q = int(self.bounds[q + 1] - self.bounds[q])
+            seg_dst = dst_sorted[s:e]
+            if e - s >= size_q // 2:
+                out.append(
+                    np.bincount(
+                        seg_dst - self.bounds[q],
+                        weights=vals_sorted[s:e],
+                        minlength=size_q,
+                    )
                 )
-            )
+            else:
+                ids, idx = np.unique(seg_dst, return_index=True)
+                sums = (
+                    np.add.reduceat(vals_sorted[s:e], idx)
+                    if len(ids) else vals_sorted[s:e]
+                )
+                out.append((ids, sums))
         return out
 
     def _split_sparse_min(self, keys, vals):
@@ -238,9 +252,16 @@ class GraphShard:
 
     # -- PageRank (semantics: reference src/centrality.c:894-973) ------------
 
-    def pr_init(self, damping: float, weighted: bool, keep_scores: bool = False):
+    def pr_init(self, damping: float, weighted: bool, keep_scores: bool = False,
+                reset=None):
         self.meta["pr_damping"] = damping
         self.meta["pr_weighted"] = weighted and self.weighted
+        # personalized reset distribution (igraph_personalized_pagerank,
+        # src/centrality.c:1284-1316): slice of a global, sum-1 vector
+        self.meta["pr_reset"] = (
+            np.array(reset[self.lo:self.hi], dtype=np.float64)
+            if reset is not None else None
+        )
         if self.meta["pr_weighted"]:
             # PRPACK drops edges with weight <= 0 at conversion
             # (src/prpack/prpack_igraph_graph.cpp:55-59); clamping to 0
@@ -284,18 +305,29 @@ class GraphShard:
         v = tmp[self.meta["pr_src_by_dst"]]
         if self.meta["pr_weighted"]:
             v = v * self.meta["pr_w_sorted"]
-        outs = self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, v)
-        return tuple(outs) if self.P > 1 else outs[0]
+        return self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, v)
 
-    def pr_gather(self, sumfrom_total: float, *contribs):
+    def pr_gather(self, sumfrom_total: float, *sender_outs):
         """Applies the update and returns convergence scalars PLUS the
         next iteration's sumfrom partial — so the driver needs exactly
-        one synchronization per superstep."""
+        one synchronization per superstep.  Each ``sender_outs`` item is
+        a sender's full per-destination list; we read slice ``self.p``
+        (zero-copy out of the object store)."""
         d = self.meta["pr_damping"]
         acc = np.zeros(self.size)
-        for c in contribs:
-            acc += c
-        new = d * acc + sumfrom_total / self.n
+        for out in sender_outs:
+            c = out[self.p]
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    acc[ids - self.lo] += sums
+            else:
+                acc += c
+        reset = self.meta["pr_reset"]
+        if reset is not None:
+            new = d * acc + sumfrom_total * reset
+        else:
+            new = d * acc + sumfrom_total / self.n
         old = self.state["pr"]
         delta = np.abs(new - old)
         self.state["pr"] = new
@@ -334,13 +366,12 @@ class GraphShard:
             vals_parts.append(np.repeat(lab, counts)[mask])
         keys = np.concatenate(keys_parts) if keys_parts else np.empty(0, np.int64)
         vals = np.concatenate(vals_parts) if vals_parts else np.empty(0, np.int64)
-        msgs = self._split_sparse_min(keys, vals)
-        return (*msgs, {"msgs": int(len(keys))})
+        return self._split_sparse_min(keys, vals)
 
-    def cc_gather(self, *msgs):
+    def cc_gather(self, *sender_outs):
         lab = self.state["label"]
         new = lab.copy()
-        for ids, vals in msgs:
+        for ids, vals in (o[self.p] for o in sender_outs):
             if len(ids):
                 idx = ids - self.lo
                 np.minimum.at(new, idx, vals)
@@ -406,15 +437,15 @@ class GraphShard:
         keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
         lbls = np.concatenate(lbl_l) if lbl_l else np.empty(0, np.int64)
         ws = np.concatenate(w_l) if w_l else np.empty(0)
-        msgs = self._pair_messages(keys, lbls, ws)
-        return (*msgs, {"msgs": int(len(keys))})
+        return self._pair_messages(keys, lbls, ws)
 
-    def lpa_gather(self, parity, *msgs):
+    def lpa_gather(self, parity, *sender_outs):
         """Adopt the dominant incoming label (ties -> smallest label —
         the deterministic stand-in for igraph's random tie-break,
         src/community.c:2298-2301).  Vertices with no messages or with
-        ``fixed`` set keep their label.  ``parity`` (0/1/None) enables
-        red/black alternation: only vids of that parity update."""
+        ``fixed`` set keep their label.  ``parity`` (None or a round
+        number) enables hash-subsampled damping rounds."""
+        msgs = [o[self.p] for o in sender_outs]
         ks = [m[0] for m in msgs if len(m[0])]
         if not ks:
             return {"changed": 0}
@@ -492,18 +523,28 @@ class GraphShard:
             counts = np.diff(self.rv_indptr)
             vals = np.repeat(un, counts)[self.rv_sperm]
             out = self._split_dense_sum(self.rv_src_sorted, self.rv_seg, vals)
-        return tuple(out) if self.P > 1 else out[0]
+        return out
 
-    def scc_trim(self, n_in: int, *counts) -> int:
-        """First n_in arrays: unassigned-in-neighbor counts; rest:
-        unassigned-out-neighbor counts.  Unassigned vertices with either
-        total zero are singleton SCCs (labeled own vid)."""
+    def scc_trim(self, n_in: int, *sender_outs) -> int:
+        """First n_in sender outputs: unassigned-in-neighbor counts;
+        rest: unassigned-out-neighbor counts.  Unassigned vertices with
+        either total zero are singleton SCCs (labeled own vid)."""
+        counts = [o[self.p] for o in sender_outs]
         cin = np.zeros(self.size)
         cout = np.zeros(self.size)
+
+        def acc(dst, c):
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    dst[ids - self.lo] += sums
+            else:
+                dst += c
+
         for c in counts[:n_in]:
-            cin += c
+            acc(cin, c)
         for c in counts[n_in:]:
-            cout += c
+            acc(cout, c)
         un = self.state["scc"] < 0
         trim = un & ((cin == 0) | (cout == 0))
         self.state["scc"][trim] = np.arange(self.lo, self.hi)[trim]
@@ -521,14 +562,13 @@ class GraphShard:
         mask = np.repeat(act, counts)
         keys = self.fw_dst[mask]
         vals = np.repeat(col, counts)[mask]
-        msgs = self._split_sparse_min(keys, vals)
-        return (*msgs, {"msgs": int(len(keys))})
+        return self._split_sparse_min(keys, vals)
 
-    def scc_color_gather(self, *msgs):
+    def scc_color_gather(self, *sender_outs):
         un = self.state["scc"] < 0
         col = self.state["color"]
         new = col.copy()
-        for ids, vals in msgs:
+        for ids, vals in (o[self.p] for o in sender_outs):
             if len(ids):
                 np.minimum.at(new, ids - self.lo, vals)
         new = np.where(un, new, col)
@@ -556,18 +596,17 @@ class GraphShard:
         vals = np.repeat(col, counts)[mask]
         keys, vals = _dedup_pairs(keys, vals)
         seg = np.searchsorted(keys, self.bounds)
-        msgs = [
+        return [
             (keys[seg[q]:seg[q + 1]], vals[seg[q]:seg[q + 1]])
             for q in range(self.P)
         ]
-        return (*msgs, {"msgs": int(len(keys))})
 
-    def scc_bwd_gather(self, *msgs):
+    def scc_bwd_gather(self, *sender_outs):
         un = self.state["scc"] < 0
         col = self.state["color"]
         reached = self.state["reached"]
         newly = np.zeros(self.size, dtype=bool)
-        for ids, vals in msgs:
+        for ids, vals in (o[self.p] for o in sender_outs):
             if len(ids):
                 idx = ids - self.lo
                 ok = un[idx] & ~reached[idx] & (col[idx] == vals)
@@ -587,6 +626,98 @@ class GraphShard:
         lab = self.state[state_key]
         pos = np.searchsorted(old_labels, lab)
         self.state[state_key] = new_labels[pos]
+
+    # -- BFS frontier (building block for sssp / diameter / reachability) ----
+
+    def bfs_init(self, sources):
+        dist = np.full(self.size, np.iinfo(np.int64).max, dtype=np.int64)
+        src = np.asarray(sources)
+        mine = src[(src >= self.lo) & (src < self.hi)]
+        dist[mine - self.lo] = 0
+        self.state["dist"] = dist
+        self.state["changed"] = np.zeros(self.size, dtype=bool)
+        self.state["changed"][mine - self.lo] = True
+
+    def bfs_scatter(self, directions=("fwd",)):
+        """dist+1 flows to neighbors; sparse min-combined messages."""
+        dist = self.state["dist"]
+        act = self.state["changed"]
+        keys_l, val_l = [], []
+        if "fwd" in directions and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            mask = np.repeat(act, counts)
+            keys_l.append(self.fw_dst[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+        if "rev" in directions and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            mask = np.repeat(act, counts)
+            keys_l.append(self.rv_src[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+        vals = np.concatenate(val_l) if val_l else np.empty(0, np.int64)
+        return self._split_sparse_min(keys, vals)
+
+    def bfs_gather(self, *sender_outs):
+        dist = self.state["dist"]
+        new = dist.copy()
+        for ids, vals in (o[self.p] for o in sender_outs):
+            if len(ids):
+                np.minimum.at(new, ids - self.lo, vals)
+        changed = new < dist
+        self.state["dist"] = new
+        self.state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    def bfs_max_dist(self):
+        d = self.state["dist"]
+        fin = d[d < np.iinfo(np.int64).max]
+        return (
+            int(fin.max()) if len(fin) else -1,
+            int(len(fin)),
+            int(fin.sum()),
+            int(fin.argmax() + self.lo) if len(fin) else -1,
+        )
+
+    # -- k-core decomposition (reference igraph_coreness, src/cores.c:58) ----
+
+    def core_init(self):
+        self.state["core"] = np.full(self.size, -1, dtype=np.int64)
+
+    def core_degree_flags(self, direction: str):
+        """Scatter 1 from unpeeled vertices along edges so receivers
+        learn their remaining degree (same exchange as SCC trim)."""
+        un = (self.state["core"] < 0).astype(np.float64)
+        if direction == "fwd":
+            counts = np.diff(self.fw_indptr)
+            vals = np.repeat(un, counts)[self.fw_dperm]
+            out = self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, vals)
+        else:
+            counts = np.diff(self.rv_indptr)
+            vals = np.repeat(un, counts)[self.rv_sperm]
+            out = self._split_dense_sum(self.rv_src_sorted, self.rv_seg, vals)
+        return out
+
+    def core_peel(self, k: int, n_in: int, *sender_outs) -> tuple:
+        """Assign coreness k to unpeeled vertices whose remaining
+        (ALL-mode) degree <= k; returns (#peeled, min remaining deg)."""
+        counts = [o[self.p] for o in sender_outs]
+        deg = np.zeros(self.size)
+
+        def acc(c):
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    deg[ids - self.lo] += sums
+            else:
+                deg[:] += c
+
+        for c in counts:
+            acc(c)
+        un = self.state["core"] < 0
+        peel = un & (deg <= k)
+        self.state["core"][peel] = k
+        rem = deg[un & ~peel]
+        return int(peel.sum()), (int(rem.min()) if len(rem) else -1)
 
     # -- checkpoint / restore -------------------------------------------------
 

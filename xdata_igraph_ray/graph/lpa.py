@@ -49,15 +49,9 @@ def label_propagation(
         # past sync_iters, damp oscillations with hash-subsampled
         # rounds; every 4th round is full and decides convergence
         full = it < sync_iters or it % 4 == 3
-        outs = [
-            s.lpa_scatter.options(num_returns=P + 1).remote(mode, weighted)
-            for s in shards
-        ]
-        outs = [list(o) for o in outs]
+        outs = [s.lpa_scatter.remote(mode, weighted) for s in shards]
         stats = ray.get([
-            shards[q].lpa_gather.remote(
-                None if full else it, *[outs[p][q] for p in range(P)]
-            )
+            shards[q].lpa_gather.remote(None if full else it, *outs)
             for q in range(P)
         ])
         changed = sum(s["changed"] for s in stats)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
 import ray
 
 from .engine import GraphEngine
@@ -38,6 +39,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 200,
     weighted: bool = False,
+    reset=None,
     ckpt_root: str | None = None,
     ckpt_every: int = 10,
     resume: bool = False,
@@ -55,8 +57,11 @@ def pagerank(
             engine.restore(ckpt_root, "pagerank", last, ["pr"])
             start_iter = last + 1
             resumed = True
+    if reset is not None:
+        reset = np.asarray(reset, dtype=np.float64)
+        reset = ray.put(reset / reset.sum())
     partials = ray.get([
-        s.pr_init.remote(damping, weighted, resumed) for s in shards
+        s.pr_init.remote(damping, weighted, resumed, reset) for s in shards
     ])
     sumfrom = sum(partials)
 
@@ -69,16 +74,9 @@ def pagerank(
     t0 = time.time()
     while it < max_iter and (linf > tol or l1 > tol):
         t_it = time.time()
-        outs = [
-            s.pr_scatter.options(num_returns=P if P > 1 else 1).remote()
-            for s in shards
-        ]
-        outs = [[o] if P == 1 else list(o) for o in outs]
+        outs = [s.pr_scatter.remote() for s in shards]
         stats = ray.get([
-            shards[q].pr_gather.remote(
-                sumfrom, *[outs[p][q] for p in range(P)]
-            )
-            for q in range(P)
+            shards[q].pr_gather.remote(sumfrom, *outs) for q in range(P)
         ])
         linf = max(s["linf"] for s in stats)
         l1 = sum(s["l1"] for s in stats)

@@ -1,0 +1,98 @@
+"""BFS-based path operators (reference src/structural_properties.c and
+src/visitors.c).
+
+* :func:`sssp` — unweighted single/multi-source shortest path lengths
+  (igraph_shortest_paths BFS matrix rows, structural_properties.c:455),
+  as frontier supersteps on the shard engine.
+* :func:`pseudo_diameter` — double-sweep BFS lower bound (the standard
+  distributed stand-in for igraph_diameter's all-sources BFS,
+  structural_properties.c:91, which is O(V·E) and driver-side only for
+  tiny graphs).
+* :func:`average_path_length` — exact (all sources) for small n, or
+  seeded sampled sources at scale (igraph_average_path_length,
+  structural_properties.c:223).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .engine import GraphEngine
+
+INF = np.iinfo(np.int64).max
+
+
+def _bfs_rounds(engine: GraphEngine, directions) -> int:
+    P, shards = engine.P, engine.shards
+    rounds = 0
+    while True:
+        outs = [s.bfs_scatter.remote(directions) for s in shards]
+        stats = ray.get([
+            shards[q].bfs_gather.remote(*outs) for q in range(P)
+        ])
+        if sum(s["changed"] for s in stats) == 0:
+            return rounds
+        rounds += 1
+
+
+def sssp(
+    engine: GraphEngine,
+    sources,
+    mode: str = "out",
+) -> np.ndarray:
+    """Shortest hop-count from the source set to every vertex
+    (unreachable -> -1).  mode: out / in / all edge directions."""
+    directions = {"out": ("fwd",), "in": ("rev",), "all": ("fwd", "rev")}[mode]
+    ray.get([
+        s.bfs_init.remote(np.atleast_1d(np.asarray(sources, dtype=np.int64)))
+        for s in engine.shards
+    ])
+    _bfs_rounds(engine, directions)
+    dist = engine.state_arrays("dist")
+    return np.where(dist == INF, -1, dist)
+
+
+def _farthest(engine: GraphEngine):
+    parts = ray.get([s.bfs_max_dist.remote() for s in engine.shards])
+    best = max(parts)  # lexicographic: max dist wins
+    reach = sum(p[1] for p in parts)
+    total = sum(p[2] for p in parts)
+    return best[0], best[3], reach, total
+
+
+def pseudo_diameter(engine: GraphEngine, start: int = 0, mode: str = "all") -> int:
+    """Double-sweep BFS: eccentricity lower bound, exact on trees."""
+    d1 = sssp(engine, [start], mode=mode)
+    far = int(np.argmax(d1))
+    d2 = sssp(engine, [far], mode=mode)
+    return int(d2.max())
+
+
+def average_path_length(
+    engine: GraphEngine,
+    directed: bool = True,
+    sample: int | None = None,
+    seed: int = 42,
+) -> float:
+    """Mean finite-pair shortest path length (unconnected pairs
+    excluded — igraph's default unconn=True).  ``sample`` caps the
+    number of BFS sources (seeded) for large graphs; None = exact."""
+    n = engine.n
+    sources = np.arange(n)
+    if sample is not None and sample < n:
+        sources = np.random.default_rng(seed).choice(n, sample, replace=False)
+    mode = "out" if directed else "all"
+    directions = {"out": ("fwd",), "all": ("fwd", "rev")}[mode]
+    total = 0
+    pairs = 0
+    for s in sources:
+        ray.get([
+            sh.bfs_init.remote(np.array([s], dtype=np.int64))
+            for sh in engine.shards
+        ])
+        _bfs_rounds(engine, directions)
+        _, _, reach, tot = _farthest(engine)
+        total += tot
+        pairs += reach - 1  # exclude the source itself
+    return total / pairs if pairs else float("nan")

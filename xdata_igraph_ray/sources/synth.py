@@ -56,16 +56,22 @@ def _urls_for(n_pages: int, seed: int) -> np.ndarray:
     )
 
 
+GEN_VERSION = 2
+
+
 def _edge_arrays(
     n_pages: int, seed: int, mean_out: float = 12.0, dangling_frac: float = 0.05
 ) -> tuple[np.ndarray, np.ndarray]:
     """(src_idx, out_counts): concatenated target indices per page.
 
-    Power-law out-degree (zipf capped), zipf-over-rank targets through a
-    seeded permutation (power-law in-degree), ~5% dangling pages.
+    Power-law out-degree (capped zipf scaled so the empirical mean is
+    ~mean_out), zipf-over-rank targets through a seeded permutation
+    (power-law in-degree), ~5% dangling pages.
     """
     rng = np.random.default_rng(np.random.PCG64(seed + 2))
     k = np.minimum(rng.zipf(1.7, n_pages), 4 * int(mean_out) + 8)
+    # scale the capped-zipf draw (empirical mean ~5.7) to mean_out
+    k = np.maximum(1, np.round(k * (mean_out / 5.7))).astype(np.int64)
     k[rng.random(n_pages) < dangling_frac] = 0
     total = int(k.sum())
     perm = rng.permutation(n_pages)
@@ -99,7 +105,7 @@ def generate_pages(
     os.makedirs(out_dir, exist_ok=True)
     pages_path = os.path.join(out_dir, "pages.parquet")
     edges_path = os.path.join(out_dir, "edges.parquet")
-    done = os.path.join(out_dir, f"_DONE_{n_pages}_{seed}")
+    done = os.path.join(out_dir, f"_DONE_v{GEN_VERSION}_{n_pages}_{seed}")
     if os.path.exists(done):
         return {"pages": pages_path, "edges": edges_path}
 
