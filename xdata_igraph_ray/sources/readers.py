@@ -111,7 +111,16 @@ def write_edgelist(edges: Dataset, path: str) -> None:
         )
         return pa.table({"text": lines})
 
-    edges.map_batches(fmt, batch_format="pyarrow").write_csv(path)
+    from pyarrow import csv as pacsv
+
+    edges.map_batches(fmt, batch_format="pyarrow").write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, quoting_style="none"
+            )
+        },
+    )
 
 
 def write_ncol(edges_url: Dataset, path: str, weights: bool = False) -> None:
@@ -124,7 +133,16 @@ def write_ncol(edges_url: Dataset, path: str, weights: bool = False) -> None:
             lines = [f"{l} {w:g}" for l, w in zip(lines, ws)]
         return pa.table({"text": pa.array(lines, pa.string())})
 
-    edges_url.map_batches(fmt, batch_format="pyarrow").write_csv(path)
+    from pyarrow import csv as pacsv
+
+    edges_url.map_batches(fmt, batch_format="pyarrow").write_csv(
+        path,
+        arrow_csv_args_fn=lambda: {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, quoting_style="none"
+            )
+        },
+    )
 
 
 def read_edges_parquet(path: str, columns=None) -> Dataset:
