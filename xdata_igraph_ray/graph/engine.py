@@ -160,15 +160,31 @@ class GraphShard:
         dperm = np.argsort(other, kind="stable")
         dsorted = other[dperm]
         seg = np.searchsorted(dsorted, self.bounds)
-        return indptr, other, w, dperm, dsorted, seg
+        # static full-graph propagation index: local owner id per edge
+        # in destination-sorted order, plus unique-destination runs —
+        # lets a full-frontier superstep min/sum-combine with one
+        # reduceat instead of a per-round sort
+        counts = np.diff(indptr)
+        own_by_other = np.repeat(
+            np.arange(self.size, dtype=np.int64), counts
+        )[dperm]
+        runs = np.ones(len(dsorted), dtype=bool)
+        runs[1:] = dsorted[1:] != dsorted[:-1]
+        ustarts = np.flatnonzero(runs)
+        udsts = dsorted[ustarts]
+        useg = np.searchsorted(udsts, self.bounds)
+        return (indptr, other, w, dperm, dsorted, seg,
+                own_by_other, ustarts, udsts, useg)
 
     def finalize(self):
         (self.fw_indptr, self.fw_dst, self.fw_w,
-         self.fw_dperm, self.fw_dst_sorted, self.fw_seg) = self._csr(
-            self._fwd, "src", "dst", self.lo)
+         self.fw_dperm, self.fw_dst_sorted, self.fw_seg,
+         self.fw_src_by_dst, self.fw_ustarts, self.fw_udsts,
+         self.fw_useg) = self._csr(self._fwd, "src", "dst", self.lo)
         (self.rv_indptr, self.rv_src, self.rv_w,
-         self.rv_sperm, self.rv_src_sorted, self.rv_seg) = self._csr(
-            self._rev, "dst", "src", self.lo)
+         self.rv_sperm, self.rv_src_sorted, self.rv_seg,
+         self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
+         self.rv_useg) = self._csr(self._rev, "dst", "src", self.lo)
         self._fwd = self._rev = None
         self.out_deg = np.diff(self.fw_indptr).astype(np.int64)
         self.in_deg = np.diff(self.rv_indptr).astype(np.int64)
@@ -275,12 +291,9 @@ class GraphShard:
         else:
             denom = self.out_deg
         self.meta["pr_denom"] = np.asarray(denom, dtype=np.float64)
-        # local src index per edge, in dst-sorted order: one fancy-index
-        # gather per superstep instead of repeat+permute
-        counts = np.diff(self.fw_indptr)
-        self.meta["pr_src_by_dst"] = np.repeat(
-            np.arange(self.size, dtype=np.int64), counts
-        )[self.fw_dperm]
+        # local src index per edge in dst-sorted order (precomputed at
+        # finalize): one fancy-index gather per superstep
+        self.meta["pr_src_by_dst"] = self.fw_src_by_dst
         if not keep_scores:
             self.state["pr"] = np.full(self.size, 1.0 / self.n)
         return self._pr_sumfrom()
@@ -348,11 +361,51 @@ class GraphShard:
         self.state["label"] = np.arange(self.lo, self.hi, dtype=np.int64)
         self.state["changed"] = np.ones(self.size, dtype=bool)
 
+    def _min_prop_msgs(self, vals_full, direction: str):
+        """Full-frontier min-propagation via the static unique-run
+        index: one reduceat, no per-round sort."""
+        if direction == "fwd":
+            per_edge = vals_full[self.fw_src_by_dst]
+            ustarts, ukeys, useg = self.fw_ustarts, self.fw_udsts, self.fw_useg
+        else:
+            per_edge = vals_full[self.rv_dst_by_src]
+            ustarts, ukeys, useg = self.rv_ustarts, self.rv_usrcs, self.rv_useg
+        mins = (
+            np.minimum.reduceat(per_edge, ustarts)
+            if len(ustarts) else per_edge[:0]
+        )
+        return ukeys, mins, useg
+
     def cc_scatter(self, directions=("fwd", "rev")):
-        """Labels of changed vertices flow along requested directions;
-        sparse (ids, min label) messages per destination shard."""
+        """Labels flow along requested directions; (ids, min label)
+        messages per destination shard.  Dense frontier -> static-index
+        reduceat path; sparse frontier -> masked sort path."""
         lab = self.state["label"]
         act = self.state["changed"]
+        dense = self.size > 0 and float(act.mean()) > 0.25
+        if dense:
+            parts = [[] for _ in range(self.P)]
+            for d in directions:
+                if (d == "fwd" and len(self.fw_dst)) or (
+                    d == "rev" and len(self.rv_src)
+                ):
+                    ukeys, mins, useg = self._min_prop_msgs(lab, d)
+                    for q in range(self.P):
+                        parts[q].append(
+                            (ukeys[useg[q]:useg[q + 1]], mins[useg[q]:useg[q + 1]])
+                        )
+            out = []
+            for q in range(self.P):
+                if len(parts[q]) == 1:
+                    out.append(parts[q][0])
+                elif parts[q]:
+                    k = np.concatenate([p[0] for p in parts[q]])
+                    v = np.concatenate([p[1] for p in parts[q]])
+                    out.append(_min_by_key(k, v))
+                else:
+                    e = np.empty(0, np.int64)
+                    out.append((e, e))
+            return out
         keys_parts, vals_parts = [], []
         if "fwd" in directions and len(self.fw_dst):
             counts = np.diff(self.fw_indptr)
@@ -556,8 +609,22 @@ class GraphShard:
 
     def scc_color_scatter(self):
         """Forward min-color propagation within the unassigned subgraph."""
-        act = self.state["changed"] & (self.state["scc"] < 0)
+        un = self.state["scc"] < 0
+        act = self.state["changed"] & un
         col = self.state["color"]
+        if self.size > 0 and float(act.mean()) > 0.25 and len(self.fw_dst):
+            # dense path: assigned senders masked to +inf (no-op for min)
+            sentinel = np.iinfo(np.int64).max
+            vals_full = np.where(un, col, sentinel)
+            ukeys, mins, useg = self._min_prop_msgs(vals_full, "fwd")
+            keep = mins < sentinel
+            return [
+                (
+                    ukeys[useg[q]:useg[q + 1]][keep[useg[q]:useg[q + 1]]],
+                    mins[useg[q]:useg[q + 1]][keep[useg[q]:useg[q + 1]]],
+                )
+                for q in range(self.P)
+            ]
         counts = np.diff(self.fw_indptr)
         mask = np.repeat(act, counts)
         keys = self.fw_dst[mask]
@@ -781,19 +848,28 @@ class GraphEngine:
                            int(pa.compute.max(b["dst"]).as_py()))
             n = max(ray.get([_mx.remote(r) for r in refs])) + 1
         P = max(1, min(P, max(1, n)))
+        if len(refs) > 2 * P:
+            # coalesce tiny read blocks so routing/ingest is O(P) tasks,
+            # not O(read_blocks x P) actor calls
+            from ..exchange import to_dataset
+
+            refs = block_refs(to_dataset(refs).repartition(P))
         bounds = plan_bounds(refs, n, P)
         shards = [
             GraphShard.remote(p, bounds, n, weighted) for p in range(P)
         ]
-        waits = []
+        fwd_parts: list[list] = [[] for _ in range(P)]
+        rev_parts: list[list] = [[] for _ in range(P)]
         for r in refs:
             fparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "src")
             rparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
             fparts = [fparts] if P == 1 else fparts
             rparts = [rparts] if P == 1 else rparts
             for p in range(P):
-                waits.append(shards[p].ingest_fwd.remote(fparts[p]))
-                waits.append(shards[p].ingest_rev.remote(rparts[p]))
+                fwd_parts[p].append(fparts[p])
+                rev_parts[p].append(rparts[p])
+        waits = [shards[p].ingest_fwd.remote(*fwd_parts[p]) for p in range(P)]
+        waits += [shards[p].ingest_rev.remote(*rev_parts[p]) for p in range(P)]
         ray.get(waits)
         infos = ray.get([s.finalize.remote() for s in shards])
         edges_total = sum(i["edges"] for i in infos)
