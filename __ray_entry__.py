@@ -296,6 +296,64 @@ def q_pseudo_diameter(sf_dir: str):
     return pd.DataFrame({"pseudo_diameter": [d]})
 
 
+def q_strength(sf_dir: str):
+    """Weighted degrees with weight = l_quantity."""
+    from xdata_igraph_ray.graph.metrics import strength
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV,
+                "dst": t["l_partkey"].to_numpy() % NV,
+                "weight": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = strength(li, n=NV, P=8)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "vid": t["vid"],
+                "out_strength": pc.round(t["out_strength"], ndigits=4),
+                "in_strength": pc.round(t["in_strength"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_modularity(sf_dir: str):
+    """Modularity of the deterministic partition vid % 4."""
+    from xdata_igraph_ray.graph.metrics import modularity
+
+    m = modularity(_li_edges(sf_dir), np.arange(NV) % 4, P=8)
+    return pd.DataFrame({"modularity": [round(m, 6)]})
+
+
+def q_dyad_census(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import dyad_census
+
+    dc = dyad_census(_li_edges(sf_dir), n=NV, P=8)
+    return pd.DataFrame([dc])
+
+
+def q_assortativity(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import assortativity_degree
+
+    r = assortativity_degree(_li_edges(sf_dir), P=8)
+    return pd.DataFrame({"assortativity": [round(r, 6)]})
+
+
+def q_scan1(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import local_scan_1
+
+    return local_scan_1(_li_edges(sf_dir), n=NV, P=8)
+
+
 # -- documents / text -------------------------------------------------------
 
 
@@ -502,6 +560,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_li": q_coreness,
         "personalized_pagerank_li": q_ppr,
         "pseudo_diameter_li": q_pseudo_diameter,
+        "strength_li": q_strength,
+        "modularity_li": q_modularity,
+        "dyad_census_li": q_dyad_census,
+        "assortativity_li": q_assortativity,
+        "local_scan1_li": q_scan1,
         "token_stats_docs": q_token_stats,
         "lang_histogram_docs": q_lang_histogram,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -666,6 +729,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vid, round(score, 6) AS score FROM pr
             WHERE iter = {PR_ITERS}
+            """,
+        "strength_li": f"""
+            WITH e AS (SELECT l_orderkey % {NV} AS src,
+                              l_partkey % {NV} AS dst,
+                              l_quantity AS w FROM lineitem)
+            SELECT v.vid,
+                   round(coalesce(o.s, 0), 4) AS out_strength,
+                   round(coalesce(i.s, 0), 4) AS in_strength
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src) o USING (vid)
+            LEFT JOIN (SELECT dst AS vid, sum(w) AS s FROM e GROUP BY dst) i USING (vid)
+            """,
+        "modularity_li": f"""
+            WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+                       FROM {_LI_E} WHERE src <> dst),
+            m AS (SELECT count(*) AS me FROM u),
+            w AS (SELECT count(*) AS win FROM u WHERE a % 4 = b % 4),
+            degs AS (
+              SELECT comm, CAST(sum(c) AS DOUBLE) AS k FROM (
+                SELECT a % 4 AS comm, count(*) AS c FROM u GROUP BY 1
+                UNION ALL
+                SELECT b % 4, count(*) FROM u GROUP BY 1
+              ) GROUP BY comm
+            )
+            SELECT round(
+              (SELECT win FROM w) / CAST((SELECT me FROM m) AS DOUBLE)
+              - (SELECT sum((k / (2.0 * (SELECT me FROM m))) ** 2) FROM degs),
+            6) AS modularity
+            """,
+        "dyad_census_li": f"""
+            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst),
+            pc_ AS (
+              SELECT least(src,dst) a, greatest(src,dst) b, count(*) c
+              FROM de GROUP BY 1, 2
+            )
+            SELECT
+              (SELECT count(*) FROM pc_ WHERE c = 2) AS mut,
+              (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
+              {NV} * ({NV} - 1) // 2
+                - (SELECT count(*) FROM pc_) AS null
+            """,
+        "assortativity_li": f"""
+            WITH e AS {_LI_E},
+            od AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+            idg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst),
+            xy AS (
+              SELECT od.d AS x, idg.d AS y FROM e
+              JOIN od ON od.vid = e.src
+              JOIN idg ON idg.vid = e.dst
+            )
+            SELECT round(corr(x, y), 6) AS assortativity FROM xy
+            """,
+        "local_scan1_li": f"""
+            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
+            corners AS (
+              SELECT x AS vid FROM t UNION ALL
+              SELECT y FROM t UNION ALL SELECT z FROM t
+            ),
+            tri AS (SELECT vid, count(*) AS c FROM corners GROUP BY vid),
+            u AS {und},
+            deg AS (
+              SELECT vid, count(*) AS d FROM (
+                SELECT a AS vid FROM u UNION ALL SELECT b FROM u
+              ) GROUP BY vid
+            )
+            SELECT v.vid,
+                   coalesce(tri.c, 0) + coalesce(deg.d, 0) AS scan1
+            FROM {_LI_V} v
+            LEFT JOIN tri USING (vid)
+            LEFT JOIN deg USING (vid)
             """,
         "token_stats_docs": r"""
             SELECT doc_id,

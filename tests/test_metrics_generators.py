@@ -1,0 +1,92 @@
+"""Generators + graph metrics vs networkx / closed-form oracles."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xdata_igraph_ray.graph import generators as gen
+from xdata_igraph_ray.graph import metrics
+
+
+def nxg(tbl, directed=False):
+    g = nx.DiGraph() if directed else nx.Graph()
+    g.add_edges_from(zip(tbl["src"].to_numpy(), tbl["dst"].to_numpy()))
+    return g
+
+
+def test_generators_shapes_and_determinism():
+    t1 = gen.erdos_renyi_gnm(100, 300, seed=1)
+    t2 = gen.erdos_renyi_gnm(100, 300, seed=1)
+    assert t1.equals(t2) and len(t1) == 300
+    gp = gen.erdos_renyi_gnp(200, 0.05, seed=2)
+    assert 100 < len(gp) < 3500
+    ba = gen.barabasi(500, m=3, seed=3)
+    g = nxg(ba)
+    assert max(dict(g.degree).values()) > 20  # hub skew
+    ws = gen.watts_strogatz(200, nei=3, p=0.1, seed=4)
+    assert nx.transitivity(nxg(ws)) > 0.2
+    blocks = gen.sbm([50, 50], 0.3, 0.01, seed=5)
+    assert len(blocks) > 100
+    assert len(gen.ring(10)) == 10
+    assert len(gen.star(10)) == 9
+    assert len(gen.full(10)) == 45
+    assert len(gen.lattice(4, 5)) == 31
+    assert len(gen.kary_tree(15, 2)) == 14
+
+
+def test_strength_and_maxdegree():
+    e = rd.from_arrow(pa.table({
+        "src": [0, 0, 1], "dst": [1, 2, 2],
+        "weight": [2.0, 3.0, 4.0],
+    }))
+    out = metrics.strength(e, n=4, P=2).to_pandas().sort_values("vid")
+    assert list(out["out_strength"]) == [5.0, 4.0, 0.0, 0.0]
+    assert list(out["in_strength"]) == [0.0, 2.0, 7.0, 0.0]
+    assert metrics.maxdegree(rd.from_arrow(gen.star(10)), "out", P=2) == 9
+    assert metrics.maxdegree(rd.from_arrow(gen.star(10)), "in", P=2) == 1
+
+
+def test_is_mutual_and_dyad_census():
+    e = rd.from_arrow(pa.table({"src": [0, 1, 1, 2], "dst": [1, 0, 2, 0]}))
+    m = metrics.is_mutual(e, P=2).to_pandas()
+    lut = {(r.src, r.dst): r.mutual for r in m.itertuples()}
+    assert lut[(0, 1)] and lut[(1, 0)]
+    assert not lut[(1, 2)] and not lut[(2, 0)]
+    dc = metrics.dyad_census(e, n=3, P=2)
+    assert dc == {"mut": 1, "asym": 2, "null": 0}
+
+
+def test_modularity_vs_networkx():
+    tbl = gen.sbm([40, 40, 40], 0.3, 0.02, seed=7)
+    membership = np.repeat(np.arange(3), 40)
+    got = metrics.modularity(rd.from_arrow(tbl), membership, P=2)
+    g = nxg(tbl)
+    want = nx.community.modularity(
+        g, [set(range(40)), set(range(40, 80)), set(range(80, 120))]
+    )
+    assert abs(got - want) < 1e-9
+
+
+def test_assortativity():
+    tbl = gen.erdos_renyi_gnm(300, 2000, directed=True, seed=9)
+    got = metrics.assortativity_degree(rd.from_arrow(tbl), P=2)
+    src = tbl["src"].to_numpy()
+    dst = tbl["dst"].to_numpy()
+    n = 300
+    od = np.bincount(src, minlength=n)
+    idg = np.bincount(dst, minlength=n)
+    x = od[src].astype(float)
+    y = idg[dst].astype(float)
+    want = np.corrcoef(x, y)[0, 1]
+    assert abs(got - want) < 1e-9
+
+
+def test_local_scan_1():
+    # triangle 0-1-2 plus pendant 3 on 0
+    e = rd.from_arrow(pa.table({"src": [0, 1, 2, 0], "dst": [1, 2, 0, 3]}))
+    out = metrics.local_scan_1(e, n=4, P=2).to_pandas().sort_values("vid")
+    # N[0]={0,1,2,3}: edges 01,12,02,03 -> 4; N[1]=N[2]: 3; N[3]={0,3}: 1
+    assert list(out["scan1"]) == [4, 3, 3, 1]

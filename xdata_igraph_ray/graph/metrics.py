@@ -1,0 +1,276 @@
+"""Graph-level metrics and per-vertex scalar maps
+(reference src/community.c igraph_modularity, src/assortativity.c,
+src/motifs.c dyad census, src/scan.c local scan statistics,
+src/structural_properties.c strength/maxdegree).
+
+All are Dataset/exchange compositions — the grouped-sum shapes of
+SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..exchange import (
+    DEFAULT_PARTITIONS,
+    block_refs,
+    distinct,
+    groupby_agg,
+    hash_join,
+    to_dataset,
+)
+
+
+@ray.remote
+def _apply(fn, tbl):
+    return fn(tbl)
+
+
+def _refs(ds):
+    return ds if isinstance(ds, list) else block_refs(ds)
+
+
+def strength(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(vid, out_strength, in_strength): weighted degree sums
+    (igraph_strength, src/structural_properties.c:5923).  Unweighted
+    edge tables count 1 per edge."""
+    import ray.data as rd
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = (
+            t["weight"].to_numpy()
+            if "weight" in t.column_names
+            else np.ones(len(t))
+        )
+        return pa.table(
+            {
+                "vid": np.concatenate(
+                    (t["src"].to_numpy(), t["dst"].to_numpy())
+                ),
+                "out_w": np.concatenate((w, np.zeros(len(t)))),
+                "in_w": np.concatenate((np.zeros(len(t)), w)),
+            }
+        )
+
+    base = rd.range(n).map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b["id"],
+                "out_w": np.zeros(len(b["id"])),
+                "in_w": np.zeros(len(b["id"])),
+            }
+        ),
+        batch_format="numpy",
+    )
+    refs = [_apply.remote(expand, r) for r in _refs(edges)] + block_refs(base)
+    return groupby_agg(
+        refs, ["vid"],
+        [("out_w", "sum", "out_strength"), ("in_w", "sum", "in_strength")],
+        P=P,
+    )
+
+
+def maxdegree(edges: Dataset | list, mode: str = "out",
+              P: int = DEFAULT_PARTITIONS) -> int:
+    """igraph_maxdegree (src/structural_properties.c:2735)."""
+    col = {"out": "src", "in": "dst"}.get(mode)
+
+    def cnt(t: pa.Table) -> pa.Table:
+        if mode == "all":
+            v = np.concatenate((t["src"].to_numpy(), t["dst"].to_numpy()))
+        else:
+            v = t[col].to_numpy()
+        return pa.table({"vid": v})
+
+    deg = groupby_agg(
+        [_apply.remote(cnt, r) for r in _refs(edges)],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    parts = ray.get([
+        _apply.remote(lambda t: int(pc.max(t["deg"]).as_py() or 0), r)
+        for r in deg
+    ])
+    return max(parts) if parts else 0
+
+
+def is_mutual(edges: Dataset | list, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """(src, dst, mutual): whether the reciprocal arc exists
+    (igraph_is_mutual, src/structural_properties.c:5613)."""
+    refs = _refs(edges)
+    dist = distinct(refs, ["src", "dst"], P=P, as_refs=True)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["dst"], "dst": t["src"],
+             "m": np.ones(len(t), np.int8)}
+        )
+
+    swapped = [_apply.remote(swap, r) for r in dist]
+    joined = hash_join(dist, swapped, keys=["src", "dst"],
+                       how="left outer", P=P, as_refs=True)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"src": t["src"], "dst": t["dst"],
+             "mutual": ~np.isnan(m.astype(np.float64))}
+        )
+
+    return to_dataset([_apply.remote(flag, r) for r in joined])
+
+
+def dyad_census(edges: Dataset | list, n: int,
+                P: int = DEFAULT_PARTITIONS) -> dict:
+    """(mut, asym, null) counts over unordered vertex pairs
+    (igraph_dyad_census, src/motifs.c:848)."""
+    refs = _refs(edges)
+
+    def noloop(t):
+        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+    nl = distinct([_apply.remote(noloop, r) for r in refs],
+                  ["src", "dst"], P=P, as_refs=True)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    pair_counts = groupby_agg(
+        [_apply.remote(canon, r) for r in nl],
+        ["a", "b"], [(None, "count", "c")], P=P, as_refs=True,
+    )
+    counts = ray.get([
+        _apply.remote(
+            lambda t: (
+                int(pc.sum(pc.equal(t["c"], 2)).as_py() or 0),
+                int(pc.sum(pc.equal(t["c"], 1)).as_py() or 0),
+            ),
+            r,
+        )
+        for r in pair_counts
+    ])
+    mut = sum(c[0] for c in counts)
+    asym = sum(c[1] for c in counts)
+    null = n * (n - 1) // 2 - mut - asym
+    return {"mut": mut, "asym": asym, "null": null}
+
+
+def modularity(
+    edges: Dataset | list, membership: np.ndarray,
+    P: int = DEFAULT_PARTITIONS,
+) -> float:
+    """Newman modularity of a vertex partition on the undirected
+    simplified support (igraph_modularity, called from
+    src/community.c:2347-2350).  ``membership`` is broadcast once."""
+    mref = ray.put(np.asarray(membership, dtype=np.int64))
+    refs = _refs(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct([_apply.remote(canon, r) for r in refs], ["a", "b"],
+                   P=P, as_refs=True)
+
+    @ray.remote
+    def partial(t: pa.Table, m):
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ca, cb = m[a], m[b]
+        within = int((ca == cb).sum())
+        # per-community degree sums (each edge adds 1 to both endpoints)
+        ncomm = int(m.max()) + 1 if len(m) else 1
+        degs = np.bincount(ca, minlength=ncomm) + np.bincount(cb, minlength=ncomm)
+        return len(t), within, degs
+
+    parts = ray.get([partial.remote(r, mref) for r in und])
+    m_edges = sum(p[0] for p in parts)
+    within = sum(p[1] for p in parts)
+    if m_edges == 0:
+        return float("nan")
+    ncomm = max(len(p[2]) for p in parts)
+    degs = np.zeros(ncomm)
+    for p in parts:
+        degs[: len(p[2])] += p[2]
+    return within / m_edges - float(((degs / (2 * m_edges)) ** 2).sum())
+
+
+def assortativity_degree(
+    edges: Dataset | list, P: int = DEFAULT_PARTITIONS
+) -> float:
+    """Pearson correlation of (out-deg(src), in-deg(dst)) over directed
+    edges — igraph_assortativity_degree directed variant
+    (src/assortativity.c)."""
+    refs = _refs(edges)
+    out_d = groupby_agg(
+        [_apply.remote(lambda t: pa.table({"vid": t["src"]}), r) for r in refs],
+        ["vid"], [(None, "count", "od")], P=P, as_refs=True)
+    in_d = groupby_agg(
+        [_apply.remote(lambda t: pa.table({"vid": t["dst"]}), r) for r in refs],
+        ["vid"], [(None, "count", "id_")], P=P, as_refs=True)
+    j1 = hash_join(refs, [
+        _apply.remote(lambda t: t.rename_columns(["src", "src_od"]), r)
+        for r in out_d
+    ], keys=["src"], P=P, as_refs=True)
+    j2 = hash_join(j1, [
+        _apply.remote(lambda t: t.rename_columns(["dst", "dst_id"]), r)
+        for r in in_d
+    ], keys=["dst"], P=P, as_refs=True)
+
+    def moments(t: pa.Table):
+        x = t["src_od"].to_numpy().astype(float)
+        y = t["dst_id"].to_numpy().astype(float)
+        return (len(t), x.sum(), y.sum(), (x * y).sum(),
+                (x * x).sum(), (y * y).sum())
+
+    parts = ray.get([_apply.remote(moments, r) for r in j2])
+    n = sum(p[0] for p in parts)
+    if n == 0:
+        return float("nan")
+    sx = sum(p[1] for p in parts); sy = sum(p[2] for p in parts)
+    sxy = sum(p[3] for p in parts)
+    sxx = sum(p[4] for p in parts); syy = sum(p[5] for p in parts)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    return cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+
+
+def local_scan_1(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(vid, scan1): edges within the closed 1-neighborhood on the
+    undirected simplified support — xdata scan statistic
+    (igraph_local_scan_1_ecount, src/scan.c:401).  scan1(v) =
+    deg(v) + triangles(v)."""
+    from .build import degrees
+    from .triangles import triangles, undirected_support
+
+    und = undirected_support(edges, P=P)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["a"], "dst": t["b"]})
+
+    und_edges = [_apply.remote(back, r) for r in und]
+    _, tri = triangles(und, n, P=P)
+    deg = degrees(und_edges, n, P=P)
+    joined = hash_join(block_refs(tri), block_refs(deg), keys=["vid"],
+                       P=P, as_refs=True)
+
+    def s1(t: pa.Table) -> pa.Table:
+        d = t["out_deg"].to_numpy() + t["in_deg"].to_numpy()
+        return pa.table(
+            {"vid": t["vid"], "scan1": t["count"].to_numpy() + d}
+        )
+
+    return to_dataset([_apply.remote(s1, r) for r in joined])
