@@ -296,6 +296,30 @@ def q_pseudo_diameter(sf_dir: str):
     return pd.DataFrame({"pseudo_diameter": [d]})
 
 
+def q_eigenvector(sf_dir: str):
+    from xdata_igraph_ray.graph.centrality import eigenvector_centrality
+
+    eng = _engine(sf_dir)
+    eigenvector_centrality(eng, tol=1e-12)
+    ev = eng.state_arrays("ev")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "ev": np.round(ev, 6)})
+
+
+def q_hits(sf_dir: str):
+    from xdata_igraph_ray.graph.centrality import hits
+
+    eng = _engine(sf_dir)
+    hits(eng, tol=1e-12)
+    hub = eng.state_arrays("hub")
+    auth = eng.state_arrays("auth")
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "hub": np.round(hub, 6),
+         "auth": np.round(auth, 6)}
+    )
+
+
 def q_strength(sf_dir: str):
     """Weighted degrees with weight = l_quantity."""
     from xdata_igraph_ray.graph.metrics import strength
@@ -565,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dyad_census_li": q_dyad_census,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
+        "eigenvector_li": q_eigenvector,
+        "hits_li": q_hits,
         "token_stats_docs": q_token_stats,
         "lang_histogram_docs": q_lang_histogram,
         "exact_dedup_docs": q_exact_dedup_docs,

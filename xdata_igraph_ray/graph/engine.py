@@ -355,6 +355,54 @@ class GraphShard:
     def pr_normalize(self, total: float):
         self.state["pr"] /= total
 
+    # -- generic sparse matvec (eigenvector / HITS harness,
+    #    reference src/centrality.c:543,840 use the same ARPACK matvec
+    #    shape) --------------------------------------------------------------
+
+    def mv_scatter(self, key: str, direction: str, weighted: bool):
+        """A-multiply messages: fwd gathers at dst (y = A^T x style,
+        x flowing along edge direction), rev gathers at src."""
+        x = self.state[key]
+        if direction == "fwd":
+            per_edge = x[self.fw_src_by_dst]
+            if weighted and self.fw_w is not None:
+                per_edge = per_edge * self.fw_w[self.fw_dperm]
+            return self._split_dense_sum(
+                self.fw_dst_sorted, self.fw_seg, per_edge
+            )
+        per_edge = x[self.rv_dst_by_src]
+        if weighted and self.rv_w is not None:
+            per_edge = per_edge * self.rv_w[self.rv_sperm]
+        return self._split_dense_sum(
+            self.rv_src_sorted, self.rv_seg, per_edge
+        )
+
+    def mv_gather(self, out_key: str, *sender_outs):
+        acc = np.zeros(self.size)
+        for out in sender_outs:
+            c = out[self.p]
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    acc[ids - self.lo] += sums
+            else:
+                acc += c
+        self.state[out_key] = acc
+        return {
+            "max": float(acc.max(initial=0.0)),
+            "sum": float(acc.sum()),
+        }
+
+    def mv_scale_delta(self, key: str, prev_key: str, denom: float):
+        """x <- x/denom; returns Linf delta vs prev_key (also updated)."""
+        x = self.state[key] / (denom if denom else 1.0)
+        self.state[key] = x
+        prev = self.state.get(prev_key)
+        delta = float(np.abs(x - prev).max(initial=0.0)) if prev is not None \
+            else float("inf")
+        self.state[prev_key] = x.copy()
+        return delta
+
     # -- min-label propagation (WCC, reference src/components.c:88-161) ------
 
     def cc_init(self):
