@@ -42,21 +42,25 @@ def label_propagation(
     P, shards = engine.P, engine.shards
     init_ref = ray.put(initial) if initial is not None else None
     fixed_ref = ray.put(fixed) if fixed is not None else None
-    ray.get([s.lpa_init.remote(init_ref, fixed_ref) for s in shards])
+    ray.get([
+        s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
+        for s in shards
+    ])
     t0 = time.time()
     it = 0
     while it < max_iter:
         # past sync_iters, damp oscillations with hash-subsampled
         # rounds; every 4th round is full and decides convergence
         full = it < sync_iters or it % 4 == 3
-        outs = [s.lpa_scatter.remote(mode, weighted) for s in shards]
+        outs = [s.lpa2_scatter.remote() for s in shards]
         stats = ray.get([
-            shards[q].lpa_gather.remote(None if full else it, *outs)
+            shards[q].lpa2_gather.remote(None if full else it, *outs)
             for q in range(P)
         ])
         changed = sum(s["changed"] for s in stats)
+        pending = sum(s.get("pending", 0) for s in stats)
         it += 1
-        if changed == 0 and full:
+        if changed == 0 and pending == 0 and full:
             break
 
     if renumber:

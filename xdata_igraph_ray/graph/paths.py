@@ -23,23 +23,25 @@ from .engine import GraphEngine
 INF = np.iinfo(np.int64).max
 
 
-def _bfs_rounds(engine: GraphEngine, directions) -> int:
+def _bfs_rounds(engine: GraphEngine, directions, max_rounds=None) -> int:
     P, shards = engine.P, engine.shards
     rounds = 0
-    while True:
+    while max_rounds is None or rounds < max_rounds:
         outs = [s.bfs_scatter.remote(directions) for s in shards]
         stats = ray.get([
             shards[q].bfs_gather.remote(*outs) for q in range(P)
         ])
         if sum(s["changed"] for s in stats) == 0:
-            return rounds
+            break
         rounds += 1
+    return rounds
 
 
 def sssp(
     engine: GraphEngine,
     sources,
     mode: str = "out",
+    max_depth: int | None = None,
 ) -> np.ndarray:
     """Shortest hop-count from the source set to every vertex
     (unreachable -> -1).  mode: out / in / all edge directions."""
@@ -48,9 +50,48 @@ def sssp(
         s.bfs_init.remote(np.atleast_1d(np.asarray(sources, dtype=np.int64)))
         for s in engine.shards
     ])
-    _bfs_rounds(engine, directions)
+    _bfs_rounds(engine, directions, max_rounds=max_depth)
     dist = engine.state_arrays("dist")
     return np.where(dist == INF, -1, dist)
+
+
+def neighborhood_size(
+    engine: GraphEngine, vids, order: int = 1, mode: str = "all"
+) -> np.ndarray:
+    """|N_<=order(v)| per requested vertex including v itself
+    (igraph_neighborhood_size, src/structural_properties.c:2842).
+    One bounded BFS per seed — fine for selector-sized vid lists."""
+    out = np.empty(len(vids), dtype=np.int64)
+    for i, v in enumerate(vids):
+        d = sssp(engine, [int(v)], mode=mode, max_depth=order)
+        out[i] = int(((d >= 0) & (d <= order)).sum())
+    return out
+
+
+def decompose(
+    edges, membership: "ray.data.Dataset", out_dir: str,
+    P: int = 8,
+) -> int:
+    """Split the edge table into per-component Parquet partitions
+    (igraph_decompose, src/components.c:450): join edges with the
+    (vid, component) table on src (endpoints always share a WCC) and
+    write partitioned by component.  Returns the component count."""
+    from ..exchange import block_refs, hash_join
+
+    import pyarrow as pa
+    import ray as _ray
+
+    mrefs = block_refs(membership)
+
+    @_ray.remote
+    def as_src(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["vid"], "component": t[t.column_names[1]]})
+
+    joined = hash_join(
+        edges, [as_src.remote(r) for r in mrefs], keys=["src"], P=P
+    )
+    joined.write_parquet(out_dir, partition_cols=["component"])
+    return int(membership.count())
 
 
 def _farthest(engine: GraphEngine):
