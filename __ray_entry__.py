@@ -512,6 +512,58 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_events_sliding(sf_dir: str):
+    from xdata_igraph_ray.stages.windows import sliding
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = sliding(ev, "user_id", "ts", "value", width_s=7200, step_s=3600, P=8)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "total": pc.round(t["total"], ndigits=4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_session(sf_dir: str):
+    from xdata_igraph_ray.stages.windows import session
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session(ev, "user_id", "ts", gap_s=1800, P=8)
+
+
+def q_pagerank_weighted_li(sf_dir: str):
+    """Weighted PageRank (weight = l_quantity), fixed iterations."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.pagerank import pagerank
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV,
+                "dst": t["l_partkey"].to_numpy() % NV,
+                "weight": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    eng = GraphEngine.from_edges(li, n=NV, P=8, weighted=True)
+    pagerank(eng, tol=0.0, max_iter=PR_ITERS, weighted=True)
+    scores = eng.state_arrays("pr")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV), "score": np.round(scores, 6)})
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate through the engine's exchange."""
     from xdata_igraph_ray.exchange import groupby_agg
@@ -604,6 +656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "events_sliding": q_events_sliding,
+        "events_session": q_events_session,
+        "pagerank_weighted_li": q_pagerank_weighted_li,
         "lineitem_pricing": q_lineitem_pricing,
     }
 
@@ -839,6 +894,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 4) AS total
             FROM events GROUP BY user_id, date_trunc('hour', ts)
+            """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT user_id, date_trunc('hour', ts) AS window_start, value
+              FROM events
+              UNION ALL
+              SELECT user_id, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
+              FROM events
+            )
+            SELECT user_id, window_start, count(*) AS n,
+                   round(sum(value), 4) AS total
+            FROM w GROUP BY user_id, window_start
+            """,
+        "events_session": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            y AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n
+            FROM y GROUP BY user_id, sid
+            """,
+        "pagerank_weighted_li": f"""
+            WITH RECURSIVE e AS (
+              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
+                     l_quantity AS w FROM lineitem
+            ),
+            v AS {_LI_V},
+            st AS (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src),
+            pr(v, score, s, iter) AS (
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(st.s AS DOUBLE), 0
+              FROM v JOIN st ON st.vid = v.vid
+              UNION ALL
+              SELECT m.v, sum(m.val), any_value(m.s2), min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, {PR_DAMPING} * p.score * e.w / p.s AS val,
+                       CAST(NULL AS DOUBLE) AS s2, p.iter AS iter
+                FROM pr p JOIN e ON e.src = p.v
+                UNION ALL
+                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.s, p.iter
+                FROM pr p
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < {PR_ITERS}
+            )
+            SELECT v AS vid, round(score, 6) AS score FROM pr
+            WHERE iter = {PR_ITERS}
             """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

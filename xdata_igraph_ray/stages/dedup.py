@@ -106,11 +106,20 @@ def _minhash_params(num_hashes: int, seed: int):
 
 
 def _char_shingles(text: str, k: int) -> np.ndarray:
+    """Hashes of all k-byte shingles — vectorized rolling polynomial
+    hash over a numpy sliding window (no per-shingle Python objects)."""
     t = " ".join(text.split()).lower()
     if len(t) < k:
         t = t + " " * (k - len(t))
-    views = [t[i:i + k] for i in range(len(t) - k + 1)]
-    return pd.util.hash_array(np.array(views, dtype=object))
+    raw = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(raw) < k:
+        raw = np.pad(raw, (0, k - len(raw)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.uint64(1099511628211) ** np.arange(k, dtype=np.uint64)
+        return (win * pows).sum(axis=1, dtype=np.uint64) ^ np.uint64(
+            0x9E3779B97F4A7C15
+        )
 
 
 class MinHasher:
@@ -188,7 +197,7 @@ def minhash_lsh_pairs(
             "num_hashes": num_hashes, "shingle_k": shingle_k, "seed": seed,
             "text_col": text_col,
         },
-        batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        batch_format="pandas", batch_size=512, concurrency=(1, 16),
     )
     sig_refs = block_refs(sigs)
     band_refs = [
@@ -335,7 +344,7 @@ def simhash_pairs(
     at least one exact band)."""
     sigs = docs.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas", batch_size=2048, concurrency=(1, 4),
+        batch_format="pandas", batch_size=1024, concurrency=(1, 16),
     )
     sig_refs = block_refs(sigs)
 
