@@ -665,8 +665,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     n_pages = _pages_n("/root/testdata/sf0.01")
-    pages_pq = os.path.join(FIXTURE_ROOT, f"pages_{n_pages}", "pages.parquet")
-    edges_pq = os.path.join(FIXTURE_ROOT, f"pages_{n_pages}", "edges.parquet")
+    pages_pq = os.path.join(
+        FIXTURE_ROOT, f"pages_{n_pages}", "pages", "*.parquet"
+    )
+    edges_pq = os.path.join(
+        FIXTURE_ROOT, f"pages_{n_pages}", "edges", "*.parquet"
+    )
     und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
     tri_join = (
         f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "

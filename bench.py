@@ -77,8 +77,11 @@ def main():
     # -- pagerank / wcc / lpa on the big web graph -------------------------
     path = _edges_parquet(BENCH_V)
     edges = rd.read_parquet(path)
-    # warm page cache (off the clock)
-    edges.count()
+    # warm the OS page cache with a REAL data pass (parquet count()
+    # reads only metadata), so timed runs measure compute+shuffle
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
     t0 = time.time()
     eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)
     queries["build_graph"] = round(time.time() - t0, 3)

@@ -91,23 +91,67 @@ def generate_edges(
     )
 
 
+def _page_batch_tables(urls, targets, offsets, word_ids, w_off, langs,
+                       lo: int, hi: int):
+    """Deterministic (pages_table, edges_table) for rows [lo, hi)."""
+    from .. import schemas
+
+    htmls, texts, esrc, edst = [], [], [], []
+    for i in range(lo, hi):
+        words = _WORDS[word_ids[w_off[i]:w_off[i + 1]]]
+        outs = urls[targets[offsets[i]:offsets[i + 1]]]
+        parts = [
+            f"<html><head><title>T{i}</title>"
+            f"<script>var x={i};</script></head><body><p>"
+        ]
+        step = max(1, len(words) // (len(outs) + 1))
+        pos = 0
+        for j, t in enumerate(outs):
+            parts.append(" ".join(words[pos:pos + step]))
+            parts.append(f' <a href="{t}">anchor{j}</a> ')
+            pos += step
+        parts.append(" ".join(words[pos:]))
+        parts.append("</p></body></html>")
+        html = "".join(parts).encode()
+        htmls.append(html)
+        texts.append(extract_text(html))
+        esrc.extend([urls[i]] * len(outs))
+        edst.extend(outs)
+    base_ts = np.datetime64("2025-01-01T00:00:00", "ms")
+    ts = base_ts + np.arange(lo, hi) * np.timedelta64(1000, "ms")
+    pages = pa.table(
+        {
+            "url": urls[lo:hi],
+            "warc_ts": ts,
+            "html": htmls,
+            "text": texts,
+            "lang": langs[lo:hi],
+        },
+        schema=schemas.PAGES,
+    )
+    edges = pa.table(
+        {"src_url": esrc, "dst_url": edst}, schema=schemas.EDGES_URL
+    )
+    return pages, edges
+
+
 def generate_pages(
     out_dir: str,
     n_pages: int,
     seed: int = 42,
     rows_per_batch: int = 20_000,
 ) -> dict[str, str]:
-    """Write ``pages.parquet`` + golden ``edges.parquet`` under out_dir.
-
-    Idempotent: skips work if both files already exist (the content is
-    a pure function of (n_pages, seed)).  Returns the two paths.
-    """
+    """Write a ``pages`` parquet dir + golden ``edges`` parquet dir
+    under out_dir.  Idempotent (pure function of (n_pages, seed));
+    batches generate in parallel Ray tasks when a session is up."""
     os.makedirs(out_dir, exist_ok=True)
-    pages_path = os.path.join(out_dir, "pages.parquet")
-    edges_path = os.path.join(out_dir, "edges.parquet")
+    pages_path = os.path.join(out_dir, "pages")
+    edges_path = os.path.join(out_dir, "edges")
     done = os.path.join(out_dir, f"_DONE_v{GEN_VERSION}_{n_pages}_{seed}")
     if os.path.exists(done):
         return {"pages": pages_path, "edges": edges_path}
+    os.makedirs(pages_path, exist_ok=True)
+    os.makedirs(edges_path, exist_ok=True)
 
     urls = _urls_for(n_pages, seed)
     targets, k = _edge_arrays(n_pages, seed)
@@ -119,53 +163,50 @@ def generate_pages(
     n_words = rng.integers(20, 80, n_pages)
     word_ids = rng.integers(0, len(_WORDS), int(n_words.sum()))
     w_off = np.concatenate(([0], np.cumsum(n_words)))
-    base_ts = np.datetime64("2025-01-01T00:00:00", "ms")
 
-    from .. import schemas
+    bounds = [
+        (lo, min(lo + rows_per_batch, n_pages), i)
+        for i, lo in enumerate(range(0, n_pages, rows_per_batch))
+    ]
 
-    pw = pq.ParquetWriter(pages_path, schemas.PAGES)
-    ew = pq.ParquetWriter(edges_path, schemas.EDGES_URL)
-    for lo in range(0, n_pages, rows_per_batch):
-        hi = min(lo + rows_per_batch, n_pages)
-        htmls, texts, esrc, edst = [], [], [], []
-        for i in range(lo, hi):
-            words = _WORDS[word_ids[w_off[i] : w_off[i + 1]]]
-            outs = urls[targets[offsets[i] : offsets[i + 1]]]
-            parts = [
-                f"<html><head><title>T{i}</title>"
-                f"<script>var x={i};</script></head><body><p>"
-            ]
-            step = max(1, len(words) // (len(outs) + 1))
-            pos = 0
-            for j, t in enumerate(outs):
-                parts.append(" ".join(words[pos : pos + step]))
-                parts.append(f' <a href="{t}">anchor{j}</a> ')
-                pos += step
-            parts.append(" ".join(words[pos:]))
-            parts.append("</p></body></html>")
-            html = "".join(parts).encode()
-            htmls.append(html)
-            texts.append(extract_text(html))
-            esrc.extend([urls[i]] * len(outs))
-            edst.extend(outs)
-        ts = base_ts + np.arange(lo, hi) * np.timedelta64(1000, "ms")
-        pw.write_table(
-            pa.table(
-                {
-                    "url": urls[lo:hi],
-                    "warc_ts": ts,
-                    "html": htmls,
-                    "text": texts,
-                    "lang": langs[lo:hi],
-                },
-                schema=schemas.PAGES,
+    def write_one(lo, hi, i):
+        pt, et = _page_batch_tables(
+            urls, targets, offsets, word_ids, w_off, langs, lo, hi
+        )
+        pq.write_table(pt, os.path.join(pages_path, f"part-{i:05d}.parquet"))
+        pq.write_table(et, os.path.join(edges_path, f"part-{i:05d}.parquet"))
+        return i
+
+    use_ray = False
+    if len(bounds) > 2:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _task(u, t, o, wi, wo, la, lo, hi, i):
+            pt, et = _page_batch_tables(u, t, o, wi, wo, la, lo, hi)
+            pq.write_table(
+                pt, os.path.join(pages_path, f"part-{i:05d}.parquet")
             )
-        )
-        ew.write_table(
-            pa.table({"src_url": esrc, "dst_url": edst}, schema=schemas.EDGES_URL)
-        )
-    pw.close()
-    ew.close()
+            pq.write_table(
+                et, os.path.join(edges_path, f"part-{i:05d}.parquet")
+            )
+            return i
+
+        refs = [
+            ray.put(urls), ray.put(targets), ray.put(offsets),
+            ray.put(word_ids), ray.put(w_off), ray.put(langs),
+        ]
+        ray.get([_task.remote(*refs, lo, hi, i) for lo, hi, i in bounds])
+    else:
+        for lo, hi, i in bounds:
+            write_one(lo, hi, i)
     with open(done, "w") as f:
         f.write("ok")
     return {"pages": pages_path, "edges": edges_path}
