@@ -82,3 +82,12 @@ def test_predicates_scalars():
     assert abs(ops.density(ds(*G1), n=3) - 4 / 6) < 1e-12
     # reciprocity: edges 0->1,1->0,1->2 => 2 of 3 reciprocal
     assert abs(ops.reciprocity(ds([0, 1, 1], [1, 0, 2]), P=2) - 2 / 3) < 1e-12
+
+
+def test_linegraph():
+    # path 0->1->2: edges e0=(0,1), e1=(1,2); L: e0->e1 only
+    out = pairs(ops.linegraph(ds([0, 1], [1, 2]), P=2))
+    assert out == {(0, 1)}
+    # triangle: 3 edges, each feeding the next
+    out2 = pairs(ops.linegraph(ds([0, 1, 2], [1, 2, 0]), P=2))
+    assert len(out2) == 3

@@ -207,6 +207,54 @@ def contract_vertices(
     return to_dataset(out)
 
 
+def linegraph(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Line graph of a directed graph: edge ids are row positions of
+    the input in (src, dst, position) order; L has an arc e1->e2 when
+    head(e1) == tail(e2) (igraph_linegraph,
+    src/structural_properties.c:3958).  Edge ids are assigned by the
+    distributed sorted-rank machinery, so the result is deterministic."""
+    from .build import sorted_ranks
+
+    refs = _refs(edges)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "dst": t["dst"]})
+
+    # simple-graph edge ids: rank by (src, dst) over the distinct edge
+    # set (multi-edges collapse; run simplify explicitly if that
+    # matters — the reference keeps multis, documented v1 divergence)
+    tagged = distinct([_apply.remote(tag, r) for r in refs],
+                      ["src", "dst"], P=P, as_refs=True)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        k = (s.astype(np.int64) << np.int64(31)) | d.astype(np.int64)
+        return pa.table({"k": k, "src": t["src"], "dst": t["dst"]})
+
+    ranked = sorted_ranks(
+        [_apply.remote(keyed, r) for r in tagged], "k", rank_name="eid",
+        P=P, as_refs=True,
+    )
+    left = [
+        _apply.remote(
+            lambda t: pa.table({"mid": t["dst"], "e1": t["eid"]}), r
+        )
+        for r in ranked
+    ]
+    right = [
+        _apply.remote(
+            lambda t: pa.table({"mid": t["src"], "e2": t["eid"]}), r
+        )
+        for r in ranked
+    ]
+    joined = hash_join(left, right, keys=["mid"], P=P, as_refs=True)
+    return to_dataset([
+        _apply.remote(lambda t: pa.table({"src": t["e1"], "dst": t["e2"]}), r)
+        for r in joined
+    ])
+
+
 # ---------------------------------------------------------------------------
 # predicates / scalars (reference src/structural_properties.c)
 
