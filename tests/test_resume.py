@@ -111,3 +111,22 @@ def test_kill_and_resume_subprocess(tmp_path):
                 edges["dst"].to_numpy().max())) + 1,
     )
     np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_checkpoint_inspection(tmp_path):
+    from xdata_igraph_ray.state import checkpoints as ck
+
+    src, dst = gnm_edges(150, 400, seed=8)
+    root = str(tmp_path / "ck")
+    eng = GraphEngine.from_edges(pa.table({"src": src, "dst": dst}),
+                                 n=150, P=2)
+    pagerank(eng, tol=1e-10, ckpt_root=root, ckpt_every=3)
+    its = ck.list_checkpoints(root, "pagerank")
+    assert its and its[-1] == ck.latest_checkpoint(root, "pagerank")
+    state = ck.read_state(root, "pagerank").to_pandas()
+    assert len(state) == 150 and "pr" in state.columns
+    metrics = ck.read_metrics(root, "pagerank").to_pandas()
+    assert {"part", "iter", "wall_s", "delta"} <= set(metrics.columns)
+    lin = ck.read_lineage(root, "pagerank")
+    assert lin["algo"] == "pagerank" and lin["damping"] == 0.85
+    eng.shutdown()
