@@ -115,3 +115,18 @@ def test_personalized_pagerank():
         p = new
     np.testing.assert_allclose(got, p / p.sum(), atol=1e-9)
     eng.shutdown()
+
+
+def test_topological_layers_and_is_dag():
+    from xdata_igraph_ray.graph.paths import is_dag, topological_layers
+
+    # DAG: 0->1->3, 0->2->3
+    eng = build([0, 1, 0, 2], [1, 3, 2, 3], 4, P=2)
+    layers, ok = topological_layers(eng)
+    assert ok
+    assert list(layers) == [0, 1, 1, 2]
+    eng.shutdown()
+    # cycle
+    eng2 = build([0, 1, 2], [1, 2, 0], 3, P=2)
+    assert not is_dag(eng2)
+    eng2.shutdown()

@@ -1003,6 +1003,39 @@ class GraphShard:
         rem = deg[un & ~peel]
         return int(peel.sum()), (int(rem.min()) if len(rem) else -1)
 
+    # -- topological layering (igraph_topological_sorting,
+    #    src/structural_properties.c; igraph_is_dag :3325) ------------------
+
+    def topo_init(self):
+        self.state["layer"] = np.full(self.size, -1, dtype=np.int64)
+
+    def topo_indeg_flags(self):
+        """Scatter 1 along fwd edges from unassigned vertices."""
+        un = (self.state["layer"] < 0).astype(np.float64)
+        counts = np.diff(self.fw_indptr)
+        vals = np.repeat(un, counts)[self.fw_dperm]
+        return self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, vals)
+
+    def topo_peel(self, layer: int, *sender_outs) -> int:
+        """Unassigned vertices with zero unassigned in-neighbors get
+        this layer number."""
+        indeg = np.zeros(self.size)
+        for out in sender_outs:
+            c = out[self.p]
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    indeg[ids - self.lo] += sums
+            else:
+                indeg += c
+        un = self.state["layer"] < 0
+        peel = un & (indeg == 0)
+        self.state["layer"][peel] = layer
+        return int(peel.sum())
+
+    def topo_unassigned(self) -> int:
+        return int((self.state["layer"] < 0).sum())
+
     # -- checkpoint / restore -------------------------------------------------
 
     def save_state(self, directory: str, cols) -> dict:

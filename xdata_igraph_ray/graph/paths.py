@@ -68,6 +68,37 @@ def neighborhood_size(
     return out
 
 
+def topological_layers(engine: GraphEngine, max_layers: int | None = None):
+    """(layers array | None, is_dag): layer-wise topological order —
+    layer(v) = longest path from any source to v.  Sorting vertices by
+    (layer, vid) yields a valid topological order, deterministic.
+    Returns (None, False) when a cycle blocks peeling
+    (igraph_topological_sorting / igraph_is_dag,
+    src/structural_properties.c:3325)."""
+    shards = engine.shards
+    ray.get([s.topo_init.remote() for s in shards])
+    layer = 0
+    while True:
+        remaining = sum(ray.get([s.topo_unassigned.remote() for s in shards]))
+        if remaining == 0:
+            break
+        outs = [s.topo_indeg_flags.remote() for s in shards]
+        peeled = sum(ray.get([
+            s.topo_peel.remote(layer, *outs) for s in shards
+        ]))
+        if peeled == 0:
+            return None, False  # cycle
+        layer += 1
+        if max_layers is not None and layer > max_layers:
+            return None, False
+    return engine.state_arrays("layer"), True
+
+
+def is_dag(engine: GraphEngine) -> bool:
+    """igraph_is_dag (src/structural_properties.c:3325)."""
+    return topological_layers(engine)[1]
+
+
 def decompose(
     edges, membership: "ray.data.Dataset", out_dir: str,
     P: int = 8,
