@@ -52,3 +52,30 @@ def test_session_gap():
     # user 1: (00:05), (00:50,01:10), (03:00); user 2: (00:20), (02:59)
     assert list(out["n"]) == [1, 2, 1, 1, 1]
     assert out.iloc[1]["session_end"] == pd.Timestamp("2025-01-01 01:10")
+
+
+def test_sliding_non_divisible_width():
+    """width=5400s (1.5h), step=3600s: membership must be checked per
+    event (ADVICE round 1 — k = ceil(width/step) candidate windows,
+    some of which don't contain the event)."""
+    out = windows.sliding(
+        rd.from_arrow(events_tbl()), "user_id", "ts", "value",
+        width_s=5400, step_s=3600, P=2,
+    ).to_pandas()
+    # brute-force oracle
+    df = events_tbl().to_pandas()
+    rows = {}
+    for _, r in df.iterrows():
+        ts = r["ts"].value // 1000  # ns -> us
+        base = ts // 3_600_000_000 * 3_600_000_000
+        for i in range(2):
+            start = base - i * 3_600_000_000
+            if 0 <= ts - start < 5_400_000_000:
+                k = (r["user_id"], start)
+                n, tot = rows.get(k, (0, 0.0))
+                rows[k] = (n + 1, tot + r["value"])
+    got = {
+        (r["user_id"], r["window_start"].value // 1000): (r["n"], r["total"])
+        for _, r in out.iterrows()
+    }
+    assert got == rows

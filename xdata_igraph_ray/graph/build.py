@@ -67,10 +67,10 @@ def _route_range(tbl: pa.Table, col: str, splitters):
 
 
 @ray.remote
-def _sort_count(col: str, *parts: pa.Table):
+def _sort_count(cols, *parts: pa.Table):
     t = pa.concat_tables([p for p in parts if len(p)], promote_options="default") \
         if any(len(p) for p in parts) else parts[0]
-    t = t.sort_by(col)
+    t = t.sort_by([(c, "ascending") for c in cols])
     return t, len(t)
 
 
@@ -84,13 +84,19 @@ def _add_rank(pair, offset: int, rank_name: str):
 
 def sorted_ranks(
     ds: Dataset | list,
-    col: str,
+    col: str | list[str],
     rank_name: str = "rank",
     P: int = DEFAULT_PARTITIONS,
     as_refs: bool = False,
 ):
     """Append the global ascending-sort rank of ``col`` (rows must be
-    distinct on ``col``)."""
+    distinct on the key).  A list of columns ranks lexicographically:
+    rows are range-routed on the FIRST column (rows sharing its value
+    always land together, so the within-partition sort by all columns
+    composes to a global lexicographic order) — no packed scalar keys,
+    so 64-bit id pairs never collide."""
+    cols = [col] if isinstance(col, str) else list(col)
+    col = cols[0]
     refs = ds if isinstance(ds, list) else block_refs(ds)
     P = max(1, min(P, len(refs) * 4))
     samples = np.concatenate(ray.get([_sample_col.remote(r, col) for r in refs]))
@@ -109,7 +115,7 @@ def sorted_ranks(
         outs = [outs] if nparts == 1 else outs
         for p, o in enumerate(outs):
             shards[p].append(o)
-    pairs = [_sort_count.remote(col, *shards[p]) for p in range(nparts)]
+    pairs = [_sort_count.remote(cols, *shards[p]) for p in range(nparts)]
     counts = ray.get([_count_of.remote(p) for p in pairs])
     offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
     out = [

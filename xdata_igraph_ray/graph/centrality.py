@@ -21,12 +21,10 @@ from .engine import GraphEngine
 
 def _matvec(engine: GraphEngine, in_key: str, out_key: str,
             direction: str, weighted: bool) -> dict:
-    outs = [
-        s.mv_scatter.remote(in_key, direction, weighted)
-        for s in engine.shards
-    ]
+    outs = engine.scatter("mv_scatter", in_key, direction, weighted)
     stats = ray.get([
-        s.mv_gather.remote(out_key, *outs) for s in engine.shards
+        s.mv_gather.remote(out_key, *engine.pieces(outs, q))
+        for q, s in enumerate(engine.shards)
     ])
     return {
         "max": max(s["max"] for s in stats),

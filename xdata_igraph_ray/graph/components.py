@@ -59,9 +59,10 @@ def wcc(
     t0 = time.time()
     while it < max_iter and changed != 0:
         t_it = time.time()
-        outs = [s.cc_scatter.remote(("fwd", "rev")) for s in shards]
+        outs = engine.scatter("cc_scatter", ("fwd", "rev"))
         stats = ray.get([
-            shards[q].cc_gather.remote(*outs) for q in range(P)
+            shards[q].cc_gather.remote(*engine.pieces(outs, q))
+            for q in range(P)
         ])
         changed = sum(s["changed"] for s in stats)
         if ckpt_root and (it % ckpt_every == 0 or changed == 0):
@@ -83,10 +84,12 @@ def wcc(
     }
 
 
-def _sparse_round(shards, P, scatter, gather, *scatter_args) -> int:
-    outs = [getattr(s, scatter).remote(*scatter_args) for s in shards]
+def _sparse_round(engine, scatter, gather, *scatter_args) -> int:
+    shards, P = engine.shards, engine.P
+    outs = engine.scatter(scatter, *scatter_args)
     stats = ray.get([
-        getattr(shards[q], gather).remote(*outs) for q in range(P)
+        getattr(shards[q], gather).remote(*engine.pieces(outs, q))
+        for q in range(P)
     ])
     return sum(s["changed"] for s in stats)
 
@@ -108,21 +111,23 @@ def scc(
             raise RuntimeError("scc: did not converge")
         # trim to fixpoint (peeling cascades along DAG chains)
         while True:
-            in_flags = [s.scc_neighbor_flags.remote("fwd") for s in shards]
-            out_flags = [s.scc_neighbor_flags.remote("rev") for s in shards]
+            in_flags = engine.scatter("scc_neighbor_flags", "fwd")
+            out_flags = engine.scatter("scc_neighbor_flags", "rev")
             trimmed = sum(ray.get([
-                shards[q].scc_trim.remote(P, *in_flags, *out_flags)
+                shards[q].scc_trim.remote(
+                    P, *engine.pieces(in_flags, q),
+                    *engine.pieces(out_flags, q))
                 for q in range(P)
             ]))
             if trimmed == 0:
                 break
         # forward coloring to fixpoint
         ray.get([s.scc_color_reset.remote() for s in shards])
-        while _sparse_round(shards, P, "scc_color_scatter", "scc_color_gather"):
+        while _sparse_round(engine, "scc_color_scatter", "scc_color_gather"):
             pass
         # backward reachability within color classes
         ray.get([s.scc_bwd_init.remote() for s in shards])
-        while _sparse_round(shards, P, "scc_bwd_scatter", "scc_bwd_gather"):
+        while _sparse_round(engine, "scc_bwd_scatter", "scc_bwd_gather"):
             pass
         ray.get([s.scc_assign.remote() for s in shards])
     ncomp = engine.renumber_labels("scc") if renumber else None

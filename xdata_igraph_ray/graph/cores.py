@@ -26,10 +26,11 @@ def coreness(engine: GraphEngine, max_rounds: int = 100_000):
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError("coreness: did not converge")
-        in_f = [s.core_degree_flags.remote("fwd") for s in shards]
-        out_f = [s.core_degree_flags.remote("rev") for s in shards]
+        in_f = engine.scatter("core_degree_flags", "fwd")
+        out_f = engine.scatter("core_degree_flags", "rev")
         res = ray.get([
-            shards[q].core_peel.remote(k, P, *in_f, *out_f)
+            shards[q].core_peel.remote(
+                k, P, *engine.pieces(in_f, q), *engine.pieces(out_f, q))
             for q in range(P)
         ])
         peeled = sum(r[0] for r in res)

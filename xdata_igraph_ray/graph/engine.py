@@ -78,9 +78,16 @@ def plan_bounds(refs, n: int, P: int) -> np.ndarray:
 
 @ray.remote
 def _route(block: pa.Table, bounds, col: str):
-    """Split an edge block by owner(col) range; returns P sub-tables."""
+    """Split an edge block by owner(col) range; returns P sub-tables.
+    Endpoints outside [0, n) fail loudly — an underestimated ``n``
+    passed to from_edges must not silently drop edges."""
     P = len(bounds) - 1
     v = block[col].to_numpy()
+    if len(v) and (int(v.min()) < 0 or int(v.max()) >= int(bounds[-1])):
+        raise ValueError(
+            f"edge endpoint {col} out of range [0, {int(bounds[-1])}): "
+            f"min={int(v.min())}, max={int(v.max())} — pass a correct n"
+        )
     part = np.searchsorted(bounds, v, side="right") - 1
     order = np.argsort(part, kind="stable")
     t = block.take(pa.array(order))
@@ -129,6 +136,7 @@ class GraphShard:
         self.n = n
         self.weighted = weighted
         self._fwd: list[pa.Table] = []
+        self._mvr_pieces = None
         self._rev: list[pa.Table] = []
         self.state: dict[str, np.ndarray] = {}
         self.meta: dict = {}
@@ -198,6 +206,15 @@ class GraphShard:
             "part": self.p, "lo": self.lo, "hi": self.hi,
             "edges": int(len(self.fw_dst)),
         }
+
+    def _piece(self, o):
+        """This shard's slice of a sender's scatter output.  Two wire
+        layouts (see GraphEngine.scatter): single-object mode ships the
+        whole P-slice list (zero-copy sliced here — optimal on one
+        node); per-destination mode (num_returns=P) ships only this
+        shard's piece (optimal on a multi-node cluster, where pulling
+        all P slices would move ~P x the needed bytes)."""
+        return o[self.p] if isinstance(o, list) else o
 
     # -- generic state access ------------------------------------------------
 
@@ -329,7 +346,7 @@ class GraphShard:
         d = self.meta["pr_damping"]
         acc = np.zeros(self.size)
         for out in sender_outs:
-            c = out[self.p]
+            c = self._piece(out)
             if isinstance(c, tuple):
                 ids, sums = c
                 if len(ids):
@@ -380,7 +397,7 @@ class GraphShard:
     def mv_gather(self, out_key: str, *sender_outs):
         acc = np.zeros(self.size)
         for out in sender_outs:
-            c = out[self.p]
+            c = self._piece(out)
             if isinstance(c, tuple):
                 ids, sums = c
                 if len(ids):
@@ -472,7 +489,7 @@ class GraphShard:
     def cc_gather(self, *sender_outs):
         lab = self.state["label"]
         new = lab.copy()
-        for ids, vals in (o[self.p] for o in sender_outs):
+        for ids, vals in (self._piece(o) for o in sender_outs):
             if len(ids):
                 idx = ids - self.lo
                 np.minimum.at(new, idx, vals)
@@ -576,7 +593,7 @@ class GraphShard:
         lab = self.state["label"]
         affected_parts = []
         for out in sender_outs:
-            vids, labs = out[self.p]
+            vids, labs = self._piece(out)
             pos = self._patch_cache(
                 self.state["_in_cache"], self.rv_ustarts, self.rv_usrcs,
                 self.rv_sperm, len(self.rv_src), vids, labs,
@@ -715,7 +732,7 @@ class GraphShard:
         src/community.c:2298-2301).  Vertices with no messages or with
         ``fixed`` set keep their label.  ``parity`` (None or a round
         number) enables hash-subsampled damping rounds."""
-        msgs = [o[self.p] for o in sender_outs]
+        msgs = [self._piece(o) for o in sender_outs]
         ks = [m[0] for m in msgs if len(m[0])]
         if not ks:
             return {"changed": 0}
@@ -799,7 +816,7 @@ class GraphShard:
         """First n_in sender outputs: unassigned-in-neighbor counts;
         rest: unassigned-out-neighbor counts.  Unassigned vertices with
         either total zero are singleton SCCs (labeled own vid)."""
-        counts = [o[self.p] for o in sender_outs]
+        counts = [self._piece(o) for o in sender_outs]
         cin = np.zeros(self.size)
         cout = np.zeros(self.size)
 
@@ -852,7 +869,7 @@ class GraphShard:
         un = self.state["scc"] < 0
         col = self.state["color"]
         new = col.copy()
-        for ids, vals in (o[self.p] for o in sender_outs):
+        for ids, vals in (self._piece(o) for o in sender_outs):
             if len(ids):
                 np.minimum.at(new, ids - self.lo, vals)
         new = np.where(un, new, col)
@@ -890,7 +907,7 @@ class GraphShard:
         col = self.state["color"]
         reached = self.state["reached"]
         newly = np.zeros(self.size, dtype=bool)
-        for ids, vals in (o[self.p] for o in sender_outs):
+        for ids, vals in (self._piece(o) for o in sender_outs):
             if len(ids):
                 idx = ids - self.lo
                 ok = un[idx] & ~reached[idx] & (col[idx] == vals)
@@ -910,6 +927,132 @@ class GraphShard:
         lab = self.state[state_key]
         pos = np.searchsorted(old_labels, lab)
         self.state[state_key] = new_labels[pos]
+
+    # -- distributed label renumbering ---------------------------------------
+    #
+    # Labels are vertex ids (min-vid of the component / community), so
+    # the vid-range ``bounds`` double as the label ownership map.  The
+    # driver never sees a label array — only P partition counts — fixing
+    # the driver-OOM path flagged for web-scale WCC (component count is
+    # O(n)).  Four O(P)-ref rounds:
+    #   1. uniq_split:   each shard's distinct labels, split by owner
+    #   2. collect:      owner unions its incoming slices -> sorted
+    #                    label domain; optionally merges a per-label
+    #                    min-carrier-vid (for first-appearance order)
+    #   3. answer:       owner maps each sender's queried labels to
+    #                    global ranks (offset + local index)
+    #   4. apply:        sender maps its state through (uniq -> rank)
+
+    def relabel_uniq_split(self, state_key="label", with_minvid=False):
+        uniq = np.unique(self.state[state_key])
+        self._relabel_uniq = uniq
+        seg = np.searchsorted(uniq, self.bounds)
+        if not with_minvid:
+            return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
+        # min own-vid carrying each distinct label (for LPA's
+        # first-appearance numbering, src/community.c:2320-2339)
+        lab = self.state[state_key]
+        order = np.argsort(lab, kind="stable")
+        ls = lab[order]
+        starts = np.searchsorted(ls, uniq)
+        vids = np.arange(self.lo, self.hi, dtype=np.int64)[order]
+        mins = (
+            np.minimum.reduceat(vids, starts) if len(uniq) else vids[:0]
+        )
+        return [
+            (uniq[seg[q]:seg[q + 1]], mins[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def relabel_collect(self, *sender_outs) -> int:
+        """Owner side: sorted distinct label domain for this vid range."""
+        parts = [o[self.p] for o in sender_outs]
+        if parts and isinstance(parts[0], tuple):
+            labs = np.concatenate([p[0] for p in parts])
+            mins = np.concatenate([p[1] for p in parts])
+            order = np.argsort(labs, kind="stable")
+            ls, ms = labs[order], mins[order]
+            dom, starts = np.unique(ls, return_index=True)
+            dmin = np.minimum.reduceat(ms, starts) if len(dom) else ms[:0]
+            self._relabel_dom = dom
+            self._relabel_dom_min = dmin
+        else:
+            self._relabel_dom = (
+                np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, np.int64)
+            )
+            self._relabel_dom_min = None
+        return int(len(self._relabel_dom))
+
+    def relabel_set_ranks(self, ranks):
+        """Install externally computed ranks aligned with the domain
+        (used when rank order != label order, e.g. LPA min-vid order)."""
+        self._relabel_ranks = np.asarray(ranks, dtype=np.int64)
+
+    def relabel_answer(self, offset: int, *sender_outs):
+        """Owner side: rank of each sender's queried labels."""
+        dom = self._relabel_dom
+        ranks = getattr(self, "_relabel_ranks", None)
+        out = []
+        for o in sender_outs:
+            q = o[self.p]
+            q = q[0] if isinstance(q, tuple) else q
+            idx = np.searchsorted(dom, q)
+            out.append(
+                ranks[idx] if ranks is not None else offset + idx
+            )
+        self._relabel_ranks = None
+        return out
+
+    def relabel_apply(self, state_key, *owner_answers):
+        ranks = np.concatenate([a[self.p] for a in owner_answers])
+        uniq = self._relabel_uniq
+        lab = self.state[state_key]
+        self.state[state_key] = ranks[np.searchsorted(uniq, lab)]
+        self._relabel_uniq = None
+
+    def relabel_dom_minvids(self):
+        """(domain index -> min carrier vid) for this owner's labels —
+        split by min-vid owner for the distributed min-vid ranking."""
+        dmin = self._relabel_dom_min
+        order = np.argsort(dmin, kind="stable")
+        seg = np.searchsorted(dmin[order], self.bounds)
+        return [
+            (dmin[order][seg[q]:seg[q + 1]],
+             order[seg[q]:seg[q + 1]].astype(np.int64))
+            for q in range(self.P)
+        ]
+
+    def relabel_minvid_collect(self, *sender_outs) -> int:
+        """Min-vid-owner side: buffer incoming (min-vid, domain-index)
+        pieces; return the count so the driver can prefix-sum offsets."""
+        self._mvr_pieces = [o[self.p] for o in sender_outs]
+        return int(sum(len(p[0]) for p in self._mvr_pieces))
+
+    def relabel_minvid_rank(self, offset: int):
+        """Rank the buffered min-vids ascending from ``offset``; return
+        each sender its (domain-index, rank) aligned arrays."""
+        pieces = self._mvr_pieces
+        self._mvr_pieces = None
+        mv = np.concatenate([p[0] for p in pieces])
+        di = np.concatenate([p[1] for p in pieces])
+        order = np.argsort(mv, kind="stable")
+        rank = np.empty(len(mv), dtype=np.int64)
+        rank[order] = offset + np.arange(len(mv), dtype=np.int64)
+        sizes = np.cumsum([0] + [len(p[0]) for p in pieces])
+        return [
+            (di[sizes[i]:sizes[i + 1]], rank[sizes[i]:sizes[i + 1]])
+            for i in range(len(pieces))
+        ]
+
+    def relabel_install_minvid_ranks(self, *rank_answers):
+        """Owner side: assemble ranks aligned with the label domain."""
+        ranks = np.empty(len(self._relabel_dom), dtype=np.int64)
+        for a in rank_answers:
+            di, rk = a[self.p]
+            ranks[di] = rk
+        self._relabel_ranks = ranks
+        self._relabel_dom_min = None
 
     # -- BFS frontier (building block for sssp / diameter / reachability) ----
 
@@ -944,7 +1087,7 @@ class GraphShard:
     def bfs_gather(self, *sender_outs):
         dist = self.state["dist"]
         new = dist.copy()
-        for ids, vals in (o[self.p] for o in sender_outs):
+        for ids, vals in (self._piece(o) for o in sender_outs):
             if len(ids):
                 np.minimum.at(new, ids - self.lo, vals)
         changed = new < dist
@@ -954,12 +1097,15 @@ class GraphShard:
 
     def bfs_max_dist(self):
         d = self.state["dist"]
-        fin = d[d < np.iinfo(np.int64).max]
+        idx = np.flatnonzero(d < np.iinfo(np.int64).max)
+        if len(idx) == 0:
+            return (-1, 0, 0, -1)
+        fin = d[idx]
         return (
-            int(fin.max()) if len(fin) else -1,
+            int(fin.max()),
             int(len(fin)),
             int(fin.sum()),
-            int(fin.argmax() + self.lo) if len(fin) else -1,
+            int(idx[fin.argmax()] + self.lo),
         )
 
     # -- k-core decomposition (reference igraph_coreness, src/cores.c:58) ----
@@ -984,7 +1130,7 @@ class GraphShard:
     def core_peel(self, k: int, n_in: int, *sender_outs) -> tuple:
         """Assign coreness k to unpeeled vertices whose remaining
         (ALL-mode) degree <= k; returns (#peeled, min remaining deg)."""
-        counts = [o[self.p] for o in sender_outs]
+        counts = [self._piece(o) for o in sender_outs]
         deg = np.zeros(self.size)
 
         def acc(c):
@@ -1021,7 +1167,7 @@ class GraphShard:
         this layer number."""
         indeg = np.zeros(self.size)
         for out in sender_outs:
-            c = out[self.p]
+            c = self._piece(out)
             if isinstance(c, tuple):
                 ids, sums = c
                 if len(ids):
@@ -1065,13 +1211,45 @@ class GraphEngine:
     algorithms in sibling modules drive supersteps against it.
     """
 
-    def __init__(self, shards, bounds, n: int, edges: int, weighted: bool):
+    def __init__(self, shards, bounds, n: int, edges: int, weighted: bool,
+                 per_dest_refs: bool | None = None):
         self.shards = shards
         self.bounds = bounds
         self.P = len(shards)
         self.n = n
         self.edge_count = edges
         self.weighted = weighted
+        # Message wire layout for supersteps.  Single-object mode (one
+        # ref holding all P per-destination slices) is fastest on one
+        # node: the object store makes the P reads zero-copy and the
+        # ref count per superstep is O(P), not O(P^2) (measured 50 ms
+        # vs 195 ms per PageRank iter at P=8 — BASELINE.md).  On a real
+        # multi-node cluster every receiver would pull ~P x the bytes
+        # it needs, so per-destination refs (num_returns=P, like the
+        # build path's _route) become mandatory; enable with
+        # per_dest_refs=True or XDATA_PER_DEST_REFS=1.
+        if per_dest_refs is None:
+            per_dest_refs = os.environ.get("XDATA_PER_DEST_REFS", "") not in (
+                "", "0",
+            )
+        self.per_dest_refs = bool(per_dest_refs)
+
+    # -- superstep message routing ------------------------------------------
+
+    def scatter(self, method: str, *args):
+        """Launch a scatter on every shard; returns one entry per
+        sender (a single ref, or a list of P per-destination refs in
+        per_dest_refs mode)."""
+        if self.per_dest_refs and self.P > 1:
+            return [
+                getattr(s, method).options(num_returns=self.P).remote(*args)
+                for s in self.shards
+            ]
+        return [getattr(s, method).remote(*args) for s in self.shards]
+
+    def pieces(self, outs, q: int):
+        """The args to pass to receiver ``q``'s gather for ``outs``."""
+        return [o[q] if isinstance(o, list) else o for o in outs]
 
     # -- construction --------------------------------------------------------
 
@@ -1082,6 +1260,7 @@ class GraphEngine:
         n: int | None = None,
         P: int = DEFAULT_SHARDS,
         weighted: bool = False,
+        per_dest_refs: bool | None = None,
     ) -> "GraphEngine":
         if isinstance(edges, pa.Table):
             refs = [ray.put(edges)]
@@ -1123,7 +1302,8 @@ class GraphEngine:
         ray.get(waits)
         infos = ray.get([s.finalize.remote() for s in shards])
         edges_total = sum(i["edges"] for i in infos)
-        return cls(shards, bounds, n, edges_total, weighted)
+        return cls(shards, bounds, n, edges_total, weighted,
+                   per_dest_refs=per_dest_refs)
 
     def shutdown(self):
         """Release shard actors eagerly (GC also reclaims them, but
@@ -1152,17 +1332,58 @@ class GraphEngine:
     def renumber_labels(self, state_key="label"):
         """Replace label values with their rank among distinct labels in
         ascending order — reproduces igraph's WCC numbering (component id
-        = rank of its minimum vertex id, src/components.c:119-149)."""
-        uniq = ray.get([
-            s.get_state.remote(state_key) for s in self.shards
+        = rank of its minimum vertex id, src/components.c:119-149).
+
+        Fully distributed: labels are vids, so the shard bounds define
+        label ownership; the driver sees only P partition counts (never
+        a label array — component count is O(n) on web-scale WCC)."""
+        outs = [
+            s.relabel_uniq_split.remote(state_key) for s in self.shards
+        ]
+        counts = ray.get([
+            s.relabel_collect.remote(*outs) for s in self.shards
         ])
-        all_labels = np.unique(np.concatenate([u[state_key] for u in uniq]))
-        ranks = np.arange(len(all_labels), dtype=np.int64)
-        lref, rref = ray.put(all_labels), ray.put(ranks)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        answers = [
+            self.shards[q].relabel_answer.remote(int(offsets[q]), *outs)
+            for q in range(self.P)
+        ]
         ray.get([
-            s.relabel.remote(lref, rref, state_key) for s in self.shards
+            s.relabel_apply.remote(state_key, *answers) for s in self.shards
         ])
-        return len(all_labels)
+        return int(offsets[-1])
+
+    def renumber_labels_first_appearance(self, state_key="label"):
+        """Renumber labels by ascending min carrier vid — igraph LPA's
+        first-appearance-in-vertex-id-order rule
+        (src/community.c:2320-2339).  Same O(P)-refs discipline: the
+        driver holds only partition counts."""
+        outs = [
+            s.relabel_uniq_split.remote(state_key, True) for s in self.shards
+        ]
+        ray.get([s.relabel_collect.remote(*outs) for s in self.shards])
+        # rank label domains by min carrier vid (distinct across labels)
+        mv_outs = [s.relabel_dom_minvids.remote() for s in self.shards]
+        counts = ray.get([
+            s.relabel_minvid_collect.remote(*mv_outs) for s in self.shards
+        ])
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        rank_outs = [
+            self.shards[q].relabel_minvid_rank.remote(int(offsets[q]))
+            for q in range(self.P)
+        ]
+        ray.get([
+            s.relabel_install_minvid_ranks.remote(*rank_outs)
+            for s in self.shards
+        ])
+        answers = [
+            self.shards[q].relabel_answer.remote(0, *outs)
+            for q in range(self.P)
+        ]
+        ray.get([
+            s.relabel_apply.remote(state_key, *answers) for s in self.shards
+        ])
+        return int(offsets[-1])
 
     # -- checkpointing ---------------------------------------------------------
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import time
 
-import numpy as np
 import ray
 
 from .engine import GraphEngine
@@ -52,9 +51,10 @@ def label_propagation(
         # past sync_iters, damp oscillations with hash-subsampled
         # rounds; every 4th round is full and decides convergence
         full = it < sync_iters or it % 4 == 3
-        outs = [s.lpa2_scatter.remote() for s in shards]
+        outs = engine.scatter("lpa2_scatter")
         stats = ray.get([
-            shards[q].lpa2_gather.remote(None if full else it, *outs)
+            shards[q].lpa2_gather.remote(
+                None if full else it, *engine.pieces(outs, q))
             for q in range(P)
         ])
         changed = sum(s["changed"] for s in stats)
@@ -64,20 +64,9 @@ def label_propagation(
             break
 
     if renumber:
-        pairs = ray.get([s.label_min_vids.remote() for s in shards])
-        labels = np.concatenate([p[0] for p in pairs])
-        mins = np.concatenate([p[1] for p in pairs])
-        order = np.argsort(labels, kind="stable")
-        labels, mins = labels[order], mins[order]
-        ul, idx = np.unique(labels, return_index=True)
-        umin = np.minimum.reduceat(mins, idx) if len(ul) else mins
-        # first-appearance order = ascending min carrier vid
-        rank_order = np.argsort(umin, kind="stable")
-        new_ids = np.empty(len(ul), dtype=np.int64)
-        new_ids[rank_order] = np.arange(len(ul))
-        lref, rref = ray.put(ul), ray.put(new_ids)
-        ray.get([s.relabel.remote(lref, rref, "label") for s in shards])
-        ncomm = len(ul)
+        # first-appearance order = ascending min carrier vid —
+        # distributed (driver sees only partition counts)
+        ncomm = engine.renumber_labels_first_appearance("label")
     else:
         ncomm = None
     return {

@@ -226,16 +226,10 @@ def linegraph(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
     tagged = distinct([_apply.remote(tag, r) for r in refs],
                       ["src", "dst"], P=P, as_refs=True)
 
-    def keyed(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
-        k = (s.astype(np.int64) << np.int64(31)) | d.astype(np.int64)
-        return pa.table({"k": k, "src": t["src"], "dst": t["dst"]})
-
-    ranked = sorted_ranks(
-        [_apply.remote(keyed, r) for r in tagged], "k", rank_name="eid",
-        P=P, as_refs=True,
-    )
+    # rank directly on the (src, dst) pair — packed scalar keys would
+    # collide once vids exceed the pack width (ADVICE round 1)
+    ranked = sorted_ranks(tagged, ["src", "dst"], rank_name="eid",
+                          P=P, as_refs=True)
     left = [
         _apply.remote(
             lambda t: pa.table({"mid": t["dst"], "e1": t["eid"]}), r

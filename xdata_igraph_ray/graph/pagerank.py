@@ -74,9 +74,10 @@ def pagerank(
     t0 = time.time()
     while it < max_iter and (linf > tol or l1 > tol):
         t_it = time.time()
-        outs = [s.pr_scatter.remote() for s in shards]
+        outs = engine.scatter("pr_scatter")
         stats = ray.get([
-            shards[q].pr_gather.remote(sumfrom, *outs) for q in range(P)
+            shards[q].pr_gather.remote(sumfrom, *engine.pieces(outs, q))
+            for q in range(P)
         ])
         linf = max(s["linf"] for s in stats)
         l1 = sum(s["l1"] for s in stats)

@@ -27,9 +27,10 @@ def _bfs_rounds(engine: GraphEngine, directions, max_rounds=None) -> int:
     P, shards = engine.P, engine.shards
     rounds = 0
     while max_rounds is None or rounds < max_rounds:
-        outs = [s.bfs_scatter.remote(directions) for s in shards]
+        outs = engine.scatter("bfs_scatter", directions)
         stats = ray.get([
-            shards[q].bfs_gather.remote(*outs) for q in range(P)
+            shards[q].bfs_gather.remote(*engine.pieces(outs, q))
+            for q in range(P)
         ])
         if sum(s["changed"] for s in stats) == 0:
             break
@@ -82,9 +83,10 @@ def topological_layers(engine: GraphEngine, max_layers: int | None = None):
         remaining = sum(ray.get([s.topo_unassigned.remote() for s in shards]))
         if remaining == 0:
             break
-        outs = [s.topo_indeg_flags.remote() for s in shards]
+        outs = engine.scatter("topo_indeg_flags")
         peeled = sum(ray.get([
-            s.topo_peel.remote(layer, *outs) for s in shards
+            s.topo_peel.remote(layer, *engine.pieces(outs, q))
+            for q, s in enumerate(shards)
         ]))
         if peeled == 0:
             return None, False  # cycle

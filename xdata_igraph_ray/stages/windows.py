@@ -50,20 +50,25 @@ def sliding(
     width_s: int = 7200, step_s: int = 3600, P: int = DEFAULT_PARTITIONS,
 ) -> Dataset:
     """(key, window_start, n, total): windows [k*step, k*step+width).
-    Each event fans out to its width/step covering windows."""
-    k = width_s // step_s
+    Each event fans out to its <= ceil(width/step) covering windows;
+    for non-divisible widths the last candidate window may not contain
+    the event, so membership is checked per event (ADVICE round 1)."""
+    k = -(-width_s // step_s)  # ceil
 
     def expand(t: pa.Table) -> pa.Table:
         ts = t[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         step = step_s * 1_000_000
+        width = width_s * 1_000_000
         base = (ts // step) * step
         keys, starts, vals = [], [], []
         kv = t[key].to_numpy()
         vv = t[value_col].to_numpy()
         for i in range(k):
-            starts.append(base - i * step)
-            keys.append(kv)
-            vals.append(vv)
+            start = base - i * step
+            inside = ts - start < width  # start <= ts holds by construction
+            keys.append(kv[inside])
+            starts.append(start[inside])
+            vals.append(vv[inside])
         return pa.table(
             {
                 key: np.concatenate(keys),
