@@ -263,6 +263,88 @@ def q_sssp(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV), "dist": d.astype(np.int64)})
 
 
+def q_sssp_weighted(sf_dir: str):
+    """Weighted shortest distances from vertex 0 (weight = l_quantity,
+    Bellman-Ford relaxation supersteps); unreachable -> -1."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import sssp_weighted
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV,
+                "dst": t["l_partkey"].to_numpy() % NV,
+                "weight": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    eng = GraphEngine.from_edges(li, n=NV, P=8, weighted=True)
+    d = sssp_weighted(eng, [0], mode="out")
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV),
+         "dist": np.round(np.where(np.isinf(d), -1.0, d), 6)}
+    )
+
+
+NV2 = 200  # closeness/betweenness graph: all-pairs oracles are cubic
+
+
+def _li_edges_200(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV2,
+                "dst": t["l_partkey"].to_numpy() % NV2,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_closeness(sf_dir: str):
+    """igraph closeness (out mode, unnormalized): 1 / (sum of
+    distances + n * unreached), on the 200-vertex derived graph."""
+    from xdata_igraph_ray.graph.centrality import closeness
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    c = closeness(eng, wave=100)
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV2), "closeness": np.round(c, 6)})
+
+
+def q_betweenness(sf_dir: str):
+    """Exact Brandes betweenness on the simplified 200-vertex derived
+    graph (directed, endpoints excluded)."""
+    from xdata_igraph_ray.graph.build import simplify
+    from xdata_igraph_ray.graph.centrality import betweenness
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV2,
+                "dst": t["l_partkey"].to_numpy() % NV2,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    simple = simplify(ds, remove_loops=False, P=8)
+    eng = GraphEngine.from_edges(simple, n=NV2, P=4)
+    bc = betweenness(eng, wave=100)
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV2), "bc": np.round(bc, 6)})
+
+
 def q_coreness(sf_dir: str):
     from xdata_igraph_ray.graph.cores import coreness
 
@@ -633,6 +715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_ops_li": q_edge_ops,
         "reciprocity_li": q_reciprocity,
         "sssp_li": q_sssp,
+        "sssp_weighted_li": q_sssp_weighted,
+        "closeness_li": q_closeness,
+        "betweenness_li": q_betweenness,
         "coreness_li": q_coreness,
         "personalized_pagerank_li": q_ppr,
         "pseudo_diameter_li": q_pseudo_diameter,
@@ -788,6 +873,86 @@ def oracle_sql() -> dict[str, str]:
             FROM {_LI_V} v
             LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
               ON m.v = v.vid
+            """,
+        "sssp_weighted_li": f"""
+            WITH RECURSIVE e AS (
+              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
+                     min(l_quantity) AS w
+              FROM lineitem GROUP BY 1, 2
+            ),
+            r(v, d) AS (
+              SELECT 0, CAST(0 AS DOUBLE)
+              UNION
+              -- cap 100 >> the measured max shortest distance (76 at
+              -- sf0.001, 17 at sf0.01); weights >= 1 bound recursion
+              SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.v
+              WHERE r.d + e.w < 100
+            )
+            SELECT v.vid, round(coalesce(m.d, -1), 6) AS dist
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
+              ON m.v = v.vid
+            """,
+        "closeness_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, count(*) AS reach, sum(d) AS dsum
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
+                     AS closeness
+            FROM v JOIN agg ON agg.s = v.vid
+            """,
+        "betweenness_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            -- walks of length exactly d(s,t) are precisely the
+            -- shortest s->t paths, so sigma = walk count at k = d
+            wk(s, t, k, c) AS (
+              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
+              UNION ALL
+              SELECT w.s, de.dst, w.k + 1, sum(w.c)
+              FROM wk w JOIN de ON de.src = w.t
+              WHERE w.k < 8
+              GROUP BY w.s, de.dst, w.k + 1
+            ),
+            sp AS (
+              SELECT dist.s, dist.t, dist.d, wk.c
+              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
+                               AND wk.k = dist.d
+            )
+            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
+            FROM v LEFT JOIN (
+              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
+              FROM sp sv
+              JOIN sp vt ON vt.s = sv.t AND vt.s <> vt.t
+              JOIN sp st ON st.s = sv.s AND st.t = vt.t
+                        AND st.d = sv.d + vt.d
+              WHERE sv.s <> sv.t
+              GROUP BY sv.t
+            ) b USING (vid)
             """,
         "personalized_pagerank_li": f"""
             WITH RECURSIVE e AS {_LI_E},

@@ -1,0 +1,142 @@
+"""Weighted SSSP + Brandes betweenness + closeness vs independent
+oracles (networkx / direct formula)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xdata_igraph_ray.graph.centrality import betweenness, closeness
+from xdata_igraph_ray.graph.engine import GraphEngine
+from xdata_igraph_ray.graph.paths import sssp, sssp_weighted
+
+from .oracles import gnm_edges
+
+
+def _weighted_engine(src, dst, w, n, P=3):
+    t = pa.table({"src": np.asarray(src, np.int64),
+                  "dst": np.asarray(dst, np.int64),
+                  "weight": np.asarray(w, np.float64)})
+    return GraphEngine.from_edges(t, n=n, P=P, weighted=True)
+
+
+def _engine(src, dst, n, P=3):
+    t = pa.table({"src": np.asarray(src, np.int64),
+                  "dst": np.asarray(dst, np.int64)})
+    return GraphEngine.from_edges(t, n=n, P=P)
+
+
+def test_wsssp_vs_networkx_gnm():
+    import networkx as nx
+
+    rng = np.random.default_rng(21)
+    n, m = 200, 1200
+    src, dst = gnm_edges(n, m, seed=21)
+    w = rng.uniform(0.5, 10.0, m)
+    g = nx.MultiDiGraph()
+    g.add_nodes_from(range(n))
+    g.add_weighted_edges_from(zip(src.tolist(), dst.tolist(), w.tolist()))
+    want = nx.single_source_dijkstra_path_length(g, 0)
+    eng = _weighted_engine(src, dst, w, n)
+    d = sssp_weighted(eng, [0], mode="out")
+    eng.shutdown()
+    for v in range(n):
+        if v in want:
+            assert abs(d[v] - want[v]) < 1e-9, v
+        else:
+            assert np.isinf(d[v]), v
+
+
+def test_wsssp_modes_and_multisource():
+    # chain 0-w->1-w->2 with a heavy shortcut
+    src = [0, 1, 0, 3]
+    dst = [1, 2, 2, 0]
+    w = [1.0, 1.0, 5.0, 2.0]
+    eng = _weighted_engine(src, dst, w, 4, P=2)
+    d = sssp_weighted(eng, [0], mode="out")
+    np.testing.assert_allclose(d[:3], [0, 1, 2])
+    assert np.isinf(d[3])
+    d_in = sssp_weighted(eng, [2], mode="in")
+    np.testing.assert_allclose(d_in[:3], [2, 1, 0])
+    d_all = sssp_weighted(eng, [3], mode="all")
+    np.testing.assert_allclose(d_all, [2, 3, 4, 0])
+    # multi-source
+    d_ms = sssp_weighted(eng, [0, 3], mode="out")
+    np.testing.assert_allclose(d_ms, [0, 1, 2, 0])
+    eng.shutdown()
+
+
+def test_wsssp_negative_weights():
+    # negative edge but no negative cycle — Bellman-Ford territory
+    src = [0, 0, 1, 2]
+    dst = [1, 2, 3, 3]
+    w = [4.0, 2.0, -3.0, 1.0]
+    eng = _weighted_engine(src, dst, w, 4, P=2)
+    d = sssp_weighted(eng, [0])
+    np.testing.assert_allclose(d, [0, 4, 2, 1])
+    eng.shutdown()
+
+
+def test_betweenness_vs_networkx():
+    import networkx as nx
+
+    n, m = 120, 600
+    src, dst = gnm_edges(n, m, seed=33)
+    # simplified directed graph (multi-edges multiply path counts)
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    want = nx.betweenness_centrality(g, normalized=False)
+    es, ed = np.array([p[0] for p in pairs]), np.array([p[1] for p in pairs])
+    eng = _engine(es, ed, n)
+    got = betweenness(eng, wave=32)
+    eng.shutdown()
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-8, (v, got[v], want[v])
+
+
+def test_betweenness_star_exact():
+    # star: center 0 <-> leaves; directed both ways
+    leaves = list(range(1, 8))
+    src = [0] * 7 + leaves
+    dst = leaves + [0] * 7
+    eng = _engine(src, dst, 8, P=2)
+    got = betweenness(eng, wave=8)
+    eng.shutdown()
+    # center lies on every leaf->leaf shortest path: 7*6 ordered pairs
+    assert got[0] == pytest.approx(42.0)
+    np.testing.assert_allclose(got[1:], 0.0)
+
+
+def test_closeness_igraph_formula():
+    n, m = 100, 400
+    src, dst = gnm_edges(n, m, seed=44)
+    eng = _engine(src, dst, n)
+    got = closeness(eng, wave=40)
+    # independent oracle: per-source BFS + igraph's unreachable rule
+    for s in [0, 3, 57, 99]:
+        d = sssp(eng, [s], mode="out")
+        reach = (d >= 0).sum()
+        total = d[d >= 0].sum() + n * (n - reach)
+        assert got[s] == pytest.approx(1.0 / total), s
+    gotn = closeness(eng, sources=[0], normalized=True)
+    d = sssp(eng, [0], mode="out")
+    total = d[d >= 0].sum() + n * (n - (d >= 0).sum())
+    assert gotn[0] == pytest.approx((n - 1.0) / total)
+    eng.shutdown()
+
+
+def test_betweenness_sampled_sources():
+    n, m = 80, 400
+    src, dst = gnm_edges(n, m, seed=7)
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    es, ed = np.array([p[0] for p in pairs]), np.array([p[1] for p in pairs])
+    eng = _engine(es, ed, n)
+    full = betweenness(eng)
+    sub = betweenness(eng, sources=np.arange(0, n, 2))
+    eng.shutdown()
+    # sampled run is a partial sum of per-source dependencies
+    assert (sub <= full + 1e-9).all()
+    assert sub.sum() > 0

@@ -58,6 +58,95 @@ def eigenvector_centrality(
     return {"iterations": it, "delta": delta}
 
 
+def _ms_waves(engine: GraphEngine, sources, wave: int):
+    src = np.asarray(sources, dtype=np.int64)
+    for i in range(0, len(src), wave):
+        yield src[i:i + wave]
+
+
+def _ms_forward(engine: GraphEngine, wave_sources) -> int:
+    """Level-synchronous multi-source BFS with path counting; returns
+    the deepest assigned level."""
+    shards = engine.shards
+    ray.get([s.ms_init.remote(wave_sources) for s in shards])
+    level = 0
+    while True:
+        outs = engine.scatter("ms_fwd_scatter", level)
+        newly = sum(ray.get([
+            shards[q].ms_fwd_gather.remote(level, *engine.pieces(outs, q))
+            for q in range(engine.P)
+        ]))
+        if newly == 0:
+            return level
+        level += 1
+
+
+def betweenness(
+    engine: GraphEngine,
+    sources=None,
+    wave: int = 64,
+) -> np.ndarray:
+    """Vertex betweenness (Brandes, reference igraph_betweenness
+    src/centrality.c:1569): multi-source batched BFS waves — forward
+    sigma counting, then per-level backward dependency accumulation.
+    ``sources=None`` runs every vertex (exact); a sampled source list
+    gives the igraph_betweenness_estimate-style approximation (scale
+    path: O(sources x E) total work).  Directed out-paths; run on the
+    simplified graph (multi-edges would multiply path counts)."""
+    shards = engine.shards
+    ray.get([s.set_state.remote(bc=(np.float64, 0.0)) for s in shards])
+    if sources is None:
+        sources = np.arange(engine.n)
+    for ws in _ms_waves(engine, sources, wave):
+        maxlevel = _ms_forward(engine, ws)
+        for lev in range(maxlevel, 0, -1):
+            outs = engine.scatter("ms_bwd_scatter", lev)
+            ray.get([
+                shards[q].ms_bwd_gather.remote(lev, *engine.pieces(outs, q))
+                for q in range(engine.P)
+            ])
+        ray.get([s.ms_accumulate_bc.remote() for s in shards])
+    ray.get([s.ms_free.remote() for s in shards])
+    return engine.state_arrays("bc")
+
+
+def closeness(
+    engine: GraphEngine,
+    sources=None,
+    mode: str = "out",
+    normalized: bool = False,
+    wave: int = 64,
+) -> np.ndarray:
+    """Closeness centrality (reference igraph_closeness
+    src/centrality.c:2473,2660): per source s,
+    sum = Σ d(s, u) over reached u + n * (n - reached);
+    closeness = 1/sum (normalized: (n-1)/sum) — unreachable vertices
+    count as distance n, exactly the reference's rule
+    (src/centrality.c:2733-2736).  Returns one value per requested
+    source (default: all vertices)."""
+    if mode != "out":
+        raise NotImplementedError("closeness: only mode='out' in v2; "
+                                  "reverse the graph for mode='in'")
+    shards = engine.shards
+    n = engine.n
+    if sources is None:
+        sources = np.arange(n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _ms_forward(engine, ws)
+        stats = ray.get([s.ms_closeness_stats.remote() for s in shards])
+        reach = np.sum([st[0] for st in stats], axis=0)
+        dsum = np.sum([st[1] for st in stats], axis=0)
+        total = dsum + float(n) * (n - reach)
+        with np.errstate(divide="ignore"):
+            c = (n - 1.0) / total if normalized else 1.0 / total
+        out[pos:pos + len(ws)] = c
+        pos += len(ws)
+    ray.get([s.ms_free.remote() for s in shards])
+    return out
+
+
 def hits(
     engine: GraphEngine,
     weighted: bool = False,

@@ -1095,6 +1095,152 @@ class GraphShard:
         self.state["changed"] = changed
         return {"changed": int(changed.sum())}
 
+    # -- weighted shortest paths (Bellman-Ford relaxation supersteps;
+    #    reference igraph_shortest_paths_dijkstra
+    #    src/structural_properties.c:4174 / Bellman-Ford :5158 — the
+    #    sequential priority queue is replaced by frontier relaxation,
+    #    which converges to the same fixed point and, unlike Dijkstra,
+    #    tolerates the asynchrony of a distributed frontier) -----------------
+
+    def wsssp_init(self, sources):
+        dist = np.full(self.size, np.inf)
+        src = np.asarray(sources)
+        mine = src[(src >= self.lo) & (src < self.hi)]
+        dist[mine - self.lo] = 0.0
+        self.state["wdist"] = dist
+        self.state["changed"] = np.zeros(self.size, dtype=bool)
+        self.state["changed"][mine - self.lo] = True
+
+    def wsssp_scatter(self, directions=("fwd",)):
+        """dist + edge weight flows to neighbors; sparse min-combined."""
+        dist = self.state["wdist"]
+        act = self.state["changed"]
+        keys_l, val_l = [], []
+        if "fwd" in directions and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            mask = np.repeat(act, counts)
+            w = self.fw_w if self.fw_w is not None else np.ones(len(self.fw_dst))
+            keys_l.append(self.fw_dst[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + w[mask])
+        if "rev" in directions and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            mask = np.repeat(act, counts)
+            w = self.rv_w if self.rv_w is not None else np.ones(len(self.rv_src))
+            keys_l.append(self.rv_src[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + w[mask])
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+        vals = np.concatenate(val_l) if val_l else np.empty(0)
+        return self._split_sparse_min(keys, vals)
+
+    def wsssp_gather(self, *sender_outs):
+        dist = self.state["wdist"]
+        new = dist.copy()
+        for ids, vals in (self._piece(o) for o in sender_outs):
+            if len(ids):
+                np.minimum.at(new, ids - self.lo, vals)
+        changed = new < dist
+        self.state["wdist"] = new
+        self.state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    # -- multi-source level-synchronous BFS with path counting (the
+    #    Brandes harness: betweenness reference src/centrality.c:1569,
+    #    closeness :2473 — S sources advance simultaneously as columns
+    #    of a (size x S) matrix; per-wave memory is S*20 bytes/vertex,
+    #    message volume (unique-dst x S) doubles) -------------------------
+
+    def ms_init(self, sources):
+        src = np.asarray(sources, dtype=np.int64)
+        S = len(src)
+        self.meta["ms_sources"] = src
+        self.ms_dist = np.full((self.size, S), -1, dtype=np.int32)
+        self.ms_sigma = np.zeros((self.size, S))
+        self.ms_delta = np.zeros((self.size, S))
+        mine = np.flatnonzero((src >= self.lo) & (src < self.hi))
+        self.ms_dist[src[mine] - self.lo, mine] = 0
+        self.ms_sigma[src[mine] - self.lo, mine] = 1.0
+
+    def _ms_matrix_msgs(self, M, direction: str):
+        """Per-destination-shard (ids, column-sum matrix) messages."""
+        if direction == "fwd":
+            per_edge_src = self.fw_src_by_dst
+            ustarts, ukeys, useg = self.fw_ustarts, self.fw_udsts, self.fw_useg
+            nedges = len(self.fw_dst)
+        else:
+            per_edge_src = self.rv_dst_by_src
+            ustarts, ukeys, useg = self.rv_ustarts, self.rv_usrcs, self.rv_useg
+            nedges = len(self.rv_src)
+        if nedges == 0 or not len(ustarts):
+            e = np.empty(0, np.int64)
+            z = np.zeros((0, M.shape[1]))
+            return [(e, z)] * self.P
+        per_edge = M[per_edge_src]
+        sums = np.add.reduceat(per_edge, ustarts, axis=0)
+        return [
+            (ukeys[useg[q]:useg[q + 1]], sums[useg[q]:useg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def ms_fwd_scatter(self, level: int):
+        mask = self.ms_dist == level
+        A = np.where(mask, self.ms_sigma, 0.0)
+        return self._ms_matrix_msgs(A, "fwd")
+
+    def ms_fwd_gather(self, level: int, *sender_outs) -> int:
+        acc = np.zeros_like(self.ms_sigma)
+        for o in sender_outs:
+            ids, m = self._piece(o)
+            if len(ids):
+                acc[ids - self.lo] += m
+        newly = (self.ms_dist < 0) & (acc > 0)
+        self.ms_dist[newly] = level + 1
+        self.ms_sigma[newly] = acc[newly]
+        return int(newly.sum())
+
+    def ms_bwd_scatter(self, level: int):
+        mask = self.ms_dist == level
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M = np.where(
+                mask & (self.ms_sigma > 0),
+                (1.0 + self.ms_delta) / np.where(self.ms_sigma > 0,
+                                                 self.ms_sigma, 1.0),
+                0.0,
+            )
+        return self._ms_matrix_msgs(M, "rev")
+
+    def ms_bwd_gather(self, level: int, *sender_outs):
+        acc = np.zeros_like(self.ms_delta)
+        for o in sender_outs:
+            ids, m = self._piece(o)
+            if len(ids):
+                acc[ids - self.lo] += m
+        upd = self.ms_dist == level - 1
+        self.ms_delta[upd] += (self.ms_sigma * acc)[upd]
+        return 0
+
+    def ms_accumulate_bc(self):
+        """bc[v] += sum_j delta[v, j], excluding each source's own row
+        (Brandes sums over v != s)."""
+        if "bc" not in self.state:
+            self.state["bc"] = np.zeros(self.size)
+        d = self.ms_delta.copy()
+        src = self.meta["ms_sources"]
+        mine = np.flatnonzero((src >= self.lo) & (src < self.hi))
+        d[src[mine] - self.lo, mine] = 0.0
+        self.state["bc"] += d.sum(axis=1)
+
+    def ms_closeness_stats(self):
+        """(reached count, distance sum) per wave column — the driver
+        combines them with igraph's unreachable-counts-as-n rule
+        (src/centrality.c:2733-2736)."""
+        reached = self.ms_dist >= 0
+        dsum = np.where(reached, self.ms_dist, 0).sum(axis=0,
+                                                      dtype=np.float64)
+        return reached.sum(axis=0, dtype=np.int64), dsum
+
+    def ms_free(self):
+        self.ms_dist = self.ms_sigma = self.ms_delta = None
+
     def bfs_max_dist(self):
         d = self.state["dist"]
         idx = np.flatnonzero(d < np.iinfo(np.int64).max)

@@ -56,6 +56,45 @@ def sssp(
     return np.where(dist == INF, -1, dist)
 
 
+def sssp_weighted(
+    engine: GraphEngine,
+    sources,
+    mode: str = "out",
+    max_rounds: int | None = None,
+) -> np.ndarray:
+    """Weighted shortest-path distances from the source set
+    (unreachable -> inf) via Bellman-Ford relaxation supersteps —
+    reference igraph_shortest_paths_dijkstra / _bellman_ford
+    (src/structural_properties.c:4174, 5158); the distributed frontier
+    replaces the priority queue, converging to the same fixed point.
+    Requires an engine built with ``weighted=True``; handles negative
+    weights (no negative cycles: rounds are capped at n and a
+    non-converged run raises, mirroring Bellman-Ford's cycle check)."""
+    directions = {"out": ("fwd",), "in": ("rev",), "all": ("fwd", "rev")}[mode]
+    shards = engine.shards
+    ray.get([
+        s.wsssp_init.remote(np.atleast_1d(np.asarray(sources, dtype=np.int64)))
+        for s in shards
+    ])
+    cap = max_rounds if max_rounds is not None else engine.n + 1
+    rounds = 0
+    while True:
+        outs = engine.scatter("wsssp_scatter", directions)
+        stats = ray.get([
+            shards[q].wsssp_gather.remote(*engine.pieces(outs, q))
+            for q in range(engine.P)
+        ])
+        if sum(s["changed"] for s in stats) == 0:
+            break
+        rounds += 1
+        if rounds > cap:
+            raise RuntimeError(
+                "sssp_weighted: no fixed point after n rounds "
+                "(negative cycle reachable from the sources?)"
+            )
+    return engine.state_arrays("wdist")
+
+
 def neighborhood_size(
     engine: GraphEngine, vids, order: int = 1, mode: str = "all"
 ) -> np.ndarray:
