@@ -65,6 +65,12 @@ for _sf in ("sf0.001", "sf0.01"):
         pages_fixture(f"/root/testdata/{_sf}")
     except Exception:
         pass
+try:
+    from xdata_igraph_ray.sources.synth import generate_embeddings as _gen_emb
+
+    _gen_emb(os.path.join(FIXTURE_ROOT, "emb_planted"))
+except Exception:
+    pass
 
 
 def _li_edges(sf_dir: str) -> rd.Dataset:
@@ -127,13 +133,16 @@ def q_pagerank_pages(sf_dir: str):
     paths = pages_fixture(sf_dir)
     verts, edges = build_graph_tables(rd.read_parquet(paths["pages"]), P=8)
     eng = GraphEngine.from_edges(edges, P=8)
-    pagerank(eng, tol=1e-10)
+    # fixed iterations + rounding so the DuckDB oracle (same recursion,
+    # dangling mass redistributed per iteration) is hash-comparable
+    pagerank(eng, tol=0.0, max_iter=PR_ITERS)
     out = (
         eng.state_dataset(["pr"], rename={"pr": "score"})
         .to_pandas()
         .sort_values("vid")
         .reset_index(drop=True)
     )
+    out["score"] = np.round(out["score"], 6)
     eng.shutdown()
     return out
 
@@ -539,7 +548,30 @@ def q_embedding_near_dup(sf_dir: str):
     from xdata_igraph_ray.stages.dedup import embedding_near_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.95, P=4)
+    # ids only: the verify cosine is float64 while DuckDB's
+    # list_cosine_similarity on float32 lists differs in the last ulps.
+    # Explicit frame: a 0-row Dataset drops its schema in to_pandas.
+    df = embedding_near_dup_pairs(emb, threshold=0.95, P=4).to_pandas()
+    if "a" not in df.columns:
+        df = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                           "b": pd.Series([], dtype="int64")})
+    return df[["a", "b"]]
+
+
+def _planted_emb_path() -> str:
+    from xdata_igraph_ray.sources.synth import generate_embeddings
+
+    return generate_embeddings(os.path.join(FIXTURE_ROOT, "emb_planted"))
+
+
+def q_embedding_near_dup_planted(sf_dir: str):
+    """Banded-LSH near-dup over the planted fixture — a NONZERO result
+    checked pair-for-pair against a brute-force SQL oracle."""
+    from xdata_igraph_ray.stages.dedup import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(_planted_emb_path())
+    df = embedding_near_dup_pairs(emb, threshold=0.95, P=4).to_pandas()
+    return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_multimodal_features(sf_dir: str):
@@ -739,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": q_knn,
         "knn_ivf_embeddings": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_planted": q_embedding_near_dup_planted,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sliding": q_events_sliding,
@@ -756,6 +789,22 @@ def oracle_sql() -> dict[str, str]:
     edges_pq = os.path.join(
         FIXTURE_ROOT, f"pages_{n_pages}", "edges", "*.parquet"
     )
+    # language-ID trigram terms generated from the SAME frozen profiles
+    # the Ray stage uses (stages/text.py LangId.PROFILES)
+    from xdata_igraph_ray.stages.text import LangId
+
+    def _tri_sum(lang: str) -> str:
+        tris = sorted({
+            LangId.PROFILES[lang][i:i + 3]
+            for i in range(len(LangId.PROFILES[lang]) - 2)
+        })
+        terms = [
+            "(CASE WHEN position('" + t.replace("'", "''") + "' IN lt) > 0 "
+            "THEN 1 ELSE 0 END)"
+            for t in tris
+        ]
+        return "(" + " + ".join(terms) + ")"
+
     und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
     tri_join = (
         f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "
@@ -770,6 +819,53 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT DISTINCT dst_url FROM read_parquet('{edges_pq}')
             )""",
+        "pagerank_pages": f"""
+            WITH RECURSIVE eu AS (
+              SELECT src_url, dst_url FROM read_parquet('{edges_pq}')
+            ),
+            verts AS (
+              SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM (
+                SELECT DISTINCT src_url AS url FROM eu
+                UNION
+                SELECT DISTINCT dst_url FROM eu
+              )
+            ),
+            e AS (
+              SELECT vs.vid AS src, vd.vid AS dst
+              FROM eu
+              JOIN verts vs ON vs.url = eu.src_url
+              JOIN verts vd ON vd.url = eu.dst_url
+            ),
+            nn AS (SELECT count(*) AS c FROM verts),
+            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
+            -- igraph dangling semantics (src/centrality.c:926-939):
+            -- per iteration the teleport pool is the full mass of
+            -- dangling vertices plus (1-d) of everyone else's
+            pr(v, score, outdeg, iter) AS (
+              SELECT verts.vid, 1.0 / (SELECT c FROM nn),
+                     CAST(deg.outdeg AS DOUBLE), 0
+              FROM verts LEFT JOIN deg ON deg.vid = verts.vid
+              UNION ALL
+              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
+                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
+                FROM pr p JOIN e ON e.src = p.v
+                WHERE p.outdeg IS NOT NULL
+                UNION ALL
+                SELECT p.v, ts.t / (SELECT c FROM nn), p.outdeg, p.iter
+                FROM pr p JOIN (
+                  SELECT iter, sum(CASE WHEN outdeg IS NULL THEN score
+                                        ELSE {1.0 - PR_DAMPING} * score END) AS t
+                  FROM pr GROUP BY iter
+                ) ts ON ts.iter = p.iter
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < {PR_ITERS}
+            )
+            SELECT v AS vid, round(score, 6) AS score FROM pr
+            WHERE iter = {PR_ITERS}
+            """,
         "degrees_li": f"""
             SELECT v.vid,
                    coalesce(o.c, 0) AS out_deg,
@@ -979,6 +1075,189 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vid, round(score, 6) AS score FROM pr
             WHERE iter = {PR_ITERS}
+            """,
+        "pseudo_diameter_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            und AS (SELECT DISTINCT src, dst FROM
+                    (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+            r1(v, d) AS (
+              SELECT 0, 0
+              UNION
+              SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.v
+              WHERE r1.d < 16
+            ),
+            d1 AS (SELECT v, min(d) AS d FROM r1 GROUP BY v),
+            -- np.argmax tie-break: smallest vid among the max distances
+            far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
+            r2(v, d) AS (
+              SELECT (SELECT v FROM far), 0
+              UNION
+              SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.v
+              WHERE r2.d < 16
+            )
+            SELECT max(d) AS pseudo_diameter
+            FROM (SELECT v, min(d) AS d FROM r2 GROUP BY v)
+            """,
+        "eigenvector_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            -- power iteration x <- (A^T x)/64 (the /64 only bounds
+            -- growth; the final max-normalization removes all scaling)
+            ev(v, x, iter) AS (
+              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
+              UNION ALL
+              SELECT m.v, sum(m.x) / 64.0, min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, p.x AS x, p.iter AS iter
+                FROM ev p JOIN e ON e.src = p.v
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < 60
+            ),
+            fin AS (SELECT v, x FROM ev WHERE iter = 60)
+            SELECT v.vid,
+                   round(coalesce(fin.x, 0) / (SELECT max(x) FROM fin), 6)
+                     AS ev
+            FROM v LEFT JOIN fin ON fin.v = v.vid
+            """,
+        "hits_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            -- hub <- A (A^T hub) / 4096 per round (HITS, reference
+            -- src/centrality.c:840,886); scaling removed at the end
+            hub(v, x, iter) AS (
+              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
+              UNION ALL
+              SELECT m.v, sum(m.val) / 4096.0, min(m.iter) + 1
+              FROM (
+                SELECT e1.src AS v, a.val AS val, a.iter AS iter
+                FROM e e1 JOIN (
+                  SELECT e2.dst AS w, sum(h.x) AS val, h.iter AS iter
+                  FROM hub h JOIN e e2 ON e2.src = h.v
+                  GROUP BY e2.dst, h.iter
+                ) a ON a.w = e1.dst
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < 40
+            ),
+            hf AS (SELECT v, x FROM hub WHERE iter = 40),
+            af AS (
+              SELECT e.dst AS v, sum(hf.x) AS x
+              FROM e JOIN hf ON hf.v = e.src
+              GROUP BY e.dst
+            )
+            SELECT v.vid,
+                   round(coalesce(hf.x, 0) / (SELECT max(x) FROM hf), 6)
+                     AS hub,
+                   round(coalesce(af.x, 0) / (SELECT max(x) FROM af), 6)
+                     AS auth
+            FROM v
+            LEFT JOIN hf ON hf.v = v.vid
+            LEFT JOIN af ON af.v = v.vid
+            """,
+        "knn_embeddings": """
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cos
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 4
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
+            """,
+        "knn_ivf_embeddings": """
+            -- nprobe = n_clusters in the query => IVF degenerates to
+            -- exact brute force, so the oracle is the same top-k
+            SELECT query_id, vec_id FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cos
+              FROM embeddings q, embeddings e
+              WHERE q.vec_id < 4
+            )
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
+            """,
+        "embedding_near_dup": """
+            -- exact brute force: every pair at cosine >= 0.95 (the
+            -- banded-LSH recall bound is ~1e-4 misses; on this table
+            -- the truth set is computed exactly)
+            SELECT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_cosine_similarity(x.embedding, y.embedding)
+                       AS cosine
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id < y.vec_id
+            ) WHERE cosine >= 0.95
+            """,
+        "embedding_near_dup_planted": f"""
+            WITH pe AS (
+              SELECT * FROM read_parquet(
+                '{os.path.join(FIXTURE_ROOT, "emb_planted",
+                               "embeddings.parquet")}')
+            )
+            SELECT a, b FROM (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_cosine_similarity(x.embedding, y.embedding)
+                       AS cosine
+              FROM pe x, pe y
+              WHERE x.vec_id < y.vec_id
+            ) WHERE cosine >= 0.95
+            """,
+        "quality_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     greatest(length(text), 1) AS n,
+                     regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     CAST(alpha AS DOUBLE) / n AS alpha_ratio,
+                     CAST(len(list_filter(words, x -> lower(x) IN
+                       ('the','of','and','to','in','a','is','that','it',
+                        'for','on','as','with','was','at','by','an','be',
+                        'this'))) AS DOUBLE)
+                       / greatest(len(words), 1) AS stop_ratio,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE list_avg(list_transform(words,
+                                                       x -> length(x)))
+                     END AS mean_word_len,
+                     CASE WHEN n BETWEEN 50 AND 100000
+                          THEN 1.0 ELSE 0.0 END AS len_ok
+              FROM w
+            )
+            SELECT doc_id,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(0.3 * alpha_ratio
+                         + 0.3 * least(stop_ratio * 4.0, 1.0)
+                         + 0.2 * len_ok
+                         + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
+                                       AND 12.0 THEN 1.0 ELSE 0.0 END),
+                         6) AS quality
+            FROM f
+            """,
+        "langid_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ' ' || lower(substr(text, 1, 2000)) || ' ' AS lt
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     {_tri_sum('en')} AS s_en,
+                     {_tri_sum('de')} AS s_de,
+                     {_tri_sum('fr')} AS s_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                        WHEN s_de > s_en THEN 'de'
+                        WHEN s_en > 0 THEN 'en'
+                        ELSE 'und' END AS lang_pred
+            FROM s
             """,
         "strength_li": f"""
             WITH e AS (SELECT l_orderkey % {NV} AS src,

@@ -210,3 +210,42 @@ def generate_pages(
     with open(done, "w") as f:
         f.write("ok")
     return {"pages": pages_path, "edges": edges_path}
+
+
+def generate_embeddings(
+    out_dir: str,
+    n_base: int = 2000,
+    dim: int = 32,
+    n_dups: int = 150,
+    seed: int = 42,
+) -> str:
+    """Write an ``embeddings.parquet`` with planted near-duplicates:
+    n_base unit vectors plus n_dups perturbed copies at cosine
+    ~[0.96, 0.999] — the dedup-recall fixture (pure function of args,
+    idempotent).  Returns the parquet path."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    done = os.path.join(
+        out_dir, f"_DONE_v{GEN_VERSION}_{n_base}_{dim}_{n_dups}_{seed}"
+    )
+    if os.path.exists(done):
+        return path
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    src = rng.choice(n_base, n_dups, replace=False)
+    scale = rng.uniform(0.01, 0.05, (n_dups, 1))
+    dups = base[src] + rng.standard_normal((n_dups, dim)) * scale
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.vstack([base, dups])
+    tbl = pa.table(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(tbl, path + ".tmp")
+    os.replace(path + ".tmp", path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
