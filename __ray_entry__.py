@@ -456,6 +456,15 @@ def q_dyad_census(sf_dir: str):
     return pd.DataFrame([dc])
 
 
+def q_triad_census(sf_dir: str):
+    from xdata_igraph_ray.graph.motifs import triad_census
+
+    c = triad_census(_li_edges(sf_dir), n=NV, P=8)
+    return pd.DataFrame(
+        {"triad": list(c.keys()), "n": [int(v) for v in c.values()]}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -756,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strength_li": q_strength,
         "modularity_li": q_modularity,
         "dyad_census_li": q_dyad_census,
+        "triad_census_li": q_triad_census,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,
@@ -804,6 +814,19 @@ def oracle_sql() -> dict[str, str]:
             for t in tris
         ]
         return "(" + " + ".join(terms) + ")"
+
+    def _triad_lut_sql() -> str:
+        from xdata_igraph_ray.graph.motifs import _TRIAD_OF_CODE
+
+        rows = []
+        for i, nm in enumerate(_TRIAD_OF_CODE):
+            rows.append(f"({i}, '{nm}', {int(nm[1])}, {int(nm[0])})")
+        return ", ".join(rows)
+
+    def _triad_names_sql() -> str:
+        from xdata_igraph_ray.graph.motifs import TRIAD_NAMES
+
+        return ", ".join(f"('{nm}')" for nm in TRIAD_NAMES)
 
     und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
     tri_join = (
@@ -1298,6 +1321,69 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
               {NV} * ({NV} - 1) // 2
                 - (SELECT count(*) FROM pc_) AS null
+            """,
+        "triad_census_li": f"""
+            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}
+                        WHERE src <> dst),
+            pc_ AS (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+                     + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END)
+                       AS code
+              FROM de GROUP BY 1, 2
+            ),
+            nb AS (
+              SELECT a AS c, b AS o, code FROM pc_
+              UNION ALL
+              SELECT b, a, code FROM pc_
+            ),
+            w AS (
+              SELECT n1.c AS center, n1.o AS x, n2.o AS y,
+                     n1.code AS cx, n2.code AS cy
+              FROM nb n1 JOIN nb n2 ON n2.c = n1.c AND n1.o < n2.o
+            ),
+            t AS (
+              SELECT w.*, coalesce(pc_.code, 0) AS cxy
+              FROM w LEFT JOIN pc_ ON pc_.a = w.x AND pc_.b = w.y
+            ),
+            f AS (SELECT * FROM t WHERE cxy = 0 OR center < x),
+            coded AS (
+              SELECT CASE WHEN center < x THEN cx*16 + cy*4 + cxy
+                          WHEN center < y THEN cx*16 + cxy*4 + cy
+                          ELSE cxy*16 + cx*4 + cy END AS code64
+              FROM f
+            ),
+            lut(code64, name, na, nm) AS (VALUES {_triad_lut_sql()}),
+            counted AS (
+              SELECT l.name, count(*) AS c,
+                     sum(l.na) AS sa, sum(l.nm) AS sm
+              FROM coded JOIN lut l USING (code64) GROUP BY l.name
+            ),
+            pairstats AS (
+              SELECT count(*) FILTER (code <> 3) AS asym,
+                     count(*) FILTER (code = 3) AS mut
+              FROM pc_
+            ),
+            fixed AS (
+              SELECT name, c FROM counted
+              UNION ALL
+              SELECT '012',
+                     (SELECT asym FROM pairstats) * ({NV} - 2)
+                     - coalesce((SELECT sum(sa) FROM counted), 0)
+              UNION ALL
+              SELECT '102',
+                     (SELECT mut FROM pairstats) * ({NV} - 2)
+                     - coalesce((SELECT sum(sm) FROM counted), 0)
+            ),
+            named(name) AS (VALUES {_triad_names_sql()})
+            SELECT named.name AS triad,
+                   CASE WHEN named.name = '003'
+                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) / 6
+                             - (SELECT sum(c) FROM fixed)
+                        ELSE coalesce((SELECT sum(c) FROM fixed
+                                       WHERE fixed.name = named.name), 0)
+                   END AS n
+            FROM named
             """,
         "assortativity_li": f"""
             WITH e AS {_LI_E},

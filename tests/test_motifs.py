@@ -1,0 +1,76 @@
+"""Triad census vs networkx.triadic_census (independent oracle) and
+lookup-table re-derivation."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xdata_igraph_ray.graph import motifs
+
+from .oracles import gnm_edges
+
+
+def _census_nx(src, dst, n):
+    import networkx as nx
+
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from((int(a), int(b)) for a, b in zip(src, dst) if a != b)
+    return nx.triadic_census(g)
+
+
+def _ds(src, dst):
+    return rd.from_arrow(pa.table({"src": np.asarray(src, np.int64),
+                                   "dst": np.asarray(dst, np.int64)}))
+
+
+def test_lookup_table_matches_networkx():
+    import networkx as nx
+
+    for i, (c12, c13, c23) in enumerate(
+        itertools.product(range(4), repeat=3)
+    ):
+        g = nx.DiGraph()
+        g.add_nodes_from([0, 1, 2])
+        for (p, q), c in [((0, 1), c12), ((0, 2), c13), ((1, 2), c23)]:
+            if c & 1:
+                g.add_edge(p, q)
+            if c & 2:
+                g.add_edge(q, p)
+        cen = nx.triadic_census(g)
+        name = next(k for k, v in cen.items() if v == 1)
+        assert motifs._TRIAD_OF_CODE[i] == name, (c12, c13, c23)
+
+
+def test_triad_census_gnm():
+    n, m = 60, 300
+    src, dst = gnm_edges(n, m, seed=9)
+    want = _census_nx(src, dst, n)
+    got = motifs.triad_census(_ds(src, dst), n=n, P=3)
+    assert got == {k: int(v) for k, v in want.items()}
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+def test_triad_census_handcrafted():
+    # mutual pair 0<->1, chain 2->3->4, triangle cycle 5->6->7->5
+    src = [0, 1, 2, 3, 5, 6, 7]
+    dst = [1, 0, 3, 4, 6, 7, 5]
+    n = 8
+    got = motifs.triad_census(_ds(src, dst), n=n, P=2)
+    want = _census_nx(src, dst, n)
+    assert got == {k: int(v) for k, v in want.items()}
+    assert got["030C"] == 1  # the 3-cycle
+    assert got["021C"] == 1  # the chain
+
+
+def test_motifs3_undirected():
+    # one triangle + one extra pendant edge => paths: 2 (0-2-3? ...)
+    src = [0, 1, 2, 2]
+    dst = [1, 2, 0, 3]
+    got = motifs.motifs_3_undirected(_ds(src, dst), n=4, P=2)
+    # triangle {0,1,2}; open wedges: {0,2,3}, {1,2,3}
+    assert got == {"path": 2, "triangle": 1}
