@@ -456,6 +456,110 @@ def q_dyad_census(sf_dir: str):
     return pd.DataFrame([dc])
 
 
+def _li_und_simple(sf_dir: str):
+    """Distinct canonical (min,max) pairs as single arcs, loops
+    dropped — the simple undirected support knn requires."""
+    from xdata_igraph_ray.graph.ops import to_undirected
+
+    und = to_undirected(_li_edges(sf_dir), P=8)
+    return und.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["src"], t["dst"]))),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_degree(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import avg_nearest_neighbor_degree
+
+    knn, _ = avg_nearest_neighbor_degree(_li_und_simple(sf_dir), n=NV, P=8)
+    df = knn.to_pandas().sort_values("vid").reset_index(drop=True)
+    df["knn"] = np.round(df["knn"], 6)
+    return df
+
+
+def q_diversity(sf_dir: str):
+    """Weighted diversity over the l_quantity multigraph."""
+    from xdata_igraph_ray.graph.metrics import diversity
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV,
+                "dst": t["l_partkey"].to_numpy() % NV,
+                "weight": t["l_quantity"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    df = diversity(li, n=NV, P=8).to_pandas().sort_values("vid")
+    df["diversity"] = np.round(df["diversity"], 6)
+    return df.reset_index(drop=True)
+
+
+def q_constraint(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import constraint
+
+    df = (
+        constraint(_li_edges(sf_dir), n=NV, P=8)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    df["constraint"] = np.round(df["constraint"], 6)
+    return df
+
+
+def q_barrat(sf_dir: str):
+    """Weighted local transitivity; weights = edge multiplicities."""
+    from xdata_igraph_ray.graph.triangles import transitivity_barrat
+
+    df = (
+        transitivity_barrat(_li_edges(sf_dir), n=NV, P=8)
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    )
+    df["barrat"] = np.round(df["barrat"], 6)
+    return df
+
+
+def q_get_stochastic(sf_dir: str):
+    from xdata_igraph_ray.graph.ops import get_stochastic
+
+    out = get_stochastic(_li_edges(sf_dir), P=8).to_pandas()
+    out["p"] = np.round(out["p"], 6)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_path_length_hist(sf_dir: str):
+    """(length, count) over directed pairs of the 200-vertex graph;
+    length -1 row carries the unconnected pair count."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import path_length_hist
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    hist, unconn = path_length_hist(eng, wave=100)
+    eng.shutdown()
+    rows = sorted(hist.items()) + [(-1, unconn)]
+    return pd.DataFrame(rows, columns=["length", "count"])
+
+
+def q_diameter(sf_dir: str):
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import diameter
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    d = diameter(eng, unconn=True)
+    eng.shutdown()
+    return pd.DataFrame({"diameter": [d]})
+
+
+def q_centralization_degree(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import centralization_degree
+
+    c = centralization_degree(_li_edges(sf_dir), n=NV, P=8, mode="all")
+    return pd.DataFrame({"centralization": [round(c, 6)]})
+
+
 def q_triad_census(sf_dir: str):
     from xdata_igraph_ray.graph.motifs import triad_census
 
@@ -766,6 +870,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_li": q_modularity,
         "dyad_census_li": q_dyad_census,
         "triad_census_li": q_triad_census,
+        "knn_degree_li": q_knn_degree,
+        "diversity_li": q_diversity,
+        "constraint_li": q_constraint,
+        "barrat_li": q_barrat,
+        "get_stochastic_li": q_get_stochastic,
+        "path_length_hist_li": q_path_length_hist,
+        "diameter_li": q_diameter,
+        "centralization_degree_li": q_centralization_degree,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,
@@ -1321,6 +1433,153 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
               {NV} * ({NV} - 1) // 2
                 - (SELECT count(*) FROM pc_) AS null
+            """,
+        "knn_degree_li": f"""
+            WITH u AS (SELECT DISTINCT least(src,dst) AS a,
+                              greatest(src,dst) AS b
+                       FROM {_LI_E} WHERE src <> dst),
+            nb AS (SELECT a AS vid, b AS nei FROM u
+                   UNION ALL SELECT b, a FROM u),
+            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
+            s AS (
+              SELECT nb.vid, sum(dn.d) AS sdeg, count(*) AS k
+              FROM nb JOIN deg dn ON dn.vid = nb.nei
+              GROUP BY nb.vid
+            )
+            SELECT v.vid, round(s.sdeg / CAST(s.k AS DOUBLE), 6) AS knn
+            FROM {_LI_V} v LEFT JOIN s ON s.vid = v.vid
+            """,
+        "diversity_li": f"""
+            WITH e AS (SELECT l_orderkey % {NV} AS src,
+                              l_partkey % {NV} AS dst,
+                              CAST(l_quantity AS DOUBLE) AS w
+                       FROM lineitem),
+            inc AS (SELECT src AS vid, w FROM e
+                    UNION ALL SELECT dst, w FROM e),
+            agg AS (
+              SELECT vid, sum(w) AS s, sum(w * ln(w)) AS ent,
+                     count(*) AS k
+              FROM inc GROUP BY vid
+            )
+            SELECT v.vid,
+                   round((ln(agg.s) - agg.ent / agg.s) / ln(agg.k), 6)
+                     AS diversity
+            FROM {_LI_V} v LEFT JOIN agg ON agg.vid = v.vid
+            """,
+        "constraint_li": f"""
+            WITH e AS {_LI_E},
+            mu AS (
+              SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM (
+                SELECT src AS i, dst AS j FROM e WHERE src <> dst
+                UNION ALL
+                SELECT dst, src FROM e WHERE src <> dst
+              ) GROUP BY i, j
+            ),
+            si AS (SELECT i, sum(w) AS s FROM mu GROUP BY i),
+            p AS (SELECT mu.i, mu.j, mu.w / si.s AS p
+                  FROM mu JOIN si USING (i)),
+            ind AS (
+              SELECT a.i, b.j, sum(a.p * b.p) AS ind
+              FROM p a JOIN p b ON b.i = a.j
+              WHERE a.i <> b.j
+              GROUP BY a.i, b.j
+            ),
+            c AS (
+              SELECT p.i AS vid,
+                     sum((p.p + coalesce(ind.ind, 0)) ** 2) AS c
+              FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+              GROUP BY p.i
+            )
+            SELECT v.vid, round(c.c, 6) AS constraint
+            FROM {_LI_V} v LEFT JOIN c USING (vid)
+            """,
+        "barrat_li": f"""
+            WITH e AS {_LI_E},
+            u AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b,
+                         CAST(count(*) AS DOUBLE) AS w
+                  FROM e WHERE src <> dst GROUP BY 1, 2),
+            deg AS (
+              SELECT vid, count(*) AS k, sum(w) AS s FROM (
+                SELECT a AS vid, w FROM u UNION ALL SELECT b, w FROM u
+              ) GROUP BY vid
+            ),
+            tri AS (
+              SELECT e1.a AS va, e1.b AS vb, e2.b AS vc,
+                     e1.w AS wab, e3.w AS wac, e2.w AS wbc
+              FROM u e1
+              JOIN u e2 ON e2.a = e1.b
+              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            corn AS (
+              SELECT va AS vid, wab + wac AS c FROM tri
+              UNION ALL SELECT vb, wab + wbc FROM tri
+              UNION ALL SELECT vc, wac + wbc FROM tri
+            ),
+            tw AS (SELECT vid, sum(c) AS tw FROM corn GROUP BY vid)
+            SELECT v.vid,
+                   round(CASE WHEN deg.k >= 2
+                         THEN coalesce(tw.tw, 0) / (deg.s * (deg.k - 1))
+                         END, 6) AS barrat
+            FROM {_LI_V} v
+            LEFT JOIN deg ON deg.vid = v.vid
+            LEFT JOIN tw ON tw.vid = v.vid
+            """,
+        "get_stochastic_li": f"""
+            WITH e AS {_LI_E},
+            cnt AS (SELECT src, dst, count(*) AS c FROM e GROUP BY 1, 2),
+            od AS (SELECT src, count(*) AS d FROM e GROUP BY src)
+            SELECT cnt.src, cnt.dst,
+                   round(cnt.c / CAST(od.d AS DOUBLE), 6) AS p
+            FROM cnt JOIN od USING (src)
+            """,
+        "path_length_hist_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
+            SELECT d AS length, count(*) AS count
+            FROM dist WHERE d > 0 GROUP BY d
+            UNION ALL
+            SELECT -1, {NV2} * ({NV2} - 1)
+                       - (SELECT count(*) FROM dist WHERE d > 0)
+            """,
+        "diameter_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            )
+            SELECT max(d) AS diameter
+            FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
+            """,
+        "centralization_degree_li": f"""
+            WITH e AS (SELECT * FROM {_LI_E} x WHERE x.src <> x.dst),
+            deg AS (
+              SELECT v.vid,
+                     coalesce(o.c, 0) + coalesce(i.c, 0) AS d
+              FROM {_LI_V} v
+              LEFT JOIN (SELECT src AS vid, count(*) AS c FROM e
+                         GROUP BY src) o USING (vid)
+              LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM e
+                         GROUP BY dst) i USING (vid)
+            )
+            SELECT round(
+              (SELECT sum((SELECT max(d) FROM deg) - d) FROM deg)
+              / (2.0 * ({NV} - 1) * ({NV} - 2)), 6) AS centralization
             """,
         "triad_census_li": f"""
             WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}

@@ -1238,6 +1238,15 @@ class GraphShard:
                                                       dtype=np.float64)
         return reached.sum(axis=0, dtype=np.int64), dsum
 
+    def ms_dist_hist(self):
+        """(bincount of positive distances, unreached pair count) for
+        the current wave — the path_length_hist building block
+        (reference src/structural_properties.c:319)."""
+        d = self.ms_dist
+        pos = d[d > 0]
+        h = np.bincount(pos) if len(pos) else np.zeros(1, np.int64)
+        return h.astype(np.int64), int((d < 0).sum())
+
     def ms_free(self):
         self.ms_dist = self.ms_sigma = self.ms_delta = None
 

@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from ..exchange import (
@@ -274,3 +275,266 @@ def local_scan_1(
         )
 
     return to_dataset([_apply.remote(s1, r) for r in joined])
+
+
+def diversity(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(vid, diversity): Shannon entropy of incident (ALL-mode) edge
+    weights scaled by log(degree) — reference igraph_diversity
+    (src/structural_properties.c:6455):
+    res = (log(s) - sum(w*log w)/s) / log(k).  k=0 -> NaN, k=1 -> 0/0
+    (NaN), exactly the reference's float semantics."""
+    refs = _refs(edges)
+
+    def expand(t: pa.Table) -> pa.Table:
+        w = (
+            t["weight"].to_numpy().astype(np.float64)
+            if "weight" in t.column_names else np.ones(len(t))
+        )
+        return pa.table(
+            {
+                "vid": np.concatenate(
+                    (t["src"].to_numpy(), t["dst"].to_numpy())
+                ),
+                "w": np.concatenate((w, w)),
+                "wlw": np.concatenate((w * np.log(w),) * 2),
+                "k": np.ones(2 * len(t), np.int64),
+            }
+        )
+
+    sums = groupby_agg(
+        [_apply.remote(expand, r) for r in refs],
+        ["vid"],
+        [("w", "sum", "s"), ("wlw", "sum", "ent"), ("k", "sum", "k")],
+        P=P, as_refs=True,
+    )
+    base = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b["id"]}), batch_format="numpy"
+    )
+    joined = hash_join(block_refs(base), sums, keys=["vid"],
+                       how="left outer", P=P, as_refs=True)
+
+    @ray.remote
+    def final(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ent = t["ent"].to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = (np.log(s) - ent / s) / np.log(k)
+        return pa.table({"vid": t["vid"], "diversity": d})
+
+    return to_dataset([final.remote(r) for r in joined])
+
+
+def avg_nearest_neighbor_degree(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+):
+    """(knn Dataset (vid, knn), knnk Dataset (deg, knnk)) — reference
+    igraph_avg_nearest_neighbor_degree (structural_properties.c:5799):
+    ALL-mode degrees on a simple graph; knn(v) = mean neighbor degree
+    (NaN for isolated v), knnk[k] = mean knn over vertices of degree
+    k."""
+    refs = _refs(edges)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": np.concatenate(
+                    (t["src"].to_numpy(), t["dst"].to_numpy())
+                ),
+                "nei": np.concatenate(
+                    (t["dst"].to_numpy(), t["src"].to_numpy())
+                ),
+            }
+        )
+
+    nb = [_apply.remote(both, r) for r in refs]
+    deg = groupby_agg(nb, ["vid"], [(None, "count", "deg")], P=P,
+                      as_refs=True)
+    j = hash_join(
+        nb, [_apply.remote(
+            lambda t: pa.table({"nei": t["vid"], "nei_deg": t["deg"]}), r
+        ) for r in deg],
+        keys=["nei"], P=P, as_refs=True,
+    )
+    sums = groupby_agg(
+        j, ["vid"],
+        [("nei_deg", "sum", "sdeg"), (None, "count", "k")],
+        P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def knn_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": t["vid"],
+                "knn": t["sdeg"].to_numpy().astype(np.float64)
+                / t["k"].to_numpy(),
+                "deg": t["k"],
+            }
+        )
+
+    knn_refs = [knn_of.remote(r) for r in sums]
+    knnk = groupby_agg(
+        knn_refs, ["deg"], [("knn", "sum", "s"), (None, "count", "c")],
+        P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def knnk_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "deg": t["deg"],
+                "knnk": t["s"].to_numpy() / t["c"].to_numpy(),
+            }
+        )
+
+    base = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b["id"]}), batch_format="numpy"
+    )
+    knn_full = hash_join(
+        block_refs(base),
+        [_apply.remote(lambda t: t.select(["vid", "knn"]), r)
+         for r in knn_refs],
+        keys=["vid"], how="left outer", P=P,
+    )
+    return knn_full, to_dataset([knnk_of.remote(r) for r in knnk])
+
+
+def constraint(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(vid, constraint): Burt's constraint — reference
+    igraph_constraint (src/structural_properties.c:2467).
+    p_ij = (w_ij + w_ji) / sum_k (w_ik + w_ki); C(i) =
+    sum_{j in N(i)} (p_ij + sum_q p_iq p_qj)^2.  Isolated -> NaN."""
+    refs = _refs(edges)
+
+    def mutual(t: pa.Table) -> pa.Table:
+        w = (
+            t["weight"].to_numpy().astype(np.float64)
+            if "weight" in t.column_names else np.ones(len(t))
+        )
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        return pa.table(
+            {
+                "i": np.concatenate((s, d)),
+                "j": np.concatenate((d, s)),
+                "w": np.concatenate((w, w)),
+            }
+        )
+
+    # symmetric weights, collapsed per ordered (i, j)
+    wsum = groupby_agg(
+        [_apply.remote(mutual, r) for r in refs],
+        ["i", "j"], [("w", "sum", "w")], P=P, as_refs=True,
+    )
+    si = groupby_agg(wsum, ["i"], [("w", "sum", "s")], P=P, as_refs=True)
+    pj = hash_join(
+        wsum, [_apply.remote(lambda t: t, r) for r in si],
+        keys=["i"], P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def pnorm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "i": t["i"], "j": t["j"],
+                "p": t["w"].to_numpy() / t["s"].to_numpy(),
+            }
+        )
+
+    p = [pnorm.remote(r) for r in pj]
+    # indirect term: sum_q p_iq * p_qj  (q != i, j excluded below via
+    # i != j rows; q = j contributes p_ij*p_jj = 0 since no loops)
+    left = [_apply.remote(
+        lambda t: pa.table({"i": t["i"], "q": t["j"], "piq": t["p"]}), r
+    ) for r in p]
+    right = [_apply.remote(
+        lambda t: pa.table({"q": t["i"], "j": t["j"], "pqj": t["p"]}), r
+    ) for r in p]
+    prod = hash_join(left, right, keys=["q"], P=P, as_refs=True)
+
+    @ray.remote
+    def mult(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(t["i"], t["j"])),
+            pc.invert(pc.equal(t["i"], t["q"])),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "i": t["i"], "j": t["j"],
+                "ind": t["piq"].to_numpy() * t["pqj"].to_numpy(),
+            }
+        )
+
+    ind = groupby_agg(
+        [mult.remote(r) for r in prod], ["i", "j"],
+        [("ind", "sum", "ind")], P=P, as_refs=True,
+    )
+    both = hash_join(p, ind, keys=["i", "j"], how="left outer", P=P,
+                     as_refs=True)
+
+    @ray.remote
+    def sq(t: pa.Table) -> pa.Table:
+        indv = np.nan_to_num(
+            t["ind"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        c = (t["p"].to_numpy() + indv) ** 2
+        return pa.table({"vid": t["i"], "c": c})
+
+    per_i = groupby_agg(
+        [sq.remote(r) for r in both], ["vid"], [("c", "sum", "constraint")],
+        P=P, as_refs=True,
+    )
+    base = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b["id"]}), batch_format="numpy"
+    )
+    return hash_join(block_refs(base), per_i, keys=["vid"],
+                     how="left outer", P=P)
+
+
+def centralization(scores: np.ndarray, tmax: float | None,
+                   normalized: bool = True) -> float:
+    """sum(max - c_i), optionally / theoretical max — reference
+    igraph_centralization (src/centrality.c:2853)."""
+    c = float(np.sum(scores.max() - scores))
+    if normalized and tmax:
+        return c / tmax
+    return c
+
+
+def centralization_degree(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS,
+    mode: str = "all", loops: bool = False,
+) -> float:
+    """Degree centralization over a directed edge table
+    (igraph_centralization_degree, src/centrality.c:2845; tmax per
+    igraph_centralization_degree_tmax :2929 — directed graph,
+    mode-dependent).  loops=False drops self-loops from the degrees,
+    matching igraph_degree's loops flag."""
+    from .build import degrees
+
+    refs = _refs(edges)
+    if not loops:
+        refs = [
+            _apply.remote(
+                lambda t: t.filter(
+                    pc.invert(pc.equal(t["src"], t["dst"]))
+                ), r,
+            )
+            for r in refs
+        ]
+    df = degrees(refs, n=n, P=P).to_pandas()
+    if mode == "all":
+        deg = (df["out_deg"] + df["in_deg"]).to_numpy()
+        tmax = 2.0 * (n - 1) * ((n - 1) if loops else (n - 2))
+    else:
+        deg = df["out_deg" if mode == "out" else "in_deg"].to_numpy()
+        tmax = float((n - 1) * (n if loops else n - 1))
+    return centralization(deg.astype(np.float64), tmax)

@@ -312,3 +312,53 @@ def reciprocity(edges, P: int = DEFAULT_PARTITIONS) -> float:
     m = _scalar_sum(dist, lambda t: len(t))
     mu = _scalar_sum(mutual, lambda t: len(t))
     return mu / m if m else float("nan")
+
+
+def get_adjacency_sparse(
+    edges: Dataset | list, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(src, dst, count): the sparse adjacency matrix —
+    igraph_get_adjacency_sparse (src/conversion.c:201); counts are
+    edge multiplicities."""
+    return count_multiple(edges, P=P)
+
+
+def get_adjacency(edges: Dataset | list, n: int) -> np.ndarray:
+    """Dense n x n multiplicity matrix (igraph_get_adjacency,
+    src/conversion.c:69).  Driver-side dense output — small-n only by
+    nature; the scale path is get_adjacency_sparse."""
+    if n > 20_000:
+        raise ValueError("dense adjacency is a small-n export; use "
+                         "get_adjacency_sparse")
+    df = count_multiple(edges, P=4).to_pandas()
+    m = np.zeros((n, n), dtype=np.int64)
+    m[df["src"].to_numpy(), df["dst"].to_numpy()] = df["count"].to_numpy()
+    return m
+
+
+def get_stochastic(
+    edges: Dataset | list,
+    column_wise: bool = False,
+    P: int = DEFAULT_PARTITIONS,
+) -> Dataset:
+    """(src, dst, p): the row- (or column-) stochastic adjacency —
+    igraph_get_stochastic (src/conversion.c:741): multiplicity divided
+    by the out-degree (in-degree when column_wise)."""
+    refs = _refs(edges)
+    counts = count_multiple(refs, P=P)
+    key = "dst" if column_wise else "src"
+    deg = groupby_agg(
+        refs, [key], [(None, "count", "deg")], P=P, as_refs=True
+    )
+    j = hash_join(block_refs(counts), deg, keys=[key], P=P, as_refs=True)
+
+    @ray.remote
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"], "dst": t["dst"],
+                "p": t["count"].to_numpy() / t["deg"].to_numpy(),
+            }
+        )
+
+    return to_dataset([norm.remote(r) for r in j])

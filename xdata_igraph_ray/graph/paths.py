@@ -209,3 +209,40 @@ def average_path_length(
         total += tot
         pairs += reach - 1  # exclude the source itself
     return total / pairs if pairs else float("nan")
+
+
+def path_length_hist(engine: GraphEngine, wave: int = 128):
+    """(histogram dict {length: count}, unconnected ordered pair count)
+    over directed shortest paths — reference igraph_path_length_hist
+    (src/structural_properties.c:319).  All-sources multi-source BFS in
+    waves of ``wave`` columns (exact; at web scale pass a sampled
+    source list via :func:`average_path_length` instead)."""
+    from .centrality import _ms_forward, _ms_waves
+
+    shards = engine.shards
+    hist: dict[int, int] = {}
+    unconn = 0
+    for ws in _ms_waves(engine, np.arange(engine.n), wave):
+        _ms_forward(engine, ws)
+        parts = ray.get([s.ms_dist_hist.remote() for s in shards])
+        for h, un in parts:
+            unconn += un
+            for length, c in enumerate(h):
+                if length > 0 and c:
+                    hist[length] = hist.get(length, 0) + int(c)
+    ray.get([s.ms_free.remote() for s in engine.shards])
+    return hist, unconn
+
+
+def diameter(
+    engine: GraphEngine, unconn: bool = True, wave: int = 128
+) -> int:
+    """Exact diameter via all-sources BFS (igraph_diameter,
+    src/structural_properties.c:91): with ``unconn`` (default) the
+    longest finite distance; otherwise igraph returns the vertex count
+    when any pair is unreachable."""
+    hist, un = path_length_hist(engine, wave=wave)
+    longest = max(hist) if hist else 0
+    if not unconn and un > 0:
+        return engine.n
+    return longest

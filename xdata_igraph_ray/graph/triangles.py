@@ -280,3 +280,167 @@ def transitivity_local(
         return pa.table({"vid": t["vid"], "transitivity": lt})
 
     return to_dataset([local_t.remote(r) for r in joined])
+
+
+def transitivity_barrat(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> Dataset:
+    """(vid, barrat): Barrat et al. weighted local transitivity —
+    reference igraph_transitivity_barrat (src/triangles.c:701-967):
+    C_w(i) = 1/(s_i (k_i - 1)) * sum over triangles at i of
+    (w_ij + w_ih)/2.  Input directed multi-edges collapse to an
+    undirected weighted simple support (weights summed); deg < 2 ->
+    NaN (mode-4 semantics, like transitivity_local)."""
+    refs = edges if isinstance(edges, list) else block_refs(edges)
+
+    @ray.remote
+    def canon_w(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        w = (
+            t["weight"].to_numpy().astype(np.float64)
+            if "weight" in t.column_names else np.ones(len(t))
+        )
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        return pa.table(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d), "w": w}
+        )
+
+    und = groupby_agg(
+        [canon_w.remote(r) for r in refs], ["a", "b"],
+        [("w", "sum", "w")], P=P, as_refs=True,
+    )
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy())),
+                "w": np.concatenate((t["w"].to_numpy(),) * 2),
+            }
+        )
+
+    degs = groupby_agg(
+        [_project.remote(both, r) for r in und],
+        ["vid"], [(None, "count", "deg"), ("w", "sum", "s")],
+        P=P, as_refs=True,
+    )
+    j1 = hash_join(
+        und, [_rename.remote(r, {"vid": "a", "deg": "deg_a", "s": "_sa"})
+              for r in degs],
+        keys=["a"], P=P, as_refs=True,
+    )
+    j2 = hash_join(
+        j1, [_rename.remote(r, {"vid": "b", "deg": "deg_b", "s": "_sb"})
+             for r in degs],
+        keys=["b"], P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def orient_w(tbl: pa.Table) -> pa.Table:
+        a = tbl["a"].to_numpy()
+        b = tbl["b"].to_numpy()
+        w = tbl["w"].to_numpy()
+        ra = _rank(tbl["deg_a"].to_numpy(), a)
+        rb = _rank(tbl["deg_b"].to_numpy(), b)
+        lo_first = ra < rb
+        return pa.table(
+            {
+                "pivot": np.where(lo_first, a, b),
+                "head": np.where(lo_first, b, a),
+                "rank_head": np.where(lo_first, rb, ra),
+                "w": w,
+            }
+        )
+
+    oriented = [orient_w.remote(r) for r in j2]
+
+    def wedges_w(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            e = pa.array([], pa.int64())
+            f = pa.array([], pa.float64())
+            return pa.table({"x": e, "y": e, "pivot": e, "wx": f, "wy": f})
+        piv = tbl["pivot"].to_numpy()
+        head = tbl["head"].to_numpy()
+        rk = tbl["rank_head"].to_numpy()
+        w = tbl["w"].to_numpy()
+        order = np.lexsort((rk, piv))
+        piv, head, w = piv[order], head[order], w[order]
+        grp = np.ones(len(piv), dtype=bool)
+        grp[1:] = piv[1:] != piv[:-1]
+        starts = np.flatnonzero(grp)
+        sizes = np.diff(np.concatenate((starts, [len(piv)])))
+        pos = np.arange(len(piv)) - np.repeat(starts, sizes)
+        k = np.repeat(sizes, sizes)
+        tail = k - 1 - pos
+        total = int(tail.sum())
+        if total == 0:
+            e = pa.array([], pa.int64())
+            f = pa.array([], pa.float64())
+            return pa.table({"x": e, "y": e, "pivot": e, "wx": f, "wy": f})
+        row_i = np.repeat(np.arange(len(piv)), tail)
+        first = np.concatenate(([0], np.cumsum(tail)))[:-1]
+        off = np.arange(total) - first[row_i]
+        row_j = row_i + 1 + off
+        return pa.table(
+            {
+                "x": head[row_i], "y": head[row_j], "pivot": piv[row_i],
+                "wx": w[row_i], "wy": w[row_j],
+            }
+        )
+
+    wedges = exchange(
+        oriented, ["pivot"], P=P, reduce_fn=wedges_w, as_refs=True
+    )
+
+    @ray.remote
+    def probe_w(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"x": tbl["pivot"], "y": tbl["head"], "wxy": tbl["w"]}
+        )
+
+    matches = hash_join(
+        wedges, [probe_w.remote(r) for r in oriented],
+        keys=["x", "y"], how="inner", P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def corners_w(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        p = t["pivot"].to_numpy()
+        wx = t["wx"].to_numpy()   # edge (pivot, x)
+        wy = t["wy"].to_numpy()   # edge (pivot, y)
+        wxy = t["wxy"].to_numpy()
+        # ordered neighbor pairs (j,h): each triangle contributes
+        # (w_ij + w_ih)/2 twice per corner, i.e. w_ij + w_ih — this is
+        # what makes uniform weights reduce to the unweighted local
+        # transitivity (Barrat's defining property)
+        return pa.table(
+            {
+                "vid": np.concatenate((p, x, y)),
+                "c": np.concatenate(
+                    (wx + wy, wx + wxy, wy + wxy)
+                ),
+            }
+        )
+
+    sums = groupby_agg(
+        [corners_w.remote(r) for r in matches], ["vid"],
+        [("c", "sum", "tw")], P=P, as_refs=True,
+    )
+    joined = hash_join(degs, sums, keys=["vid"], how="left outer", P=P,
+                       as_refs=True)
+
+    @ray.remote
+    def final(t: pa.Table) -> pa.Table:
+        k = t["deg"].to_numpy().astype(np.float64)
+        s = t["s"].to_numpy().astype(np.float64)
+        tw = np.nan_to_num(
+            t["tw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where(k >= 2, tw / (s * (k - 1)), np.nan)
+        return pa.table({"vid": t["vid"], "barrat": c})
+
+    return to_dataset([final.remote(r) for r in joined])
