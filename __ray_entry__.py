@@ -354,6 +354,66 @@ def q_betweenness(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV2), "bc": np.round(bc, 6)})
 
 
+def q_shortest_paths(sf_dir: str):
+    """One deterministic shortest path (min-vid parents) from vertex 0
+    to each target, rendered as 'a->b->c' strings ('' = unreachable)."""
+    from xdata_igraph_ray.graph.paths import get_shortest_paths
+
+    eng = _engine(sf_dir)
+    targets = list(range(0, NV, 25))
+    paths = get_shortest_paths(eng, 0, targets, mode="out")
+    eng.shutdown()
+    return pd.DataFrame(
+        {
+            "target": targets,
+            "path": ["->".join(map(str, p)) for p in paths],
+        }
+    )
+
+
+def q_scan0(sf_dir: str):
+    from xdata_igraph_ray.graph.scan import local_scan_0
+
+    return local_scan_0(_li_edges(sf_dir), n=NV, P=8).map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"],
+             "scan0": pc.round(t["scan0"], ndigits=1)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_scan2(sf_dir: str):
+    """scan_2 (edges within 2-hop out-neighborhoods) on the 200-vertex
+    derived graph."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.scan import local_scan_k_ecount
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    vals = local_scan_k_ecount(eng, k=2, wave=100)
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "scan2": vals.astype(np.int64)}
+    )
+
+
+def q_scan1_them(sf_dir: str):
+    """THEM (partkey->suppkey) edges inside US (orderkey->partkey)
+    1-neighborhoods."""
+    from xdata_igraph_ray.graph.scan import local_scan_1_ecount_them
+
+    them = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["l_partkey"].to_numpy() % NV,
+             "dst": t["l_suppkey"].to_numpy() % NV}
+        ),
+        batch_format="pyarrow",
+    )
+    return local_scan_1_ecount_them(_li_edges(sf_dir), them, n=NV, P=8)
+
+
 def q_coreness(sf_dir: str):
     from xdata_igraph_ray.graph.cores import coreness
 
@@ -864,6 +924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_li": q_closeness,
         "betweenness_li": q_betweenness,
         "coreness_li": q_coreness,
+        "shortest_paths_li": q_shortest_paths,
+        "scan0_li": q_scan0,
+        "scan2_li": q_scan2,
+        "scan1_them_li": q_scan1_them,
         "personalized_pagerank_li": q_ppr,
         "pseudo_diameter_li": q_pseudo_diameter,
         "strength_li": q_strength,
@@ -1104,6 +1168,111 @@ def oracle_sql() -> dict[str, str]:
             FROM {_LI_V} v
             LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
               ON m.v = v.vid
+            """,
+        "shortest_paths_li": f"""
+            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
+            r(v, d) AS (
+              SELECT 0, 0
+              UNION
+              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
+              WHERE r.d < 16
+            ),
+            dist AS (SELECT v, min(d) AS d FROM r GROUP BY v),
+            par AS (
+              SELECT de.dst AS v, min(de.src) AS p
+              FROM de
+              JOIN dist da ON da.v = de.src
+              JOIN dist db ON db.v = de.dst AND db.d = da.d + 1
+              GROUP BY de.dst
+            ),
+            targets AS (SELECT range * 25 AS t FROM range(0, {NV // 25})),
+            walk(t, cur, path) AS (
+              SELECT t, t, CAST(t AS VARCHAR) FROM targets
+              JOIN dist ON dist.v = targets.t
+              UNION ALL
+              SELECT w.t, par.p,
+                     CAST(par.p AS VARCHAR) || '->' || w.path
+              FROM walk w JOIN par ON par.v = w.cur
+              WHERE w.cur <> 0
+            )
+            SELECT targets.t AS target,
+                   coalesce(done.path, '') AS path
+            FROM targets
+            LEFT JOIN (SELECT t, path FROM walk WHERE cur = 0) done
+              ON done.t = targets.t
+            """,
+        "scan0_li": f"""
+            WITH e AS {_LI_E}
+            SELECT v.vid, round(coalesce(o.c, 0) + coalesce(i.c, 0), 1)
+                     AS scan0
+            FROM {_LI_V} v
+            LEFT JOIN (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS c
+                       FROM e GROUP BY src) o USING (vid)
+            LEFT JOIN (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS c
+                       FROM e GROUP BY dst) i USING (vid)
+            """,
+        "scan2_li": f"""
+            WITH e AS (SELECT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem),
+            de AS (SELECT DISTINCT src, dst FROM e),
+            -- closed 2-out-neighborhood membership per source
+            n1 AS (SELECT DISTINCT src AS s, dst AS t FROM de),
+            reach AS (
+              SELECT vid AS s, vid AS t
+              FROM (SELECT range AS vid FROM range(0, {NV2}))
+              UNION
+              SELECT s, t FROM n1
+              UNION
+              SELECT n1.s, de.dst FROM n1 JOIN de ON de.src = n1.t
+            )
+            SELECT v.vid, coalesce(cnt.c, 0) AS scan2
+            FROM (SELECT range AS vid FROM range(0, {NV2})) v
+            LEFT JOIN (
+              SELECT ra.s AS vid, count(*) AS c
+              FROM e
+              JOIN reach ra ON ra.t = e.src
+              JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
+              GROUP BY ra.s
+            ) cnt USING (vid)
+            """,
+        "scan1_them_li": f"""
+            WITH us AS {_LI_E},
+            them AS (SELECT l_partkey % {NV} AS src,
+                            l_suppkey % {NV} AS dst FROM lineitem),
+            adj AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM us
+                UNION ALL SELECT dst, src FROM us
+              )
+            ),
+            tnl AS (SELECT src AS x, dst AS y FROM them
+                    WHERE src <> dst),
+            inc AS (
+              SELECT t.x, t.y FROM tnl t
+              JOIN adj ON adj.a = t.x AND adj.b = t.y
+            ),
+            loops AS (SELECT src AS vid, count(*) AS c FROM them
+                      WHERE src = dst GROUP BY src),
+            wedge AS (
+              SELECT a1.a AS vid, count(*) AS c
+              FROM tnl t
+              JOIN adj a1 ON a1.b = t.x
+              JOIN adj a2 ON a2.a = a1.a AND a2.b = t.y
+              WHERE a1.a <> t.x AND a1.a <> t.y
+              GROUP BY a1.a
+            ),
+            incc AS (
+              SELECT vid, count(*) AS c FROM (
+                SELECT x AS vid FROM inc UNION ALL SELECT y FROM inc
+              ) GROUP BY vid
+            )
+            SELECT v.vid,
+                   coalesce(incc.c, 0) + coalesce(loops.c, 0)
+                   + coalesce(wedge.c, 0) AS scan1_them
+            FROM {_LI_V} v
+            LEFT JOIN incc USING (vid)
+            LEFT JOIN loops USING (vid)
+            LEFT JOIN wedge USING (vid)
             """,
         "sssp_weighted_li": f"""
             WITH RECURSIVE e AS (

@@ -64,21 +64,23 @@ def _ms_waves(engine: GraphEngine, sources, wave: int):
         yield src[i:i + wave]
 
 
-def _ms_forward(engine: GraphEngine, wave_sources) -> int:
+def _ms_forward(engine: GraphEngine, wave_sources,
+                max_level: int | None = None) -> int:
     """Level-synchronous multi-source BFS with path counting; returns
-    the deepest assigned level."""
+    the deepest assigned level (bounded by ``max_level``)."""
     shards = engine.shards
     ray.get([s.ms_init.remote(wave_sources) for s in shards])
     level = 0
-    while True:
+    while max_level is None or level < max_level:
         outs = engine.scatter("ms_fwd_scatter", level)
         newly = sum(ray.get([
             shards[q].ms_fwd_gather.remote(level, *engine.pieces(outs, q))
             for q in range(engine.P)
         ]))
         if newly == 0:
-            return level
+            break
         level += 1
+    return level
 
 
 def betweenness(

@@ -1095,6 +1095,81 @@ class GraphShard:
         self.state["changed"] = changed
         return {"changed": int(changed.sum())}
 
+    # -- BFS with parent pointers (igraph_get_shortest_paths,
+    #    src/structural_properties.c:645-1232: distances plus ONE
+    #    deterministic shortest path per target — we pin parent =
+    #    minimum-vid predecessor) --------------------------------------------
+
+    def pbfs_init(self, sources):
+        self.bfs_init(sources)
+        self.state["parent"] = np.full(self.size, -1, dtype=np.int64)
+
+    def pbfs_scatter(self, directions=("fwd",)):
+        """(dst, dist+1, sender) messages, min-combined on
+        (dist, sender) lexicographically."""
+        dist = self.state["dist"]
+        act = self.state["changed"]
+        keys_l, val_l, par_l = [], [], []
+        if "fwd" in directions and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            mask = np.repeat(act, counts)
+            keys_l.append(self.fw_dst[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+            par_l.append(
+                np.repeat(np.arange(self.lo, self.hi), counts)[mask]
+            )
+        if "rev" in directions and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            mask = np.repeat(act, counts)
+            keys_l.append(self.rv_src[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+            par_l.append(
+                np.repeat(np.arange(self.lo, self.hi), counts)[mask]
+            )
+        if not keys_l:
+            e = np.empty(0, np.int64)
+            return [(e, e, e)] * self.P
+        keys = np.concatenate(keys_l)
+        vals = np.concatenate(val_l)
+        pars = np.concatenate(par_l)
+        # min (dist, parent) per key
+        order = np.lexsort((pars, vals, keys))
+        k, v, p = keys[order], vals[order], pars[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        k, v, p = k[first], v[first], p[first]
+        seg = np.searchsorted(k, self.bounds)
+        return [
+            (k[seg[q]:seg[q + 1]], v[seg[q]:seg[q + 1]],
+             p[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def pbfs_gather(self, *sender_outs):
+        dist = self.state["dist"]
+        parent = self.state["parent"]
+        new = dist.copy()
+        newp = parent.copy()
+        for o in sender_outs:
+            ids, vals, pars = self._piece(o)
+            if len(ids):
+                idx = ids - self.lo
+                better = vals < new[idx]
+                tie = (vals == new[idx]) & (pars < newp[idx])
+                upd = better | tie
+                new[idx[upd]] = vals[upd]
+                newp[idx[upd]] = pars[upd]
+        changed = (new < dist) | (newp != parent)
+        self.state["dist"] = new
+        self.state["parent"] = newp
+        self.state["changed"] = changed
+        return {"changed": int(changed.sum())}
+
+    def parent_lookup(self, vids):
+        """Parents of the requested (owned) vids — the path-walk RPC."""
+        v = np.asarray(vids, dtype=np.int64)
+        return self.state["parent"][v - self.lo]
+
     # -- weighted shortest paths (Bellman-Ford relaxation supersteps;
     #    reference igraph_shortest_paths_dijkstra
     #    src/structural_properties.c:4174 / Bellman-Ford :5158 — the
@@ -1237,6 +1312,98 @@ class GraphShard:
         dsum = np.where(reached, self.ms_dist, 0).sum(axis=0,
                                                       dtype=np.float64)
         return reached.sum(axis=0, dtype=np.int64), dsum
+
+    def ms_mask_scatter(self, k: int):
+        """Reach-within-k mask flows along fwd edges (the scan_k
+        building block: per source column v, G[b] counts edges a->b
+        with a inside N_k(v))."""
+        A = ((self.ms_dist >= 0) & (self.ms_dist <= k)).astype(np.float64)
+        return self._ms_matrix_msgs(A, "fwd")
+
+    def ms_mask_count(self, k: int, *sender_outs):
+        """Column sums of mask_b * (sum of in-edge masks) — edges with
+        BOTH endpoints inside each source's k-neighborhood."""
+        acc = np.zeros_like(self.ms_sigma)
+        for o in sender_outs:
+            ids, m = self._piece(o)
+            if len(ids):
+                acc[ids - self.lo] += m
+        mask = (self.ms_dist >= 0) & (self.ms_dist <= k)
+        return (acc * mask).sum(axis=0)
+
+    _GIRTH_INF = np.int32(1 << 20)
+
+    def ms_girth_scatter(self):
+        """Sender half of the girth candidate reduction (igraph_girth,
+        src/structural_properties.c:3691; all-sources BFS formulation —
+        graph must be the SIMPLE undirected support with both arcs).
+        Ships, per (unique fwd dst, column), the partial reduction of
+        this shard's sender levels: (k1 = min level, cnt1 = #edges at
+        k1, k2 = second-distinct min level)."""
+        INF = self._GIRTH_INF
+        d = np.where(self.ms_dist >= 0, self.ms_dist, INF)  # (size x S)
+        if len(self.fw_dst) == 0 or not len(self.fw_ustarts):
+            e = np.empty(0, np.int64)
+            z = np.zeros((0, d.shape[1]), np.int32)
+            return [(e, z, z, z)] * self.P
+        pe = d[self.fw_src_by_dst]  # (E x S), dst-sorted order
+        st = self.fw_ustarts
+        k1 = np.minimum.reduceat(pe, st, axis=0)
+        runs = np.diff(np.concatenate((st, [pe.shape[0]])))
+        run_id = np.repeat(np.arange(len(st)), runs)
+        at_min = pe == k1[run_id]
+        cnt1 = np.add.reduceat(at_min.astype(np.int32), st, axis=0)
+        k2 = np.minimum.reduceat(np.where(at_min, INF, pe), st, axis=0)
+        useg = self.fw_useg
+        return [
+            (
+                self.fw_udsts[useg[q]:useg[q + 1]],
+                k1[useg[q]:useg[q + 1]].astype(np.int32),
+                cnt1[useg[q]:useg[q + 1]],
+                k2[useg[q]:useg[q + 1]].astype(np.int32),
+            )
+            for q in range(self.P)
+        ]
+
+    def ms_girth_gather(self, *sender_outs):
+        """Merge the (k1, cnt1, k2) partials, evaluate cycle
+        candidates against own levels, return the per-column minimum
+        candidate length (INF sentinel when none)."""
+        INF = self._GIRTH_INF
+        S = self.ms_dist.shape[1]
+        K1 = np.full((self.size, S), INF, np.int32)
+        C1 = np.zeros((self.size, S), np.int32)
+        K2 = np.full((self.size, S), INF, np.int32)
+        for o in sender_outs:
+            ids, k1, cnt1, k2 = self._piece(o)
+            if not len(ids):
+                continue
+            idx = ids - self.lo
+            a1, b1 = K1[idx], k1
+            # merged second-distinct-min: the larger k1 only counts
+            # when the two mins differ (else it IS the min)
+            m2 = np.minimum(K2[idx], k2)
+            m2 = np.where(
+                a1 == b1, m2, np.minimum(m2, np.maximum(a1, b1))
+            )
+            m1 = np.minimum(a1, b1)
+            c = np.where(
+                a1 == b1, C1[idx] + cnt1,
+                np.where(a1 < b1, C1[idx], cnt1),
+            )
+            K1[idx], C1[idx], K2[idx] = m1, c, m2
+        d = np.where(self.ms_dist >= 0, self.ms_dist, INF).astype(np.int32)
+        cand = np.full((self.size, S), INF, np.int64)
+        # even cycle 2 d[b]: >= 2 in-edges from level d[b]-1
+        even_ok = (K1 == d - 1) & (C1 >= 2) & (d < INF)
+        np.copyto(cand, 2 * d.astype(np.int64), where=even_ok)
+        # odd cycle 2 d[b]+1: any in-edge from level d[b]
+        odd_lvl = np.where(K1 == d, K1, np.where(K2 == d, K2, INF))
+        odd_ok = (odd_lvl == d) & (d < INF)
+        cand = np.where(
+            odd_ok, np.minimum(cand, 2 * d.astype(np.int64) + 1), cand
+        )
+        return cand.min(axis=0)
 
     def ms_dist_hist(self):
         """(bincount of positive distances, unreached pair count) for

@@ -246,3 +246,99 @@ def diameter(
     if not unconn and un > 0:
         return engine.n
     return longest
+
+
+def get_shortest_paths(
+    engine: GraphEngine,
+    source: int,
+    targets,
+    mode: str = "out",
+) -> list[list[int]]:
+    """One deterministic shortest path (min-vid predecessor rule) from
+    ``source`` to each target, as vid lists ([] if unreachable) —
+    reference igraph_get_shortest_paths
+    (src/structural_properties.c:645-1232).  BFS with parent pointers,
+    then a vectorized parent walk (one owner RPC round per hop)."""
+    directions = {"out": ("fwd",), "in": ("rev",), "all": ("fwd", "rev")}[mode]
+    shards = engine.shards
+    ray.get([
+        s.pbfs_init.remote(np.array([source], dtype=np.int64))
+        for s in shards
+    ])
+    while True:
+        outs = engine.scatter("pbfs_scatter", directions)
+        stats = ray.get([
+            shards[q].pbfs_gather.remote(*engine.pieces(outs, q))
+            for q in range(engine.P)
+        ])
+        if sum(s["changed"] for s in stats) == 0:
+            break
+    dist = engine.state_arrays("dist")
+    targets = [int(t) for t in np.atleast_1d(np.asarray(targets))]
+    paths: dict[int, list[int]] = {}
+    cur = {t: t for t in targets if t == source or dist[t] < INF}
+    chains = {t: [t] for t in cur}
+    bounds = np.asarray(engine.bounds)
+    while True:
+        pending = {t: v for t, v in cur.items() if v != source}
+        if not pending:
+            break
+        # one batched parent RPC per owner shard
+        ts = np.array(list(pending.keys()))
+        vs = np.array(list(pending.values()))
+        owner = np.searchsorted(bounds, vs, side="right") - 1
+        results = {}
+        futs = []
+        metas = []
+        for q in range(engine.P):
+            m = owner == q
+            if m.any():
+                futs.append(shards[q].parent_lookup.remote(vs[m]))
+                metas.append(ts[m])
+        for meta, pars in zip(metas, ray.get(futs)):
+            for t, p in zip(meta, pars):
+                results[int(t)] = int(p)
+        for t, p in results.items():
+            chains[t].append(p)
+            cur[t] = p
+    for t in targets:
+        paths[t] = list(reversed(chains[t])) if t in chains else []
+    return [paths[t] for t in targets]
+
+
+def girth(edges, n: int, P: int = 8, wave: int = 128) -> float:
+    """Length of the shortest cycle (igraph_girth,
+    src/structural_properties.c:3691: undirected, self-loops and
+    multi-edges ignored; inf when the graph is a forest).  All-sources
+    BFS waves over the simple undirected support; per wave each vertex
+    reduces its in-edge sender levels to (min, count, second-min) and
+    evaluates the even/odd cycle candidates — min over everything is
+    exact.  Waves after the first are depth-capped by the best
+    candidate so far."""
+    import pyarrow.compute as pc
+
+    from .centrality import _ms_forward, _ms_waves
+    from .ops import to_directed_mutual, to_undirected
+
+    support = to_directed_mutual(to_undirected(edges, P=P).map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t["src"], t["dst"]))
+        ),
+        batch_format="pyarrow",
+    ))
+    eng = GraphEngine.from_edges(support, n=n, P=P)
+    best = np.iinfo(np.int64).max
+    for ws in _ms_waves(eng, np.arange(n), wave):
+        cap = None if best == np.iinfo(np.int64).max else best // 2 + 1
+        _ms_forward(eng, ws, max_level=cap)
+        outs = eng.scatter("ms_girth_scatter")
+        mins = ray.get([
+            eng.shards[q].ms_girth_gather.remote(*eng.pieces(outs, q))
+            for q in range(eng.P)
+        ])
+        best = min(best, int(np.min(mins)))
+        if best == 3:
+            break  # no shorter cycle exists
+    ray.get([s.ms_free.remote() for s in eng.shards])
+    eng.shutdown()
+    return float("inf") if best >= (1 << 20) else float(best)
