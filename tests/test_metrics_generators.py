@@ -90,3 +90,74 @@ def test_local_scan_1():
     out = metrics.local_scan_1(e, n=4, P=2).to_pandas().sort_values("vid")
     # N[0]={0,1,2,3}: edges 01,12,02,03 -> 4; N[1]=N[2]: 3; N[3]={0,3}: 1
     assert list(out["scan1"]) == [4, 3, 3, 1]
+
+
+def test_degree_sequence_game():
+    from xdata_igraph_ray.graph import generators as G
+
+    deg = [3, 2, 2, 1, 2, 2]
+    t = G.degree_sequence(deg, seed=1)
+    counts = np.zeros(6, np.int64)
+    for col in ("src", "dst"):
+        np.add.at(counts, t[col].to_numpy(), 1)
+    assert list(counts) == deg
+    # directed
+    t2 = G.degree_sequence([2, 1, 0], [0, 1, 2], seed=2)
+    out = np.bincount(t2["src"].to_numpy(), minlength=3)
+    inn = np.bincount(t2["dst"].to_numpy(), minlength=3)
+    assert list(out) == [2, 1, 0] and list(inn) == [0, 1, 2]
+
+
+def test_static_power_law_and_fitness():
+    from xdata_igraph_ray.graph import generators as G
+
+    t = G.static_power_law(500, 2000, exponent_out=2.2, seed=3)
+    assert len(t) == 2000
+    s = t["src"].to_numpy()
+    d = t["dst"].to_numpy()
+    assert (s != d).all()
+    deg = np.bincount(s, minlength=500) + np.bincount(d, minlength=500)
+    # hub skew: top vertex far above the mean
+    assert deg.max() > 4 * deg.mean()
+
+
+def test_k_regular():
+    from xdata_igraph_ray.graph import generators as G
+
+    t = G.k_regular(20, 4, seed=5)
+    deg = np.zeros(20, np.int64)
+    for col in ("src", "dst"):
+        np.add.at(deg, t[col].to_numpy(), 1)
+    assert (deg == 4).all()
+    s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+    assert (s != d).all()
+    assert len({(a, b) for a, b in zip(s, d)}) == len(s)
+
+
+def test_grg_radius_invariant():
+    from xdata_igraph_ray.graph import generators as G
+
+    t = G.grg(300, 0.12, seed=7)
+    # re-derive the points and check every edge is within radius and
+    # the edge count matches a brute-force scan
+    rng = np.random.default_rng(7)
+    x, y = rng.random(300), rng.random(300)
+    iu, ju = np.triu_indices(300, k=1)
+    d2 = (x[iu] - x[ju]) ** 2 + (y[iu] - y[ju]) ** 2
+    want = int((d2 <= 0.12 * 0.12).sum())
+    assert len(t) == want
+    s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+    assert (((x[s] - x[d]) ** 2 + (y[s] - y[d]) ** 2) <= 0.12**2 + 1e-12).all()
+
+
+def test_preference_and_islands():
+    from xdata_igraph_ray.graph import generators as G
+
+    t = G.preference([50, 50], [[0.5, 0.01], [0.01, 0.5]], seed=9)
+    s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+    within = ((s < 50) == (d < 50)).sum()
+    assert within > 0.8 * len(s)  # mostly within-block
+    t2 = G.islands(3, 30, 0.6, 4, seed=11)
+    s2, d2 = t2["src"].to_numpy(), t2["dst"].to_numpy()
+    inter = ((s2 // 30) != (d2 // 30)).sum()
+    assert inter == 3 * 4  # exactly n_inter bridges per island pair

@@ -171,3 +171,194 @@ def kary_tree(n: int, children: int = 2) -> pa.Table:
     child = np.arange(1, n, dtype=np.int64)
     parent = (child - 1) // children
     return _table(parent, child)
+
+
+def degree_sequence(out_deg, in_deg=None, seed: int = 42) -> pa.Table:
+    """Configuration-model graph with the given degree sequence(s) —
+    igraph_degree_sequence_game SIMPLE method (src/games.c:1249):
+    random stub matching; multi-edges and loops may appear."""
+    rng = np.random.default_rng(seed)
+    out_deg = np.asarray(out_deg, np.int64)
+    if in_deg is None:  # undirected: one stub pool, paired off
+        if out_deg.sum() % 2:
+            raise ValueError("sum of degrees must be even")
+        stubs = np.repeat(np.arange(len(out_deg)), out_deg)
+        rng.shuffle(stubs)
+        half = len(stubs) // 2
+        return _table(stubs[:half], stubs[half:])
+    in_deg = np.asarray(in_deg, np.int64)
+    if out_deg.sum() != in_deg.sum():
+        raise ValueError("sum(out) must equal sum(in)")
+    outs = np.repeat(np.arange(len(out_deg)), out_deg)
+    ins = np.repeat(np.arange(len(in_deg)), in_deg)
+    rng.shuffle(ins)
+    return _table(outs, ins)
+
+
+def static_fitness(m: int, fitness_out, fitness_in=None,
+                   seed: int = 42) -> pa.Table:
+    """m edges drawn with endpoint probability proportional to vertex
+    fitness — igraph_static_fitness_game (src/games.c:3507); loops and
+    multi-edges dropped (the reference's default)."""
+    rng = np.random.default_rng(seed)
+    fo = np.asarray(fitness_out, np.float64)
+    fi = fo if fitness_in is None else np.asarray(fitness_in, np.float64)
+    po = fo / fo.sum()
+    pi = fi / fi.sum()
+    picked: set = set()
+    src_l, dst_l = [], []
+    tries = 0
+    while len(src_l) < m and tries < 100:
+        k = m - len(src_l)
+        a = rng.choice(len(po), 2 * k + 8, p=po)
+        b = rng.choice(len(pi), 2 * k + 8, p=pi)
+        for x, y in zip(a, b):
+            if x == y or (x, y) in picked:
+                continue
+            picked.add((int(x), int(y)))
+            src_l.append(int(x))
+            dst_l.append(int(y))
+            if len(src_l) == m:
+                break
+        tries += 1
+    return _table(src_l, dst_l)
+
+
+def static_power_law(n: int, m: int, exponent_out: float,
+                     exponent_in: float | None = None,
+                     seed: int = 42) -> pa.Table:
+    """Prescribed-exponent power-law degree graph —
+    igraph_static_power_law_game (src/games.c:3731): fitness
+    f_i = (i + i0)^(-1/(exp-1)) fed to the static fitness game."""
+    ranks = np.arange(1, n + 1, dtype=np.float64)
+    fo = ranks ** (-1.0 / (exponent_out - 1.0))
+    fi = (
+        None if exponent_in is None
+        else ranks ** (-1.0 / (exponent_in - 1.0))
+    )
+    return static_fitness(m, fo, fi, seed=seed)
+
+
+def k_regular(n: int, k: int, seed: int = 42,
+              max_tries: int = 100) -> pa.Table:
+    """Simple undirected k-regular graph — igraph_k_regular_game
+    (src/games.c:3839): repeated stub matching until simple."""
+    if (n * k) % 2:
+        raise ValueError("n * k must be even")
+    rng = np.random.default_rng(seed)
+    for _ in range(max_tries):
+        stubs = np.repeat(np.arange(n), k)
+        rng.shuffle(stubs)
+        a, b = stubs[::2], stubs[1::2]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        if (a == b).any():
+            continue
+        pairs = set(zip(lo.tolist(), hi.tolist()))
+        if len(pairs) == len(a):
+            return _table(lo, hi)
+    raise RuntimeError("k_regular: no simple matching found")
+
+
+def grg(n: int, radius: float, seed: int = 42,
+        torus: bool = False) -> pa.Table:
+    """Geometric random graph on the unit square — igraph_grg_game
+    (src/games.c:2024): connect points within ``radius``.  Spatial
+    cell binning keeps candidate pairs near-linear."""
+    rng = np.random.default_rng(seed)
+    x = rng.random(n)
+    y = rng.random(n)
+    cell = max(radius, 1e-9)
+    ncell = max(1, int(1.0 / cell))
+    cx = np.minimum((x / cell).astype(np.int64), ncell - 1)
+    cy = np.minimum((y / cell).astype(np.int64), ncell - 1)
+    cid = cx * ncell + cy
+    order = np.argsort(cid, kind="stable")
+    src_l, dst_l = [], []
+    by_cell: dict[int, np.ndarray] = {}
+    for c in np.unique(cid):
+        by_cell[int(c)] = order[np.searchsorted(cid[order], c):
+                                np.searchsorted(cid[order], c, "right")]
+    r2 = radius * radius
+    for c, members in by_cell.items():
+        gx, gy = divmod(c, ncell)
+        cands = [members]
+        for dx_ in (0, 1):
+            for dy_ in (-1, 0, 1):
+                if (dx_, dy_) <= (0, 0):
+                    continue
+                nx_, ny_ = gx + dx_, gy + dy_
+                if torus:
+                    nx_, ny_ = nx_ % ncell, ny_ % ncell
+                elif nx_ >= ncell or ny_ < 0 or ny_ >= ncell:
+                    continue
+                nb = by_cell.get(int(nx_ * ncell + ny_))
+                if nb is not None:
+                    cands.append(nb)
+        mem = members
+        for grp_i, other in enumerate(cands):
+            if grp_i == 0:
+                iu, ju = np.triu_indices(len(mem), k=1)
+                a, b = mem[iu], mem[ju]
+            else:
+                a = np.repeat(mem, len(other))
+                b = np.tile(other, len(mem))
+            dx = x[a] - x[b]
+            dy = y[a] - y[b]
+            if torus:
+                dx = np.minimum(np.abs(dx), 1 - np.abs(dx))
+                dy = np.minimum(np.abs(dy), 1 - np.abs(dy))
+            hit = dx * dx + dy * dy <= r2
+            src_l.append(np.minimum(a[hit], b[hit]))
+            dst_l.append(np.maximum(a[hit], b[hit]))
+    if not src_l:
+        return _table([], [])
+    return _table(np.concatenate(src_l), np.concatenate(dst_l))
+
+
+def preference(type_sizes, pref_matrix, seed: int = 42) -> pa.Table:
+    """Vertex-type preference game — igraph_preference_game
+    (src/games.c:2193): block (i, j) is Bernoulli(pref[i][j]) per
+    pair, i.e. a general SBM."""
+    rng = np.random.default_rng(seed)
+    sizes = np.asarray(type_sizes, np.int64)
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    pref = np.asarray(pref_matrix, np.float64)
+    src_l, dst_l = [], []
+    for i in range(len(sizes)):
+        for j in range(len(sizes)):
+            p = pref[i, j]
+            if p <= 0:
+                continue
+            ni, nj = sizes[i], sizes[j]
+            mask = rng.random((ni, nj)) < p
+            if i == j:  # undirected within-block, no loops
+                mask = np.triu(mask, k=1)
+            elif i > j:
+                continue  # undirected: handle each unordered pair once
+            a, b = np.nonzero(mask)
+            src_l.append(a + offs[i])
+            dst_l.append(b + offs[j])
+    if not src_l:
+        return _table([], [])
+    return _table(np.concatenate(src_l), np.concatenate(dst_l))
+
+
+def islands(n_islands: int, size: int, p_in: float, n_inter: int,
+            seed: int = 42) -> pa.Table:
+    """Dense islands + random inter-island bridges —
+    igraph_simple_interconnected_islands_game (src/games.c:3329)."""
+    rng = np.random.default_rng(seed)
+    src_l, dst_l = [], []
+    for i in range(n_islands):
+        off = i * size
+        mask = np.triu(rng.random((size, size)) < p_in, k=1)
+        a, b = np.nonzero(mask)
+        src_l.append(a + off)
+        dst_l.append(b + off)
+    for i in range(n_islands):
+        for j in range(i + 1, n_islands):
+            a = rng.integers(0, size, n_inter) + i * size
+            b = rng.integers(0, size, n_inter) + j * size
+            src_l.append(a)
+            dst_l.append(b)
+    return _table(np.concatenate(src_l), np.concatenate(dst_l))
