@@ -629,6 +629,30 @@ def q_triad_census(sf_dir: str):
     )
 
 
+def q_ase(sf_dir: str):
+    """Adjacency spectral embedding (xdata flagship) of the symmetric
+    support: top-6 eigenvalues + block coordinates (rows-only check —
+    no SQL eigensolver)."""
+    from xdata_igraph_ray.graph.embedding import (
+        adjacency_spectral_embedding,
+        dim_select,
+    )
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.ops import to_directed_mutual, to_undirected
+
+    sym = to_directed_mutual(to_undirected(_li_edges(sf_dir), P=8))
+    eng = GraphEngine.from_edges(sym, n=NV, P=8)
+    _, lam = adjacency_spectral_embedding(eng, d=6, iters=40, seed=42)
+    eng.shutdown()
+    return pd.DataFrame(
+        {
+            "rank": np.arange(6),
+            "abs_eigenvalue": np.round(np.abs(lam), 4),
+            "dim_select": [dim_select(lam)] * 6,
+        }
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -942,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_length_hist_li": q_path_length_hist,
         "diameter_li": q_diameter,
         "centralization_degree_li": q_centralization_degree,
+        "ase_li": q_ase,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,

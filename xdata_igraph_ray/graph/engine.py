@@ -1417,6 +1417,79 @@ class GraphShard:
     def ms_free(self):
         self.ms_dist = self.ms_sigma = self.ms_delta = None
 
+    # -- block subspace iteration (spectral embedding, reference
+    #    xdata src/embedding.c:807 ASE / :998 LSE: top-d eigenpairs of
+    #    the (optionally degree-normalized) adjacency via distributed
+    #    subspace iteration — the driver only ever holds d x d
+    #    matrices) -----------------------------------------------------------
+
+    def emb_init(self, d: int, seed: int, normalized: bool):
+        rng = np.random.default_rng(np.random.PCG64(seed + self.p))
+        self.emb_X = rng.standard_normal((self.size, d))
+        self.emb_Y = None
+        if normalized:
+            deg = self.out_deg.astype(np.float64)  # symmetric support
+            with np.errstate(divide="ignore"):
+                self.emb_dinv = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
+        else:
+            self.emb_dinv = None
+
+    def emb_scatter(self, weighted: bool):
+        X = self.emb_X
+        if self.emb_dinv is not None:
+            X = X * self.emb_dinv[:, None]
+        if len(self.fw_dst) == 0 or not len(self.fw_ustarts):
+            e = np.empty(0, np.int64)
+            return [(e, np.zeros((0, X.shape[1])))] * self.P
+        per_edge = X[self.fw_src_by_dst]
+        if weighted and self.fw_w is not None:
+            per_edge = per_edge * self.fw_w[self.fw_dperm][:, None]
+        sums = np.add.reduceat(per_edge, self.fw_ustarts, axis=0)
+        useg = self.fw_useg
+        return [
+            (self.fw_udsts[useg[q]:useg[q + 1]],
+             sums[useg[q]:useg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def emb_gather(self, *sender_outs):
+        """Y = (normalized) A X; returns the partial Gram Y^T Y."""
+        acc = np.zeros_like(self.emb_X)
+        for o in sender_outs:
+            ids, m = self._piece(o)
+            if len(ids):
+                acc[ids - self.lo] += m
+        if self.emb_dinv is not None:
+            acc = acc * self.emb_dinv[:, None]
+        self.emb_Y = acc
+        return acc.T @ acc
+
+    def emb_orthonormalize(self, rinv):
+        """X <- Y R^{-1} (distributed QR via driver Cholesky)."""
+        self.emb_X = self.emb_Y @ rinv
+
+    def emb_rayleigh(self):
+        """Partial X^T Y for the d x d Rayleigh-Ritz projection."""
+        return self.emb_X.T @ self.emb_Y
+
+    def emb_finalize(self, w, scale):
+        """Rotate into the Ritz basis and scale columns (U |λ|^{1/2})."""
+        self.emb_X = (self.emb_X @ w) * scale[None, :]
+
+    def emb_table(self) -> pa.Table:
+        return pa.table(
+            {
+                "vid": np.arange(self.lo, self.hi, dtype=np.int64),
+                "x": pa.array(
+                    self.emb_X.tolist(),
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    def emb_free(self):
+        self.emb_X = self.emb_Y = self.emb_dinv = None
+
     def bfs_max_dist(self):
         d = self.state["dist"]
         idx = np.flatnonzero(d < np.iinfo(np.int64).max)
