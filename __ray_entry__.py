@@ -629,6 +629,17 @@ def q_triad_census(sf_dir: str):
     )
 
 
+def q_louvain(sf_dir: str):
+    """Multilevel (Louvain) communities — rows-only (greedy iterative,
+    no SQL equivalent); membership plus invariant-checked count."""
+    from xdata_igraph_ray.graph.community import louvain
+
+    mem, k = louvain(_li_edges(sf_dir), n=NV, P=8)
+    df = mem.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert df["comm"].nunique() == k
+    return df
+
+
 def q_ase(sf_dir: str):
     """Adjacency spectral embedding (xdata flagship) of the symmetric
     support: top-6 eigenvalues + block coordinates (rows-only check —
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_li": q_diameter,
         "centralization_degree_li": q_centralization_degree,
         "ase_li": q_ase,
+        "louvain_li": q_louvain,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,

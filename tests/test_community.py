@@ -1,0 +1,72 @@
+"""Multilevel (Louvain) community detection: planted-structure
+recovery + modularity quality vs networkx's Louvain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from xdata_igraph_ray.graph.community import louvain
+from xdata_igraph_ray.graph.generators import sbm
+from xdata_igraph_ray.graph.metrics import modularity
+
+
+def _ds(tbl):
+    return rd.from_arrow(tbl)
+
+
+def _modularity_of(edges_tbl, membership, n):
+    return modularity(_ds(edges_tbl), membership, P=4)
+
+
+def test_louvain_ring_of_cliques():
+    # 6 cliques of 8, ring-connected: communities == cliques
+    blocks, src, dst = 6, [], []
+    k = 8
+    for b in range(blocks):
+        off = b * k
+        for i in range(k):
+            for j in range(i + 1, k):
+                src.append(off + i)
+                dst.append(off + j)
+        src.append(off)
+        dst.append(((b + 1) % blocks) * k)
+    t = pa.table({"src": np.array(src, np.int64),
+                  "dst": np.array(dst, np.int64)})
+    mem_ds, ncomm = louvain(_ds(t), n=blocks * k, P=3)
+    df = mem_ds.to_pandas().sort_values("vid")
+    mem = df["comm"].to_numpy()
+    assert ncomm == blocks
+    for b in range(blocks):
+        assert len(set(mem[b * k:(b + 1) * k])) == 1
+    # distinct cliques get distinct communities
+    assert len({mem[b * k] for b in range(blocks)}) == blocks
+
+
+def test_louvain_sbm_quality():
+    import networkx as nx
+
+    t = sbm([50, 50, 50], p_in=0.25, p_out=0.01, seed=8)
+    mem_ds, ncomm = louvain(_ds(t), n=150, P=3)
+    mem = mem_ds.to_pandas().sort_values("vid")["comm"].to_numpy()
+    q_ours = _modularity_of(t, mem, 150)
+    g = nx.Graph()
+    g.add_nodes_from(range(150))
+    g.add_edges_from(zip(t["src"].to_numpy().tolist(),
+                         t["dst"].to_numpy().tolist()))
+    comms = nx.community.louvain_communities(g, seed=1)
+    nx_mem = np.zeros(150, np.int64)
+    for i, c in enumerate(comms):
+        for v in c:
+            nx_mem[v] = i
+    q_nx = _modularity_of(t, nx_mem, 150)
+    assert q_ours >= q_nx - 0.03, (q_ours, q_nx)
+    assert q_ours > 0.5
+
+
+def test_louvain_deterministic():
+    t = sbm([40, 40], p_in=0.3, p_out=0.02, seed=9)
+    m1 = louvain(_ds(t), n=80, P=2)[0].to_pandas().sort_values("vid")
+    m2 = louvain(_ds(t), n=80, P=3)[0].to_pandas().sort_values("vid")
+    assert list(m1["comm"]) == list(m2["comm"])  # partition-count independent

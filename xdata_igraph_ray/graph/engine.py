@@ -779,6 +779,159 @@ class GraphShard:
         lab[idx2[changed]] = win_l[changed]
         return {"changed": int(changed.sum())}
 
+    # -- Louvain local-moving (reference igraph_community_multilevel,
+    #    src/community.c:2361+: synchronous distributed variant —
+    #    Grappolo-style parity damping replaces the sequential sweep) --------
+
+    def lou_init(self):
+        self.state["comm"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        # arc strength (the symmetric-arc representation makes this
+        # the modularity k_i, loops pre-doubled by convention)
+        self.meta["lou_k"] = self.out_strength.copy()
+
+    def lou_sigma_split(self):
+        """Per-community k_i sums of OWN vertices, split by community
+        owner (labels are vids, so bounds give ownership)."""
+        comm = self.state["comm"]
+        k = self.meta["lou_k"]
+        order = np.argsort(comm, kind="stable")
+        cs, ks = comm[order], k[order]
+        uc, starts = np.unique(cs, return_index=True)
+        sums = np.add.reduceat(ks, starts) if len(uc) else ks[:0]
+        seg = np.searchsorted(uc, self.bounds)
+        return [
+            (uc[seg[q]:seg[q + 1]], sums[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def lou_sigma_collect(self, *sender_outs):
+        labs, sums = [], []
+        for o in sender_outs:
+            l, s = self._piece(o)
+            labs.append(l)
+            sums.append(s)
+        labs = np.concatenate(labs) if labs else np.empty(0, np.int64)
+        sums = np.concatenate(sums) if sums else np.empty(0)
+        order = np.argsort(labs, kind="stable")
+        ls, ss = labs[order], sums[order]
+        ul, starts = np.unique(ls, return_index=True)
+        self._lou_sig_lab = ul
+        self._lou_sig_sum = (
+            np.add.reduceat(ss, starts) if len(ul) else ss[:0]
+        )
+        return len(ul)
+
+    def lou_scatter(self):
+        """(dst, my community, arc weight) messages, loop arcs
+        excluded (a vertex's self-loop moves with it — contributes
+        equally to every candidate, so it never affects the argmax)."""
+        comm = self.state["comm"]
+        if len(self.fw_dst) == 0:
+            e = np.empty(0, np.int64)
+            return [(e, e, np.empty(0))] * self.P
+        counts = np.diff(self.fw_indptr)
+        src_rep = np.repeat(np.arange(self.lo, self.hi), counts)
+        keep = self.fw_dst != src_rep
+        keys = self.fw_dst[keep]
+        lbls = np.repeat(comm, counts)[keep]
+        ws = (
+            self.fw_w[keep] if self.fw_w is not None
+            else np.ones(int(keep.sum()))
+        )
+        return self._pair_messages(keys, lbls, ws)
+
+    def lou_candidates(self, *sender_outs):
+        """Aggregate incoming (community, weight); build per-vertex
+        candidate lists + the Sigma_tot query (unique labels split by
+        owner).  Own community is always a candidate."""
+        msgs = [self._piece(o) for o in sender_outs]
+        ks = [m[0] for m in msgs if len(m[0])]
+        comm = self.state["comm"]
+        if ks:
+            keys = np.concatenate(ks)
+            lbls = np.concatenate([m[1] for m in msgs if len(m[0])])
+            ws = np.concatenate([m[2] for m in msgs if len(m[0])])
+        else:
+            keys = np.empty(0, np.int64)
+            lbls = np.empty(0, np.int64)
+            ws = np.empty(0)
+        # add zero-weight own-community rows so every vertex has its
+        # current community among the candidates
+        keys = np.concatenate((keys, np.arange(self.lo, self.hi)))
+        lbls = np.concatenate((lbls, comm))
+        ws = np.concatenate((ws, np.zeros(self.size)))
+        order = np.lexsort((lbls, keys))
+        k, l, w = keys[order], lbls[order], ws[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
+        idx = np.flatnonzero(new)
+        self._lou_cand_v = k[idx] - self.lo
+        self._lou_cand_l = l[idx]
+        self._lou_cand_w = np.add.reduceat(w, idx)
+        uniq = np.unique(self._lou_cand_l)
+        self._lou_query = uniq
+        seg = np.searchsorted(uniq, self.bounds)
+        return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
+
+    def lou_sigma_answer(self, *sender_outs):
+        """Owner side: Sigma_tot for each sender's queried labels
+        (0 for unknown labels — emptied communities)."""
+        out = []
+        for o in sender_outs:
+            q = self._piece(o)
+            pos = np.searchsorted(self._lou_sig_lab, q)
+            ok = (pos < len(self._lou_sig_lab)) & (
+                self._lou_sig_lab[np.minimum(
+                    pos, max(len(self._lou_sig_lab) - 1, 0))] == q
+            ) if len(self._lou_sig_lab) else np.zeros(len(q), bool)
+            vals = np.zeros(len(q))
+            if ok.any():
+                vals[ok] = self._lou_sig_sum[pos[ok]]
+            out.append(vals)
+        return out
+
+    def lou_move(self, m_total: float, parity, *owner_answers) -> int:
+        """Synchronous greedy move: argmax of
+        k_in(c) - k_i * (Sigma_tot(c) - [c == own] k_i) / (2m),
+        min-label tie-break, hash-parity damping on non-full rounds."""
+        sig_by_label = np.concatenate(
+            [self._piece(a) for a in owner_answers]
+        )
+        # align: owner answers arrive in owner order, i.e. exactly the
+        # sorted-label order of self._lou_query
+        q = self._lou_query
+        pos = np.searchsorted(q, self._lou_cand_l)
+        sig = sig_by_label[pos]
+        v = self._lou_cand_v
+        l = self._lou_cand_l
+        w = self._lou_cand_w
+        comm = self.state["comm"]
+        k = self.meta["lou_k"]
+        own = l == comm[v]
+        eff_sig = sig - np.where(own, k[v], 0.0)
+        score = w - k[v] * eff_sig / (2.0 * m_total)
+        # per vertex: best (score desc, label asc); and own score
+        order = np.lexsort((l, -score, v))
+        sv, sl, ss = v[order], l[order], score[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = sv[1:] != sv[:-1]
+        win_v, win_l, win_s = sv[first], sl[first], ss[first]
+        own_score = np.zeros(len(win_v))
+        ov, osc = v[own], score[own]
+        own_score[np.searchsorted(win_v, ov)] = osc
+        want = (win_l != comm[win_v]) & (win_s > own_score + 1e-12)
+        if parity is not None:
+            with np.errstate(over="ignore"):
+                h = (
+                    (win_v + self.lo).astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                    + np.uint64(parity) * np.uint64(0xC2B2AE3D27D4EB4F)
+                )
+            want &= ((h >> np.uint64(33)) & np.uint64(1)) == 0
+        comm[win_v[want]] = win_l[want]
+        self._lou_cand_v = self._lou_cand_l = self._lou_cand_w = None
+        return int(want.sum())
+
     def label_min_vids(self):
         """(label, min vid carrying it) pairs for first-appearance
         renumbering (src/community.c:2320-2339)."""
