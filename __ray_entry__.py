@@ -629,6 +629,31 @@ def q_triad_census(sf_dir: str):
     )
 
 
+def q_cliques(sf_dir: str):
+    """Maximal-clique census of a sparse 5000-vertex derived graph:
+    (size, count) histogram plus the clique number (rows-only — BK has
+    no SQL equivalent)."""
+    from xdata_igraph_ray.graph.cliques import maximal_cliques
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 5000,
+                "dst": t["l_partkey"].to_numpy() % 5000,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cl = maximal_cliques(ds, P=8).to_pandas()
+    sizes = cl["clique"].map(len)
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {"size": hist.index.to_numpy(), "count": hist.to_numpy()}
+    )
+
+
 def q_louvain(sf_dir: str):
     """Multilevel (Louvain) communities — rows-only (greedy iterative,
     no SQL equivalent); membership plus invariant-checked count."""
@@ -979,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centralization_degree_li": q_centralization_degree,
         "ase_li": q_ase,
         "louvain_li": q_louvain,
+        "cliques_li": q_cliques,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,

@@ -1,0 +1,198 @@
+"""Maximal cliques — reference igraph_maximal_cliques
+(src/maximal_cliques.c:322-395, Bron–Kerbosch with pivoting).
+
+Distributed shape: orient the simple undirected support by
+(degree, vid) rank; every maximal clique is enumerated exactly once at
+its minimum-rank member v.  The per-vertex subproblem is classic
+pivoted Bron–Kerbosch with R = {v}, P = forward neighbors,
+X = backward neighbors, run inside the reduce task of an exchange
+keyed by v — each group carries v's neighbor list plus the induced
+adjacency among the neighbors (the triangle wedge-match table, so the
+shuffled volume is O(#triangles), the same bound as triangle
+counting).  Hub neighborhoods are the skew risk: the per-task work is
+exponential in the neighborhood's clique structure, not its size, and
+the (deg, vid) orientation keeps forward-neighborhoods O(sqrt(m)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..exchange import (
+    DEFAULT_PARTITIONS,
+    block_refs,
+    exchange,
+    hash_join,
+    to_dataset,
+)
+from .triangles import _rank, undirected_support
+
+
+@ray.remote
+def _apply(fn, tbl):
+    return fn(tbl)
+
+
+def _bron_kerbosch(adj: dict[int, set], R: list, P: set, X: set, out: list):
+    if not P and not X:
+        out.append(sorted(R))
+        return
+    pivot_pool = P | X
+    pivot = max(pivot_pool, key=lambda u: len(P & adj.get(u, set())))
+    for v in list(P - adj.get(pivot, set())):
+        _bron_kerbosch(
+            adj, R + [v], P & adj.get(v, set()), X & adj.get(v, set()), out
+        )
+        P.discard(v)
+        X.add(v)
+
+
+def maximal_cliques(
+    edges: Dataset | list,
+    P: int = DEFAULT_PARTITIONS,
+    min_size: int = 1,
+) -> Dataset:
+    """Dataset of (clique: list<int64>) rows — every maximal clique
+    exactly once (isolated vertices are NOT emitted; igraph's
+    convention of size>=1 cliques over vertices with edges is matched
+    by min_size=1 plus caller-side isolated handling)."""
+    und = undirected_support(edges, P=P)
+
+    # ranks from support degrees
+    from ..exchange import groupby_agg
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
+        )
+
+    deg = groupby_agg(
+        [_apply.remote(both, r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    j1 = hash_join(
+        und, [_apply.remote(
+            lambda t: pa.table({"a": t["vid"], "deg_a": t["deg"]}), r
+        ) for r in deg],
+        keys=["a"], P=P, as_refs=True,
+    )
+    j2 = hash_join(
+        j1, [_apply.remote(
+            lambda t: pa.table({"b": t["vid"], "deg_b": t["deg"]}), r
+        ) for r in deg],
+        keys=["b"], P=P, as_refs=True,
+    )
+
+    @ray.remote
+    def nbr_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ra = _rank(t["deg_a"].to_numpy(), a)
+        rb = _rank(t["deg_b"].to_numpy(), b)
+        # neighbor rows for BOTH endpoints, tagged fwd (higher rank)
+        return pa.table(
+            {
+                "v": np.concatenate((a, b)),
+                "nbr": np.concatenate((b, a)),
+                "fwd": np.concatenate((rb > ra, ra > rb)),
+                "rv": np.concatenate((ra, rb)),
+                "rn": np.concatenate((rb, ra)),
+            }
+        )
+
+    nbrs = [nbr_rows.remote(r) for r in j2]
+
+    # induced adjacency among neighbors: wedges at v joined vs edges
+    @ray.remote
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(["v", "nbr"])
+        outs = {"v": [], "x": [], "y": []}
+        for v, g in df.groupby("v", sort=False):
+            ns = g["nbr"].to_numpy()
+            if len(ns) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ns), k=1)
+            outs["v"].append(np.full(len(iu), v))
+            outs["x"].append(np.minimum(ns[iu], ns[ju]))
+            outs["y"].append(np.maximum(ns[iu], ns[ju]))
+        if not outs["v"]:
+            e = np.empty(0, np.int64)
+            return pa.table({"v": e, "x": e, "y": e})
+        return pa.table({k: np.concatenate(v) for k, v in outs.items()})
+
+    wedges = exchange(nbrs, ["v"], P=P, reduce_fn=None, as_refs=True)
+    wedge_refs = [wedge_rows.remote(r) for r in wedges]
+    intra = hash_join(
+        wedge_refs,
+        [_apply.remote(
+            lambda t: pa.table({"x": t["a"], "y": t["b"],
+                                "hit": np.ones(len(t), np.int8)}), r
+        ) for r in und],
+        keys=["x", "y"], how="left semi", P=P, as_refs=True,
+    )
+
+    # assemble groups: neighbor lists + intra edges, keyed by v
+    @ray.remote
+    def tag_nbr(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"], "p": t["nbr"],
+             "q": np.full(len(t), -1, np.int64),
+             "fwd": t["fwd"].to_numpy().astype(np.int8)}
+        )
+
+    @ray.remote
+    def tag_intra(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": t["v"], "p": t["x"], "q": t["y"],
+             "fwd": np.zeros(len(t), np.int8)}
+        )
+
+    def run_bk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        cliques = []
+        for v, g in df.groupby("v", sort=False):
+            nbr_rows_ = g[g["q"] < 0]
+            fwd = set(nbr_rows_.loc[nbr_rows_["fwd"] == 1, "p"])
+            bwd = set(nbr_rows_.loc[nbr_rows_["fwd"] == 0, "p"])
+            adj: dict[int, set] = {}
+            for p_, q_ in zip(g["p"].to_numpy(), g["q"].to_numpy()):
+                if q_ >= 0:
+                    adj.setdefault(int(p_), set()).add(int(q_))
+                    adj.setdefault(int(q_), set()).add(int(p_))
+            out: list = []
+            _bron_kerbosch(adj, [int(v)], set(fwd), set(bwd), out)
+            cliques.extend(c for c in out if len(c) >= min_size)
+        return pa.table(
+            {"clique": pa.array(cliques, pa.list_(pa.int64()))}
+        )
+
+    groups = exchange(
+        [tag_nbr.remote(r) for r in nbrs]
+        + [tag_intra.remote(r) for r in intra],
+        ["v"], P=P, reduce_fn=run_bk, as_refs=True,
+    )
+    return to_dataset(groups)
+
+
+def count_maximal_cliques(edges, P: int = DEFAULT_PARTITIONS) -> int:
+    return int(maximal_cliques(edges, P=P).count())
+
+
+def clique_number(edges, P: int = DEFAULT_PARTITIONS) -> int:
+    """Size of the largest clique (igraph_clique_number,
+    src/cliques.c)."""
+    ds = maximal_cliques(edges, P=P)
+    import pyarrow.compute as pc
+
+    sizes = ds.map_batches(
+        lambda t: pa.table({"n": pc.list_value_length(t["clique"])}),
+        batch_format="pyarrow",
+    )
+    return int(sizes.max("n"))
