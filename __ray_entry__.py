@@ -629,6 +629,50 @@ def q_triad_census(sf_dir: str):
     )
 
 
+NV4 = 60  # edge-betweenness graph: its SQL oracle joins are cubic
+
+
+def q_edge_betweenness(sf_dir: str):
+    """Brandes edge betweenness on the simplified 60-vertex derived
+    graph."""
+    from xdata_igraph_ray.graph.build import simplify
+    from xdata_igraph_ray.graph.centrality import edge_betweenness
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV4,
+                "dst": t["l_partkey"].to_numpy() % NV4,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    simple = simplify(ds, remove_loops=False, P=4)
+    eng = GraphEngine.from_edges(simple, n=NV4, P=4)
+    out = edge_betweenness(eng, wave=60).to_pandas()
+    eng.shutdown()
+    out["eb"] = np.round(out["eb"], 6)
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_eccentricity(sf_dir: str):
+    """Out-mode eccentricity on the 200-vertex derived graph, plus the
+    radius as a second column."""
+    from xdata_igraph_ray.graph.centrality import eccentricity, radius
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    ecc = eccentricity(eng, wave=100)
+    r = radius(eng)
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "ecc": ecc, "radius": np.full(NV2, r)}
+    )
+
+
 def q_cliques(sf_dir: str):
     """Maximal-clique census of a sparse 5000-vertex derived graph:
     (size, count) histogram plus the clique number (rows-only — BK has
@@ -1005,6 +1049,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ase_li": q_ase,
         "louvain_li": q_louvain,
         "cliques_li": q_cliques,
+        "edge_betweenness_li": q_edge_betweenness,
+        "eccentricity_li": q_eccentricity,
         "assortativity_li": q_assortativity,
         "local_scan1_li": q_scan1,
         "eigenvector_li": q_eigenvector,
@@ -1812,6 +1858,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(
               (SELECT sum((SELECT max(d) FROM deg) - d) FROM deg)
               / (2.0 * ({NV} - 1) * ({NV} - 2)), 6) AS centralization
+            """,
+        "edge_betweenness_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV4} AS src,
+                              l_partkey % {NV4} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV4})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            wk(s, t, k, c) AS (
+              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
+              UNION ALL
+              SELECT w.s, de.dst, w.k + 1, sum(w.c)
+              FROM wk w JOIN de ON de.src = w.t
+              WHERE w.k < 8
+              GROUP BY w.s, de.dst, w.k + 1
+            ),
+            sp AS (
+              SELECT dist.s, dist.t, dist.d, wk.c
+              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
+                               AND wk.k = dist.d
+            )
+            SELECT de.src, de.dst,
+                   round(coalesce(sum(su.c * vt.c / st.c), 0), 6) AS eb
+            FROM de
+            LEFT JOIN sp su ON su.t = de.src
+            LEFT JOIN sp vt ON vt.s = de.dst
+            LEFT JOIN sp st ON st.s = su.s AND st.t = vt.t
+                           AND st.d = su.d + 1 + vt.d
+            GROUP BY de.src, de.dst
+            """,
+        "eccentricity_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            ecc AS (
+              SELECT s, max(d) AS e
+              FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
+              GROUP BY s
+            )
+            SELECT v.vid, ecc.e AS ecc,
+                   (SELECT min(e) FROM ecc) AS radius
+            FROM v JOIN ecc ON ecc.s = v.vid
             """,
         "triad_census_li": f"""
             WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}

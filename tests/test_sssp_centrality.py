@@ -140,3 +140,43 @@ def test_betweenness_sampled_sources():
     # sampled run is a partial sum of per-source dependencies
     assert (sub <= full + 1e-9).all()
     assert sub.sum() > 0
+
+
+def test_edge_betweenness_vs_networkx():
+    import networkx as nx
+    from xdata_igraph_ray.graph.centrality import edge_betweenness
+
+    n, m = 90, 420
+    src, dst = gnm_edges(n, m, seed=41)
+    pairs = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(pairs)
+    want = nx.edge_betweenness_centrality(g, normalized=False)
+    es = np.array([p[0] for p in pairs])
+    ed = np.array([p[1] for p in pairs])
+    eng = _engine(es, ed, n)
+    df = edge_betweenness(eng, wave=32).to_pandas()
+    eng.shutdown()
+    got = {(int(r["src"]), int(r["dst"])): r["eb"] for _, r in df.iterrows()}
+    assert set(got) == pairs
+    for e in pairs:
+        assert got[e] == pytest.approx(want[e], abs=1e-8), e
+
+
+def test_eccentricity_radius():
+    import networkx as nx
+    from xdata_igraph_ray.graph.centrality import eccentricity, radius
+
+    n, m = 80, 500
+    src, dst = gnm_edges(n, m, seed=51)
+    eng = _engine(src, dst, n)
+    ecc = eccentricity(eng, wave=32)
+    g = nx.MultiDiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    for v in range(n):
+        lengths = nx.single_source_shortest_path_length(g, v)
+        assert ecc[v] == max(lengths.values()), v
+    assert radius(eng) == ecc.min()
+    eng.shutdown()

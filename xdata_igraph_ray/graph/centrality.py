@@ -112,6 +112,66 @@ def betweenness(
     return engine.state_arrays("bc")
 
 
+def edge_betweenness(
+    engine: GraphEngine,
+    sources=None,
+    wave: int = 64,
+) -> "ray.data.Dataset":
+    """(src, dst, eb) Dataset — igraph_edge_betweenness
+    (src/centrality.c:2210), Brandes edge dependencies: after each
+    wave's backward pass every shard accumulates its in-edges'
+    sigma_u (1+delta_v)/sigma_v terms (one extra exchange shipping the
+    remote sources' dist/sigma rows).  Per-wave transient is
+    edges-per-shard x wave doubles — lower ``wave`` for huge graphs.
+    Run on the simplified graph."""
+    shards = engine.shards
+    ray.get([s.eb_reset.remote() for s in shards])
+    if sources is None:
+        sources = np.arange(engine.n)
+    for ws in _ms_waves(engine, sources, wave):
+        maxlevel = _ms_forward(engine, ws)
+        for lev in range(maxlevel, 0, -1):
+            outs = engine.scatter("ms_bwd_scatter", lev)
+            ray.get([
+                shards[q].ms_bwd_gather.remote(lev, *engine.pieces(outs, q))
+                for q in range(engine.P)
+            ])
+        ship = engine.scatter("ms_eb_src_ship")
+        ray.get([
+            shards[q].ms_eb_accumulate.remote(*engine.pieces(ship, q))
+            for q in range(engine.P)
+        ])
+    ray.get([s.ms_free.remote() for s in shards])
+    import ray.data as rd
+
+    return rd.from_arrow_refs([s.eb_table.remote() for s in shards])
+
+
+def eccentricity(
+    engine: GraphEngine, sources=None, wave: int = 128
+) -> np.ndarray:
+    """Max finite distance from each source (igraph_eccentricity,
+    src/structural_properties.c — out mode over the given engine
+    graph; build a mutual-arc engine for igraph's ALL default)."""
+    shards = engine.shards
+    if sources is None:
+        sources = np.arange(engine.n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.int64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _ms_forward(engine, ws)
+        parts = ray.get([s.ms_ecc_stats.remote() for s in shards])
+        out[pos:pos + len(ws)] = np.max(parts, axis=0)
+        pos += len(ws)
+    ray.get([s.ms_free.remote() for s in shards])
+    return out
+
+
+def radius(engine: GraphEngine, wave: int = 128) -> int:
+    """min eccentricity (igraph_radius)."""
+    return int(eccentricity(engine, wave=wave).min())
+
+
 def closeness(
     engine: GraphEngine,
     sources=None,

@@ -1558,6 +1558,86 @@ class GraphShard:
         )
         return cand.min(axis=0)
 
+    def ms_ecc_stats(self):
+        """Per-column max finite distance (eccentricity partials)."""
+        d = self.ms_dist
+        return np.where(d >= 0, d, -1).max(axis=0)
+
+    # -- edge betweenness (reference igraph_edge_betweenness
+    #    src/centrality.c:2210): after a wave's backward pass, every
+    #    shard accumulates its REV edges' dependencies; the (dist,
+    #    sigma) rows of remote edge-sources arrive in one exchange ---------
+
+    def ms_eb_src_ship(self):
+        """Per destination shard: (src vids, dist rows, sigma rows)
+        for the unique sources of that shard's in-edges from here."""
+        out = []
+        for q in range(self.P):
+            s, e = self.fw_seg[q], self.fw_seg[q + 1]
+            if e <= s:
+                out.append((np.empty(0, np.int64),
+                            np.zeros((0, self.ms_dist.shape[1]), np.int32),
+                            np.zeros((0, self.ms_dist.shape[1]))))
+                continue
+            us = np.unique(self.fw_src_by_dst[s:e])
+            out.append(
+                (us + self.lo, self.ms_dist[us], self.ms_sigma[us])
+            )
+        return out
+
+    def ms_eb_accumulate(self, *sender_outs):
+        """eb[e] += sum_cols [d_v == d_u + 1] sigma_u (1+delta_v)/sigma_v
+        over this shard's rev edges (u -> v, v local)."""
+        if getattr(self, "eb_acc", None) is None:
+            self.eb_acc = np.zeros(len(self.rv_src))
+        if len(self.rv_src) == 0:
+            return 0
+        ids_l, d_l, s_l = [], [], []
+        for o in sender_outs:
+            ids, dd, ss = self._piece(o)
+            if len(ids):
+                ids_l.append(ids)
+                d_l.append(dd)
+                s_l.append(ss)
+        if not ids_l:
+            return 0
+        ids = np.concatenate(ids_l)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        d_all = np.concatenate(d_l)[order]
+        s_all = np.concatenate(s_l)[order]
+        pos = np.searchsorted(ids, self.rv_src)
+        d_u = d_all[pos]          # (E x S)
+        sig_u = s_all[pos]
+        v_local = np.repeat(
+            np.arange(self.size), np.diff(self.rv_indptr)
+        )
+        d_v = self.ms_dist[v_local]
+        sig_v = self.ms_sigma[v_local]
+        del_v = self.ms_delta[v_local]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m_v = np.where(sig_v > 0, (1.0 + del_v) / np.where(
+                sig_v > 0, sig_v, 1.0), 0.0)
+        ok = (d_u >= 0) & (d_v == d_u + 1)
+        self.eb_acc += np.where(ok, sig_u * m_v, 0.0).sum(axis=1)
+        return 0
+
+    def eb_table(self) -> pa.Table:
+        """(src, dst, eb) in this shard's rev-edge order."""
+        v_local = np.repeat(
+            np.arange(self.size), np.diff(self.rv_indptr)
+        )
+        return pa.table(
+            {
+                "src": self.rv_src,
+                "dst": v_local + self.lo,
+                "eb": getattr(self, "eb_acc", np.zeros(len(self.rv_src))),
+            }
+        )
+
+    def eb_reset(self):
+        self.eb_acc = None
+
     def ms_dist_hist(self):
         """(bincount of positive distances, unreached pair count) for
         the current wave — the path_length_hist building block
