@@ -852,10 +852,15 @@ def q_embedding_near_dup_planted(sf_dir: str):
 
 
 def q_multimodal_features(sf_dir: str):
-    from xdata_igraph_ray.stages.multimodal import extract_features, synth_media
+    """REAL decode -> feature pipeline over decodable synthetic media
+    (PPM images, WAV audio, raw-PPM video; pure numpy/stdlib codecs)."""
+    from xdata_igraph_ray.stages.multimodal import (
+        decode_and_featurize,
+        synth_media_real,
+    )
 
     n = max(200, _pages_n(sf_dir) // 10)
-    feats = extract_features(rd.from_arrow(synth_media(n)))
+    feats = decode_and_featurize(rd.from_arrow(synth_media_real(n)))
     return feats.map_batches(
         lambda t: pa.table(
             {
@@ -864,7 +869,7 @@ def q_multimodal_features(sf_dir: str):
                 "f0": pa.array(
                     np.round(
                         np.stack(t["feature"].to_pandas().to_numpy())[:, 0], 5
-                    )
+                    ).astype(np.float64)
                 ),
             }
         ),
