@@ -161,3 +161,19 @@ def test_preference_and_islands():
     s2, d2 = t2["src"].to_numpy(), t2["dst"].to_numpy()
     inter = ((s2 // 30) != (d2 // 30)).sum()
     assert inter == 3 * 4  # exactly n_inter bridges per island pair
+
+
+def test_famous_graphs():
+    from xdata_igraph_ray.graph import generators as G
+
+    z = G.famous("zachary")
+    assert len(z) == 78  # the canonical 78 edges
+    p = G.famous("petersen")
+    deg = np.zeros(10, np.int64)
+    for c in ("src", "dst"):
+        np.add.at(deg, p[c].to_numpy(), 1)
+    assert (deg == 3).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        G.famous("nope")
