@@ -123,6 +123,23 @@ def main():
     queries["triangles_web"] = round(time.time() - t0, 3)
     extras["triangles_total"] = total
 
+    # -- round-2 operators on the medium graph -----------------------------
+    import numpy as np
+
+    from xdata_igraph_ray.graph.centrality import betweenness
+    from xdata_igraph_ray.graph.community import louvain
+
+    eng2 = GraphEngine.from_edges(rd.read_parquet(tri_path), n=TRI_V, P=P)
+    t0 = time.time()
+    bc = betweenness(eng2, sources=np.arange(0, TRI_V, TRI_V // 256), wave=64)
+    queries["betweenness_sampled_web"] = round(time.time() - t0, 3)
+    eng2.shutdown()
+
+    t0 = time.time()
+    _, ncomm = louvain(rd.read_parquet(tri_path), n=TRI_V, P=P)
+    queries["louvain_web"] = round(time.time() - t0, 3)
+    extras["louvain_communities"] = ncomm
+
     # -- extraction over the pages fixture ---------------------------------
     import __ray_entry__ as entry
 
