@@ -131,7 +131,7 @@ def main():
 
     eng2 = GraphEngine.from_edges(rd.read_parquet(tri_path), n=TRI_V, P=P)
     t0 = time.time()
-    bc = betweenness(eng2, sources=np.arange(0, TRI_V, TRI_V // 256), wave=64)
+    bc = betweenness(eng2, sources=np.arange(0, TRI_V, TRI_V // 64), wave=64)
     queries["betweenness_sampled_web"] = round(time.time() - t0, 3)
     eng2.shutdown()
 

@@ -1447,17 +1447,142 @@ class GraphShard:
             for q in range(self.P)
         ]
 
+    def _ms_coo_msgs(self, mask, V, indptr, targets, A=None):
+        """COO matrix messages: expand ONLY the active (vertex, column)
+        pairs' edges — total work over a whole BFS wave is exactly
+        edges x columns (each pair fires once), unlike the dense path
+        which touches every edge at EVERY level.  ``V`` is the per-pair
+        value array aligned with np.nonzero(mask).
+
+        HUB SPLITTING (the north rule's skew handling): a frontier hub
+        sends the SAME value to every neighbor — a rank-1 message — so
+        rows with degree >= _MS_HEAVY_DEG ship as one
+        (vid, value-row) broadcast to every shard and the RECEIVERS
+        expand them against their own static edge index.  Without this
+        the hub owner serializes deg x S cells and straggles the whole
+        superstep (measured 7.4 s vs 0.2 s across shards)."""
+        au, ac = np.nonzero(mask)
+        counts = np.diff(indptr)
+        out_bc = None
+        if A is not None and len(au):
+            heavy_row = counts >= self._MS_HEAVY_DEG
+            pair_heavy = heavy_row[au]
+            if pair_heavy.any():
+                hrows = np.unique(au[pair_heavy])
+                out_bc = (hrows + self.lo, A[hrows], np.int8(1))
+                au, ac, V = au[~pair_heavy], ac[~pair_heavy], V[~pair_heavy]
+        lens = counts[au]
+        tot = int(lens.sum())
+        S = mask.shape[1]
+        if tot == 0:
+            e = np.empty(0, np.int64)
+            empty = (e, e.copy(), np.empty(0))
+            if out_bc is not None:
+                return [[empty, out_bc]] * self.P
+            return [empty] * self.P
+        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat = (
+            np.arange(tot) - np.repeat(first, lens)
+            + np.repeat(indptr[au], lens)
+        )
+        dsts = targets[flat]
+        cols = np.repeat(ac, lens)
+        vals = np.repeat(V, lens)
+        # combiner: sum duplicate (dst, col) cells before shipping
+        # (several active sources often share out-neighbors)
+        key = dsts * np.int64(S) + cols
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        v = vals[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(new)
+        uk = k[idx]
+        uv = np.add.reduceat(v, idx) if len(idx) else v
+        dsts = uk // np.int64(S)
+        cols = (uk % np.int64(S)).astype(np.int64)
+        seg = np.searchsorted(dsts, self.bounds)
+        out = [
+            (dsts[seg[q]:seg[q + 1]], cols[seg[q]:seg[q + 1]],
+             uv[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+        if out_bc is not None:
+            out = [[piece, out_bc] for piece in out]
+        return out
+
+    _MS_HEAVY_DEG = 512
+
+    def _ms_coo_cost(self, mask, indptr) -> int:
+        # cost of the light pairs only (heavy rows go broadcast)
+        counts = np.diff(indptr)
+        au = np.nonzero(mask)[0]
+        d = counts[au]
+        return int(d[d < self._MS_HEAVY_DEG].sum())
+
     def ms_fwd_scatter(self, level: int):
         mask = self.ms_dist == level
+        S = mask.shape[1]
+        nedges = len(self.fw_dst)
+        if nedges and self._ms_coo_cost(mask, self.fw_indptr) * 3 < \
+                nedges * S:
+            A = np.where(mask, self.ms_sigma, 0.0)
+            V = self.ms_sigma[mask]
+            return self._ms_coo_msgs(
+                mask, V, self.fw_indptr, self.fw_dst, A=A
+            )
         A = np.where(mask, self.ms_sigma, 0.0)
         return self._ms_matrix_msgs(A, "fwd")
 
-    def ms_fwd_gather(self, level: int, *sender_outs) -> int:
+    def _ms_apply_piece(self, acc, piece, direction):
+        S = acc.shape[1]
+        if isinstance(piece, list):
+            for sub in piece:
+                self._ms_apply_piece(acc, sub, direction)
+            return
+        if len(piece) == 3 and piece[1].ndim == 2:
+            # broadcast hub rows: expand against the local edge index
+            vids, rows, _ = piece
+            if direction == "fwd":
+                sorted_keys, locs = self.rv_src_sorted, self.rv_dst_by_src
+            else:
+                sorted_keys, locs = self.fw_dst_sorted, self.fw_src_by_dst
+            starts = np.searchsorted(sorted_keys, vids)
+            ends = np.searchsorted(sorted_keys, vids + 1)
+            # per-hub local edge-multiplicity columns, applied as ONE
+            # matmul: acc += C @ rows (ufunc.at would be ~100x slower)
+            C = np.zeros((acc.shape[0], len(vids)))
+            any_edges = False
+            for i in range(len(vids)):
+                if ends[i] > starts[i]:
+                    C[:, i] = np.bincount(
+                        locs[starts[i]:ends[i]], minlength=acc.shape[0]
+                    )
+                    any_edges = True
+            if any_edges:
+                acc += C @ rows
+            return
+        if len(piece) == 3:
+            ids, cols, vals = piece
+            if len(ids):
+                flat = (ids - self.lo) * S + cols
+                acc += np.bincount(
+                    flat, weights=vals, minlength=acc.size
+                ).reshape(acc.shape)
+            return
+        ids, m = piece
+        if len(ids):
+            acc[ids - self.lo] += m
+
+    def _ms_acc(self, sender_outs, direction="fwd"):
+        """Sum matrix / COO / broadcast pieces."""
         acc = np.zeros_like(self.ms_sigma)
         for o in sender_outs:
-            ids, m = self._piece(o)
-            if len(ids):
-                acc[ids - self.lo] += m
+            self._ms_apply_piece(acc, self._piece(o), direction)
+        return acc
+
+    def ms_fwd_gather(self, level: int, *sender_outs) -> int:
+        acc = self._ms_acc(sender_outs, "fwd")
         newly = (self.ms_dist < 0) & (acc > 0)
         self.ms_dist[newly] = level + 1
         self.ms_sigma[newly] = acc[newly]
@@ -1472,14 +1597,17 @@ class GraphShard:
                                                  self.ms_sigma, 1.0),
                 0.0,
             )
+        nedges = len(self.rv_src)
+        if nedges and self._ms_coo_cost(mask, self.rv_indptr) * 3 < \
+                nedges * mask.shape[1]:
+            V = M[mask]
+            return self._ms_coo_msgs(
+                mask, V, self.rv_indptr, self.rv_src, A=M
+            )
         return self._ms_matrix_msgs(M, "rev")
 
     def ms_bwd_gather(self, level: int, *sender_outs):
-        acc = np.zeros_like(self.ms_delta)
-        for o in sender_outs:
-            ids, m = self._piece(o)
-            if len(ids):
-                acc[ids - self.lo] += m
+        acc = self._ms_acc(sender_outs, "rev")
         upd = self.ms_dist == level - 1
         self.ms_delta[upd] += (self.ms_sigma * acc)[upd]
         return 0
