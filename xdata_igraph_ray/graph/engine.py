@@ -1984,6 +1984,451 @@ class GraphShard:
     def topo_unassigned(self) -> int:
         return int((self.state["layer"] < 0).sum())
 
+    # -- max-flow: synchronous push-relabel (Goldberg-Tarjan) ----------------
+    #
+    # Reference igraph_maxflow (src/flow.c:470-1092) runs a sequential
+    # push-relabel with gap/global-relabel heuristics.  The distributed
+    # version alternates PURE-push and PURE-relabel supersteps: within a
+    # push round every shard uses the same height snapshot, so two
+    # endpoints of one edge can never both find it admissible
+    # (h[u]=h[v]+1 and h[v]=h[u]+1 are mutually exclusive) and replica
+    # flow copies stay consistent; within a relabel round no flow moves,
+    # so h'[v] = 1 + min(h[w] | residual (v,w)) preserves the validity
+    # invariant h[v] <= h[w] + 1 on every residual arc.  A periodic
+    # global relabel (residual BFS from t, then n + residual BFS to s)
+    # keeps rounds near the residual distance, as in the reference.
+    #
+    # Edge state: true flow f(u,v) lives at shard(u) in fwd-CSR order
+    # (mf_flow) with a replica at shard(v) in rev-CSR order (mf_rflow);
+    # each push updates its local copy and ships (owner, other, delta)
+    # to the replica, applied via a packed (local, other) key index.
+    # Requires a SIMPLE graph (the (local, other) key must be unique) —
+    # flow.py collapses parallel edges by capacity sum first.
+
+    def mf_init(self, s: int, t: int):
+        if self.size and (self.size - 1) * self.n + (self.n - 1) >= 2**62:
+            raise ValueError("maxflow: vid range too large for packed edge keys")
+        self.meta["mf_s"], self.meta["mf_t"] = int(s), int(t)
+        # phase 1: route preflow to t (active = e>0, h<n; vertices at
+        # h>=n freeze — their excess can no longer reach t); phase 2:
+        # return leftover excess to s (active = e>0, h<2n).  Mirrors
+        # the reference's two-phase igraph_maxflow (src/flow.c:470).
+        self.meta["mf_phase"] = 1
+        self.mf_cap = (
+            self.fw_w.astype(np.float64) if self.fw_w is not None
+            else np.ones(len(self.fw_dst))
+        )
+        self.mf_rcap = (
+            self.rv_w.astype(np.float64) if self.rv_w is not None
+            else np.ones(len(self.rv_src))
+        )
+        self.mf_flow = np.zeros(len(self.fw_dst))
+        self.mf_rflow = np.zeros(len(self.rv_src))
+        self.mf_e = np.zeros(self.size)
+        self.mf_h = np.zeros(self.size, dtype=np.int64)
+        if self.lo <= s < self.hi:
+            self.mf_h[s - self.lo] = self.n
+        # neighbor-height caches in CSR edge order (0 = everyone's start)
+        self.mf_h_fwd = np.zeros(len(self.fw_dst), dtype=np.int64)
+        self.mf_h_rev = np.zeros(len(self.rv_src), dtype=np.int64)
+        # packed (local_vertex, other_endpoint) -> CSR position indices
+        own_f = np.repeat(np.arange(self.size), np.diff(self.fw_indptr))
+        key_f = own_f * self.n + self.fw_dst
+        self.mf_fkey_perm = np.argsort(key_f, kind="stable")
+        self.mf_fkey_sorted = key_f[self.mf_fkey_perm]
+        own_r = np.repeat(np.arange(self.size), np.diff(self.rv_indptr))
+        key_r = own_r * self.n + self.rv_src
+        self.mf_rkey_perm = np.argsort(key_r, kind="stable")
+        self.mf_rkey_sorted = key_r[self.mf_rkey_perm]
+        self.mf_dist = None
+
+    def _split_sparse_sum(self, keys, vals):
+        """Per-destination-shard (ids, summed val) sparse messages."""
+        order = np.argsort(keys, kind="stable")
+        k, v = keys[order], vals[order]
+        first = np.ones(len(k), dtype=bool)
+        if len(k):
+            first[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(first)
+        uk = k[idx]
+        sums = np.add.reduceat(v, idx) if len(idx) else v
+        seg = np.searchsorted(uk, self.bounds)
+        return [
+            (uk[seg[q]:seg[q + 1]], sums[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def _mf_route_triples(self, owner, other, delta):
+        """Sort (owner, other, delta) by owner and slice per shard."""
+        order = np.argsort(owner, kind="stable")
+        o, x, d = owner[order], other[order], delta[order]
+        seg = np.searchsorted(o, self.bounds)
+        return [
+            (o[seg[q]:seg[q + 1]], x[seg[q]:seg[q + 1]], d[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def _mf_active(self):
+        s, t = self.meta["mf_s"], self.meta["mf_t"]
+        limit = self.n if self.meta["mf_phase"] == 1 else 2 * self.n
+        act = (self.mf_e > 1e-12) & (self.mf_h < limit)
+        for v in (s, t):
+            if self.lo <= v < self.hi:
+                act[v - self.lo] = False
+        return act
+
+    def mf_saturate_source(self):
+        """First superstep: saturate every out-arc of s (preflow init,
+        reference src/flow.c:557-569).  Only s's owner emits."""
+        s = self.meta["mf_s"]
+        empty = (np.empty(0, np.int64), np.empty(0))
+        empty3 = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        if not (self.lo <= s < self.hi):
+            return [(empty, empty3, empty3)] * self.P
+        i = s - self.lo
+        a, b = self.fw_indptr[i], self.fw_indptr[i + 1]
+        pos = np.arange(a, b)
+        pos = pos[self.mf_cap[pos] > 0]
+        delta = self.mf_cap[pos]
+        self.mf_flow[pos] = delta
+        dsts = self.fw_dst[pos]
+        ex = self._split_sparse_sum(dsts, delta)
+        repl = self._mf_route_triples(
+            dsts, np.full(len(dsts), s, dtype=np.int64), delta
+        )
+        return [(ex[q], repl[q], empty3) for q in range(self.P)]
+
+    def mf_push_scatter(self):
+        """Push round: discharge active vertices along admissible
+        residual arcs under the shared height snapshot.  Per-arc
+        allocation is vectorized: delta_j = min(r_j, remaining excess
+        after the arcs before j) via a segmented cumsum."""
+        act = self._mf_active()
+        empty = (np.empty(0, np.int64), np.empty(0))
+        empty3 = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
+        idx = np.flatnonzero(act)
+        if len(idx) == 0:
+            return [(empty, empty3, empty3)] * self.P
+        h = self.mf_h
+        # candidate admissible arcs: fwd (kind 0) then rev (kind 1)
+        parts = []
+        fa, fb = self.fw_indptr[idx], self.fw_indptr[idx + 1]
+        lens = fb - fa
+        tot = int(lens.sum())
+        if tot:
+            first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(fa, lens)
+            own = np.repeat(idx, lens)
+            r = self.mf_cap[flat] - self.mf_flow[flat]
+            adm = (r > 1e-12) & (h[own] == self.mf_h_fwd[flat] + 1)
+            parts.append((own[adm], flat[adm], r[adm],
+                          np.zeros(int(adm.sum()), dtype=np.int8)))
+        ra, rb = self.rv_indptr[idx], self.rv_indptr[idx + 1]
+        lens = rb - ra
+        tot = int(lens.sum())
+        if tot:
+            first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(ra, lens)
+            own = np.repeat(idx, lens)
+            r = self.mf_rflow[flat]
+            adm = (r > 1e-12) & (h[own] == self.mf_h_rev[flat] + 1)
+            parts.append((own[adm], flat[adm], r[adm],
+                          np.ones(int(adm.sum()), dtype=np.int8)))
+        if not parts:
+            return [(empty, empty3, empty3)] * self.P
+        own = np.concatenate([p[0] for p in parts])
+        pos = np.concatenate([p[1] for p in parts])
+        res = np.concatenate([p[2] for p in parts])
+        kind = np.concatenate([p[3] for p in parts])
+        if len(own) == 0:
+            return [(empty, empty3, empty3)] * self.P
+        # group arcs by owner (stable: fwd arcs precede rev arcs)
+        order = np.argsort(own, kind="stable")
+        own, pos, res, kind = own[order], pos[order], res[order], kind[order]
+        starts = np.ones(len(own), dtype=bool)
+        starts[1:] = own[1:] != own[:-1]
+        cum = np.cumsum(res)
+        seg_base = np.repeat(cum[starts] - res[starts], np.diff(
+            np.concatenate((np.flatnonzero(starts), [len(own)]))
+        ))
+        before = cum - res - seg_base
+        delta = np.minimum(res, np.maximum(self.mf_e[own] - before, 0.0))
+        keep = delta > 1e-12
+        own, pos, delta, kind = own[keep], pos[keep], delta[keep], kind[keep]
+        if len(own) == 0:
+            return [(empty, empty3, empty3)] * self.P
+        # apply locally
+        np.subtract.at(self.mf_e, own, delta)
+        f = kind == 0
+        np.add.at(self.mf_flow, pos[f], delta[f])
+        np.subtract.at(self.mf_rflow, pos[~f], delta[~f])
+        # messages
+        nbr = np.empty(len(own), dtype=np.int64)
+        nbr[f] = self.fw_dst[pos[f]]
+        nbr[~f] = self.rv_src[pos[~f]]
+        ex = self._split_sparse_sum(nbr, delta)
+        # replica updates: fwd push -> receiver owns dst, patches rflow
+        # (kind-0 triple); rev push -> receiver owns src, patches flow
+        # with a decrement (kind-1 triple)
+        gown = own + self.lo
+        repl0 = self._mf_route_triples(nbr[f], gown[f], delta[f])
+        repl1 = self._mf_route_triples(nbr[~f], gown[~f], delta[~f])
+        return [(ex[q], repl0[q], repl1[q]) for q in range(self.P)]
+
+    def _mf_lookup(self, key_sorted, key_perm, loc, other):
+        q = np.searchsorted(key_sorted, loc * self.n + other)
+        return key_perm[q]
+
+    def mf_push_gather(self, *sender_outs):
+        for o in sender_outs:
+            (eids, esum), (a_v, a_o, a_d), (b_v, b_o, b_d) = self._piece(o)
+            if len(eids):
+                np.add.at(self.mf_e, eids - self.lo, esum)
+            if len(a_v):
+                p = self._mf_lookup(self.mf_rkey_sorted, self.mf_rkey_perm,
+                                    a_v - self.lo, a_o)
+                np.add.at(self.mf_rflow, p, a_d)
+            if len(b_v):
+                p = self._mf_lookup(self.mf_fkey_sorted, self.mf_fkey_perm,
+                                    b_v - self.lo, b_o)
+                np.subtract.at(self.mf_flow, p, b_d)
+        t = self.meta["mf_t"]
+        t_ex = (
+            float(self.mf_e[t - self.lo]) if self.lo <= t < self.hi else 0.0
+        )
+        return {"active": int(self._mf_active().sum()), "t_excess": t_ex}
+
+    def mf_relabel_scatter(self):
+        """Relabel round: h'[v] = 1 + min residual-neighbor height for
+        active vertices with no admissible arc; broadcast changes."""
+        act = self._mf_active()
+        idx = np.flatnonzero(act)
+        e64 = np.empty(0, np.int64)
+        if len(idx) == 0:
+            return [(e64, e64)] * self.P
+        best = np.full(len(idx), 2 * self.n, dtype=np.int64)
+        fa, fb = self.fw_indptr[idx], self.fw_indptr[idx + 1]
+        lens = fb - fa
+        tot = int(lens.sum())
+        if tot:
+            first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(fa, lens)
+            owner_row = np.repeat(np.arange(len(idx)), lens)
+            r = self.mf_cap[flat] - self.mf_flow[flat]
+            hh = np.where(r > 1e-12, self.mf_h_fwd[flat], 2 * self.n)
+            np.minimum.at(best, owner_row, hh)
+        ra, rb = self.rv_indptr[idx], self.rv_indptr[idx + 1]
+        lens = rb - ra
+        tot = int(lens.sum())
+        if tot:
+            first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(ra, lens)
+            owner_row = np.repeat(np.arange(len(idx)), lens)
+            r = self.mf_rflow[flat]
+            hh = np.where(r > 1e-12, self.mf_h_rev[flat], 2 * self.n)
+            np.minimum.at(best, owner_row, hh)
+        newh = np.minimum(best + 1, 2 * self.n)
+        up = newh > self.mf_h[idx]
+        vids = idx[up] + self.lo
+        hs = newh[up]
+        self.mf_h[idx[up]] = hs
+        return [(vids, hs)] * self.P if self.P else []
+
+    def mf_heights_gather(self, *sender_outs) -> int:
+        """Patch per-arc neighbor-height caches from (vid, h) updates."""
+        changed = 0
+        for o in sender_outs:
+            vids, hs = self._piece(o)
+            if len(vids) == 0:
+                continue
+            changed += len(vids)
+            self._patch_cache(
+                self.mf_h_fwd, self.fw_ustarts, self.fw_udsts,
+                self.fw_dperm, len(self.fw_dst), vids, hs,
+            )
+            self._patch_cache(
+                self.mf_h_rev, self.rv_ustarts, self.rv_usrcs,
+                self.rv_sperm, len(self.rv_src), vids, hs,
+            )
+        return changed
+
+    def mf_broadcast_heights(self):
+        """(vid, h) for every locally nonzero height — cache (re)seed."""
+        idx = np.flatnonzero(self.mf_h != 0)
+        return [(idx + self.lo, self.mf_h[idx])] * self.P
+
+    # residual BFS (global relabel + min-cut side).  direction:
+    # "to"   — dist(v) = residual distance v -> seed (expand along arcs
+    #          INTO the frontier: in-arcs with spare capacity, out-arcs
+    #          with flow);
+    # "from" — dist(v) = residual distance seed -> v (expand along arcs
+    #          OUT of the frontier: out-arcs with spare capacity,
+    #          in-arcs with flow).
+
+    def mf_resbfs_init(self, seeds):
+        dist = np.full(self.size, np.iinfo(np.int64).max, dtype=np.int64)
+        sd = np.asarray(seeds, dtype=np.int64)
+        mine = sd[(sd >= self.lo) & (sd < self.hi)]
+        dist[mine - self.lo] = 0
+        self.mf_dist = dist
+        self.mf_changed = np.zeros(self.size, dtype=bool)
+        self.mf_changed[mine - self.lo] = True
+
+    def mf_resbfs_scatter(self, direction: str):
+        d = self.mf_dist
+        act = self.mf_changed
+        keys_l, val_l = [], []
+        counts_f = np.diff(self.fw_indptr)
+        counts_r = np.diff(self.rv_indptr)
+        if direction == "to":
+            m = np.repeat(act, counts_r) & (
+                self.mf_rcap - self.mf_rflow > 1e-12
+            )
+            keys_l.append(self.rv_src[m])
+            val_l.append(np.repeat(d, counts_r)[m] + 1)
+            m = np.repeat(act, counts_f) & (self.mf_flow > 1e-12)
+            keys_l.append(self.fw_dst[m])
+            val_l.append(np.repeat(d, counts_f)[m] + 1)
+        else:
+            m = np.repeat(act, counts_f) & (
+                self.mf_cap - self.mf_flow > 1e-12
+            )
+            keys_l.append(self.fw_dst[m])
+            val_l.append(np.repeat(d, counts_f)[m] + 1)
+            m = np.repeat(act, counts_r) & (self.mf_rflow > 1e-12)
+            keys_l.append(self.rv_src[m])
+            val_l.append(np.repeat(d, counts_r)[m] + 1)
+        keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
+        vals = np.concatenate(val_l) if val_l else np.empty(0, np.int64)
+        return self._split_sparse_min(keys, vals)
+
+    def mf_resbfs_gather(self, *sender_outs):
+        new = self.mf_dist.copy()
+        for ids, vals in (self._piece(o) for o in sender_outs):
+            if len(ids):
+                np.minimum.at(new, ids - self.lo, vals)
+        changed = new < self.mf_dist
+        self.mf_dist = new
+        self.mf_changed = changed
+        return {"changed": int(changed.sum())}
+
+    def mf_apply_global_relabel(self):
+        """Phase-1 global relabel from a finished residual BFS to t:
+        h = max(h, dist_t) for reached vertices, max(h, n) for
+        unreached (their excess can no longer reach t).  s and t keep
+        their pinned heights.  Exact residual distances are a valid
+        labeling, so monotone max() preserves the invariant."""
+        INF = np.iinfo(np.int64).max
+        reach = self.mf_dist < INF
+        s, t = self.meta["mf_s"], self.meta["mf_t"]
+        pin = np.zeros(self.size, dtype=bool)
+        for v in (s, t):
+            if self.lo <= v < self.hi:
+                pin[v - self.lo] = True
+        m = reach & ~pin
+        self.mf_h[m] = np.maximum(self.mf_h[m], self.mf_dist[m])
+        m = ~reach & ~pin
+        self.mf_h[m] = np.maximum(self.mf_h[m], self.n)
+
+    def mf_set_phase2(self):
+        """Enter phase 2 after a finished residual BFS to s:
+        h = n + dist_s (reached) / 2n (unreached), one-time fresh
+        labeling for the excess-return run (reference src/flow.c phase
+        2; hi_pr does the same re-initialization)."""
+        INF = np.iinfo(np.int64).max
+        self.meta["mf_phase"] = 2
+        s, t = self.meta["mf_s"], self.meta["mf_t"]
+        reach = self.mf_dist < INF
+        h = np.where(reach, self.mf_dist + self.n, 2 * self.n)
+        self.mf_h = h.astype(np.int64)
+        if self.lo <= s < self.hi:
+            self.mf_h[s - self.lo] = self.n
+        if self.lo <= t < self.hi:
+            self.mf_h[t - self.lo] = 0
+        # caches must be rebuilt: heights may have moved down
+        self.mf_h_fwd[:] = 0
+        self.mf_h_rev[:] = 0
+
+    def mf_apply_phase2_relabel(self):
+        """Mid-phase-2 refresh from a finished residual BFS to s:
+        monotone h = max(h, n + dist_s) (2n for unreached — those
+        carry no excess)."""
+        INF = np.iinfo(np.int64).max
+        s, t = self.meta["mf_s"], self.meta["mf_t"]
+        reach = self.mf_dist < INF
+        tgt = np.where(reach, self.mf_dist + self.n, 2 * self.n)
+        pin = np.zeros(self.size, dtype=bool)
+        for v in (s, t):
+            if self.lo <= v < self.hi:
+                pin[v - self.lo] = True
+        m = ~pin
+        self.mf_h[m] = np.maximum(self.mf_h[m], tgt[m])
+
+    def mf_reachable_mask(self):
+        return self.mf_dist < np.iinfo(np.int64).max
+
+    def mf_broadcast_reach(self):
+        """(vid, 1) for locally t-reaching vertices after the cut
+        BFS — patches receivers' per-arc reach caches."""
+        idx = np.flatnonzero(self.mf_dist < np.iinfo(np.int64).max)
+        return [(idx + self.lo, np.ones(len(idx), dtype=np.int64))] * self.P
+
+    def mf_cut_table(self, *sender_outs) -> pa.Table:
+        """Saturated crossing edges (src S-side = cannot reach t,
+        dst T-side = reaches t) of the min cut, from locally-owned
+        fwd arcs."""
+        reach_dst = np.zeros(len(self.fw_dst), dtype=np.int64)
+        for o in sender_outs:
+            vids, ones = self._piece(o)
+            self._patch_cache(
+                reach_dst, self.fw_ustarts, self.fw_udsts,
+                self.fw_dperm, len(self.fw_dst), vids, ones,
+            )
+        src_sside = np.repeat(
+            self.mf_dist == np.iinfo(np.int64).max, np.diff(self.fw_indptr)
+        )
+        own = np.repeat(
+            np.arange(self.lo, self.hi, dtype=np.int64),
+            np.diff(self.fw_indptr),
+        )
+        m = src_sside & (reach_dst == 1) & (self.mf_cap > 0)
+        return pa.table({
+            "src": own[m], "dst": self.fw_dst[m], "capacity": self.mf_cap[m],
+        })
+
+    def mf_stats(self):
+        s, t = self.meta["mf_s"], self.meta["mf_t"]
+        ex = self.mf_e.copy()
+        for v in (s, t):
+            if self.lo <= v < self.hi:
+                ex[v - self.lo] = 0.0
+        return {
+            "active": int(self._mf_active().sum()),
+            "t_excess": (
+                float(self.mf_e[t - self.lo]) if self.lo <= t < self.hi else 0.0
+            ),
+            "frozen_excess": float(ex[ex > 0].sum()),
+        }
+
+    def mf_flow_table(self) -> pa.Table:
+        """(src, dst, flow) for locally-owned edges with flow > 0."""
+        own = np.repeat(
+            np.arange(self.lo, self.hi, dtype=np.int64),
+            np.diff(self.fw_indptr),
+        )
+        m = self.mf_flow > 1e-12
+        return pa.table({
+            "src": own[m], "dst": self.fw_dst[m], "flow": self.mf_flow[m],
+        })
+
+    def mf_free(self):
+        for a in ("mf_cap", "mf_rcap", "mf_flow", "mf_rflow", "mf_e",
+                  "mf_h", "mf_h_fwd", "mf_h_rev", "mf_fkey_perm",
+                  "mf_fkey_sorted", "mf_rkey_perm", "mf_rkey_sorted",
+                  "mf_dist"):
+            if hasattr(self, a):
+                delattr(self, a)
+
     # -- checkpoint / restore -------------------------------------------------
     #
     # Checkpoints address a filesystem URI, not actor-local disk
