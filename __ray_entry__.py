@@ -1001,6 +1001,124 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# flow family (igraph_maxflow / st_mincut / connectivity / bipartite;
+# reference src/flow.c, src/bipartite.c, src/matching.c).  Graphs are
+# kept at <= 2^16 cut masks so DuckDB can oracle max-flow EXACTLY via
+# min-cut enumeration (max-flow-min-cut duality).
+
+NF = 12  # flow-graph vertices: 2^NF cut masks stay SQL-enumerable
+
+
+def _flow_edges(sf_dir: str, unit: bool = False) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        cols = {
+            "src": t["l_orderkey"].to_numpy() % NF,
+            "dst": t["l_partkey"].to_numpy() % NF,
+        }
+        if not unit:
+            cols["weight"] = np.ones(len(t))
+        return pa.table(cols)
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def q_maxflow(sf_dir: str):
+    """Max-flow value 0 -> 11 on the 12-vertex lineitem multigraph;
+    capacity = parallel-edge multiplicity (weight-1 edges collapsed by
+    flow_network's capacity-summing simplify)."""
+    from xdata_igraph_ray.graph import flow
+
+    eng = flow.flow_network(_flow_edges(sf_dir), n=NF, P=4)
+    try:
+        val = flow.maxflow(
+            eng, 0, NF - 1, with_flow=False, with_cut=False
+        )["value"]
+    finally:
+        eng.shutdown()
+    return pd.DataFrame({"maxflow_value": [float(val)]})
+
+
+def q_st_edge_connectivity(sf_dir: str):
+    from xdata_igraph_ray.graph import flow
+
+    eng = flow.flow_network(
+        _flow_edges(sf_dir, unit=True), n=NF, P=4, weighted=False
+    )
+    try:
+        val = flow.st_edge_connectivity(eng, 0, NF - 1)
+    finally:
+        eng.shutdown()
+    return pd.DataFrame({"connectivity": np.array([val], dtype=np.int64)})
+
+
+def _bip_edges(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 8,
+                "dst": 8 + t["l_suppkey"].to_numpy() % 8,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_is_bipartite(sf_dir: str):
+    """is_bipartite over two derived graphs: the 12-vertex multigraph
+    (loops/odd cycles -> false) and an 8+8 two-mode graph (true by
+    construction) — igraph_is_bipartite semantics incl. loops."""
+    from xdata_igraph_ray.graph import flow
+
+    a = flow.is_bipartite(_flow_edges(sf_dir, unit=True), n=NF, P=4)
+    b = flow.is_bipartite(_bip_edges(sf_dir), n=16, P=4)
+    return pd.DataFrame(
+        {
+            "graph": ["li12", "li_bi"],
+            "is_bipartite": np.array([a, b], dtype=np.int64),
+        }
+    )
+
+
+def _matching_edges(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_quantity", "l_linenumber",
+                 "l_discount"],
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy()
+        ln = t["l_linenumber"].to_numpy()
+        dc = t["l_discount"].to_numpy()
+        m = (q == 1) & (ln == 7) & (dc >= 0.09)
+        return pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy()[m] % 8,
+                "dst": 8 + t["l_suppkey"].to_numpy()[m] % 8,
+            }
+        )
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def q_bipartite_matching(sf_dir: str):
+    from xdata_igraph_ray.graph import flow
+
+    types = np.array([0] * 8 + [1] * 8, dtype=np.int8)
+    r = flow.bipartite_matching(
+        _matching_edges(sf_dir), n=16, types=types, P=4
+    )
+    return pd.DataFrame({"matching_size": np.array([r["size"]], np.int64)})
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 
 
@@ -1078,6 +1196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session": q_events_session,
         "pagerank_weighted_li": q_pagerank_weighted_li,
         "lineitem_pricing": q_lineitem_pricing,
+        "maxflow_li": q_maxflow,
+        "st_edge_connectivity_li": q_st_edge_connectivity,
+        "is_bipartite_li": q_is_bipartite,
+        "bipartite_matching_li": q_bipartite_matching,
     }
 
 
@@ -2090,5 +2212,117 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+            """,
+        # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
+        # vertices give 2^11 s-side masks; min cut capacity over all of
+        # them IS the max flow (no flow algorithm needed in SQL)
+        "maxflow_li": """
+            WITH e AS (
+              SELECT l_orderkey % 12 AS src, l_partkey % 12 AS dst,
+                     CAST(count(*) AS DOUBLE) AS cap
+              FROM lineitem
+              WHERE l_orderkey % 12 <> l_partkey % 12
+              GROUP BY 1, 2
+            ),
+            masks AS (
+              SELECT range AS m FROM range(0, 4096)
+              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
+            ),
+            cuts AS (
+              SELECT masks.m, coalesce(sum(e.cap), 0) AS cut
+              FROM masks LEFT JOIN e
+                ON ((masks.m >> e.src) & 1) = 1
+               AND ((masks.m >> e.dst) & 1) = 0
+              GROUP BY masks.m
+            )
+            SELECT min(cut) AS maxflow_value FROM cuts
+            """,
+        "st_edge_connectivity_li": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 12 AS src, l_partkey % 12 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 12 <> l_partkey % 12
+            ),
+            masks AS (
+              SELECT range AS m FROM range(0, 4096)
+              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
+            ),
+            cuts AS (
+              SELECT masks.m, count(e.src) AS cut
+              FROM masks LEFT JOIN e
+                ON ((masks.m >> e.src) & 1) = 1
+               AND ((masks.m >> e.dst) & 1) = 0
+              GROUP BY masks.m
+            )
+            SELECT CAST(min(cut) AS BIGINT) AS connectivity FROM cuts
+            """,
+        # bipartite iff no odd closed walk (per component); the walk
+        # closure over (start, v, parity) is a tiny fixpoint: 12*12*2
+        # states for li12, 16*16*2 for the two-mode graph
+        "is_bipartite_li": """
+            WITH RECURSIVE
+            ea AS (
+              SELECT DISTINCT l_orderkey % 12 AS a, l_partkey % 12 AS b
+              FROM lineitem
+            ),
+            ua AS (SELECT a, b FROM ea UNION SELECT b AS a, a AS b FROM ea),
+            wa(s, v, p) AS (
+              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ua) q
+              UNION
+              SELECT w.s, u.b, 1 - w.p FROM wa w JOIN ua u ON u.a = w.v
+            ),
+            eb AS (
+              SELECT DISTINCT l_orderkey % 8 AS a, 8 + (l_suppkey % 8) AS b
+              FROM lineitem
+            ),
+            ub AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
+            wb(s, v, p) AS (
+              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ub) q
+              UNION
+              SELECT w.s, u.b, 1 - w.p FROM wb w JOIN ub u ON u.a = w.v
+            )
+            SELECT 'li12' AS graph,
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM wa WHERE s = v AND p = 1
+                   ) THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
+            UNION ALL
+            SELECT 'li_bi',
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM wb WHERE s = v AND p = 1
+                   ) THEN 0 ELSE 1 END AS BIGINT)
+            """,
+        # maximum bipartite matching = min cut of the unit network
+        # s -> L(8) -> R(8) -> t, enumerated over 2^16 middle masks
+        # (Koenig duality; arcs: s->every left, every right->t)
+        "bipartite_matching_li": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 8 AS l, l_suppkey % 8 AS r
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_linenumber = 7
+                AND l_discount >= 0.09
+            ),
+            masks AS (SELECT range AS m FROM range(0, 65536)),
+            sl AS (
+              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
+              WHERE ((m >> i) & 1) = 0 GROUP BY m
+            ),
+            rt AS (
+              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
+              WHERE ((m >> (8 + i)) & 1) = 1 GROUP BY m
+            ),
+            mid AS (
+              SELECT masks.m, count(e.l) AS c
+              FROM masks LEFT JOIN e
+                ON ((masks.m >> e.l) & 1) = 1
+               AND ((masks.m >> (8 + e.r)) & 1) = 0
+              GROUP BY masks.m
+            )
+            SELECT CAST(min(
+              coalesce(sl.c, 0) + coalesce(rt.c, 0) + coalesce(mid.c, 0)
+            ) AS BIGINT) AS matching_size
+            FROM masks
+            LEFT JOIN sl USING (m)
+            LEFT JOIN rt USING (m)
+            LEFT JOIN mid USING (m)
             """,
     }
