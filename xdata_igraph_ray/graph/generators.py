@@ -405,3 +405,32 @@ def famous(name: str) -> pa.Table:
             f"unknown famous graph {name!r}; have {sorted(_FAMOUS)}"
         ) from None
     return _table([a for a, _ in edges], [b for _, b in edges])
+
+
+def hsbm(n_clusters: int, m: int, rho, C, p_out: float,
+         seed: int = 42) -> pa.Table:
+    """Hierarchical stochastic block model (igraph_hsbm_game,
+    src/sbm.c:243): ``n_clusters`` clusters of ``m`` vertices; within
+    a cluster the vertices split into blocks by proportions ``rho``
+    with Bernoulli block matrix ``C``; any inter-cluster pair is
+    Bernoulli(``p_out``).  Undirected, symmetric edges (sbm
+    conventions above)."""
+    rng = np.random.default_rng(seed)
+    rho = np.asarray(rho, np.float64)
+    C = np.asarray(C, np.float64)
+    if abs(float(rho.sum()) - 1.0) > 1e-9:
+        raise ValueError("hsbm: rho must sum to 1")
+    sizes = np.round(rho * m).astype(np.int64)
+    sizes[-1] = m - sizes[:-1].sum()
+    if (sizes < 0).any() or sizes.sum() != m:
+        raise ValueError("hsbm: rho does not partition the cluster size")
+    block_of = np.repeat(np.arange(len(sizes)), sizes)
+    n = n_clusters * m
+    cluster = np.arange(n) // m
+    block = np.tile(block_of, n_clusters)
+    iu, ju = np.triu_indices(n, k=1)
+    same = cluster[iu] == cluster[ju]
+    p = np.where(same, C[block[iu], block[ju]], p_out)
+    keep = rng.random(len(iu)) < p
+    a, b = iu[keep], ju[keep]
+    return _table(np.concatenate((a, b)), np.concatenate((b, a)))

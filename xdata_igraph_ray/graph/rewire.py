@@ -1,0 +1,194 @@
+"""Degree-preserving randomization (igraph_rewire,
+src/structural_properties.c:1544: random double-edge swaps keeping the
+graph simple).
+
+Round 1 documented this as an RNG-mutation skip; this is the
+distributed, DETERMINISTIC (seeded) version:
+
+* each round, every edge is routed to a pseudo-random bucket (seeded
+  hash of (round, edge)); buckets swap locally — a double-edge swap
+  (a,b),(c,d) -> (a,d),(c,b) is accepted iff it creates no loop and no
+  duplicate within the bucket's current edge set;
+* cross-bucket duplicates can still arise, so a repair round follows:
+  edges are routed BY (src,dst) (duplicates co-locate) and each bucket
+  re-swaps surplus copies; repeat until the graph is simple.
+
+Degrees (out and in separately) are invariant under every swap, loops
+are never created, and the result is a pure function of (input, seed,
+P).  Per-bucket work is a Python swap loop over its slice — the same
+per-trial cost as the reference, parallel across buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..exchange import block_refs, to_dataset
+
+_H1 = np.uint64(0x9E3779B97F4A7C15)
+_H2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * _H1
+    x = (x ^ (x >> np.uint64(27))) * _H2
+    return x ^ (x >> np.uint64(31))
+
+
+@ray.remote
+def _route_random(tbl: pa.Table, rnd: int, seed: int, P: int):
+    """Split a block into P pieces by a seeded hash of the edge."""
+    src = tbl["src"].to_numpy().astype(np.uint64)
+    dst = tbl["dst"].to_numpy().astype(np.uint64)
+    h = _mix(src * np.uint64(1_000_003) + dst
+             + np.uint64(seed * 7919 + rnd * 104729))
+    b = (h % np.uint64(P)).astype(np.int64)
+    out = []
+    for q in range(P):
+        m = b == q
+        out.append(pa.table({"src": tbl["src"].to_numpy()[m],
+                             "dst": tbl["dst"].to_numpy()[m]}))
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _route_by_edge(tbl: pa.Table, P: int):
+    src = tbl["src"].to_numpy().astype(np.uint64)
+    dst = tbl["dst"].to_numpy().astype(np.uint64)
+    h = _mix(src * np.uint64(1_000_003) + dst)
+    b = (h % np.uint64(P)).astype(np.int64)
+    out = []
+    for q in range(P):
+        m = b == q
+        out.append(pa.table({"src": tbl["src"].to_numpy()[m],
+                             "dst": tbl["dst"].to_numpy()[m]}))
+    return out if P > 1 else out[0]
+
+
+@ray.remote
+def _swap_bucket(rnd: int, seed: int, q: int, trials_factor: int,
+                 *parts: pa.Table) -> pa.Table:
+    t = pa.concat_tables([p for p in parts if p is not None and len(p)],
+                         promote_options="default") if parts else None
+    if t is None or len(t) < 2:
+        return t if t is not None else pa.table(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+    src = t["src"].to_numpy().copy()
+    dst = t["dst"].to_numpy().copy()
+    rng = np.random.default_rng((seed, rnd, q))
+    seen = set(zip(src.tolist(), dst.tolist()))
+    m = len(src)
+    for _ in range(trials_factor * m):
+        i, j = rng.integers(0, m, size=2)
+        if i == j:
+            continue
+        a, b = int(src[i]), int(dst[i])
+        c, d = int(src[j]), int(dst[j])
+        if a == d or c == b:
+            continue  # would create a loop
+        if (a, d) in seen or (c, b) in seen:
+            continue  # would create a duplicate
+        seen.discard((a, b))
+        seen.discard((c, d))
+        seen.add((a, d))
+        seen.add((c, b))
+        dst[i], dst[j] = d, b
+    return pa.table({"src": src, "dst": dst})
+
+
+@ray.remote
+def _repair_bucket(seed: int, q: int, *parts: pa.Table) -> pa.Table:
+    """Buckets own whole (src,dst) duplicate groups here; re-swap
+    surplus copies against random distinct partners."""
+    t = pa.concat_tables([p for p in parts if p is not None and len(p)],
+                         promote_options="default") if parts else None
+    if t is None or len(t) == 0:
+        return pa.table(
+            {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        )
+    src = t["src"].to_numpy().copy()
+    dst = t["dst"].to_numpy().copy()
+    m = len(src)
+    rng = np.random.default_rng((seed, 0xD0BE, q))
+    seen: dict = {}
+    surplus = []
+    for i in range(m):
+        k = (int(src[i]), int(dst[i]))
+        if k in seen or k[0] == k[1]:
+            surplus.append(i)
+        else:
+            seen[k] = i
+    for i in surplus:
+        a, b = int(src[i]), int(dst[i])
+        for _ in range(64):
+            j = int(rng.integers(0, m))
+            if j == i:
+                continue
+            c, d = int(src[j]), int(dst[j])
+            if (c, d) not in seen or seen[(c, d)] != j:
+                continue  # j itself is surplus; skip
+            if a == d or c == b or (a, d) in seen or (c, b) in seen:
+                continue
+            del seen[(c, d)]
+            dst[i], dst[j] = d, b
+            seen[(a, d)] = i
+            seen[(c, b)] = j
+            break
+        # unresolved surplus edges stay; caller loops until clean
+    return pa.table({"src": src, "dst": dst})
+
+
+@ray.remote
+def _dup_count(tbl: pa.Table) -> int:
+    src = tbl["src"].to_numpy()
+    dst = tbl["dst"].to_numpy()
+    if len(src) == 0:
+        return 0
+    loops = int((src == dst).sum())
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    return loops + (len(src) - len(pairs))
+
+
+def rewire(edges, rounds: int = 4, trials_factor: int = 4,
+           seed: int = 42, P: int = 8):
+    """Randomize a SIMPLE directed edge set preserving every vertex's
+    in/out degree.  ``rounds`` re-bucketings x ``trials_factor`` * |E|
+    local swap trials per bucket approximate the reference's
+    10*|E|-trial default mixing."""
+    refs = edges if isinstance(edges, list) else (
+        [ray.put(edges)] if isinstance(edges, pa.Table) else block_refs(edges)
+    )
+    for rnd in range(rounds):
+        routed = [
+            _route_random.options(num_returns=P if P > 1 else 1).remote(
+                r, rnd, seed, P
+            )
+            for r in refs
+        ]
+        routed = [[x] if P == 1 else x for x in routed]
+        refs = [
+            _swap_bucket.remote(
+                rnd, seed, q, trials_factor, *[rt[q] for rt in routed]
+            )
+            for q in range(P)
+        ]
+    # repair cross-bucket duplicates (routing by edge co-locates them)
+    for _ in range(16):
+        routed = [
+            _route_by_edge.options(num_returns=P if P > 1 else 1).remote(r, P)
+            for r in refs
+        ]
+        routed = [[x] if P == 1 else x for x in routed]
+        refs = [
+            _repair_bucket.remote(seed, q, *[rt[q] for rt in routed])
+            for q in range(P)
+        ]
+        dups = sum(ray.get([_dup_count.remote(r) for r in refs]))
+        if dups == 0:
+            break
+    else:
+        raise RuntimeError("rewire: could not restore simplicity")
+    return to_dataset(refs)
