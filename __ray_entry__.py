@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from xdata_igraph_ray.sources.readers import read_parquet_clean as _read_pq
+
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 NV = 1000  # lineitem-graph vertex-id space
 PR_ITERS = 40
@@ -74,7 +76,7 @@ except Exception:
 
 
 def _li_edges(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     return ds.map_batches(
@@ -106,14 +108,14 @@ def q_extract_text(sf_dir: str):
     from xdata_igraph_ray.stages.extract import extracted_text
 
     paths = pages_fixture(sf_dir)
-    return extracted_text(rd.read_parquet(paths["pages"]))
+    return extracted_text(_read_pq(paths["pages"]))
 
 
 def q_extract_edges(sf_dir: str):
     from xdata_igraph_ray.stages.extract import extracted_edges
 
     paths = pages_fixture(sf_dir)
-    return extracted_edges(rd.read_parquet(paths["pages"]))
+    return extracted_edges(_read_pq(paths["pages"]))
 
 
 def q_vertices_pages(sf_dir: str):
@@ -121,7 +123,7 @@ def q_vertices_pages(sf_dir: str):
     from xdata_igraph_ray.stages.extract import extracted_edges
 
     paths = pages_fixture(sf_dir)
-    return vertex_dict(extracted_edges(rd.read_parquet(paths["pages"])), P=8)
+    return vertex_dict(extracted_edges(_read_pq(paths["pages"])), P=8)
 
 
 def q_pagerank_pages(sf_dir: str):
@@ -131,7 +133,7 @@ def q_pagerank_pages(sf_dir: str):
     from xdata_igraph_ray.graph.pagerank import pagerank
 
     paths = pages_fixture(sf_dir)
-    verts, edges = build_graph_tables(rd.read_parquet(paths["pages"]), P=8)
+    verts, edges = build_graph_tables(_read_pq(paths["pages"]), P=8)
     eng = GraphEngine.from_edges(edges, P=8)
     # fixed iterations + rounding so the DuckDB oracle (same recursion,
     # dangling mass redistributed per iteration) is hash-comparable
@@ -238,7 +240,7 @@ def q_edge_ops(sf_dir: str):
     from xdata_igraph_ray.graph import ops
 
     e1 = _li_edges(sf_dir)
-    ds2 = rd.read_parquet(
+    ds2 = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -278,7 +280,7 @@ def q_sssp_weighted(sf_dir: str):
     from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.paths import sssp_weighted
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_quantity"],
     ).map_batches(
@@ -304,7 +306,7 @@ NV2 = 200  # closeness/betweenness graph: all-pairs oracles are cubic
 
 
 def _li_edges_200(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -336,7 +338,7 @@ def q_betweenness(sf_dir: str):
     from xdata_igraph_ray.graph.centrality import betweenness
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -402,7 +404,7 @@ def q_scan1_them(sf_dir: str):
     1-neighborhoods."""
     from xdata_igraph_ray.graph.scan import local_scan_1_ecount_them
 
-    them = rd.read_parquet(
+    them = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -475,7 +477,7 @@ def q_strength(sf_dir: str):
     """Weighted degrees with weight = l_quantity."""
     from xdata_igraph_ray.graph.metrics import strength
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_quantity"],
     ).map_batches(
@@ -541,7 +543,7 @@ def q_diversity(sf_dir: str):
     """Weighted diversity over the l_quantity multigraph."""
     from xdata_igraph_ray.graph.metrics import diversity
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_quantity"],
     ).map_batches(
@@ -639,7 +641,7 @@ def q_edge_betweenness(sf_dir: str):
     from xdata_igraph_ray.graph.centrality import edge_betweenness
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -679,7 +681,7 @@ def q_cliques(sf_dir: str):
     no SQL equivalent)."""
     from xdata_igraph_ray.graph.cliques import maximal_cliques
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     ).map_batches(
         lambda t: pa.table(
@@ -750,7 +752,7 @@ def q_scan1(sf_dir: str):
 
 
 def _docs(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return _read_pq(f"{sf_dir}/documents.parquet")
 
 
 def q_token_stats(sf_dir: str):
@@ -806,7 +808,7 @@ def q_simhash_pairs(sf_dir: str):
 def q_knn(sf_dir: str):
     from xdata_igraph_ray.stages.similarity import knn_brute
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet")
     q = np.stack([r["embedding"] for r in emb.take(4)])
     out = knn_brute(emb, q, k=10)
     return out.select(["query_id", "vec_id"])
@@ -815,7 +817,7 @@ def q_knn(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     from xdata_igraph_ray.stages.similarity import knn_ivf
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet")
     q = np.stack([r["embedding"] for r in emb.take(4)])
     out = knn_ivf(emb, q, k=10, n_clusters=8, nprobe=8)
     return out.select(["query_id", "vec_id"])
@@ -824,7 +826,7 @@ def q_knn_ivf(sf_dir: str):
 def q_embedding_near_dup(sf_dir: str):
     from xdata_igraph_ray.stages.dedup import embedding_near_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet")
     # ids only: the verify cosine is float64 while DuckDB's
     # list_cosine_similarity on float32 lists differs in the last ulps.
     # Explicit frame: a 0-row Dataset drops its schema in to_pandas.
@@ -846,7 +848,7 @@ def q_embedding_near_dup_planted(sf_dir: str):
     checked pair-for-pair against a brute-force SQL oracle."""
     from xdata_igraph_ray.stages.dedup import embedding_near_dup_pairs
 
-    emb = rd.read_parquet(_planted_emb_path())
+    emb = _read_pq(_planted_emb_path())
     df = embedding_near_dup_pairs(emb, threshold=0.95, P=4).to_pandas()
     return df[["a", "b"]].sort_values(["a", "b"]).reset_index(drop=True)
 
@@ -883,7 +885,7 @@ def q_multimodal_features(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     from xdata_igraph_ray.exchange import groupby_agg
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     ).map_batches(
         lambda t: pa.table(
@@ -911,7 +913,7 @@ def q_events_hourly(sf_dir: str):
 def q_events_sliding(sf_dir: str):
     from xdata_igraph_ray.stages.windows import sliding
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     out = sliding(ev, "user_id", "ts", "value", width_s=7200, step_s=3600, P=8)
@@ -931,7 +933,7 @@ def q_events_sliding(sf_dir: str):
 def q_events_session(sf_dir: str):
     from xdata_igraph_ray.stages.windows import session
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return session(ev, "user_id", "ts", gap_s=1800, P=8)
 
 
@@ -940,7 +942,7 @@ def q_pagerank_weighted_li(sf_dir: str):
     from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.pagerank import pagerank
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_quantity"],
     ).map_batches(
@@ -964,7 +966,7 @@ def q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-shaped aggregate through the engine's exchange."""
     from xdata_igraph_ray.exchange import groupby_agg
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -1010,7 +1012,7 @@ NF = 12  # flow-graph vertices: 2^NF cut masks stay SQL-enumerable
 
 
 def _flow_edges(sf_dir: str, unit: bool = False) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
@@ -1056,7 +1058,7 @@ def q_st_edge_connectivity(sf_dir: str):
 
 
 def _bip_edges(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
     )
     return ds.map_batches(
@@ -1087,7 +1089,7 @@ def q_is_bipartite(sf_dir: str):
 
 
 def _matching_edges(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_quantity", "l_linenumber",
                  "l_discount"],
@@ -1106,6 +1108,24 @@ def _matching_edges(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def q_random_walks(sf_dir: str):
+    """200 x 16-step deterministic random walks on the 1000-vertex
+    lineitem graph (igraph_random_walk; counter-hash sampling, so the
+    output is a pure function of the graph + seed — but not
+    SQL-expressible: rows-only check)."""
+    from xdata_igraph_ray.graph.paths import random_walks
+
+    eng = _engine(sf_dir)
+    try:
+        ds = random_walks(eng, list(range(200)), steps=16, seed=7)
+        df = ds.to_pandas().sort_values(["walk", "step"]).reset_index(
+            drop=True
+        )
+    finally:
+        eng.shutdown()
+    return df
 
 
 def q_bipartite_matching(sf_dir: str):
@@ -1200,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_edge_connectivity_li": q_st_edge_connectivity,
         "is_bipartite_li": q_is_bipartite,
         "bipartite_matching_li": q_bipartite_matching,
+        "random_walks_li": q_random_walks,
     }
 
 

@@ -56,6 +56,8 @@ def main():
     import ray
     import ray.data as rd
 
+from xdata_igraph_ray.sources.readers import read_parquet_clean as _read_pq
+
     ray.init(
         address="local", num_cpus=NCPU, include_dashboard=False,
         logging_level="ERROR",
@@ -76,7 +78,7 @@ def main():
 
     # -- pagerank / wcc / lpa on the big web graph -------------------------
     path = _edges_parquet(BENCH_V)
-    edges = rd.read_parquet(path)
+    edges = _read_pq(path)
     # warm the OS page cache with a REAL data pass (parquet count()
     # reads only metadata), so timed runs measure compute+shuffle
     with open(path, "rb") as f:
@@ -118,7 +120,7 @@ def main():
     tri_path = _edges_parquet(TRI_V)
     t0 = time.time()
     total, _ = triangles(
-        rd.read_parquet(tri_path), n=TRI_V, P=P, per_vertex=False
+        _read_pq(tri_path), n=TRI_V, P=P, per_vertex=False
     )
     queries["triangles_web"] = round(time.time() - t0, 3)
     extras["triangles_total"] = total
@@ -129,14 +131,14 @@ def main():
     from xdata_igraph_ray.graph.centrality import betweenness
     from xdata_igraph_ray.graph.community import louvain
 
-    eng2 = GraphEngine.from_edges(rd.read_parquet(tri_path), n=TRI_V, P=P)
+    eng2 = GraphEngine.from_edges(_read_pq(tri_path), n=TRI_V, P=P)
     t0 = time.time()
     bc = betweenness(eng2, sources=np.arange(0, TRI_V, TRI_V // 64), wave=64)
     queries["betweenness_sampled_web"] = round(time.time() - t0, 3)
     eng2.shutdown()
 
     t0 = time.time()
-    _, ncomm = louvain(rd.read_parquet(tri_path), n=TRI_V, P=P)
+    _, ncomm = louvain(_read_pq(tri_path), n=TRI_V, P=P)
     queries["louvain_web"] = round(time.time() - t0, 3)
     extras["louvain_communities"] = ncomm
 
@@ -144,7 +146,7 @@ def main():
     import __ray_entry__ as entry
 
     paths = entry.pages_fixture(SF_DIR)
-    pages = rd.read_parquet(paths["pages"])
+    pages = _read_pq(paths["pages"])
     pages.count()  # warm
     t0 = time.time()
     extracted_edges(pages).materialize()

@@ -198,3 +198,19 @@ def test_bipartite_matching_vs_networkx(seed):
         seen_l.add(a)
         seen_r.add(b)
     assert len(seen_l) == r["size"]
+
+
+def test_global_mincut_vs_networkx():
+    from xdata_igraph_ray.graph.flow import mincut
+
+    edges, caps = _random_flow_case(9, n=9, m=30)
+    g = _nx_digraph(edges, caps, 9)
+    # networkx global directed weighted min cut: min over rooted pairs
+    want = min(
+        min(nx.minimum_cut_value(g, 0, v), nx.minimum_cut_value(g, v, 0))
+        for v in range(1, 9)
+    )
+    r = mincut(_edges_table(edges, caps), n=9, P=2)
+    assert abs(r["value"] - want) < 1e-6
+    cut_cap = sum(r["cut"]["capacity"].to_pylist())
+    assert abs(cut_cap - want) < 1e-6

@@ -2429,6 +2429,116 @@ class GraphShard:
             if hasattr(self, a):
                 delattr(self, a)
 
+    # -- random walks (igraph_random_walk, src/random_walk.c:55: uniform
+    #    next-neighbor steps, walk stops at a sink).  Walks are owned by
+    #    the shard of their CURRENT vertex and hop between shards as
+    #    messages; each shard appends (walk, step, vid) visit records
+    #    for walks while resident, so per-superstep traffic is O(active
+    #    walks), not O(walks x length).  Next-step sampling is a seeded
+    #    counter hash of (walk, step) — deterministic for any P. -----------
+
+    def rw_init(self, walk_ids, starts, seed: int, weighted: bool):
+        self.meta["rw_seed"] = int(seed)
+        self.meta["rw_weighted"] = bool(weighted and self.weighted)
+        w = np.asarray(walk_ids, dtype=np.int64)
+        v = np.asarray(starts, dtype=np.int64)
+        mine = (v >= self.lo) & (v < self.hi)
+        self.rw_ids = w[mine]
+        self.rw_cur = v[mine]
+        self.rw_step = np.zeros(len(self.rw_ids), dtype=np.int64)
+        self.rw_rec = [
+            (self.rw_ids.copy(), self.rw_step.copy(), self.rw_cur.copy())
+        ]
+        if self.meta["rw_weighted"]:
+            self.rw_cumw = np.concatenate(
+                ([0.0], np.cumsum(self.fw_w))
+            )
+
+    @staticmethod
+    def _rw_hash(ids, step, seed):
+        # mix constants folded in python ints (numpy SCALAR uint64
+        # multiplies warn on wraparound; array ops wrap silently)
+        k = np.uint64((step + seed * 0x94D049BB133111EB) % (1 << 64))
+        x = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        x ^= k
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def rw_advance(self):
+        """One step for all resident walks: sample next neighbor,
+        route (walk_id, step+1, next_vid) to the next owner."""
+        e = np.empty(0, np.int64)
+        if len(self.rw_ids) == 0:
+            return [(e, e, e)] * self.P
+        loc = self.rw_cur - self.lo
+        deg = np.diff(self.fw_indptr)[loc]
+        alive = deg > 0
+        ids = self.rw_ids[alive]
+        loc = loc[alive]
+        step = self.rw_step[alive]
+        h = self._rw_hash(ids, 0, self.meta["rw_seed"])
+        h = self._rw_hash(h + step.astype(np.uint64), 1, self.meta["rw_seed"])
+        starts_ = self.fw_indptr[loc]
+        if self.meta["rw_weighted"]:
+            tot = self.rw_cumw[self.fw_indptr[loc + 1]] - self.rw_cumw[starts_]
+            u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            tgt = self.rw_cumw[starts_] + u * tot
+            pos = np.searchsorted(self.rw_cumw, tgt, side="right") - 1
+            pos = np.minimum(
+                np.maximum(pos, starts_), self.fw_indptr[loc + 1] - 1
+            )
+        else:
+            pos = starts_ + (h % deg[alive].astype(np.uint64)).astype(np.int64)
+        nxt = self.fw_dst[pos]
+        # drop walk state locally; records for past residency are kept
+        self.rw_ids = np.empty(0, np.int64)
+        self.rw_cur = np.empty(0, np.int64)
+        self.rw_step = np.empty(0, np.int64)
+        order = np.argsort(nxt, kind="stable")
+        ids, nsteps, nxt = ids[order], step[order] + 1, nxt[order]
+        seg = np.searchsorted(nxt, self.bounds)
+        return [
+            (ids[seg[q]:seg[q + 1]], nsteps[seg[q]:seg[q + 1]],
+             nxt[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def rw_gather(self, *sender_outs) -> int:
+        ids_l, step_l, cur_l = [], [], []
+        for o in sender_outs:
+            ids, steps, vs = self._piece(o)
+            if len(ids):
+                ids_l.append(ids)
+                step_l.append(steps)
+                cur_l.append(vs)
+        if ids_l:
+            self.rw_ids = np.concatenate(ids_l)
+            self.rw_step = np.concatenate(step_l)
+            self.rw_cur = np.concatenate(cur_l)
+            self.rw_rec.append(
+                (self.rw_ids.copy(), self.rw_step.copy(), self.rw_cur.copy())
+            )
+        return int(len(self.rw_ids))
+
+    def rw_table(self) -> pa.Table:
+        if not getattr(self, "rw_rec", None):
+            return pa.table({
+                "walk": np.empty(0, np.int64),
+                "step": np.empty(0, np.int64),
+                "vid": np.empty(0, np.int64),
+            })
+        return pa.table({
+            "walk": np.concatenate([r[0] for r in self.rw_rec]),
+            "step": np.concatenate([r[1] for r in self.rw_rec]),
+            "vid": np.concatenate([r[2] for r in self.rw_rec]),
+        })
+
+    def rw_free(self):
+        for a in ("rw_ids", "rw_cur", "rw_step", "rw_rec", "rw_cumw"):
+            if hasattr(self, a):
+                delattr(self, a)
+
     # -- checkpoint / restore -------------------------------------------------
     #
     # Checkpoints address a filesystem URI, not actor-local disk

@@ -233,6 +233,26 @@ def edge_connectivity(edges, n: int, P: int = 8) -> int:
         eng.shutdown()
 
 
+def mincut(edges, n: int, P: int = 8) -> dict:
+    """Global minimum (weighted) cut of a directed capacity graph
+    (igraph_mincut, src/flow.c:1615: min over the n-1 rooted st-cuts
+    in both orientations).  Each st-flow is distributed; the O(n) loop
+    bounds this to small-n scope like the reference's own algorithm."""
+    eng = flow_network(edges, n=n, P=P, weighted=True)
+    try:
+        best = None
+        for v in range(1, n):
+            for (a, b) in ((0, v), (v, 0)):
+                r = maxflow(eng, a, b, with_flow=False, with_cut=True)
+                if best is None or r["value"] < best["value"]:
+                    best = r
+                if best["value"] == 0:
+                    return best
+        return best if best is not None else {"value": 0.0}
+    finally:
+        eng.shutdown()
+
+
 def _split_edges(tbl: pa.Table, big: float) -> pa.Table:
     """Vertex-splitting gadget (igraph_st_vertex_connectivity,
     src/flow.c:1797): v -> v_in=2v, v_out=2v+1; internal arc cap 1,

@@ -342,3 +342,39 @@ def girth(edges, n: int, P: int = 8, wave: int = 128) -> float:
     ray.get([s.ms_free.remote() for s in eng.shards])
     eng.shutdown()
     return float("inf") if best >= (1 << 20) else float(best)
+
+
+def random_walks(
+    engine: GraphEngine,
+    starts,
+    steps: int,
+    seed: int = 42,
+    weighted: bool = False,
+):
+    """Uniform (or weight-proportional) random walks —
+    igraph_random_walk (src/random_walk.c:55): one walk per entry of
+    ``starts``, each advancing ``steps`` hops along out-edges and
+    stopping early at sinks.  Deterministic for a given seed at ANY
+    shard count: the next-neighbor draw is a counter hash of
+    (walk, step), not an RNG stream.  Returns a Dataset
+    (walk, step, vid); per-superstep traffic is O(active walks)."""
+    import ray.data as rd
+
+    shards = engine.shards
+    starts = np.atleast_1d(np.asarray(starts, dtype=np.int64))
+    walk_ids = np.arange(len(starts), dtype=np.int64)
+    ray.get([
+        s.rw_init.remote(walk_ids, starts, seed, weighted) for s in shards
+    ])
+    for _ in range(steps):
+        outs = engine.scatter("rw_advance")
+        alive = sum(ray.get([
+            shards[q].rw_gather.remote(*engine.pieces(outs, q))
+            for q in range(engine.P)
+        ]))
+        if alive == 0:
+            break
+    tbls = [s.rw_table.remote() for s in shards]
+    ds = rd.from_arrow_refs(tbls)
+    ray.get([s.rw_free.remote() for s in shards])
+    return ds

@@ -145,8 +145,26 @@ def write_ncol(edges_url: Dataset, path: str, weights: bool = False) -> None:
     )
 
 
+def read_parquet_clean(path, columns=None, **kw) -> Dataset:
+    """``read_parquet`` with the source's schema-level metadata
+    stripped.  pandas-written parquet carries a ``b'pandas'`` metadata
+    blob whose parsed dict makes ``pa.Schema`` unhashable on pyarrow
+    16, so Ray Data's schema-dedup hash (``set(schemas)`` in
+    transform_pyarrow.unify_schemas) warns on EVERY read and forfeits
+    its early exit.  Feeding the metadata-free schema restores both."""
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path).schema.remove_metadata()
+        if columns is not None:
+            schema = pa.schema([schema.field(c) for c in columns])
+    except Exception:
+        schema = None
+    return rd.read_parquet(path, columns=columns, schema=schema, **kw)
+
+
 def read_edges_parquet(path: str, columns=None) -> Dataset:
-    return rd.read_parquet(path, columns=columns)
+    return read_parquet_clean(path, columns=columns)
 
 
 def write_edges_parquet(edges: Dataset, path: str, **kw) -> None:
