@@ -27,6 +27,8 @@ import subprocess
 import sys
 import time
 
+from xdata_igraph_ray.sources.readers import read_parquet_clean as _read_pq
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_V = int(os.environ.get("GRAFT_BENCH_VERTICES", "1000000"))
@@ -55,8 +57,6 @@ def _edges_parquet(n: int) -> str:
 def main():
     import ray
     import ray.data as rd
-
-from xdata_igraph_ray.sources.readers import read_parquet_clean as _read_pq
 
     ray.init(
         address="local", num_cpus=NCPU, include_dashboard=False,

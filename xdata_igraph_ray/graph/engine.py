@@ -1369,6 +1369,88 @@ class GraphShard:
         v = np.asarray(vids, dtype=np.int64)
         return self.state["parent"][v - self.lo]
 
+    # -- shortest-path DAG (igraph_get_all_shortest_paths,
+    #    src/structural_properties.c:1232: ALL min-dist predecessors).
+    #    One extra superstep after a plain BFS: each shard offers
+    #    (neighbor, self, dist+1) along the BFS directions; receivers
+    #    keep offers matching their final dist — the kept pairs ARE the
+    #    shortest-path DAG, stored v-grouped for the enumeration RPC. --------
+
+    def spdag_scatter(self, directions=("fwd",)):
+        dist = self.state["dist"]
+        fin = dist < np.iinfo(np.int64).max
+        keys_l, val_l, par_l = [], [], []
+        if "fwd" in directions and len(self.fw_dst):
+            counts = np.diff(self.fw_indptr)
+            mask = np.repeat(fin, counts)
+            keys_l.append(self.fw_dst[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+            par_l.append(np.repeat(np.arange(self.lo, self.hi), counts)[mask])
+        if "rev" in directions and len(self.rv_src):
+            counts = np.diff(self.rv_indptr)
+            mask = np.repeat(fin, counts)
+            keys_l.append(self.rv_src[mask])
+            val_l.append(np.repeat(dist, counts)[mask] + 1)
+            par_l.append(np.repeat(np.arange(self.lo, self.hi), counts)[mask])
+        if not keys_l:
+            e = np.empty(0, np.int64)
+            return [(e, e, e)] * self.P
+        keys = np.concatenate(keys_l)
+        vals = np.concatenate(val_l)
+        pars = np.concatenate(par_l)
+        seg_order = np.argsort(keys, kind="stable")
+        keys, vals, pars = keys[seg_order], vals[seg_order], pars[seg_order]
+        seg = np.searchsorted(keys, self.bounds)
+        return [
+            (keys[seg[q]:seg[q + 1]], vals[seg[q]:seg[q + 1]],
+             pars[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def spdag_gather(self, *sender_outs):
+        dist = self.state["dist"]
+        vs_l, ps_l = [], []
+        for o in sender_outs:
+            ids, vals, pars = self._piece(o)
+            if len(ids):
+                keep = vals == dist[ids - self.lo]
+                vs_l.append(ids[keep])
+                ps_l.append(pars[keep])
+        vs = np.concatenate(vs_l) if vs_l else np.empty(0, np.int64)
+        ps = np.concatenate(ps_l) if ps_l else np.empty(0, np.int64)
+        order = np.lexsort((ps, vs))
+        vs, ps = vs[order], ps[order]
+        runs = np.ones(len(vs), dtype=bool)
+        runs[1:] = vs[1:] != vs[:-1]
+        self.spdag_v = vs[runs]
+        self.spdag_starts = np.flatnonzero(runs)
+        self.spdag_parents = ps
+        return int(len(ps))
+
+    def spdag_parents_of(self, vids):
+        """(offsets, parents) for the requested owned vids — the
+        all-paths enumeration RPC (output-sized)."""
+        v = np.asarray(vids, dtype=np.int64)
+        ki = np.searchsorted(self.spdag_v, v)
+        ends = np.concatenate((self.spdag_starts[1:],
+                               [len(self.spdag_parents)]))
+        out_off = [0]
+        out_par = []
+        for k, vid in zip(ki, v):
+            if k < len(self.spdag_v) and self.spdag_v[k] == vid:
+                out_par.append(self.spdag_parents[self.spdag_starts[k]:ends[k]])
+                out_off.append(out_off[-1] + (ends[k] - self.spdag_starts[k]))
+            else:
+                out_off.append(out_off[-1])
+        pars = (np.concatenate(out_par) if out_par
+                else np.empty(0, np.int64))
+        return np.asarray(out_off, dtype=np.int64), pars
+
+    def spdag_free(self):
+        for a in ("spdag_v", "spdag_starts", "spdag_parents"):
+            if hasattr(self, a):
+                delattr(self, a)
+
     # -- weighted shortest paths (Bellman-Ford relaxation supersteps;
     #    reference igraph_shortest_paths_dijkstra
     #    src/structural_properties.c:4174 / Bellman-Ford :5158 — the

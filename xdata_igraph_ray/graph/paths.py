@@ -378,3 +378,96 @@ def random_walks(
     ds = rd.from_arrow_refs(tbls)
     ray.get([s.rw_free.remote() for s in shards])
     return ds
+
+
+def get_all_shortest_paths(
+    engine: GraphEngine,
+    source: int,
+    targets,
+    mode: str = "out",
+    max_paths: int = 100_000,
+) -> dict[int, list[list[int]]]:
+    """ALL shortest paths from ``source`` to each target —
+    igraph_get_all_shortest_paths (src/structural_properties.c:1232).
+    BFS, then ONE extra superstep materializes the shortest-path DAG
+    shard-side (parents of v = senders whose dist+1 matched); the
+    driver pulls only the targets' ancestor cone (output-sized) and
+    enumerates by DP over the DAG.  Raises if the enumeration would
+    exceed ``max_paths`` (path counts grow exponentially)."""
+    directions = {"out": ("fwd",), "in": ("rev",), "all": ("fwd", "rev")}[mode]
+    shards = engine.shards
+    ray.get([
+        s.bfs_init.remote(np.array([source], dtype=np.int64)) for s in shards
+    ])
+    _bfs_rounds(engine, directions)
+    outs = engine.scatter("spdag_scatter", directions)
+    ray.get([
+        shards[q].spdag_gather.remote(*engine.pieces(outs, q))
+        for q in range(engine.P)
+    ])
+    dist = engine.state_arrays("dist")
+    targets = [int(t) for t in np.atleast_1d(np.asarray(targets))]
+    bounds = np.asarray(engine.bounds)
+
+    # pull the ancestor cone level by level (batched per owner shard)
+    parent_adj: dict[int, list[int]] = {}
+    frontier = sorted({
+        t for t in targets if t != source and dist[t] < INF
+    })
+    while frontier:
+        vs = np.asarray(frontier, dtype=np.int64)
+        owner = np.searchsorted(bounds, vs, side="right") - 1
+        futs, metas = [], []
+        for q in range(engine.P):
+            m = owner == q
+            if m.any():
+                futs.append(shards[q].spdag_parents_of.remote(vs[m]))
+                metas.append(vs[m])
+        nxt: set[int] = set()
+        for meta, (off, pars) in zip(metas, ray.get(futs)):
+            for i, v in enumerate(meta):
+                ps = pars[off[i]:off[i + 1]].tolist()
+                parent_adj[int(v)] = ps
+                for p in ps:
+                    if p != source and p not in parent_adj:
+                        nxt.add(p)
+        frontier = sorted(nxt - set(parent_adj))
+    ray.get([s.spdag_free.remote() for s in shards])
+
+    # DP enumeration over the cone
+    memo: dict[int, list[list[int]]] = {source: [[source]]}
+    total = 0
+
+    def paths_to(v: int) -> list[list[int]]:
+        nonlocal total
+        got = memo.get(v)
+        if got is not None:
+            return got
+        acc: list[list[int]] = []
+        for u in parent_adj.get(v, ()):
+            for p in paths_to(u):
+                acc.append(p + [v])
+                total += 1
+                if total > max_paths:
+                    raise ValueError(
+                        f"get_all_shortest_paths: > {max_paths} paths"
+                    )
+        memo[v] = acc
+        return acc
+
+    out: dict[int, list[list[int]]] = {}
+    import sys as _sys
+
+    old = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old, int(dist[dist < INF].max() + 100)))
+    try:
+        for t in targets:
+            if t == source:
+                out[t] = [[source]]
+            elif dist[t] >= INF:
+                out[t] = []
+            else:
+                out[t] = paths_to(t)
+    finally:
+        _sys.setrecursionlimit(old)
+    return out

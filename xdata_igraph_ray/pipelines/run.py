@@ -58,11 +58,15 @@ def main(argv=None) -> dict:
     if args.pages:
         from ..graph.build import build_graph_tables
 
-        verts, edges = build_graph_tables(rd.read_parquet(args.pages),
+        from ..sources.readers import read_parquet_clean
+
+        verts, edges = build_graph_tables(read_parquet_clean(args.pages),
                                           P=args.num_shards)
         verts.write_parquet(args.out + "/vertices")
     elif args.edges:
-        edges = rd.read_parquet(args.edges)
+        from ..sources.readers import read_parquet_clean
+
+        edges = read_parquet_clean(args.edges)
     else:
         ap.error("one of --edges / --pages is required")
 
