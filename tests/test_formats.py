@@ -90,6 +90,23 @@ def test_dl_reader(tmp_path):
     assert e["weight"].to_pylist() == [2.5, 1.0]
 
 
+def test_dl_roundtrip(tmp_path):
+    p = str(tmp_path / "rt.dl")
+    edges = pa.table(
+        {
+            "src": pa.array([0, 2, 1], pa.int64()),
+            "dst": pa.array([1, 3, 0], pa.int64()),
+            "weight": pa.array([2.5, 1.0, 7.0], pa.float64()),
+        }
+    )
+    formats.write_dl(p, 5, edges, weights=True)
+    n, e = formats.read_dl(p)
+    assert n == 5
+    assert e["src"].to_pylist() == [0, 2, 1]
+    assert e["dst"].to_pylist() == [1, 3, 0]
+    assert e["weight"].to_pylist() == [2.5, 1.0, 7.0]
+
+
 def test_dimacs_roundtrip(tmp_path):
     p = str(tmp_path / "g.max")
     edges = pa.table(
@@ -132,3 +149,35 @@ def test_lgl_writer_roundtrip(tmp_path):
     assert list(back["src_url"]) == ["a", "a", "b"]
     assert list(back["dst_url"]) == ["b", "c", "c"]
     assert list(back["weight"]) == [1.0, 2.0, 0.25]
+
+
+def test_graphdb_roundtrip(tmp_path):
+    p = str(tmp_path / "g.gdb")
+    edges = pa.table(
+        {
+            "src": pa.array([0, 0, 2, 3], pa.int64()),
+            "dst": pa.array([1, 3, 0, 3], pa.int64()),
+        }
+    )
+    formats.write_graphdb(p, 4, edges)
+    n, e = formats.read_graphdb(p)
+    assert n == 4
+    assert sorted(zip(e["src"].to_pylist(), e["dst"].to_pylist())) == [
+        (0, 1), (0, 3), (2, 0), (3, 3)
+    ]
+    # byte-level: header word is the node count
+    raw = np.fromfile(p, dtype="<u2")
+    assert raw[0] == 4 and raw[1] == 2  # node 0 has 2 out-edges
+
+
+def test_graphdb_empty_and_bounds(tmp_path):
+    p = str(tmp_path / "e.gdb")
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+    formats.write_graphdb(p, 3, empty)
+    n, e = formats.read_graphdb(p)
+    assert n == 3 and len(e) == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        formats.write_graphdb(p, 1 << 16, empty)

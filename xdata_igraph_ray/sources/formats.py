@@ -399,6 +399,24 @@ def read_dl(path: str):
     return n or (max(src + dst) + 1 if src else 0), edges
 
 
+def write_dl(path: str, n: int, edges: pa.Table,
+             weights: bool = False) -> None:
+    """DL edgelist1 writer (round-trip partner of :func:`read_dl`;
+    reference writes DL via the shell interface only — symmetry added
+    here so every readable format is writable)."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = (edges["weight"].to_numpy() if weights
+         and "weight" in edges.column_names else None)
+    with open(path, "w") as f:
+        f.write(f"dl n={n}\nformat = edgelist1\ndata:\n")
+        for i in range(len(src)):
+            if w is not None:
+                f.write(f"{src[i] + 1} {dst[i] + 1} {_fmt(float(w[i]))}\n")
+            else:
+                f.write(f"{src[i] + 1} {dst[i] + 1}\n")
+
+
 def read_dimacs(path: str):
     """DIMACS max-flow: ``p max n m`` / ``n id s|t`` / ``a u v cap``
     (1-based; reference src/foreign.c:701).
@@ -509,3 +527,44 @@ def write_lgl(path: str, edges_url: pa.Table, weights: bool = False) -> None:
                 f.write(f"{row['dst_url']} {row['weight']:g}\n")
             else:
                 f.write(f"{row['dst_url']}\n")
+
+
+# ---------------------------------------------------------------------------
+# GraphDB binary (graph-matching benchmark databases; reference
+# igraph_read_graph_graphdb, src/foreign.c:921: little-endian 16-bit
+# words — node count, then per node its out-edge count + targets)
+
+
+def read_graphdb(path: str):
+    data = np.fromfile(path, dtype="<u2").astype(np.int64)
+    if len(data) == 0:
+        return 0, pa.table({"src": pa.array([], pa.int64()),
+                            "dst": pa.array([], pa.int64())})
+    n = int(data[0])
+    pos = 1
+    src_l, dst_l = [], []
+    for u in range(n):
+        k = int(data[pos]); pos += 1
+        if k:
+            src_l.append(np.full(k, u, dtype=np.int64))
+            dst_l.append(data[pos:pos + k])
+            pos += k
+    src = np.concatenate(src_l) if src_l else np.empty(0, np.int64)
+    dst = np.concatenate(dst_l) if dst_l else np.empty(0, np.int64)
+    return n, pa.table({"src": src, "dst": dst})
+
+
+def write_graphdb(path: str, n: int, edges: pa.Table) -> None:
+    if n >= 1 << 16:
+        raise ValueError("graphdb: 16-bit format holds at most 65535 nodes")
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    counts = np.bincount(src, minlength=n)
+    words = [np.array([n], dtype=np.int64)]
+    indptr = np.concatenate(([0], np.cumsum(counts)))
+    for u in range(n):
+        words.append(np.array([counts[u]], dtype=np.int64))
+        words.append(dst[indptr[u]:indptr[u + 1]])
+    np.concatenate(words).astype("<u2").tofile(path)
