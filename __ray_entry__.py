@@ -1003,6 +1003,50 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# PII / repetition / source rollup (training-data pipeline extras)
+
+# deterministic planted PII, constructed IDENTICALLY in SQL so the
+# scrub oracle is non-trivial on this synthetic corpus
+_PII_SUFFIX = " contact: user{d}@example.com or +1-555-0100 at 10.0.0.1"
+
+
+def q_pii_scrub(sf_dir: str):
+    from xdata_igraph_ray.stages.text import pii_scrub
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        tx = t["text"].to_pylist()
+        out = [
+            x + _PII_SUFFIX.format(d=i) if i % 7 == 0 else x
+            for i, x in zip(d, tx)
+        ]
+        return pa.table({"doc_id": d, "text": out})
+
+    return pii_scrub(docs.map_batches(plant, batch_format="pyarrow"))
+
+
+def q_repetition(sf_dir: str):
+    from xdata_igraph_ray.stages.text import repetition_stats
+
+    return repetition_stats(
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+
+
+def q_source_stats(sf_dir: str):
+    from xdata_igraph_ray.stages.text import source_stats
+
+    return source_stats(
+        _read_pq(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # flow family (igraph_maxflow / st_mincut / connectivity / bipartite;
 # reference src/flow.c, src/bipartite.c, src/matching.c).  Graphs are
 # kept at <= 2^16 cut masks so DuckDB can oracle max-flow EXACTLY via
@@ -1221,6 +1265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "is_bipartite_li": q_is_bipartite,
         "bipartite_matching_li": q_bipartite_matching,
         "random_walks_li": q_random_walks,
+        "pii_scrub_docs": q_pii_scrub,
+        "repetition_docs": q_repetition,
+        "source_stats_docs": q_source_stats,
     }
 
 
@@ -2233,6 +2280,80 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+            """,
+        "pii_scrub_docs": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-0100 at 10.0.0.1'
+                       ELSE '' END AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                     )) AS BIGINT) AS n_emails,
+                     regexp_replace(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM planted
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,}'))
+                          AS BIGINT) AS n_phones,
+                     regexp_replace(t, '\+\d[\d-]{7,}', '<PHONE>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_phones,
+                   CAST(len(regexp_extract_all(
+                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   )) AS BIGINT) AS n_ips,
+                   regexp_replace(
+                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS text_clean
+            FROM s2
+            """,
+        "repetition_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS word,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+            per AS (
+              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+                     max(c) AS top_cnt
+              FROM pw GROUP BY 1
+            ),
+            bg AS (
+              SELECT a.doc_id, a.word || ' ' || b.word AS gram
+              FROM w a JOIN w b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            pbg AS (
+              SELECT doc_id, count(*) AS n_bg,
+                     count(DISTINCT gram) AS d_bg
+              FROM bg GROUP BY 1
+            )
+            SELECT per.doc_id, CAST(per.n_words AS BIGINT) AS n_words,
+                   round(per.n_distinct * 1.0 / per.n_words, 6)
+                     AS distinct_ratio,
+                   round(per.top_cnt * 1.0 / per.n_words, 6)
+                     AS top_word_frac,
+                   round(CASE WHEN coalesce(pbg.n_bg, 0) = 0 THEN 0
+                         ELSE 1.0 - pbg.d_bg * 1.0 / pbg.n_bg END, 6)
+                     AS dup_2gram_frac
+            FROM per LEFT JOIN pbg USING (doc_id)
+            """,
+        "source_stats_docs": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
+                   round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
+            FROM documents GROUP BY source
             """,
         # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
         # vertices give 2^11 s-side masks; min cut capacity over all of

@@ -178,3 +178,42 @@ def test_multimodal_real_codecs():
     ).to_pandas()
     assert len(sampled) >= vids.count() * 2  # >= 2 frames per video
     assert sampled["frame"].map(lambda b: bytes(b)[:2]).eq(b"P6").all()
+
+
+def test_pii_scrub_planted():
+    import ray.data as rd
+    from xdata_igraph_ray.stages.text import pii_scrub
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "mail bob.smith+x@sub.example.co.uk now"},
+        {"doc_id": 1, "text": "call +1-555-0100 or visit 192.168.1.254 ok"},
+        {"doc_id": 2, "text": "clean text with no identifiers at all"},
+        {"doc_id": 3, "text": "two a@b.io c@d.net mails and 10.0.0.1"},
+    ])
+    df = pii_scrub(docs).to_pandas().sort_values("doc_id")
+    assert df["n_emails"].tolist() == [1, 0, 0, 2]
+    assert df["n_phones"].tolist() == [0, 1, 0, 0]
+    assert df["n_ips"].tolist() == [0, 1, 0, 1]
+    assert df["text_clean"].iloc[0] == "mail <EMAIL> now"
+    assert df["text_clean"].iloc[1] == "call <PHONE> or visit <IP> ok"
+    assert df["text_clean"].iloc[3] == "two <EMAIL> <EMAIL> mails and <IP>"
+
+
+def test_repetition_stats_handcrafted():
+    import ray.data as rd
+    from xdata_igraph_ray.stages.text import repetition_stats
+
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "a a a a"},           # 1 word repeated
+        {"doc_id": 1, "text": "a b c d"},           # all distinct
+        {"doc_id": 2, "text": "x y x y x y"},       # bigrams repeat
+    ])
+    df = repetition_stats(docs).to_pandas().sort_values("doc_id")
+    assert df["n_words"].tolist() == [4, 4, 6]
+    assert df["distinct_ratio"].tolist() == [0.25, 1.0, round(2 / 6, 6)]
+    assert df["top_word_frac"].tolist() == [1.0, 0.25, 0.5]
+    # doc0: bigrams aa,aa,aa -> 1 distinct of 3 -> dup 2/3
+    # doc2: xy,yx,xy,yx,xy -> 2 distinct of 5 -> dup 3/5
+    assert df["dup_2gram_frac"].tolist() == [
+        round(2 / 3, 6), 0.0, round(3 / 5, 6)
+    ]

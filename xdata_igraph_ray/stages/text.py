@@ -143,3 +143,139 @@ def fingerprint(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(fp, batch_format="pandas", batch_size=4096)
+
+
+# -- PII scrubbing -----------------------------------------------------------
+# RE2-safe patterns (no backrefs/lookaround) so the DuckDB oracle can
+# run the IDENTICAL expressions via regexp_replace/extract_all.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d[\d-]{7,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_EMAIL_RE = re.compile(PII_EMAIL)
+_PHONE_RE = re.compile(PII_PHONE)
+_IP_RE = re.compile(PII_IP)
+
+
+def pii_scrub(docs: Dataset, text_col: str = "text") -> Dataset:
+    """(doc_id, text_clean, n_emails, n_phones, n_ips): count and
+    redact emails / phone numbers / IPv4 literals.  Order matters and
+    is frozen: emails -> phones -> IPs (an IP inside an email host is
+    consumed by the email redaction first); the SQL oracle chains
+    regexp_replace in the same order."""
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].fillna("")
+        n_e = t.str.count(PII_EMAIL).astype("int64")
+        t = t.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+        n_p = t.str.count(PII_PHONE).astype("int64")
+        t = t.str.replace(PII_PHONE, "<PHONE>", regex=True)
+        n_i = t.str.count(PII_IP).astype("int64")
+        t = t.str.replace(PII_IP, "<IP>", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_clean": t,
+                "n_emails": n_e,
+                "n_phones": n_p,
+                "n_ips": n_i,
+            }
+        )
+
+    return docs.map_batches(scrub, batch_format="pandas", batch_size=4096)
+
+
+# -- Gopher-style repetition signals ----------------------------------------
+
+
+def repetition_stats(docs: Dataset, text_col: str = "text") -> Dataset:
+    """(doc_id, n_words, distinct_ratio, top_word_frac,
+    dup_2gram_frac): the repetition family of Gopher-style quality
+    rules.  Tokenization is frozen as split-on-single-space (matching
+    the SQL oracle's string_split); fully vectorized via factorize +
+    segmented unique/reduceat."""
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        words = texts.str.split(" ")
+        lens = words.map(len).to_numpy()
+        flat = np.concatenate(words.to_numpy()) if lens.sum() else np.array(
+            [], dtype=object
+        )
+        codes, _ = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(len(df)), lens)
+        ncodes = max(int(codes.max()) + 1, 1) if len(codes) else 1
+        key = doc_idx * ncodes + codes
+        uk, counts = np.unique(key, return_counts=True)
+        udoc = uk // ncodes
+        n_distinct = np.bincount(udoc, minlength=len(df))
+        starts = np.concatenate(([0], np.cumsum(np.bincount(
+            udoc, minlength=len(df)
+        ))))[:-1]
+        top = np.zeros(len(df), dtype=np.int64)
+        np.maximum.at(top, udoc, counts)
+        # 2-grams within each doc (mask out doc boundaries)
+        if len(codes) > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            bg_doc = doc_idx[1:][same_doc]
+            bg_key = (codes[:-1][same_doc].astype(np.int64) * ncodes
+                      + codes[1:][same_doc])
+            bkey = bg_doc * (ncodes * ncodes) + bg_key
+            n_bg = np.bincount(bg_doc, minlength=len(df))
+            ubk = np.unique(bkey)
+            d_bg = np.bincount(ubk // (ncodes * ncodes), minlength=len(df))
+        else:
+            n_bg = np.zeros(len(df), dtype=np.int64)
+            d_bg = np.zeros(len(df), dtype=np.int64)
+        nw = np.maximum(lens, 1)
+        dup2 = np.where(n_bg > 0, 1.0 - d_bg / np.maximum(n_bg, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": lens.astype(np.int64),
+                "distinct_ratio": np.round(n_distinct / nw, 6),
+                "top_word_frac": np.round(top / nw, 6),
+                "dup_2gram_frac": np.round(dup2, 6),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pandas", batch_size=4096)
+
+
+def source_stats(docs: Dataset) -> Dataset:
+    """Per-source corpus rollup (the domain-aggregation shape of a
+    crawl pipeline): n_docs, total_chars, mean n_chars."""
+    from ..exchange import block_refs, groupby_agg
+
+    pre = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n": np.ones(len(t), dtype=np.int64),
+                "chars": pa.compute.utf8_length(t["text"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = groupby_agg(
+        block_refs(pre), ["source"],
+        [("n", "sum", "n_docs"), ("chars", "sum", "total_chars")], P=4,
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "total_chars": t["total_chars"],
+                "mean_chars": pa.compute.round(
+                    pa.compute.divide(
+                        pa.compute.cast(t["total_chars"], pa.float64()),
+                        pa.compute.cast(t["n_docs"], pa.float64()),
+                    ),
+                    ndigits=2,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
