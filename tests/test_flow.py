@@ -214,3 +214,50 @@ def test_global_mincut_vs_networkx():
     assert abs(r["value"] - want) < 1e-6
     cut_cap = sum(r["cut"]["capacity"].to_pylist())
     assert abs(cut_cap - want) < 1e-6
+
+
+def test_gomory_hu_vs_networkx():
+    rng = np.random.default_rng(31)
+    n, m = 10, 22
+    pairs = set()
+    while len(pairs) < m:
+        u, v = sorted(rng.integers(0, n, size=2).tolist())
+        if u != v:
+            pairs.add((u, v))
+    edges = sorted(pairs)
+    caps = rng.integers(1, 9, size=len(edges)).astype(float)
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    for (u, v), c in zip(edges, caps):
+        g.add_edge(u, v, capacity=c)
+    tree = flow.gomory_hu(_edges_table(edges, caps), n=n, P=2)
+    # adjacency of our tree with min-edge path query
+    import collections
+    adj = collections.defaultdict(list)
+    for r in tree.to_pylist():
+        adj[r["u"]].append((r["v"], r["flow"]))
+        adj[r["v"]].append((r["u"], r["flow"]))
+
+    def tree_mincut(a, b):
+        best = {a: float("inf")}
+        stack = [a]
+        while stack:
+            x = stack.pop()
+            for y, f in adj[x]:
+                nb = min(best[x], f)
+                if y not in best or nb > best[y]:
+                    best[y] = nb
+                    stack.append(y)
+        return best[b]
+
+    want_tree = nx.gomory_hu_tree(g)
+
+    def nx_mincut(a, b):
+        path = nx.shortest_path(want_tree, a, b)
+        return min(
+            want_tree[u][v]["weight"] for u, v in zip(path, path[1:])
+        )
+
+    for a in range(0, n, 3):
+        for b in range(a + 1, n, 2):
+            assert abs(tree_mincut(a, b) - nx_mincut(a, b)) < 1e-6, (a, b)

@@ -417,3 +417,47 @@ def _project_orient(tbl: pa.Table, types: np.ndarray) -> pa.Table:
         "src": np.where(flip, dst, src),
         "dst": np.where(flip, src, dst),
     })
+
+
+def gomory_hu(edges, n: int, P: int = 8) -> pa.Table:
+    """Gomory-Hu cut tree of an UNDIRECTED capacity graph
+    (igraph_gomory_hu_tree, src/flow.c:2389) by Gusfield's algorithm:
+    n-1 max-flows against the evolving parent vector, no vertex
+    contraction needed.  Input arcs are symmetrized (cap(u,v)+cap(v,u)
+    summed both ways).  Returns (u, v, flow): the tree's n-1 edges;
+    min-cut(a,b) = min flow on the unique a-b tree path."""
+    refs = _refs_of(edges)
+    sym = [_project_sym.remote(r) for r in refs]
+    eng = flow_network(sym, n=n, P=P, weighted=True)
+    try:
+        parent = np.zeros(n, dtype=np.int64)
+        fl = np.zeros(n)
+        for i in range(1, n):
+            r = maxflow(eng, i, int(parent[i]), with_flow=False,
+                        with_cut=True)
+            fl[i] = r["value"]
+            sside = np.zeros(n, dtype=bool)
+            sside[r["partition1"]] = True
+            move = (parent == parent[i]) & sside
+            move[: i + 1] = False
+            parent[move] = i
+        return pa.table({
+            "u": np.arange(1, n, dtype=np.int64),
+            "v": parent[1:],
+            "flow": fl[1:],
+        })
+    finally:
+        eng.shutdown()
+
+
+@ray.remote
+def _project_sym(tbl: pa.Table) -> pa.Table:
+    src = tbl["src"].to_numpy()
+    dst = tbl["dst"].to_numpy()
+    w = (tbl["weight"].to_numpy() if "weight" in tbl.column_names
+         else np.ones(len(src)))
+    return pa.table({
+        "src": np.concatenate((src, dst)),
+        "dst": np.concatenate((dst, src)),
+        "weight": np.concatenate((w, w)),
+    })
