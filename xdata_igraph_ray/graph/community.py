@@ -44,8 +44,15 @@ def _symmetrize(t: pa.Table) -> pa.Table:
 
 def _local_move(
     engine: GraphEngine, m_total: float, max_rounds: int,
-    sync_rounds: int = 8,
+    sync_rounds: int = 8, min_moves: int = 0,
 ) -> int:
+    """Synchronous local-moving rounds.  ``min_moves``: stop once a
+    full (undamped) round moves at most this many vertices — the
+    reference's epsilon stop (src/community.c:2430 uses a modularity
+    gain threshold); 0 = exact fixpoint.  Tail rounds that shuffle a
+    handful of vertices cost a full superstep each and change
+    modularity in the 4th decimal; the contraction levels above clean
+    them up anyway."""
     shards = engine.shards
     ray.get([s.lou_init.remote() for s in shards])
     moved_any = 0
@@ -72,7 +79,7 @@ def _local_move(
             for q in range(engine.P)
         ]))
         moved_any += moves
-        if moves == 0 and full:
+        if moves <= min_moves and full:
             break
     return moved_any
 
@@ -124,7 +131,11 @@ def louvain(
     mapping: Dataset | None = None  # original vid -> current comm
     n_cur = n
     for level in range(max_levels):
-        eng = GraphEngine.from_edges(arcs, n=n_cur, P=P, weighted=True)
+        # contracted supergraphs shrink fast; scale the shard count
+        # down with them (each shard actor costs ~0.2 s to spawn and a
+        # 6k-vertex level doesn't amortize 8 of them)
+        P_lvl = max(2, min(P, n_cur // 4000)) if n_cur < 4000 * P else P
+        eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl, weighted=True)
         # total und weight = sum of arc strengths / 2
         strengths = ray.get([
             s.degree_table.remote() for s in eng.shards
@@ -132,7 +143,7 @@ def louvain(
         m_total = sum(
             float(np.sum(t["out_strength"].to_numpy())) for t in strengths
         ) / 2.0
-        _local_move(eng, m_total, max_rounds)
+        _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200)
         k = eng.renumber_labels("comm")
         lvl_map = eng.state_dataset(["comm"]).materialize()
         eng.shutdown()
@@ -147,7 +158,10 @@ def louvain(
             mapping = to_dataset([
                 _project_mapping.remote(r) for r in joined
             ]).materialize()
-        if k == n_cur:
+        # a level that merged <0.1% of vertices has converged — more
+        # levels would each pay an engine build to move a handful
+        if k >= n_cur - max(1, n_cur // 1000):
+            n_cur = k
             break
         arcs = _contract(arcs, lvl_map, P)
         n_cur = k
