@@ -54,6 +54,41 @@ def _edges_parquet(n: int) -> str:
     return path
 
 
+def _layered_flow_parquet() -> str:
+    """Deterministic 50x2000 layered flow network (~1M edges): s feeds
+    layer 0, layer 49 feeds t, every unit of flow crosses all layers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(CACHE, "flow_layered_50x2000.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        rng = np.random.default_rng(2)
+        L, W, K = 50, 2000, 10
+        s, t = L * W, L * W + 1
+        src_l, dst_l, cap_l = [], [], []
+        for layer in range(L - 1):
+            u = np.repeat(np.arange(layer * W, (layer + 1) * W), K)
+            v = (layer + 1) * W + rng.integers(0, W, len(u))
+            src_l.append(u)
+            dst_l.append(v)
+            cap_l.append(rng.integers(1, 8, len(u)).astype(float))
+        src_l.append(np.full(W, s))
+        dst_l.append(np.arange(W))
+        cap_l.append(np.full(W, 20.0))
+        src_l.append(np.arange((L - 1) * W, L * W))
+        dst_l.append(np.full(W, t))
+        cap_l.append(np.full(W, 20.0))
+        tbl = pa.table({
+            "src": np.concatenate(src_l), "dst": np.concatenate(dst_l),
+            "weight": np.concatenate(cap_l),
+        })
+        pq.write_table(tbl, path + ".tmp", row_group_size=1 << 20)
+        os.replace(path + ".tmp", path)
+    return path
+
+
 def main():
     import ray
     import ray.data as rd
@@ -141,6 +176,20 @@ def main():
     _, ncomm = louvain(_read_pq(tri_path), n=TRI_V, P=P)
     queries["louvain_web"] = round(time.time() - t0, 3)
     extras["louvain_communities"] = ncomm
+
+    # -- max-flow on a deep layered network (flow crosses 50 layers) -------
+    from xdata_igraph_ray.graph import flow as flowmod
+
+    mf_path = _layered_flow_parquet()
+    t0 = time.time()
+    eng3 = flowmod.flow_network(_read_pq(mf_path), n=50 * 2000 + 2, P=P)
+    r = flowmod.maxflow(eng3, 50 * 2000, 50 * 2000 + 1,
+                        with_flow=False, with_cut=True)
+    eng3.shutdown()
+    queries["maxflow_layered"] = round(time.time() - t0, 3)
+    cutcap = float(sum(r["cut"]["capacity"].to_pylist()))
+    assert abs(cutcap - r["value"]) < 1e-6, "max-flow-min-cut certificate"
+    extras["maxflow_value"] = r["value"]
 
     # -- extraction over the pages fixture ---------------------------------
     import __ray_entry__ as entry

