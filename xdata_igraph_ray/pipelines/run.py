@@ -27,7 +27,17 @@ def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "wcc", "scc", "lpa", "triangles",
-                             "coreness"])
+                             "coreness", "sssp", "louvain", "betweenness",
+                             "maxflow", "walks"])
+    ap.add_argument("--weighted", action="store_true",
+                    help="use the edge table's weight column")
+    ap.add_argument("--source", type=int, default=0)
+    ap.add_argument("--target", type=int, default=None)
+    ap.add_argument("--num-sources", type=int, default=64,
+                    help="betweenness sample size")
+    ap.add_argument("--walks", type=int, default=1000)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--edges", help="edge-table parquet path/dir")
     ap.add_argument("--pages", help="pages parquet (extraction ingest path)")
     ap.add_argument("--out", required=True)
@@ -70,7 +80,53 @@ def main(argv=None) -> dict:
     else:
         ap.error("one of --edges / --pages is required")
 
-    eng = GraphEngine.from_edges(edges, P=args.num_shards)
+    if args.algo == "maxflow":
+        from ..graph import flow as flowmod
+
+        if args.target is None:
+            ap.error("--target is required for maxflow")
+        feng = flowmod.flow_network(edges, P=args.num_shards,
+                                    weighted=args.weighted)
+        r = flowmod.maxflow(feng, args.source, args.target,
+                            with_flow=True, with_cut=False)
+        r["flow"].write_parquet(args.out + "/result")
+        feng.shutdown()
+        info = {"value": r["value"]}
+        with open(args.out + "/RUN.json", "w") as f:
+            json.dump({"algo": "maxflow", **info}, f)
+        print(json.dumps({"algo": "maxflow", **info}))
+        return info
+
+    if args.algo == "louvain":
+        from ..graph.community import louvain
+
+        from ..exchange import block_refs, _coerce_arrow
+
+        refs = block_refs(edges)
+
+        @ray.remote
+        def _max_vid(t):
+            import pyarrow.compute as pc
+
+            t = _coerce_arrow(t)
+            if len(t) == 0:
+                return -1
+            return max(int(pc.max(t["src"]).as_py()),
+                       int(pc.max(t["dst"]).as_py()))
+
+        n = max(int(m) for m in ray.get(
+            [_max_vid.remote(r) for r in refs]
+        )) + 1
+        membership, k = louvain(refs, n=n, P=args.num_shards)
+        membership.write_parquet(args.out + "/result")
+        info = {"communities": k}
+        with open(args.out + "/RUN.json", "w") as f:
+            json.dump({"algo": "louvain", **info}, f)
+        print(json.dumps({"algo": "louvain", **info}))
+        return info
+
+    eng = GraphEngine.from_edges(edges, P=args.num_shards,
+                                 weighted=args.weighted)
     info: dict
     if args.algo == "pagerank":
         from ..graph.pagerank import pagerank
@@ -102,6 +158,48 @@ def main(argv=None) -> dict:
 
         info = {"rounds": coreness(eng)}
         out_ds = eng.state_dataset(["core"])
+    elif args.algo == "sssp":
+        import numpy as np
+
+        if args.weighted:
+            from ..graph.paths import sssp_weighted
+
+            d = sssp_weighted(eng, [args.source])
+            info = {"reached": int(np.isfinite(d).sum())}
+        else:
+            from ..graph.paths import sssp
+
+            d = sssp(eng, [args.source])
+            info = {"reached": int((d >= 0).sum())}
+        import pyarrow as pa
+        import ray.data as rd2
+
+        out_ds = rd2.from_arrow(pa.table({
+            "vid": np.arange(eng.n, dtype=np.int64), "dist": d,
+        }))
+    elif args.algo == "betweenness":
+        import numpy as np
+
+        from ..graph.centrality import betweenness
+
+        step = max(1, eng.n // args.num_sources)
+        bc = betweenness(eng, sources=np.arange(0, eng.n, step), wave=64)
+        import pyarrow as pa
+        import ray.data as rd2
+
+        out_ds = rd2.from_arrow(pa.table({
+            "vid": np.arange(eng.n, dtype=np.int64), "betweenness": bc,
+        }))
+        info = {"sources": int(len(np.arange(0, eng.n, step)))}
+    elif args.algo == "walks":
+        from ..graph.paths import random_walks
+
+        import numpy as np
+
+        starts = np.arange(args.walks, dtype=np.int64) % eng.n
+        out_ds = random_walks(eng, starts, args.steps, seed=args.seed,
+                              weighted=args.weighted)
+        info = {"walks": args.walks, "steps": args.steps}
     else:  # triangles
         from ..graph.triangles import triangles
 
