@@ -93,3 +93,39 @@ def test_graphdb_pair_workflow(tmp_path):
     n1, e1 = formats.read_graphdb(p1)
     n2, e2 = formats.read_graphdb(p2)
     assert isomorphic_many([((e1, n1), (e2, n2))]) == [True]
+
+
+def test_subisomorphic_triangle_in_k4():
+    from xdata_igraph_ray.graph.isomorphism import subisomorphic
+
+    tri = _tbl([0, 1, 2], [1, 2, 0])
+    k4 = generators.full(4, directed=True)  # all ordered pairs
+    ok, m = subisomorphic(tri, 3, k4, 4, return_mapping=True)
+    assert ok
+    es = set(zip(k4["src"].to_numpy(), k4["dst"].to_numpy()))
+    for a, b in [(0, 1), (1, 2), (2, 0)]:
+        assert (m[a], m[b]) in es
+    # path P3 maps monomorphically onto the directed triangle, but is
+    # NOT an induced subgraph of it (the closing arc 2->0 exists)
+    p3 = _tbl([0, 1], [1, 2])
+    c3 = _tbl([0, 1, 2], [1, 2, 0])
+    assert subisomorphic(p3, 3, c3, 3)
+    assert not subisomorphic(p3, 3, c3, 3, induced=True)
+
+
+def test_subisomorphic_vs_networkx_monomorphism():
+    from xdata_igraph_ray.graph.isomorphism import subisomorphic
+    from networkx.algorithms import isomorphism as nxiso
+
+    for seed in range(4):
+        tgt = generators.erdos_renyi_gnm(9, 20, directed=True, seed=seed)
+        pat = generators.erdos_renyi_gnm(4, 4, directed=True, seed=seed + 30)
+        g_t = nx.DiGraph(list(zip(tgt["src"].to_numpy(),
+                                  tgt["dst"].to_numpy())))
+        g_p = nx.DiGraph(list(zip(pat["src"].to_numpy(),
+                                  pat["dst"].to_numpy())))
+        g_t.add_nodes_from(range(9))
+        g_p.add_nodes_from(range(4))
+        gm = nxiso.DiGraphMatcher(g_t, g_p)
+        want = gm.subgraph_is_monomorphic()
+        assert subisomorphic(pat, 4, tgt, 9) == want, seed

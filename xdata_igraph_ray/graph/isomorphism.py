@@ -104,6 +104,69 @@ def isomorphic(
     return m is not None
 
 
+def subisomorphic(
+    pattern: pa.Table, np_: int, target: pa.Table, nt: int,
+    directed: bool = True, induced: bool = False,
+    return_mapping: bool = False,
+):
+    """igraph_subisomorphic_vf2 (src/topology.c:2137): is ``pattern``
+    a subgraph of ``target``?  Default is monomorphism semantics
+    (pattern edges must exist in the target; extra target edges
+    allowed); ``induced=True`` requires the induced subgraph to match
+    exactly (igraph_subisomorphic_lad's induced flag)."""
+    if np_ > nt or len(pattern) > len(target) and induced:
+        return (False, None) if return_mapping else False
+    outp, inp = _adj(pattern, np_, directed)
+    outt, int_ = _adj(target, nt, directed)
+    degp = np.array([len(outp[v]) + len(inp[v]) for v in range(np_)])
+    order = np.argsort(-degp, kind="stable")
+    core1 = np.full(np_, -1, dtype=np.int64)
+    used = np.zeros(nt, dtype=bool)
+
+    def feasible(a: int, b: int) -> bool:
+        if len(outp[a]) > len(outt[b]) or len(inp[a]) > len(int_[b]):
+            return False
+        for x in outp[a]:
+            m = core1[x]
+            if m >= 0 and m not in outt[b]:
+                return False
+        for x in inp[a]:
+            m = core1[x]
+            if m >= 0 and m not in int_[b]:
+                return False
+        if induced:
+            # no target edge may exist between mapped images of
+            # pattern non-edges
+            for c in range(np_):
+                m = core1[c]
+                if m < 0 or c == a:
+                    continue
+                if (m in outt[b]) != (c in outp[a]):
+                    return False
+                if (m in int_[b]) != (c in inp[a]):
+                    return False
+        return True
+
+    def rec(i: int) -> bool:
+        if i == np_:
+            return True
+        a = int(order[i])
+        for b in range(nt):
+            if not used[b] and feasible(a, b):
+                core1[a] = b
+                used[b] = True
+                if rec(i + 1):
+                    return True
+                core1[a] = -1
+                used[b] = False
+        return False
+
+    ok = rec(0)
+    if return_mapping:
+        return ok, (core1 if ok else None)
+    return ok
+
+
 @ray.remote
 def _iso_task(e1: pa.Table, n1: int, e2: pa.Table, n2: int,
               directed: bool) -> bool:
