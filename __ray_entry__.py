@@ -1154,6 +1154,30 @@ def _matching_edges(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(mk, batch_format="pyarrow")
 
 
+def q_motifs4(sf_dir: str):
+    """Induced size-4 undirected motif census on the 60-vertex
+    lineitem graph; the oracle enumerates all C(60,4) quadruples."""
+    from xdata_igraph_ray.graph.motifs import motifs_4_undirected
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 60,
+                "dst": t["l_partkey"].to_numpy() % 60,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    counts = motifs_4_undirected(ds, n=60, P=4)
+    names = sorted(counts)
+    return pd.DataFrame(
+        {"motif": names,
+         "count": np.array([counts[c] for c in names], dtype=np.int64)}
+    )
+
+
 def q_random_walks(sf_dir: str):
     """200 x 16-step deterministic random walks on the 1000-vertex
     lineitem graph (igraph_random_walk; counter-hash sampling, so the
@@ -1265,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "is_bipartite_li": q_is_bipartite,
         "bipartite_matching_li": q_bipartite_matching,
         "random_walks_li": q_random_walks,
+        "motifs4_li": q_motifs4,
         "pii_scrub_docs": q_pii_scrub,
         "repetition_docs": q_repetition,
         "source_stats_docs": q_source_stats,
@@ -2280,6 +2305,68 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+            """,
+        # induced 4-motif census by EXHAUSTIVE quadruple enumeration:
+        # C(60,4) = 487,635 quadruples x 6 edge lookups; classes are
+        # separated by (edge count, max within-subset degree)
+        "motifs4_li": """
+            WITH e AS (
+              SELECT DISTINCT
+                least(l_orderkey % 60, l_partkey % 60) AS a,
+                greatest(l_orderkey % 60, l_partkey % 60) AS b
+              FROM lineitem
+              WHERE l_orderkey % 60 <> l_partkey % 60
+            ),
+            v AS (SELECT range AS x FROM range(0, 60)),
+            quads AS (
+              SELECT v1.x AS p, v2.x AS q, v3.x AS r, v4.x AS s
+              FROM v v1 JOIN v v2 ON v2.x > v1.x
+                   JOIN v v3 ON v3.x > v2.x
+                   JOIN v v4 ON v4.x > v3.x
+            ),
+            lab AS (
+              SELECT
+                (CASE WHEN e1.a IS NOT NULL THEN 1 ELSE 0 END) AS x12,
+                (CASE WHEN e2.a IS NOT NULL THEN 1 ELSE 0 END) AS x13,
+                (CASE WHEN e3.a IS NOT NULL THEN 1 ELSE 0 END) AS x14,
+                (CASE WHEN e4.a IS NOT NULL THEN 1 ELSE 0 END) AS x23,
+                (CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END) AS x24,
+                (CASE WHEN e6.a IS NOT NULL THEN 1 ELSE 0 END) AS x34
+              FROM quads
+              LEFT JOIN e e1 ON e1.a = p AND e1.b = q
+              LEFT JOIN e e2 ON e2.a = p AND e2.b = r
+              LEFT JOIN e e3 ON e3.a = p AND e3.b = s
+              LEFT JOIN e e4 ON e4.a = q AND e4.b = r
+              LEFT JOIN e e5 ON e5.a = q AND e5.b = s
+              LEFT JOIN e e6 ON e6.a = r AND e6.b = s
+            ),
+            cls AS (
+              SELECT
+                x12 + x13 + x14 + x23 + x24 + x34 AS m,
+                greatest(x12 + x13 + x14, x12 + x23 + x24,
+                         x13 + x23 + x34, x14 + x24 + x34) AS dmax,
+                least(x12 + x13 + x14, x12 + x23 + x24,
+                      x13 + x23 + x34, x14 + x24 + x34) AS dmin
+              FROM lab
+            ),
+            named AS (
+              SELECT CASE
+                WHEN m = 3 AND dmax = 3 THEN 'claw'
+                WHEN m = 3 THEN 'p4'
+                WHEN m = 4 AND dmax = 3 THEN 'paw'
+                WHEN m = 4 THEN 'c4'
+                WHEN m = 5 THEN 'diamond'
+                WHEN m = 6 THEN 'k4'
+              END AS motif
+              FROM cls WHERE m >= 3 AND dmin >= 1
+            ),
+            classes(motif) AS (
+              VALUES ('c4'), ('claw'), ('diamond'), ('k4'), ('p4'), ('paw')
+            )
+            SELECT classes.motif,
+                   CAST(count(named.motif) AS BIGINT) AS count
+            FROM classes LEFT JOIN named USING (motif)
+            GROUP BY classes.motif
             """,
         "pii_scrub_docs": r"""
             WITH planted AS (

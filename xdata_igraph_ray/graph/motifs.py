@@ -34,6 +34,7 @@ from ..exchange import (
     DEFAULT_PARTITIONS,
     block_refs,
     exchange,
+    groupby_agg,
     hash_join,
 )
 
@@ -221,3 +222,268 @@ def motifs_3_undirected(
     open_ = sum(census[k] for k in ("021D", "021U", "021C", "111D",
                                     "111U"))
     return {"path": open_, "triangle": closed}
+
+
+# ---------------------------------------------------------------------------
+# size-4 undirected motif census — igraph_motifs_randesu size=4
+# (src/motifs.c:121; isoclasses per src/topology.c isoclass tables).
+#
+# Strategy: count NON-induced subgraph copies of the six connected
+# 4-vertex classes with closed-form identities + two bounded joins,
+# then convert to INDUCED counts by solving the (runtime-derived)
+# subgraph-containment linear system:
+#
+#   claw    = sum_v C(d,3)
+#   paw     = sum_v t(v) * (d(v) - 2)
+#   P4      = sum_{(a,b) in E} (d(a)-1)(d(b)-1) - 3T
+#   C4      = 1/2 * sum_{pairs} C(codeg, 2)
+#   diamond = sum_{(a,b) in E} C(codeg(a,b), 2)
+#   K4      = (adjacent apex pairs over shared triangle edges) / 6
+#
+# codegrees come from a full wedge expansion (volume sum_v C(d(v),2))
+# — the same scope boundary as the reference's own enumerative
+# motifs.c: exact census is for small/medium graphs; RAND-ESU
+# sampling is the documented scale path (not implemented).
+
+_M4_CLASSES = ("p4", "claw", "c4", "paw", "diamond", "k4")
+_M4_EDGES = {
+    "p4": ((0, 1), (1, 2), (2, 3)),
+    "claw": ((0, 1), (0, 2), (0, 3)),
+    "c4": ((0, 1), (1, 2), (2, 3), (3, 0)),
+    "paw": ((0, 1), (1, 2), (2, 0), (0, 3)),
+    "diamond": ((0, 1), (1, 2), (2, 0), (0, 3), (1, 3)),
+    "k4": ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)),
+}
+
+
+def _m4_copies(pat: str, tgt: str) -> int:
+    """# of subgraph copies of class ``pat`` inside ONE induced
+    occurrence of class ``tgt``: labeled embeddings / |Aut(pat)|."""
+    from itertools import permutations
+
+    pe = {frozenset(e) for e in _M4_EDGES[pat]}
+    te = {frozenset(e) for e in _M4_EDGES[tgt]}
+    emb = sum(
+        1 for perm in permutations(range(4))
+        if all(frozenset((perm[a], perm[b])) in te for a, b in pe)
+    )
+    aut = sum(
+        1 for perm in permutations(range(4))
+        if {frozenset((perm[a], perm[b])) for a, b in pe} == pe
+    )
+    return emb // aut
+
+
+def motifs_4_undirected(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS,
+) -> dict[str, int]:
+    """Induced counts of the six connected 4-vertex undirected motif
+    classes.  Exact; see the scope note above."""
+    from .triangles import undirected_support
+    from ..exchange import exchange as _exchange
+
+    if isinstance(edges, pa.Table):
+        edges = [ray.put(edges)]
+    und = undirected_support(edges, P=P)
+
+    # degrees
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
+        )
+
+    deg_refs = groupby_agg(
+        [_apply.remote(both, r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    deg_tbl = pa.concat_tables(ray.get(deg_refs))
+    deg = np.zeros(n, dtype=np.int64)
+    deg[deg_tbl["vid"].to_numpy()] = deg_tbl["deg"].to_numpy()
+
+    # full wedges -> codegree per unordered endpoint pair.  Arcs are
+    # symmetrized FIRST so each center's whole neighbor list lands in
+    # one key-group (a-side-only grouping would miss wedges whose two
+    # neighbors sit on opposite sides of the canonical edge order).
+    sym = [_m4_symmetrize.remote(r) for r in und]
+    wedge_pairs = _exchange(
+        sym, ["c"], P=P, reduce_fn=_m4_wedges_by_center, as_refs=True,
+    )
+    codeg = groupby_agg(
+        wedge_pairs, ["x", "y"],
+        [(None, "count", "w")], P=P, as_refs=True,
+    )
+    # annotate pairs with adjacency (inner-join against edge set)
+    adj_pairs = hash_join(
+        codeg, [_rename_ab.remote(r) for r in und], keys=["x", "y"],
+        how="inner", P=P, as_refs=True,
+    )
+    parts = [t["w"].to_numpy() for t in ray.get(codeg) if len(t)]
+    w_all = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    parts = [t["w"].to_numpy() for t in ray.get(adj_pairs) if len(t)]
+    w_adj = np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    # triangles: per-vertex counts + apex-pair adjacency for K4
+    from .triangles import triangles as _tri
+
+    total_T, per_v = _tri([r for r in und], n, P=P, per_vertex=True)
+    tv_tbl = per_v.to_arrow_refs()
+    tv_tbl = pa.concat_tables(ray.get(tv_tbl))
+    t_v = np.zeros(n, dtype=np.int64)
+    t_v[tv_tbl["vid"].to_numpy()] = tv_tbl["count"].to_numpy()
+
+    # K4: triangle list -> (edge, apex) -> apex pairs -> adjacency
+    tri_matches = _m4_triangle_list(und, n, P)
+    edge_apex = [_m4_edge_apex.remote(r) for r in tri_matches]
+    apex_pairs = _exchange(
+        edge_apex, ["ea", "eb"], P=P, reduce_fn=_m4_apex_pairs,
+        as_refs=True,
+    )
+    k4_hits = hash_join(
+        apex_pairs, [_rename_ab.remote(r) for r in und], keys=["x", "y"],
+        how="inner", P=P, as_refs=True,
+    )
+    k4 = sum(ray.get([_nrows.remote(r) for r in k4_hits])) // 6
+
+    # non-induced counts from identities
+    und_tbl = pa.concat_tables(ray.get(list(und)))
+    ea = und_tbl["a"].to_numpy()
+    eb = und_tbl["b"].to_numpy()
+    T = int(total_T)
+    claw = int((deg * (deg - 1) * (deg - 2) // 6).sum())
+    paw = int((t_v * np.maximum(deg - 2, 0)).sum())
+    p4 = int(((deg[ea] - 1) * (deg[eb] - 1)).sum()) - 3 * T
+    c4 = int((w_all * (w_all - 1) // 2).sum()) // 2
+    diamond = int((w_adj * (w_adj - 1) // 2).sum())
+    non_induced = {
+        "p4": p4, "claw": claw, "c4": c4, "paw": paw,
+        "diamond": diamond, "k4": k4,
+    }
+
+    # N = M @ I  (M upper-triangular by edge count) -> solve for I
+    order = _M4_CLASSES
+    M = np.array(
+        [[_m4_copies(pi, pj) for pj in order] for pi in order],
+        dtype=np.float64,
+    )
+    N = np.array([non_induced[c] for c in order], dtype=np.float64)
+    induced = np.linalg.solve(M, N)
+    out = {c: int(round(v)) for c, v in zip(order, induced)}
+    if any(v < 0 for v in out.values()):
+        raise AssertionError(f"motifs4: negative induced count {out}")
+    return out
+
+
+def _m4_triangle_list(und, n, P):
+    """Triangle matches (x, y, pivot) via the oriented wedge probe —
+    the same pipeline as triangles.py, re-run here to keep the match
+    TABLE (triangles() only returns counts)."""
+    from .triangles import _orient, _probe_table, _rename, _wedges_of_partition
+
+    deg = groupby_agg(
+        [_apply.remote(
+            lambda t: pa.table({
+                "vid": np.concatenate(
+                    (t["a"].to_numpy(), t["b"].to_numpy())
+                )
+            }), r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    j1 = hash_join(
+        und, [_rename.remote(r, {"vid": "a", "deg": "deg_a"}) for r in deg],
+        keys=["a"], P=P, as_refs=True,
+    )
+    j2 = hash_join(
+        j1, [_rename.remote(r, {"vid": "b", "deg": "deg_b"}) for r in deg],
+        keys=["b"], P=P, as_refs=True,
+    )
+    oriented = [_orient.remote(r) for r in j2]
+    from ..exchange import exchange as _exchange
+
+    wedges = _exchange(
+        oriented, ["pivot"], P=P, reduce_fn=_wedges_of_partition,
+        as_refs=True,
+    )
+    return hash_join(
+        wedges, [_probe_table.remote(r) for r in oriented],
+        keys=["x", "y"], how="inner", P=P, as_refs=True,
+    )
+
+
+def _m4_wedge_expand(center: np.ndarray, other: np.ndarray) -> pa.Table:
+    order = np.argsort(center, kind="stable")
+    center, other = center[order], other[order]
+    runs = np.ones(len(center), dtype=bool)
+    if len(center):
+        runs[1:] = center[1:] != center[:-1]
+    starts = np.flatnonzero(runs)
+    ends = np.concatenate((starts[1:], [len(center)]))
+    xs, ys = [], []
+    for s, e in zip(starts, ends):
+        nbrs = np.sort(other[s:e])
+        k = e - s
+        if k < 2:
+            continue
+        ii, jj = np.triu_indices(k, k=1)
+        xs.append(nbrs[ii])
+        ys.append(nbrs[jj])
+    if not xs:
+        ei = np.empty(0, np.int64)
+        return pa.table({"x": ei, "y": ei})
+    return pa.table({"x": np.concatenate(xs), "y": np.concatenate(ys)})
+
+
+@ray.remote
+def _m4_symmetrize(t: pa.Table) -> pa.Table:
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    return pa.table({
+        "c": np.concatenate((a, b)), "nbr": np.concatenate((b, a)),
+    })
+
+
+def _m4_wedges_by_center(tbl: pa.Table) -> pa.Table:
+    if len(tbl) == 0:
+        ei = np.empty(0, np.int64)
+        return pa.table({"x": ei, "y": ei})
+    return _m4_wedge_expand(tbl["c"].to_numpy(), tbl["nbr"].to_numpy())
+
+
+@ray.remote
+def _rename_ab(t: pa.Table) -> pa.Table:
+    return pa.table({"x": t["a"], "y": t["b"]})
+
+
+@ray.remote
+def _apply(fn, t: pa.Table) -> pa.Table:
+    return fn(t)
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _m4_edge_apex(t: pa.Table) -> pa.Table:
+    """Each triangle (pivot, x, y) -> 3 (edge, apex) records with the
+    edge canonicalized (min, max)."""
+    p = t["pivot"].to_numpy()
+    x = t["x"].to_numpy()
+    y = t["y"].to_numpy()
+    e1a, e1b, ap1 = np.minimum(x, y), np.maximum(x, y), p
+    e2a, e2b, ap2 = np.minimum(p, x), np.maximum(p, x), y
+    e3a, e3b, ap3 = np.minimum(p, y), np.maximum(p, y), x
+    return pa.table({
+        "ea": np.concatenate((e1a, e2a, e3a)),
+        "eb": np.concatenate((e1b, e2b, e3b)),
+        "apex": np.concatenate((ap1, ap2, ap3)),
+    })
+
+
+def _m4_apex_pairs(tbl: pa.Table) -> pa.Table:
+    """Unordered apex pairs per shared edge (canonicalized)."""
+    if len(tbl) == 0:
+        ei = np.empty(0, np.int64)
+        return pa.table({"x": ei, "y": ei})
+    key = tbl["ea"].to_numpy() * (1 << 31) + tbl["eb"].to_numpy()
+    return _m4_wedge_expand(key, tbl["apex"].to_numpy())
