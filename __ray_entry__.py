@@ -331,6 +331,17 @@ def q_closeness(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV2), "closeness": np.round(c, 6)})
 
 
+def q_harmonic(sf_dir: str):
+    """Harmonic centrality (normalized) on the 200-vertex graph."""
+    from xdata_igraph_ray.graph.centrality import harmonic_centrality
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    h = harmonic_centrality(eng, wave=100)
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV2), "harmonic": np.round(h, 6)})
+
+
 def q_betweenness(sf_dir: str):
     """Exact Brandes betweenness on the simplified 200-vertex derived
     graph (directed, endpoints excluded)."""
@@ -1237,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_li": q_sssp,
         "sssp_weighted_li": q_sssp_weighted,
         "closeness_li": q_closeness,
+        "harmonic_li": q_harmonic,
         "betweenness_li": q_betweenness,
         "coreness_li": q_coreness,
         "shortest_paths_li": q_shortest_paths,
@@ -1643,6 +1655,27 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
                      AS closeness
             FROM v JOIN agg ON agg.s = v.vid
+            """,
+        "harmonic_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   round(coalesce(agg.h, 0) / ({NV2} - 1.0), 6) AS harmonic
+            FROM v LEFT JOIN agg ON agg.s = v.vid
             """,
         "betweenness_li": f"""
             WITH RECURSIVE de AS (

@@ -180,3 +180,26 @@ def test_eccentricity_radius():
         assert ecc[v] == max(lengths.values()), v
     assert radius(eng) == ecc.min()
     eng.shutdown()
+
+
+def test_harmonic_centrality_vs_networkx():
+    import networkx as nx
+
+    from xdata_igraph_ray.graph import generators
+    from xdata_igraph_ray.graph.centrality import harmonic_centrality
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    t = generators.erdos_renyi_gnm(60, 240, directed=True, seed=8)
+    eng = GraphEngine.from_edges(t, n=60, P=3)
+    try:
+        h = harmonic_centrality(eng, normalized=False, wave=30)
+    finally:
+        eng.shutdown()
+    g = nx.DiGraph(list(zip(t["src"].to_numpy(), t["dst"].to_numpy())))
+    g.add_nodes_from(range(60))
+    # networkx harmonic_centrality sums 1/d over INCOMING paths; use
+    # the reversed graph to get the out-mode value
+    want = nx.harmonic_centrality(g.reverse())
+    got = {v: h[v] for v in range(60)}
+    for v in range(60):
+        assert abs(got[v] - want[v]) < 1e-9, v

@@ -209,6 +209,33 @@ def closeness(
     return out
 
 
+def harmonic_centrality(
+    engine: GraphEngine,
+    sources=None,
+    normalized: bool = True,
+    wave: int = 64,
+) -> np.ndarray:
+    """Harmonic centrality (igraph_harmonic_centrality,
+    src/centrality.c:2940): H(s) = sum over reachable u != s of
+    1/d(s,u); unreachable pairs contribute 0 (no n-penalty — the
+    point of the harmonic variant).  normalized divides by n-1.
+    Same multi-source BFS waves as closeness."""
+    shards = engine.shards
+    n = engine.n
+    if sources is None:
+        sources = np.arange(n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _ms_forward(engine, ws)
+        stats = ray.get([s.ms_harmonic_stats.remote() for s in shards])
+        h = np.sum(stats, axis=0)
+        out[pos:pos + len(ws)] = h / (n - 1.0) if normalized else h
+        pos += len(ws)
+    ray.get([s.ms_free.remote() for s in shards])
+    return out
+
+
 def hits(
     engine: GraphEngine,
     weighted: bool = False,

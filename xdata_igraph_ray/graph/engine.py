@@ -1722,6 +1722,15 @@ class GraphShard:
                                                       dtype=np.float64)
         return reached.sum(axis=0, dtype=np.int64), dsum
 
+    def ms_harmonic_stats(self):
+        """Sum of 1/d per wave column over reached vertices at d > 0
+        (igraph_harmonic_centrality, src/centrality.c:2940:
+        unreachable pairs contribute 0)."""
+        pos = self.ms_dist > 0
+        return np.where(
+            pos, 1.0 / np.maximum(self.ms_dist, 1), 0.0
+        ).sum(axis=0, dtype=np.float64)
+
     def ms_mask_scatter(self, k: int):
         """Reach-within-k mask flows along fwd edges (the scan_k
         building block: per source column v, G[b] counts edges a->b
