@@ -91,3 +91,53 @@ def test_linegraph():
     # triangle: 3 edges, each feeding the next
     out2 = pairs(ops.linegraph(ds([0, 1, 2], [1, 2, 0]), P=2))
     assert len(out2) == 3
+
+
+def test_complementer_small():
+    import numpy as np
+    import pyarrow as pa
+
+    from xdata_igraph_ray.graph.ops import complementer
+
+    t = pa.table({"src": np.array([0, 1, 2], dtype=np.int64),
+                  "dst": np.array([1, 2, 0], dtype=np.int64)})
+    df = complementer(t, n=4, P=2).to_pandas()
+    got = set(zip(df["src"], df["dst"]))
+    alln = {(a, b) for a in range(4) for b in range(4) if a != b}
+    assert got == alln - {(0, 1), (1, 2), (2, 0)}
+    # loops=True adds missing self-loops
+    df2 = complementer(t, n=4, loops=True, P=2).to_pandas()
+    assert len(df2) == len(df) + 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        complementer(t, n=10**9)
+
+
+def test_dfs_visitor_vs_networkx():
+    import networkx as nx
+    import numpy as np
+
+    from xdata_igraph_ray.graph import generators
+    from xdata_igraph_ray.graph.paths import dfs
+
+    t = generators.erdos_renyi_gnm(40, 120, directed=True, seed=6)
+    r = dfs(t, n=40, root=0)
+    order, parent = r["order"], r["parent"]
+    # every vertex appears exactly once
+    assert sorted(order.tolist()) == list(range(40))
+    es = set(zip(t["src"].to_numpy(), t["dst"].to_numpy()))
+    # parent edges are real edges; parents precede children in order
+    pos = np.empty(40, dtype=np.int64)
+    pos[order] = np.arange(40)
+    for v in range(40):
+        if parent[v] >= 0:
+            assert (parent[v], v) in es
+            assert pos[parent[v]] < pos[v]
+    # tie-break = ascending dst: matches networkx dfs_preorder from 0
+    g = nx.DiGraph()
+    g.add_nodes_from(range(40))
+    for a, b in sorted(es):
+        g.add_edge(a, b)
+    want = list(nx.dfs_preorder_nodes(g, source=0))
+    assert order[:len(want)].tolist() == want

@@ -362,3 +362,72 @@ def get_stochastic(
         )
 
     return to_dataset([norm.remote(r) for r in j])
+
+
+@ray.remote
+def _complement_range(lo: int, hi: int, n: int, loops: bool,
+                      *edge_parts) -> pa.Table:
+    """Complement rows for sources in [lo, hi): output-bound work —
+    the complement is Theta(n^2) EDGES no matter the algorithm (the
+    reference materializes the same, src/operators.c:1058); this
+    shards that output by source range."""
+    have = [t for t in edge_parts if t is not None and len(t)]
+    rows = hi - lo
+    mat = np.zeros((rows, n), dtype=bool)
+    for t in have:
+        s = t["src"].to_numpy() - lo
+        d = t["dst"].to_numpy()
+        mat[s, d] = True
+    if not loops:
+        idx = np.arange(lo, hi)
+        mat[np.arange(rows), idx] = True
+    src, dst = np.nonzero(~mat)
+    return pa.table({"src": src + lo, "dst": dst})
+
+
+def complementer(edges, n: int, loops: bool = False, P: int = 8,
+                 max_vertices: int = 100_000):
+    """igraph_complementer (src/operators.c:1058): the edge set of the
+    complement graph, sharded by source range (each task emits its
+    range's complement rows).  Output is Theta(n^2) edges — guarded by
+    ``max_vertices`` because at web scale the complement of a sparse
+    graph is essentially the complete graph and should never be
+    materialized."""
+    if n > max_vertices:
+        raise ValueError(
+            f"complementer: n={n} exceeds max_vertices={max_vertices}; "
+            "the complement has ~n^2 edges"
+        )
+    from ..exchange import block_refs, to_dataset
+
+    if isinstance(edges, pa.Table):
+        refs = [ray.put(edges)]
+    else:
+        refs = edges if isinstance(edges, list) else block_refs(edges)
+    P = max(1, min(P, n))
+    bounds = np.linspace(0, n, P + 1).astype(np.int64)
+    parts = [
+        _route_src.options(num_returns=P if P > 1 else 1).remote(r, bounds)
+        for r in refs
+    ]
+    parts = [[p] if P == 1 else p for p in parts]
+    out = [
+        _complement_range.remote(
+            int(bounds[q]), int(bounds[q + 1]), n, loops,
+            *[pt[q] for pt in parts]
+        )
+        for q in range(P)
+    ]
+    return to_dataset(out)
+
+
+@ray.remote
+def _route_src(tbl: pa.Table, bounds):
+    src = tbl["src"].to_numpy()
+    P = len(bounds) - 1
+    part = np.searchsorted(bounds, src, side="right") - 1
+    order = np.argsort(part, kind="stable")
+    t = tbl.take(pa.array(order))
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    out = [t.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(P)]
+    return tuple(out) if P > 1 else out[0]

@@ -471,3 +471,73 @@ def get_all_shortest_paths(
     finally:
         _sys.setrecursionlimit(old)
     return out
+
+
+def dfs(edges, n: int, root: int = 0, mode: str = "out"):
+    """DFS visitor order + parents (igraph_dfs, src/visitors.c:395).
+    The visit order is inherently sequential (each step depends on the
+    full prior state), so this runs driver-side over a collected
+    adjacency — the same scope as the reference's own single-threaded
+    visitor; use it for reference-id canonicalization on small/medium
+    graphs, not 10^12-edge inputs.  Unreached vertices are restarted
+    from ascending vids (igraph's dfs with all components).
+    Returns {"order", "parent"} (np arrays; parent -1 at roots)."""
+    import pyarrow as pa
+
+    if isinstance(edges, pa.Table):
+        tbls = [edges]
+    else:
+        from ..exchange import block_refs
+
+        refs = edges if isinstance(edges, list) else block_refs(edges)
+        tbls = ray.get(list(refs))
+    src_l, dst_l = [], []
+    for t in tbls:
+        if len(t) == 0:
+            continue
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        if mode in ("out", "all"):
+            src_l.append(s)
+            dst_l.append(d)
+        if mode in ("in", "all"):
+            src_l.append(d)
+            dst_l.append(s)
+    if src_l:
+        src = np.concatenate(src_l)
+        dst = np.concatenate(dst_l)
+    else:
+        src = dst = np.empty(0, dtype=np.int64)
+    order_e = np.lexsort((dst, src))
+    src, dst = src[order_e], dst[order_e]
+    indptr = np.concatenate(
+        ([0], np.cumsum(np.bincount(src, minlength=n)))
+    )
+    visited = np.zeros(n, dtype=bool)
+    parent = np.full(n, -1, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    k = 0
+    roots = [root] + [v for v in range(n) if v != root]
+    for r in roots:
+        if visited[r]:
+            continue
+        stack = [(r, int(indptr[r]))]
+        visited[r] = True
+        order[k] = r
+        k += 1
+        while stack:
+            v, ei = stack[-1]
+            end = int(indptr[v + 1])
+            while ei < end and visited[dst[ei]]:
+                ei += 1
+            if ei == end:
+                stack.pop()
+                continue
+            stack[-1] = (v, ei + 1)
+            w = int(dst[ei])
+            visited[w] = True
+            parent[w] = v
+            order[k] = w
+            k += 1
+            stack.append((w, int(indptr[w])))
+    return {"order": order, "parent": parent}
