@@ -342,6 +342,37 @@ def q_harmonic(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV2), "harmonic": np.round(h, 6)})
 
 
+def q_closeness_weighted(sf_dir: str):
+    """Weighted closeness on the 60-vertex graph with small integer
+    weights ((l_quantity % 3) + 1; parallel edges keep the MIN weight
+    in both engines via the simplify-free multigraph: the engine
+    relaxes every parallel arc, SQL takes min weight per pair)."""
+    from xdata_igraph_ray.graph.centrality import closeness_weighted
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 60,
+                "dst": t["l_partkey"].to_numpy() % 60,
+                "weight": (t["l_quantity"].to_numpy() % 3) + 1.0,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    eng = GraphEngine.from_edges(ds, n=60, P=4, weighted=True)
+    try:
+        c = closeness_weighted(eng, wave=60)
+    finally:
+        eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(60), "closeness": np.round(c, 6)}
+    )
+
+
 def q_betweenness(sf_dir: str):
     """Exact Brandes betweenness on the simplified 200-vertex derived
     graph (directed, endpoints excluded)."""
@@ -1248,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_li": q_sssp,
         "sssp_weighted_li": q_sssp_weighted,
         "closeness_li": q_closeness,
+        "closeness_weighted_li": q_closeness_weighted,
         "harmonic_li": q_harmonic,
         "betweenness_li": q_betweenness,
         "coreness_li": q_coreness,
@@ -1653,6 +1685,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v.vid,
                    round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
+                     AS closeness
+            FROM v JOIN agg ON agg.s = v.vid
+            """,
+        "closeness_weighted_li": """
+            WITH RECURSIVE de AS (
+              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
+                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
+              FROM lineitem
+              GROUP BY 1, 2
+            ),
+            v AS (SELECT range AS vid FROM range(0, 60)),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
+              WHERE r.d + de.w < 25
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, count(*) AS reach, sum(d) AS dsum
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   round(1.0 / (agg.dsum + 60.0 * (60 - agg.reach)), 6)
                      AS closeness
             FROM v JOIN agg ON agg.s = v.vid
             """,

@@ -203,3 +203,46 @@ def test_harmonic_centrality_vs_networkx():
     got = {v: h[v] for v in range(60)}
     for v in range(60):
         assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_weighted_closeness_eccentricity_vs_networkx():
+    import networkx as nx
+    import pyarrow as pa
+
+    from xdata_igraph_ray.graph.centrality import (
+        closeness_weighted, diameter_weighted, eccentricity_weighted,
+    )
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    rng = np.random.default_rng(12)
+    n, m = 40, 200
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.integers(0, n, size=2)
+        if u != v:
+            pairs.add((int(u), int(v)))
+    edges = sorted(pairs)
+    w = rng.integers(1, 9, size=len(edges)).astype(float)
+    t = pa.table({"src": np.array([e[0] for e in edges], dtype=np.int64),
+                  "dst": np.array([e[1] for e in edges], dtype=np.int64),
+                  "weight": w})
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    for (u, v), ww in zip(edges, w):
+        g.add_edge(u, v, weight=ww)
+    dist = dict(nx.all_pairs_dijkstra_path_length(g))
+    eng = GraphEngine.from_edges(t, n=n, P=3, weighted=True)
+    try:
+        c = closeness_weighted(eng, wave=16)
+        e = eccentricity_weighted(eng, wave=16)
+        dia = diameter_weighted(eng, wave=16)
+    finally:
+        eng.shutdown()
+    for s in range(n):
+        ds = dist[s]
+        reach = len(ds)
+        total = sum(ds.values()) + n * (n - reach)
+        assert abs(c[s] - 1.0 / total) < 1e-12, s
+        assert abs(e[s] - max(ds.values())) < 1e-12, s
+    want_dia = max(max(d.values()) for d in dist.values())
+    assert abs(dia - want_dia) < 1e-12

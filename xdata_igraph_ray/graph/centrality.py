@@ -209,6 +209,82 @@ def closeness(
     return out
 
 
+def _wms_run(engine: GraphEngine, wave_sources, max_rounds=None):
+    shards = engine.shards
+    ray.get([s.wms_init.remote(wave_sources) for s in shards])
+    cap = max_rounds if max_rounds is not None else engine.n + 1
+    rounds = 0
+    while True:
+        outs = engine.scatter("wms_scatter")
+        changed = sum(ray.get([
+            shards[q].wms_gather.remote(*engine.pieces(outs, q))
+            for q in range(engine.P)
+        ]))
+        if changed == 0:
+            return
+        rounds += 1
+        if rounds > cap:
+            raise RuntimeError("weighted distances: negative cycle?")
+
+
+def closeness_weighted(
+    engine: GraphEngine,
+    sources=None,
+    normalized: bool = False,
+    wave: int = 32,
+) -> np.ndarray:
+    """Weighted closeness (igraph_closeness with weights,
+    src/centrality.c:2473: one Dijkstra per source becomes S
+    Bellman-Ford columns per wave).  Same unreachable-counts-as-n
+    rule as the unweighted variant above.  Requires weighted=True
+    engine with positive weights."""
+    shards = engine.shards
+    n = engine.n
+    if sources is None:
+        sources = np.arange(n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _wms_run(engine, ws)
+        stats = ray.get([s.wms_stats.remote() for s in shards])
+        reach = np.sum([st[0] for st in stats], axis=0)
+        dsum = np.sum([st[1] for st in stats], axis=0)
+        total = dsum + float(n) * (n - reach)
+        with np.errstate(divide="ignore"):
+            c = (n - 1.0) / total if normalized else 1.0 / total
+        out[pos:pos + len(ws)] = c
+        pos += len(ws)
+    ray.get([s.wms_free.remote() for s in shards])
+    return out
+
+
+def eccentricity_weighted(
+    engine: GraphEngine, sources=None, wave: int = 32,
+) -> np.ndarray:
+    """Weighted eccentricity: max finite weighted distance per source
+    (igraph_eccentricity with weights)."""
+    shards = engine.shards
+    if sources is None:
+        sources = np.arange(engine.n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _wms_run(engine, ws)
+        stats = ray.get([s.wms_stats.remote() for s in shards])
+        dmax = np.max([st[2] for st in stats], axis=0)
+        out[pos:pos + len(ws)] = dmax
+        pos += len(ws)
+    ray.get([s.wms_free.remote() for s in shards])
+    return out
+
+
+def diameter_weighted(engine: GraphEngine, wave: int = 32) -> float:
+    """Exact weighted diameter: max finite weighted distance over all
+    source waves (igraph_diameter_dijkstra,
+    src/structural_properties.c:6013)."""
+    return float(np.max(eccentricity_weighted(engine, wave=wave)))
+
+
 def harmonic_centrality(
     engine: GraphEngine,
     sources=None,

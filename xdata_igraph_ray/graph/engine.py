@@ -1722,6 +1722,86 @@ class GraphShard:
                                                       dtype=np.float64)
         return reached.sum(axis=0, dtype=np.int64), dsum
 
+    # -- weighted multi-source distances (Bellman-Ford matrix: S
+    #    source columns relax simultaneously; reference weighted
+    #    closeness/eccentricity paths of src/centrality.c:2473 and
+    #    src/structural_properties.c:4174 use one Dijkstra per source
+    #    — here a (size x S) float matrix converges to the same fixed
+    #    point in hop-diameter rounds) ------------------------------------
+
+    def wms_init(self, sources):
+        src = np.asarray(sources, dtype=np.int64)
+        S = len(src)
+        self.meta["wms_sources"] = src
+        self.wms_dist = np.full((self.size, S), np.inf)
+        self.wms_changed = np.zeros((self.size, S), dtype=bool)
+        mine = np.flatnonzero((src >= self.lo) & (src < self.hi))
+        self.wms_dist[src[mine] - self.lo, mine] = 0.0
+        self.wms_changed[src[mine] - self.lo, mine] = True
+
+    def wms_scatter(self):
+        """(dst, col, dist + w) triples for active entries, min-combined
+        per (dst, col) before the wire."""
+        S = self.wms_dist.shape[1]
+        e64 = np.empty(0, np.int64)
+        rows, cols = np.nonzero(self.wms_changed)
+        if len(rows) == 0 or len(self.fw_dst) == 0:
+            return [(e64, e64, np.empty(0))] * self.P
+        w = (self.fw_w if self.fw_w is not None
+             else np.ones(len(self.fw_dst)))
+        lens = np.diff(self.fw_indptr)[rows]
+        tot = int(lens.sum())
+        if tot == 0:
+            return [(e64, e64, np.empty(0))] * self.P
+        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(
+            self.fw_indptr[rows], lens
+        )
+        dst = self.fw_dst[flat]
+        col = np.repeat(cols, lens)
+        val = np.repeat(self.wms_dist[rows, cols], lens) + w[flat]
+        key = dst * S + col
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        runs = np.ones(len(key), dtype=bool)
+        runs[1:] = key[1:] != key[:-1]
+        idx = np.flatnonzero(runs)
+        uk = key[idx]
+        mv = np.minimum.reduceat(val, idx)
+        udst = uk // S
+        ucol = (uk % S).astype(np.int64)
+        seg = np.searchsorted(udst, self.bounds)
+        return [
+            (udst[seg[q]:seg[q + 1]], ucol[seg[q]:seg[q + 1]],
+             mv[seg[q]:seg[q + 1]])
+            for q in range(self.P)
+        ]
+
+    def wms_gather(self, *sender_outs) -> int:
+        new_changed = np.zeros_like(self.wms_changed)
+        for o in sender_outs:
+            dst, col, val = self._piece(o)
+            if len(dst) == 0:
+                continue
+            rows = dst - self.lo
+            better = val < self.wms_dist[rows, col]
+            self.wms_dist[rows[better], col[better]] = val[better]
+            new_changed[rows[better], col[better]] = True
+        self.wms_changed = new_changed
+        return int(new_changed.sum())
+
+    def wms_stats(self):
+        """Per-column (reached count, distance sum, finite max)."""
+        fin = np.isfinite(self.wms_dist)
+        dsum = np.where(fin, self.wms_dist, 0.0).sum(axis=0)
+        dmax = np.where(fin, self.wms_dist, -np.inf).max(axis=0)
+        return fin.sum(axis=0, dtype=np.int64), dsum, dmax
+
+    def wms_free(self):
+        for a in ("wms_dist", "wms_changed"):
+            if hasattr(self, a):
+                delattr(self, a)
+
     def ms_harmonic_stats(self):
         """Sum of 1/d per wave column over reached vertices at d > 0
         (igraph_harmonic_centrality, src/centrality.c:2940:
