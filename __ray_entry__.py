@@ -373,6 +373,61 @@ def q_closeness_weighted(sf_dir: str):
     )
 
 
+def _wli_edges_60_min(sf_dir: str):
+    """60-vertex weighted derived graph, parallel arcs collapsed to
+    the MIN weight per (src, dst) — sigma counting (betweenness) must
+    see a simple weighted graph to match the SQL walk-count oracle."""
+    from xdata_igraph_ray.exchange import groupby_agg
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 60,
+                "dst": t["l_partkey"].to_numpy() % 60,
+                "weight": (t["l_quantity"].to_numpy() % 3) + 1.0,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return groupby_agg(ds, ["src", "dst"], [("weight", "min", "weight")], P=4)
+
+
+def q_betweenness_weighted(sf_dir: str):
+    """Weighted Brandes betweenness (igraph_betweenness with weights)
+    on the min-collapsed 60-vertex weighted graph; directed, endpoints
+    excluded, exact (all sources)."""
+    from xdata_igraph_ray.graph.centrality import betweenness_weighted
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(
+        _wli_edges_60_min(sf_dir), n=60, P=4, weighted=True
+    )
+    try:
+        bc = betweenness_weighted(eng, wave=60)
+    finally:
+        eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(60), "bc": np.round(bc, 6)})
+
+
+def q_harmonic_weighted(sf_dir: str):
+    """Weighted harmonic centrality (normalized) on the 60-vertex
+    weighted multigraph (min-distance only — multigraph fine)."""
+    from xdata_igraph_ray.graph.centrality import harmonic_weighted
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    eng = GraphEngine.from_edges(
+        _wli_edges_60_min(sf_dir), n=60, P=4, weighted=True
+    )
+    try:
+        h = harmonic_weighted(eng, normalized=True, wave=60)
+    finally:
+        eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(60), "harmonic": np.round(h, 6)})
+
+
 def q_betweenness(sf_dir: str):
     """Exact Brandes betweenness on the simplified 200-vertex derived
     graph (directed, endpoints excluded)."""
@@ -1281,6 +1336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_li": q_closeness,
         "closeness_weighted_li": q_closeness_weighted,
         "harmonic_li": q_harmonic,
+        "betweenness_weighted_li": q_betweenness_weighted,
+        "harmonic_weighted_li": q_harmonic_weighted,
         "betweenness_li": q_betweenness,
         "coreness_li": q_coreness,
         "shortest_paths_li": q_shortest_paths,
@@ -1711,6 +1768,74 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (agg.dsum + 60.0 * (60 - agg.reach)), 6)
                      AS closeness
             FROM v JOIN agg ON agg.s = v.vid
+            """,
+        # weighted sigma: weighted walks of total weight exactly
+        # d(s,t) are precisely the min-weight s->t paths (positive
+        # integer weights), summed over step counts
+        "betweenness_weighted_li": """
+            WITH RECURSIVE de AS (
+              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
+                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
+              FROM lineitem
+              GROUP BY 1, 2
+            ),
+            v AS (SELECT range AS vid FROM range(0, 60)),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
+              WHERE r.d + de.w < 25
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            wk(s, t, ws, c) AS (
+              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
+              UNION ALL
+              SELECT w.s, de.dst, w.ws + de.w, sum(w.c)
+              FROM wk w JOIN de ON de.src = w.t
+              WHERE w.ws + de.w < 25
+              GROUP BY w.s, de.dst, w.ws + de.w
+            ),
+            -- same (s,t,ws) reached at different step counts lands in
+            -- different iterations: sum them
+            wks AS (SELECT s, t, ws, sum(c) AS c FROM wk GROUP BY 1, 2, 3),
+            sp AS (
+              SELECT dist.s, dist.t, dist.d, wks.c
+              FROM dist JOIN wks ON wks.s = dist.s AND wks.t = dist.t
+                                AND wks.ws = dist.d
+            )
+            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
+            FROM v LEFT JOIN (
+              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
+              FROM sp sv
+              JOIN sp vt ON vt.s = sv.t AND vt.d > 0
+              JOIN sp st ON st.s = sv.s AND st.t = vt.t
+                        AND st.d = sv.d + vt.d
+              WHERE sv.d > 0
+              GROUP BY sv.t
+            ) b USING (vid)
+            """,
+        "harmonic_weighted_li": """
+            WITH RECURSIVE de AS (
+              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
+                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
+              FROM lineitem
+              GROUP BY 1, 2
+            ),
+            v AS (SELECT range AS vid FROM range(0, 60)),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
+              WHERE r.d + de.w < 25
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   round(coalesce(agg.h, 0) / 59.0, 6) AS harmonic
+            FROM v LEFT JOIN agg ON agg.s = v.vid
             """,
         "harmonic_li": f"""
             WITH RECURSIVE de AS (

@@ -246,3 +246,88 @@ def test_weighted_closeness_eccentricity_vs_networkx():
         assert abs(e[s] - max(ds.values())) < 1e-12, s
     want_dia = max(max(d.values()) for d in dist.values())
     assert abs(dia - want_dia) < 1e-12
+
+
+def test_weighted_betweenness_vs_networkx():
+    import networkx as nx
+
+    rng = np.random.default_rng(55)
+    n, m = 60, 300
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.integers(0, n, size=2)
+        if u != v:
+            pairs.add((int(u), int(v)))
+    edges = sorted(pairs)
+    w = rng.integers(1, 7, size=len(edges)).astype(float)
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    for (u, v), ww in zip(edges, w):
+        g.add_edge(u, v, weight=ww)
+    want = nx.betweenness_centrality(g, weight="weight", normalized=False)
+    from xdata_igraph_ray.graph.centrality import betweenness_weighted
+
+    eng = _weighted_engine(
+        [e[0] for e in edges], [e[1] for e in edges], w, n, P=3
+    )
+    try:
+        got = betweenness_weighted(eng, wave=16)
+    finally:
+        eng.shutdown()
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-8, (v, got[v], want[v])
+
+
+def test_weighted_betweenness_sampled_sources():
+    rng = np.random.default_rng(9)
+    n, m = 40, 160
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.integers(0, n, size=2)
+        if u != v:
+            pairs.add((int(u), int(v)))
+    edges = sorted(pairs)
+    w = rng.integers(1, 5, size=len(edges)).astype(float)
+    from xdata_igraph_ray.graph.centrality import betweenness_weighted
+
+    eng = _weighted_engine(
+        [e[0] for e in edges], [e[1] for e in edges], w, n, P=2
+    )
+    try:
+        full = betweenness_weighted(eng, wave=16)
+        sub = betweenness_weighted(eng, sources=np.arange(0, n, 2), wave=16)
+    finally:
+        eng.shutdown()
+    assert (sub <= full + 1e-9).all()
+    assert sub.sum() > 0
+
+
+def test_weighted_harmonic_vs_networkx():
+    import networkx as nx
+
+    rng = np.random.default_rng(77)
+    n, m = 50, 250
+    pairs = set()
+    while len(pairs) < m:
+        u, v = rng.integers(0, n, size=2)
+        if u != v:
+            pairs.add((int(u), int(v)))
+    edges = sorted(pairs)
+    w = rng.integers(1, 9, size=len(edges)).astype(float)
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    for (u, v), ww in zip(edges, w):
+        g.add_edge(u, v, weight=ww)
+    # networkx harmonic sums over INCOMING paths; reverse for out-mode
+    want = nx.harmonic_centrality(g.reverse(), distance="weight")
+    from xdata_igraph_ray.graph.centrality import harmonic_weighted
+
+    eng = _weighted_engine(
+        [e[0] for e in edges], [e[1] for e in edges], w, n, P=3
+    )
+    try:
+        got = harmonic_weighted(eng, normalized=False, wave=16)
+    finally:
+        eng.shutdown()
+    for v in range(n):
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])

@@ -278,6 +278,68 @@ def eccentricity_weighted(
     return out
 
 
+def betweenness_weighted(
+    engine: GraphEngine, sources=None, wave: int = 32,
+) -> np.ndarray:
+    """Weighted Brandes betweenness (igraph_betweenness with weights,
+    src/centrality.c:1569): per wave, Bellman-Ford matrix distances,
+    then sigma forward / delta backward over the implicit
+    shortest-path DAG via incremental message rounds.  Directed,
+    endpoints excluded; pass every vertex as sources for the exact
+    value, a sample for the _estimate variant.  Integer-ish weights
+    recommended (DAG membership uses exact float equality, the same
+    rule as networkx/igraph)."""
+    shards = engine.shards
+    if sources is None:
+        sources = np.arange(engine.n)
+
+    def _rounds(scatter, gather):
+        while True:
+            outs = engine.scatter(scatter)
+            changed = sum(ray.get([
+                getattr(shards[q], gather).remote(*engine.pieces(outs, q))
+                for q in range(engine.P)
+            ]))
+            if changed == 0:
+                return
+
+    for ws in _ms_waves(engine, sources, wave):
+        _wms_run(engine, ws)
+        ray.get([s.wbc_sigma_init.remote() for s in shards])
+        _rounds("wbc_sigma_scatter", "wbc_sigma_gather")
+        ray.get([s.wbc_delta_init.remote() for s in shards])
+        _rounds("wbc_delta_scatter", "wbc_delta_gather")
+        ray.get([s.wbc_accumulate.remote() for s in shards])
+    out = np.concatenate(
+        ray.get([s.wbc_result.remote() for s in shards])
+    )
+    ray.get([s.wms_free.remote() for s in shards])
+    return out
+
+
+def harmonic_weighted(
+    engine: GraphEngine, sources=None, normalized: bool = True,
+    wave: int = 32,
+) -> np.ndarray:
+    """Weighted harmonic centrality: sum of 1/d(s,u) over reachable
+    u != s (igraph_harmonic_centrality with weights)."""
+    shards = engine.shards
+    n = engine.n
+    if sources is None:
+        sources = np.arange(n)
+    out = np.empty(len(np.asarray(sources)), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _wms_run(engine, ws)
+        h = np.sum(
+            ray.get([s.wms_harmonic_stats.remote() for s in shards]), axis=0
+        )
+        out[pos:pos + len(ws)] = h / (n - 1.0) if normalized else h
+        pos += len(ws)
+    ray.get([s.wms_free.remote() for s in shards])
+    return out
+
+
 def diameter_weighted(engine: GraphEngine, wave: int = 32) -> float:
     """Exact weighted diameter: max finite weighted distance over all
     source waves (igraph_diameter_dijkstra,

@@ -1797,10 +1797,159 @@ class GraphShard:
         dmax = np.where(fin, self.wms_dist, -np.inf).max(axis=0)
         return fin.sum(axis=0, dtype=np.int64), dsum, dmax
 
+    def wms_harmonic_stats(self):
+        """Per-column sum of 1/d over finite d > 0."""
+        pos = np.isfinite(self.wms_dist) & (self.wms_dist > 0)
+        return np.where(
+            pos, 1.0 / np.where(pos, self.wms_dist, 1.0), 0.0
+        ).sum(axis=0)
+
     def wms_free(self):
-        for a in ("wms_dist", "wms_changed"):
+        for a in ("wms_dist", "wms_changed", "wbc_sigma", "wbc_ssent",
+                  "wbc_delta", "wbc_psum", "wbc_psent", "wbc_acc"):
             if hasattr(self, a):
                 delattr(self, a)
+
+    # -- weighted Brandes (betweenness with weights,
+    #    igraph_betweenness src/centrality.c:1569 weighted arm): after
+    #    wms distances converge, sigma flows forward over the implicit
+    #    shortest-path DAG (arc (u,v) is a DAG arc for column c iff
+    #    d[u]+w == d[v], checked receiver-side against the SENT value,
+    #    so no neighbor-distance replication is needed) by Jacobi
+    #    rounds; delta flows backward the same way.  Exact float
+    #    equality matches networkx/igraph semantics on integer-ish
+    #    weights. ------------------------------------------------------------
+
+    def wbc_sigma_init(self):
+        src = self.meta["wms_sources"]
+        S = len(src)
+        self.wbc_sigma = np.zeros((self.size, S))
+        self.wbc_ssent = np.zeros((self.size, S))
+        mine = np.flatnonzero((src >= self.lo) & (src < self.hi))
+        self.wbc_sigma[src[mine] - self.lo, mine] = 1.0
+        if not hasattr(self, "wbc_acc"):
+            self.wbc_acc = np.zeros(self.size)
+
+    def _wbc_expand(self, mask, indptr, arcs_other, arcs_w, payload):
+        """(dst, col, d_sent, val) quadruples along arcs for active
+        (row, col) entries; d_sent = this side's dist + arc weight."""
+        S = mask.shape[1]
+        rows, cols = np.nonzero(mask)
+        e64 = np.empty(0, np.int64)
+        if len(rows) == 0 or len(arcs_other) == 0:
+            return (e64, e64, np.empty(0), np.empty(0))
+        lens = np.diff(indptr)[rows]
+        tot = int(lens.sum())
+        if tot == 0:
+            return (e64, e64, np.empty(0), np.empty(0))
+        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(
+            indptr[rows], lens
+        )
+        dst = arcs_other[flat]
+        col = np.repeat(cols, lens)
+        w = arcs_w[flat] if arcs_w is not None else np.ones(tot)
+        d_sent = np.repeat(self.wms_dist[rows, cols], lens) + w
+        val = np.repeat(payload[rows, cols], lens)
+        return dst, col, d_sent, val
+
+    @staticmethod
+    def _wbc_combine(dst, col, d_sent, val, S, bounds):
+        """Sum val per (dst, col, d_sent) is wrong — equality filtering
+        happens at the receiver, so combine per (dst, col) only among
+        IDENTICAL d_sent... different senders may carry different
+        d_sent for the same (dst,col); ship raw triples grouped by
+        destination shard instead (volume = DAG-arc fan-in)."""
+        order = np.argsort(dst, kind="stable")
+        dst, col = dst[order], col[order]
+        d_sent, val = d_sent[order], val[order]
+        seg = np.searchsorted(dst, bounds)
+        return [
+            (dst[seg[q]:seg[q + 1]], col[seg[q]:seg[q + 1]],
+             d_sent[seg[q]:seg[q + 1]], val[seg[q]:seg[q + 1]])
+            for q in range(len(bounds) - 1)
+        ]
+
+    def wbc_sigma_scatter(self):
+        """Ship sigma INCREMENTS since the last scatter: receivers
+        accumulate, so unchanged parents never need to re-send (a
+        full Jacobi recompute from changed-only senders would
+        undercount)."""
+        S = self.wbc_sigma.shape[1]
+        inc = self.wbc_sigma - self.wbc_ssent
+        mask = inc != 0
+        dst, col, d_sent, val = self._wbc_expand(
+            mask, self.fw_indptr, self.fw_dst, self.fw_w, inc,
+        )
+        self.wbc_ssent = self.wbc_sigma.copy()
+        return self._wbc_combine(dst, col, d_sent, val, S, self.bounds)
+
+    def wbc_sigma_gather(self, *sender_outs) -> int:
+        src = self.meta["wms_sources"]
+        changed = 0
+        for o in sender_outs:
+            dst, col, d_sent, val = self._piece(o)
+            if len(dst) == 0:
+                continue
+            rows = dst - self.lo
+            ok = d_sent == self.wms_dist[rows, col]
+            np.add.at(self.wbc_sigma, (rows[ok], col[ok]), val[ok])
+            changed += int(ok.sum())
+        # source entries are pinned at 1 (a zero-weight... no: positive
+        # weights mean no DAG arc can re-enter the source at d=0)
+        return changed
+
+    def wbc_delta_init(self):
+        S = self.wbc_sigma.shape[1]
+        self.wbc_delta = np.zeros((self.size, S))
+        self.wbc_psum = np.zeros((self.size, S))
+        self.wbc_psent = np.zeros((self.size, S))
+
+    def wbc_delta_scatter(self):
+        """Ship increments of (1 + delta)/sigma along REVERSE arcs;
+        d_sent = d[w] - arc weight must equal d[v] at the receiver."""
+        S = self.wbc_delta.shape[1]
+        fin = np.isfinite(self.wms_dist) & (self.wbc_sigma > 0)
+        payload = np.where(
+            fin,
+            (1.0 + self.wbc_delta) / np.where(fin, self.wbc_sigma, 1.0),
+            0.0,
+        )
+        inc = payload - self.wbc_psent
+        mask = inc != 0
+        dsts, col, d_sent, val = self._wbc_expand(
+            mask, self.rv_indptr, self.rv_src,
+            (-self.rv_w if self.rv_w is not None else None), inc,
+        )
+        if self.rv_w is None and len(d_sent):
+            d_sent = d_sent - 2.0  # expand added +1; want d - 1
+        self.wbc_psent = payload
+        return self._wbc_combine(dsts, col, d_sent, val, S, self.bounds)
+
+    def wbc_delta_gather(self, *sender_outs) -> int:
+        changed = 0
+        for o in sender_outs:
+            dst, col, d_sent, val = self._piece(o)
+            if len(dst) == 0:
+                continue
+            rows = dst - self.lo
+            ok = d_sent == self.wms_dist[rows, col]
+            np.add.at(self.wbc_psum, (rows[ok], col[ok]), val[ok])
+            changed += int(ok.sum())
+        self.wbc_delta = self.wbc_sigma * self.wbc_psum
+        return changed
+
+    def wbc_accumulate(self):
+        """bc[v] += sum_c delta[v,c], source columns excluded at their
+        own vertex (Brandes: w != s)."""
+        d = self.wbc_delta.copy()
+        src = self.meta["wms_sources"]
+        mine = np.flatnonzero((src >= self.lo) & (src < self.hi))
+        d[src[mine] - self.lo, mine] = 0.0
+        self.wbc_acc += d.sum(axis=1)
+
+    def wbc_result(self):
+        return self.wbc_acc
 
     def ms_harmonic_stats(self):
         """Sum of 1/d per wave column over reached vertices at d > 0
