@@ -808,6 +808,21 @@ def q_louvain(sf_dir: str):
     return df
 
 
+def q_leading_eigenvector(sf_dir: str):
+    """Newman leading-eigenvector communities (spectral splits of the
+    modularity matrix) on the 200-vertex derived graph — rows-only
+    (no SQL eigensolver); deterministic membership, 8 split steps."""
+    from xdata_igraph_ray.graph.community import leading_eigenvector
+
+    mem, k = leading_eigenvector(
+        _li_edges_200(sf_dir), n=NV2, P=4, steps=8, max_iter=200,
+        tol=1e-8, min_gain=1e-5,
+    )
+    df = mem.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert df["comm"].nunique() == k
+    return df
+
+
 def q_ase(sf_dir: str):
     """Adjacency spectral embedding (xdata flagship) of the symmetric
     support: top-6 eigenvalues + block coordinates (rows-only check —
@@ -1360,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centralization_degree_li": q_centralization_degree,
         "ase_li": q_ase,
         "louvain_li": q_louvain,
+        "leading_eigenvector_li": q_leading_eigenvector,
         "cliques_li": q_cliques,
         "edge_betweenness_li": q_edge_betweenness,
         "eccentricity_li": q_eccentricity,

@@ -176,3 +176,163 @@ def _rename_lvl(t: pa.Table) -> pa.Table:
 @ray.remote
 def _project_mapping(t: pa.Table) -> pa.Table:
     return pa.table({"vid": t["vid"], "comm": t["new_comm"]})
+
+
+# -- leading eigenvector (Newman spectral splits) -----------------------------
+
+
+def _lec_matvec(engine: GraphEngine):
+    """lec_y <- A . lec_x over the symmetrized weighted arcs."""
+    outs = engine.scatter("mv_scatter", "lec_x", "fwd", True)
+    ray.get([
+        s.mv_gather.remote("lec_y", *engine.pieces(outs, q))
+        for q, s in enumerate(engine.shards)
+    ])
+
+
+def _lec_try_split(
+    engine: GraphEngine, c: int, new_id: int, two_m: float,
+    tol: float, max_iter: int, min_gain: float = 0.0,
+) -> float | None:
+    """Power-iterate the shifted restricted modularity matrix of
+    community ``c``; if the leading eigenvalue is positive and the
+    sign split is nontrivial, commit it and return the eigenvalue."""
+    shards = engine.shards
+    stats = ray.get([s.lec_group_stats.remote(c) for s in shards])
+    n_g = sum(s[0] for s in stats)
+    Kg = sum(s[1] for s in stats)
+    if n_g < 2:
+        return None
+    ray.get([s.lec_set_ones.remote(c) for s in shards])
+    _lec_matvec(engine)
+    sigma = max(ray.get([
+        s.lec_rowsum.remote(c, Kg, two_m) for s in shards
+    ]))
+    if sigma <= 0:
+        return None
+    ss = 0.0
+    for attempt in range(8):
+        parts = ray.get([
+            s.lec_x_init.remote(c, 7 + new_id + 1031 * attempt)
+            for s in shards
+        ])
+        mean = sum(p[0] for p in parts) / max(sum(p[1] for p in parts), 1)
+        ss = sum(ray.get([
+            s.lec_x_center.remote(c, mean) for s in shards
+        ]))
+        if ss > 0.0:
+            break
+    if ss <= 0.0:
+        return None  # all +-1 draws identical across members
+    kx = sum(ray.get([
+        s.lec_scale_x.remote(1.0 / np.sqrt(ss)) for s in shards
+    ]))
+    lam_shifted = 0.0
+    for it in range(max_iter):
+        outs = engine.scatter("mv_scatter", "lec_x", "fwd", True)
+        upd = ray.get([
+            s.lec_gather_update.remote(
+                c, kx, sigma, two_m, *engine.pieces(outs, q)
+            )
+            for q, s in enumerate(shards)
+        ])
+        xy = sum(u[0] for u in upd)
+        yy = sum(u[1] for u in upd)
+        if yy <= 0.0:
+            return None  # x annihilated: no positive direction
+        norm = np.sqrt(yy)
+        kx = sum(ray.get([
+            s.lec_y_to_x.remote(1.0 / norm) for s in shards
+        ]))
+        lam_shifted = xy
+        resid2 = max(yy - xy * xy, 0.0)
+        if np.sqrt(resid2) <= tol * max(1.0, abs(xy)):
+            break
+        if (min_gain > 0.0 and it >= 25
+                and lam_shifted - sigma < min_gain * sigma):
+            return None  # rayleigh stuck near sigma: no useful split
+    lam = lam_shifted - sigma
+    if lam <= 1e-7 * sigma:
+        return None  # no positive eigenvalue: community is final
+    probes = [
+        p for p in ray.get([
+            s.lec_orient_probe.remote(c) for s in shards
+        ]) if p is not None
+    ]
+    if probes and min(probes)[1] < 0:
+        ray.get([s.lec_negate.remote() for s in shards])
+    counts = ray.get([s.lec_split_counts.remote(c) for s in shards])
+    if sum(cn[0] for cn in counts) == 0 or sum(cn[1] for cn in counts) == 0:
+        return None
+    ray.get([s.lec_split.remote(c, new_id) for s in shards])
+    return lam
+
+
+def leading_eigenvector(
+    edges: Dataset | list,
+    n: int,
+    P: int = 8,
+    steps: int | None = None,
+    tol: float = 1e-10,
+    max_iter: int = 500,
+    min_gain: float = 0.0,
+) -> tuple[Dataset, int]:
+    """Newman leading-eigenvector community detection — reference
+    igraph_community_leading_eigenvector (src/community.c, ARPACK
+    leading eigenpair of the restricted modularity matrix B^(g); here
+    a shifted power iteration on the BSP shards, same fixed point).
+
+    Repeatedly pops a community off a FIFO queue and splits it by the
+    sign of the leading eigenvector of B^(g) while the leading
+    eigenvalue is positive (up to ``steps`` splits, default n-1 =
+    until no community is splittable).  Pinned divergences from the
+    reference: power iteration instead of ARPACK (deterministic
+    splitmix64 start vector, sign pinned at the minimum member vid),
+    and a split is skipped when every member lands on one side.
+
+    Returns (membership Dataset (vid, comm), community count);
+    community ids renumbered by first appearance in vertex-id order
+    (same rule as igraph LPA renumbering)."""
+    if isinstance(edges, pa.Table):
+        refs = [ray.put(edges)]
+    elif isinstance(edges, list):
+        refs = edges
+    else:
+        refs = block_refs(edges)
+    arcs = [_symmetrize.remote(r) for r in refs]
+    eng = GraphEngine.from_edges(arcs, n=n, P=P, weighted=True)
+    try:
+        shards = eng.shards
+        ray.get([s.lec_init.remote() for s in shards])
+        stats = ray.get([s.lec_group_stats.remote(0) for s in shards])
+        two_m = sum(s[1] for s in stats)
+        if steps is None:
+            steps = max(n - 1, 1)
+        if two_m <= 0:  # empty graph: n singleton communities
+            k = eng.renumber_labels_first_appearance("lec_comm")
+            return (
+                eng.state_dataset(
+                    ["lec_comm"], rename={"lec_comm": "comm"}
+                ).materialize(),
+                k if k else n,
+            )
+        queue = [0]
+        next_id = 1
+        splits = 0
+        while queue and splits < steps:
+            c = queue.pop(0)
+            lam = _lec_try_split(eng, c, next_id, two_m, tol, max_iter,
+                                 min_gain)
+            if lam is None:
+                continue
+            queue.extend((c, next_id))
+            next_id += 1
+            splits += 1
+        ray.get([s.lec_free.remote() for s in shards])
+        k = eng.renumber_labels_first_appearance("lec_comm")
+        mem = eng.state_dataset(
+            ["lec_comm"], rename={"lec_comm": "comm"}
+        ).materialize()
+        return mem, k
+    finally:
+        eng.shutdown()

@@ -496,6 +496,135 @@ class GraphShard:
         self.state[prev_key] = x.copy()
         return delta
 
+    # -- leading-eigenvector community splits (Newman spectral,
+    #    igraph_community_leading_eigenvector src/community.c ARPACK
+    #    arm; power iteration on the SHIFTED restricted modularity
+    #    matrix B^(g) + sigma*I here — same leading eigenpair.
+    #    B^(g)_ij = A_ij - k_i k_j/2m - delta_ij * rowsum_i with
+    #    rowsum_i = (A 1_g)_i - k_i K_g/2m, so row sums vanish and
+    #    sigma (a Gershgorin infinity-norm bound) makes the iteration
+    #    matrix PSD.  Run on the symmetrized weighted arc list (loop =
+    #    one arc of weight 2w) so out_strength == modularity k_i. ---------
+
+    def lec_init(self):
+        self.state["lec_comm"] = np.zeros(self.size, dtype=np.int64)
+        self.state["lec_k"] = self.out_strength.astype(np.float64)
+
+    def lec_group_stats(self, c: int):
+        m = self.state["lec_comm"] == c
+        return int(m.sum()), float(self.state["lec_k"][m].sum())
+
+    def lec_set_ones(self, c: int):
+        self.state["lec_x"] = (self.state["lec_comm"] == c).astype(
+            np.float64
+        )
+
+    def lec_rowsum(self, c: int, Kg: float, two_m: float) -> float:
+        """After an A-matvec of 1_g into lec_y: store the restricted
+        row sums, return this shard's shift candidate
+        max_i(sum_j|B^(g)_ij| + |diag correction|)."""
+        m = self.state["lec_comm"] == c
+        k = self.state["lec_k"]
+        y = self.state["lec_y"]
+        rs = np.where(m, y - k * (Kg / two_m), 0.0)
+        self.state["lec_rs"] = rs
+        bound = np.where(m, y + k * (Kg / two_m) + np.abs(rs), 0.0)
+        return float(bound.max(initial=0.0))
+
+    def lec_x_init(self, c: int, seed: int):
+        """Deterministic +-1 start vector on the members (full
+        splitmix64 of vid), zero elsewhere; returns (local sum, local
+        member count) so the driver can center it against 1_g — the
+        all-ones member vector is the exact eigenvalue-sigma fixed
+        point of the shifted iteration and must not dominate the
+        start."""
+        m = self.state["lec_comm"] == c
+        z = np.arange(self.lo, self.hi, dtype=np.uint64)
+        z = (z + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        x = np.where(m, np.where((z & np.uint64(1)).astype(bool),
+                                 1.0, -1.0), 0.0)
+        self.state["lec_x"] = x
+        return float(x.sum()), int(m.sum())
+
+    def lec_x_center(self, c: int, mean: float) -> float:
+        """x -= mean on members (orthogonalize against 1_g); returns
+        the local sum of squares."""
+        m = self.state["lec_comm"] == c
+        x = np.where(m, self.state["lec_x"] - mean, 0.0)
+        self.state["lec_x"] = x
+        return float((x * x).sum())
+
+    def lec_scale_x(self, scale: float) -> float:
+        """x *= scale; returns local k.x (next iteration's kx term)."""
+        x = self.state["lec_x"] * scale
+        self.state["lec_x"] = x
+        return float((self.state["lec_k"] * x).sum())
+
+    def lec_gather_update(self, c: int, kx: float, sigma: float,
+                          two_m: float, *sender_outs):
+        """Fused matvec-gather + modularity-matrix update (one RPC
+        round instead of two): accumulate A.x pieces, then
+        y <- (B^(g) + sigma I) x restricted to members; returns local
+        (x.y, y.y) partials."""
+        acc = np.zeros(self.size)
+        for out in sender_outs:
+            piece = self._piece(out)
+            if isinstance(piece, tuple):
+                ids, sums = piece
+                if len(ids):
+                    acc[ids - self.lo] += sums
+            else:
+                acc += piece
+        m = self.state["lec_comm"] == c
+        k = self.state["lec_k"]
+        x = self.state["lec_x"]
+        y = np.where(
+            m,
+            acc - k * (kx / two_m) - self.state["lec_rs"] * x + sigma * x,
+            0.0,
+        )
+        self.state["lec_y"] = y
+        return float((x * y).sum()), float((y * y).sum())
+
+    def lec_y_to_x(self, scale: float) -> float:
+        x = self.state["lec_y"] * scale
+        self.state["lec_x"] = x
+        return float((self.state["lec_k"] * x).sum())
+
+    def lec_orient_probe(self, c: int, eps: float = 1e-12):
+        """(vid, x) at the minimum member vid with |x| > eps — the
+        driver flips the sign so that entry is positive (eigenvector
+        sign is arbitrary; this pins a deterministic choice)."""
+        m = (self.state["lec_comm"] == c) & (
+            np.abs(self.state["lec_x"]) > eps
+        )
+        idx = np.flatnonzero(m)
+        if len(idx) == 0:
+            return None
+        i = int(idx[0])
+        return i + self.lo, float(self.state["lec_x"][i])
+
+    def lec_negate(self):
+        self.state["lec_x"] = -self.state["lec_x"]
+
+    def lec_split_counts(self, c: int):
+        m = self.state["lec_comm"] == c
+        pos = m & (self.state["lec_x"] > 0)
+        return int(pos.sum()), int(m.sum() - pos.sum())
+
+    def lec_split(self, c: int, new_id: int):
+        pos = (self.state["lec_comm"] == c) & (self.state["lec_x"] > 0)
+        self.state["lec_comm"][pos] = new_id
+
+    def lec_free(self):
+        for a in ("lec_x", "lec_y", "lec_rs", "lec_k"):
+            self.state.pop(a, None)
+
     # -- min-label propagation (WCC, reference src/components.c:88-161) ------
 
     def cc_init(self):
