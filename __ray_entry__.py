@@ -823,6 +823,46 @@ def q_leading_eigenvector(sf_dir: str):
     return df
 
 
+def q_fastgreedy(sf_dir: str):
+    """CNM fastgreedy communities (driver-side small-graph kernel,
+    like the reference's sequential heap) on the 200-vertex derived
+    graph — rows-only; deterministic lexicographic tie-breaks."""
+    from xdata_igraph_ray.graph.community import community_fastgreedy
+
+    mem, k, q = community_fastgreedy(_li_edges_200(sf_dir), n=NV2)
+    assert len(set(mem.tolist())) == k
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "comm": mem,
+         "modularity": np.round(q, 6)}
+    )
+
+
+def q_girvan_newman(sf_dir: str):
+    """Girvan-Newman (edge-betweenness community, driver-side
+    small-graph kernel — O(VE^2) per the reference's own docs) on a
+    24-vertex derived graph — rows-only."""
+    from xdata_igraph_ray.graph.community import (
+        community_edge_betweenness,
+    )
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 24,
+                "dst": t["l_partkey"].to_numpy() % 24,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mem, k, q = community_edge_betweenness(ds, n=24)
+    assert len(set(mem.tolist())) == k
+    return pd.DataFrame(
+        {"vid": np.arange(24), "comm": mem, "modularity": np.round(q, 6)}
+    )
+
+
 def q_ase(sf_dir: str):
     """Adjacency spectral embedding (xdata flagship) of the symmetric
     support: top-6 eigenvalues + block coordinates (rows-only check —
@@ -1376,6 +1416,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ase_li": q_ase,
         "louvain_li": q_louvain,
         "leading_eigenvector_li": q_leading_eigenvector,
+        "fastgreedy_li": q_fastgreedy,
+        "girvan_newman_li": q_girvan_newman,
         "cliques_li": q_cliques,
         "edge_betweenness_li": q_edge_betweenness,
         "eccentricity_li": q_eccentricity,

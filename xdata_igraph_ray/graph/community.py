@@ -336,3 +336,249 @@ def leading_eigenvector(
         return mem, k
     finally:
         eng.shutdown()
+
+
+# -- small-graph driver kernels: Girvan-Newman + CNM fastgreedy ---------------
+#
+# The reference's own complexity notes scope these to small graphs
+# (edge-betweenness community is O(|V||E|^2), src/community.c; CNM
+# fastgreedy is a sequential heap algorithm, src/fast_community.c) —
+# like the DFS visitor they run driver-side on a collapsed undirected
+# edge list; use louvain/leading_eigenvector/lpa for web-scale graphs.
+
+
+def _collapse_undirected(edges, n):
+    """Driver-side (u, v, w) dict of the undirected simple support
+    (parallel edges sum weights, loops dropped — igraph community
+    functions ignore loops in the null model)."""
+    if isinstance(edges, pa.Table):
+        tables = [edges]
+    elif isinstance(edges, list):
+        tables = ray.get(edges)
+    else:
+        tables = ray.get(block_refs(edges))
+    w = {}
+    for t in tables:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        ww = (t["weight"].to_numpy().astype(np.float64)
+              if "weight" in t.column_names else np.ones(len(t)))
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        for a, b, x in zip(lo[keep].tolist(), hi[keep].tolist(),
+                           ww[keep].tolist()):
+            w[(a, b)] = w.get((a, b), 0.0) + x
+    return w
+
+
+def _modularity_of(membership, und_w, two_m):
+    """Newman Q on the collapsed undirected support."""
+    if two_m <= 0:
+        return 0.0
+    deg = {}
+    intra = 0.0
+    for (a, b), x in und_w.items():
+        deg[a] = deg.get(a, 0.0) + x
+        deg[b] = deg.get(b, 0.0) + x
+        if membership[a] == membership[b]:
+            intra += x
+    dc = {}
+    for v, dv in deg.items():
+        c = membership[v]
+        dc[c] = dc.get(c, 0.0) + dv
+    return (2.0 * intra / two_m) - sum(
+        (d / two_m) ** 2 for d in dc.values()
+    )
+
+
+def _components_of(n, adj):
+    comp = np.full(n, -1, dtype=np.int64)
+    c = 0
+    for s in range(n):
+        if comp[s] >= 0:
+            continue
+        stack = [s]
+        comp[s] = c
+        while stack:
+            u = stack.pop()
+            for v in adj[u]:
+                if comp[v] < 0:
+                    comp[v] = c
+                    stack.append(v)
+        c += 1
+    return comp, c
+
+
+def _edge_betweenness_small(n, adj):
+    """Unweighted undirected Brandes edge betweenness (each pair
+    counted once; per-source BFS)."""
+    from collections import deque
+
+    eb = {}
+    for s in range(n):
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        preds = {s: []}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    preds[v] = []
+                    sigma[v] = 0.0
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = {u: 0.0 for u in order}
+        for u in reversed(order):
+            for p in preds[u]:
+                share = sigma[p] / sigma[u] * (1.0 + delta[u])
+                key = (p, u) if p < u else (u, p)
+                eb[key] = eb.get(key, 0.0) + share
+                delta[p] += share
+        # undirected: every pair counted from both endpoints -> halve
+    return {k: v / 2.0 for k, v in eb.items()}
+
+
+def community_edge_betweenness(
+    edges: Dataset | list | pa.Table, n: int,
+) -> tuple[np.ndarray, int, float]:
+    """Girvan-Newman — reference igraph_community_edge_betweenness
+    (src/community.c, O(|V||E|^2) per its own docs): repeatedly remove
+    the max-edge-betweenness edge (tie: lexicographic min) from the
+    undirected simple support, recomputing betweenness after every
+    removal; return the membership with maximum modularity over the
+    removal sequence (modularity measured on the ORIGINAL weighted
+    support, igraph semantics).
+
+    Driver-side small-graph kernel (like the DFS visitor).  Returns
+    (membership, n_communities, modularity)."""
+    und_w = _collapse_undirected(edges, n)
+    two_m = 2.0 * sum(und_w.values())
+    adj = [set() for _ in range(n)]
+    for (a, b) in und_w:
+        adj[a].add(b)
+        adj[b].add(a)
+    best_mem, best_k = _components_of(n, adj)
+    best_q = _modularity_of(best_mem, und_w, two_m)
+    live = set(und_w)
+    while live:
+        eb = _edge_betweenness_small(n, adj)
+        (a, b) = min(eb, key=lambda k: (-eb[k], k))
+        adj[a].discard(b)
+        adj[b].discard(a)
+        live.discard((a, b))
+        mem, k = _components_of(n, adj)
+        q = _modularity_of(mem, und_w, two_m)
+        if q > best_q + 1e-12:
+            best_q, best_mem, best_k = q, mem, k
+    # renumber by first appearance in vertex-id order
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, c in enumerate(best_mem):
+        out[i] = remap.setdefault(int(c), len(remap))
+    return out, len(remap), best_q
+
+
+def community_fastgreedy(
+    edges: Dataset | list | pa.Table, n: int,
+) -> tuple[np.ndarray, int, float]:
+    """CNM greedy modularity agglomeration — reference
+    igraph_community_fastgreedy (src/fast_community.c): start from
+    singletons, repeatedly merge the community pair with the largest
+    modularity gain dQ = 2*(e_ij - a_i*a_j) (tie: lexicographic min
+    pair), cut the dendrogram at maximum modularity.
+
+    Driver-side small-graph kernel (sequential heap algorithm in the
+    reference too).  Returns (membership, n_communities,
+    modularity)."""
+    import heapq
+
+    und_w = _collapse_undirected(edges, n)
+    m2 = 2.0 * sum(und_w.values())
+    if m2 <= 0:
+        return np.arange(n, dtype=np.int64), n, 0.0
+    # community state: e[ci][cj] = fraction of edge weight between
+    # (x2/m2 normalized so dq formula is the standard CNM one)
+    e = {i: {} for i in range(n)}
+    a = np.zeros(n)
+    for (u, v), x in und_w.items():
+        e[u][v] = e[u].get(v, 0.0) + x / m2
+        e[v][u] = e[v].get(u, 0.0) + x / m2
+        a[u] += x / m2
+        a[v] += x / m2
+    alive = np.ones(n, dtype=bool)
+    parent = np.arange(n, dtype=np.int64)  # union-find for output
+    heap = []
+    for i in e:
+        for j, eij in e[i].items():
+            if i < j:
+                heapq.heappush(
+                    heap, (-(2.0 * (eij - a[i] * a[j])), i, j)
+                )
+    # modularity of the singleton partition: sum(e_ii) - sum(a_i^2);
+    # no loops => e_ii = 0
+    q = -sum(float(ai) ** 2 for ai in a)
+    best_q = q
+    merges = []
+    cur_q = q
+    while heap:
+        negdq, i, j = heapq.heappop(heap)
+        if not (alive[i] and alive[j]):
+            continue
+        eij = e[i].get(j, 0.0)
+        dq = 2.0 * (eij - a[i] * a[j])
+        if -negdq != dq:
+            continue  # stale entry — reinsertion happened on merge
+        cur_q += dq
+        # merge j into i (i < j by construction of pushes below)
+        ti, tj = (i, j) if i < j else (j, i)
+        alive[tj] = False
+        parent[tj] = ti
+        for kk, val in e[tj].items():
+            if kk == ti or not alive[kk]:
+                continue
+            e[ti][kk] = e[ti].get(kk, 0.0) + val
+            e[kk][ti] = e[ti][kk]
+            e[kk].pop(tj, None)
+        e[ti].pop(tj, None)
+        a[ti] += a[tj]
+        merges.append((ti, tj, cur_q))
+        if cur_q > best_q + 1e-12:
+            best_q = cur_q
+        for kk, val in e[ti].items():
+            if alive[kk]:
+                lo2, hi2 = (ti, kk) if ti < kk else (kk, ti)
+                heapq.heappush(
+                    heap,
+                    (-(2.0 * (val - a[lo2] * a[hi2])), lo2, hi2),
+                )
+    # replay merges up to the max-modularity prefix (possibly none:
+    # singletons can be the optimum)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cut = -1
+    bq = q
+    for ii, (_, _, qq) in enumerate(merges):
+        if qq > bq + 1e-12:
+            bq = qq
+            cut = ii
+    for ti, tj, _ in merges[:cut + 1]:
+        parent[find(tj)] = find(ti)
+    mem = np.array([find(v) for v in range(n)], dtype=np.int64)
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, c in enumerate(mem):
+        out[i] = remap.setdefault(int(c), len(remap))
+    return out, len(remap), best_q
