@@ -863,6 +863,64 @@ def q_girvan_newman(sf_dir: str):
     )
 
 
+def q_walktrap(sf_dir: str):
+    """Walktrap communities (Pons-Latapy t-step random-walk Ward
+    agglomeration, driver-side small-graph kernel like the
+    reference's original C++) on the 200-vertex derived graph —
+    rows-only; deterministic lexicographic tie-breaks."""
+    from xdata_igraph_ray.graph.community import community_walktrap
+
+    mem, k, q = community_walktrap(_li_edges_200(sf_dir), n=NV2)
+    assert len(set(mem.tolist())) == k
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "comm": mem,
+         "modularity": np.round(q, 6)}
+    )
+
+
+def q_infomap(sf_dir: str):
+    """Infomap communities (deterministic two-level map equation;
+    the reference's nb_trials-RNG greedy is pinned to id-ordered
+    sweeps) on the 200-vertex derived graph — rows-only."""
+    from xdata_igraph_ray.graph.community import community_infomap
+
+    mem, k, L = community_infomap(_li_edges_200(sf_dir), n=NV2)
+    assert len(set(mem.tolist())) == k
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "comm": mem,
+         "codelength": np.round(L, 6)}
+    )
+
+
+NV_OPT = 7  # optimal-modularity graph: the SQL oracle enumerates 7^7 labelings
+
+
+def q_optimal_modularity(sf_dir: str):
+    """Exact maximum-modularity partition (subset-DP replacement for
+    the reference's GLPK ILP) on a 7-vertex derived multigraph; the
+    oracle enumerates all 7^7 label assignments in SQL."""
+    from xdata_igraph_ray.graph.community import (
+        community_optimal_modularity,
+    )
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV_OPT,
+                "dst": t["l_partkey"].to_numpy() % NV_OPT,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mem, k, q = community_optimal_modularity(ds, n=NV_OPT)
+    return pd.DataFrame(
+        {"vid": np.arange(NV_OPT), "comm": mem,
+         "modularity": np.round(q, 6)}
+    )
+
+
 def q_ase(sf_dir: str):
     """Adjacency spectral embedding (xdata flagship) of the symmetric
     support: top-6 eigenvalues + block coordinates (rows-only check —
@@ -1418,6 +1476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
         "girvan_newman_li": q_girvan_newman,
+        "walktrap_li": q_walktrap,
+        "infomap_li": q_infomap,
+        "optimal_modularity_li": q_optimal_modularity,
         "cliques_li": q_cliques,
         "edge_betweenness_li": q_edge_betweenness,
         "eccentricity_li": q_eccentricity,
@@ -2713,6 +2774,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(text)) AS BIGINT) AS total_chars,
                    round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
             FROM documents GROUP BY source
+            """,
+        # optimal modularity oracled EXACTLY by enumerating all 7^7
+        # label assignments of the 7-vertex derived multigraph and
+        # canonicalizing the argmax to first-appearance numbering
+        "optimal_modularity_li": """
+            WITH e AS (
+              SELECT least(l_orderkey % 7, l_partkey % 7) AS a,
+                     greatest(l_orderkey % 7, l_partkey % 7) AS b,
+                     CAST(count(*) AS DOUBLE) AS w
+              FROM lineitem
+              WHERE l_orderkey % 7 <> l_partkey % 7
+              GROUP BY 1, 2
+            ),
+            m AS (SELECT sum(w) AS mm FROM e),
+            deg AS (
+              SELECT v, sum(w) AS d FROM (
+                SELECT a AS v, w FROM e
+                UNION ALL SELECT b AS v, w FROM e
+              ) GROUP BY v
+            ),
+            lab AS (
+              SELECT t.x, r.v,
+                     CAST((t.x // CAST(pow(7, r.v) AS BIGINT)) % 7
+                          AS BIGINT) AS lb
+              FROM range(0, 823543) t(x), range(0, 7) r(v)
+            ),
+            intra AS (
+              SELECT la.x, sum(e.w) AS iw
+              FROM e
+              JOIN lab la ON la.v = e.a
+              JOIN lab lb2 ON lb2.x = la.x AND lb2.v = e.b
+                          AND lb2.lb = la.lb
+              GROUP BY la.x
+            ),
+            degc AS (
+              SELECT lab.x, lab.lb, sum(deg.d) AS dc
+              FROM lab JOIN deg ON deg.v = lab.v
+              GROUP BY lab.x, lab.lb
+            ),
+            sums AS (
+              SELECT x, sum(dc * dc) AS s2 FROM degc GROUP BY x
+            ),
+            qval AS (
+              SELECT s.x,
+                     coalesce(i.iw, 0) / m.mm
+                       - s.s2 / (4 * m.mm * m.mm) AS q
+              FROM sums s LEFT JOIN intra i ON i.x = s.x, m
+            ),
+            best AS (
+              SELECT x, q FROM qval ORDER BY q DESC, x ASC LIMIT 1
+            ),
+            fin AS (
+              SELECT lab.v, lab.lb, best.q
+              FROM lab JOIN best ON lab.x = best.x
+            ),
+            canon AS (
+              SELECT v, min(v) OVER (PARTITION BY lb) AS fv, q
+              FROM fin
+            )
+            SELECT v AS vid,
+                   dense_rank() OVER (ORDER BY fv) - 1 AS comm,
+                   round(q, 6) AS modularity
+            FROM canon ORDER BY vid
             """,
         # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
         # vertices give 2^11 s-side masks; min cut capacity over all of

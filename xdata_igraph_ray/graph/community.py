@@ -582,3 +582,386 @@ def community_fastgreedy(
     for i, c in enumerate(mem):
         out[i] = remap.setdefault(int(c), len(remap))
     return out, len(remap), best_q
+
+
+def community_walktrap(
+    edges: Dataset | list | pa.Table, n: int, steps: int = 4,
+) -> tuple[np.ndarray, int, float]:
+    """Walktrap — reference igraph_community_walktrap
+    (src/walktrap.cpp:73-135; Pons-Latapy, arXiv:physics/0512106).
+
+    t-step random-walk probability rows define the vertex metric
+    r2(i,j) = sum_k (Pt[i,k] - Pt[j,k])^2 / d(k); communities start as
+    singletons and ADJACENT pairs agglomerate by minimum Ward
+    variance increase dsigma(C1,C2) = s1*s2 / ((s1+s2)*n) * r2(C1,C2)
+    (walktrap_communities.cpp), with the Lance-Williams update for
+    merged neighbors; the dendrogram is cut at maximum modularity
+    (same output contract as the reference's membership vector).
+    Isolated vertices carry a weight-1 self-loop (walktrap.cpp:88-90
+    documents this reference-added semantic).
+
+    Deterministic tie-break: equal dsigma resolves to the smallest
+    (cid1, cid2) pair.  Driver-side small-graph kernel (the
+    reference's is the original sequential C++; dense P^t is O(n^2)
+    memory) — use louvain/lpa/leading_eigenvector at web scale.
+
+    Returns (membership, n_communities, modularity)."""
+    import heapq
+
+    und_w = _collapse_undirected(edges, n)
+    two_m = 2.0 * sum(und_w.values())
+    A = np.zeros((n, n))
+    for (a, b), x in und_w.items():
+        A[a, b] += x
+        A[b, a] += x
+    deg = A.sum(axis=1)
+    iso = deg == 0.0
+    A[iso, iso] = 1.0  # reference: isolated vertex = weight-1 loop
+    deg = A.sum(axis=1)
+    P = A / deg[:, None]
+    Pt = np.linalg.matrix_power(P, steps)
+    inv_d = 1.0 / deg
+
+    # community state ------------------------------------------------
+    size = {v: 1 for v in range(n)}
+    vec = {v: Pt[v] for v in range(n)}          # P^t_{C.}
+    degsum = {v: float(deg[v]) for v in range(n)}
+    e = {v: {} for v in range(n)}               # inter-community w
+    for (a, b), x in und_w.items():
+        e[a][b] = e[a].get(b, 0.0) + x
+        e[b][a] = e[b].get(a, 0.0) + x
+
+    def dsigma(c1, c2):
+        d2 = float(((vec[c1] - vec[c2]) ** 2 * inv_d).sum())
+        s1, s2 = size[c1], size[c2]
+        return s1 * s2 / ((s1 + s2) * float(n)) * d2
+
+    cur = {}                                     # current valid dsigma
+    heap = []
+    for c1 in e:
+        for c2 in e[c1]:
+            if c1 < c2:
+                ds = dsigma(c1, c2)
+                cur[(c1, c2)] = ds
+                heapq.heappush(heap, (ds, c1, c2))
+
+    # modularity tracking (loops excluded, igraph null model)
+    if two_m > 0:
+        q = -sum((degsum[v] / two_m) ** 2 for v in range(n))
+    else:
+        q = 0.0
+    best_q, merges, cur_q = q, [], q
+    alive = np.ones(n, dtype=bool)
+
+    while heap:
+        ds, c1, c2 = heapq.heappop(heap)
+        if not (alive[c1] and alive[c2]):
+            continue
+        if cur.get((c1, c2)) != ds:
+            continue  # stale
+        # merge c2 into c1 (c1 < c2 by construction)
+        s1, s2 = size[c1], size[c2]
+        w12 = e[c1].get(c2, 0.0)
+        if two_m > 0:
+            cur_q += 2.0 * w12 / two_m - 2.0 * (
+                degsum[c1] * degsum[c2]
+            ) / (two_m * two_m)
+        vec[c1] = (s1 * vec[c1] + s2 * vec[c2]) / (s1 + s2)
+        old_ds = {}
+        for c, x in list(e[c2].items()):
+            if c == c1 or not alive[c]:
+                continue
+            old_ds[c] = (cur.get((min(c1, c), max(c1, c))),
+                         cur.get((min(c2, c), max(c2, c))))
+            e[c1][c] = e[c1].get(c, 0.0) + x
+            e[c][c1] = e[c1][c]
+            e[c].pop(c2, None)
+            cur.pop((min(c2, c), max(c2, c)), None)
+        e[c1].pop(c2, None)
+        cur.pop((c1, c2), None)
+        alive[c2] = False
+        size[c1] = s1 + s2
+        degsum[c1] += degsum[c2]
+        merges.append((c1, c2, cur_q))
+        if cur_q > best_q + 1e-12:
+            best_q = cur_q
+        # refresh dsigma for c1's live neighbors
+        for c in e[c1]:
+            if not alive[c]:
+                continue
+            d1, d2 = old_ds.get(c, (cur.get((min(c1, c),
+                                             max(c1, c))), None))
+            sc = size[c]
+            if d1 is not None and d2 is not None:
+                # Lance-Williams (both were neighbors)
+                nds = ((s1 + sc) * d1 + (s2 + sc) * d2 - sc * ds) / (
+                    s1 + s2 + sc
+                )
+            else:
+                nds = dsigma(c1, c)
+            key = (min(c1, c), max(c1, c))
+            cur[key] = nds
+            heapq.heappush(heap, (nds, key[0], key[1]))
+
+    # cut dendrogram at max modularity ------------------------------
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    cut, bq = -1, q
+    for ii, (_, _, qq) in enumerate(merges):
+        if qq > bq + 1e-12:
+            bq, cut = qq, ii
+    for ti, tj, _ in merges[:cut + 1]:
+        parent[find(tj)] = find(ti)
+    mem = np.array([find(v) for v in range(n)], dtype=np.int64)
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, c in enumerate(mem):
+        out[i] = remap.setdefault(int(c), len(remap))
+    return out, len(remap), max(best_q, q)
+
+
+# -- infomap (map equation) ---------------------------------------------------
+
+
+def _plogp(x: float) -> float:
+    return x * np.log2(x) if x > 0.0 else 0.0
+
+
+def _infomap_sweep(adj, p, two_m):
+    """One level of greedy map-equation minimization: sequential
+    vertex sweeps in id order (deterministic stand-in for the
+    reference's RNG-ordered sweeps), each vertex moving to the
+    neighboring module (or a fresh one) that most decreases the
+    two-level codelength; repeat until a full sweep makes no move.
+    `adj` = list of {nbr: weight} (loop-free), `p` = visit rates.
+    Returns (membership ndarray, n_modules)."""
+    nn = len(p)
+    mem = np.arange(nn, dtype=np.int64)
+    sext = np.array([sum(d.values()) for d in adj])
+    mod_p = p.astype(np.float64).copy()
+    mod_cut = sext.copy().astype(np.float64)
+    count = [1] * nn
+    q_tot = float(mod_cut.sum()) / two_m
+
+    def terms(q, pp):
+        return _plogp(q + pp) - 2.0 * _plogp(q)
+
+    moved = True
+    while moved:
+        moved = False
+        for v in range(nn):
+            a = int(mem[v])
+            k_vm = {}
+            for u, w in adj[v].items():
+                k_vm[int(mem[u])] = k_vm.get(int(mem[u]), 0.0) + w
+            cut_a2 = mod_cut[a] - sext[v] + 2.0 * k_vm.get(a, 0.0)
+            p_a2 = mod_p[a] - p[v]
+            qa, qa2 = mod_cut[a] / two_m, cut_a2 / two_m
+            base_a = terms(qa2, p_a2) - terms(qa, mod_p[a])
+            # candidate target modules: neighbors' + one fresh module
+            cands = sorted(c for c in k_vm if c != a)
+            if count[a] > 1:
+                fresh = next(
+                    (i for i in range(nn) if count[i] == 0), None
+                )
+                if fresh is not None:
+                    cands.append(fresh)
+            best, best_dl = a, -1e-12
+            for b in cands:
+                k_vb = k_vm.get(b, 0.0)
+                cut_b2 = mod_cut[b] + sext[v] - 2.0 * k_vb
+                qb, qb2 = mod_cut[b] / two_m, cut_b2 / two_m
+                q_tot2 = q_tot + (qa2 - qa) + (qb2 - qb)
+                dl = (
+                    _plogp(q_tot2) - _plogp(q_tot)
+                    + base_a
+                    + terms(qb2, mod_p[b] + p[v])
+                    - terms(qb, mod_p[b])
+                )
+                if dl < best_dl - 1e-15:
+                    best, best_dl = b, dl
+            if best != a:
+                b = best
+                k_vb = k_vm.get(b, 0.0)
+                q_tot += (cut_a2 - mod_cut[a]) / two_m
+                mod_cut[a] = cut_a2
+                mod_p[a] = p_a2
+                nc = mod_cut[b] + sext[v] - 2.0 * k_vb
+                q_tot += (nc - mod_cut[b]) / two_m
+                mod_cut[b] = nc
+                mod_p[b] += p[v]
+                mem[v] = b
+                count[a] -= 1
+                count[b] += 1
+                moved = True
+    _, inv = np.unique(mem, return_inverse=True)
+    return inv.astype(np.int64), int(inv.max()) + 1 if nn else 0
+
+
+def community_infomap(
+    edges: Dataset | list | pa.Table, n: int,
+) -> tuple[np.ndarray, int, float]:
+    """Two-level map-equation partition — reference
+    igraph_community_infomap (src/infomap.cc:42-231,
+    src/infomap_Greedy.cc; Rosvall-Bergstrom PNAS 105(4) 2008).
+
+    Pinned divergence (like pagerank power-iteration vs PRPACK): the
+    reference runs nb_trials stochastic greedy trials with RNG vertex
+    orders and keeps the best; this kernel is the deterministic
+    variant — undirected flow p_v = s_v / 2m, id-ordered greedy
+    sweeps minimizing L(M) = plogp(q_tot) - 2*sum plogp(q_m)
+    + sum plogp(q_m + p_m) - sum plogp(p_v) (the standard two-level
+    implementation form), with Louvain-style module contraction
+    between sweep rounds.  Loops are dropped (they never change which
+    module minimizes L).  Driver-side small-graph kernel.
+
+    Returns (membership, n_communities, codelength_bits)."""
+    und_w = _collapse_undirected(edges, n)
+    two_m = 2.0 * sum(und_w.values())
+    node_term = 0.0
+    if two_m <= 0:
+        return np.arange(n, dtype=np.int64), n, 0.0
+    adj = [dict() for _ in range(n)]
+    strength = np.zeros(n)
+    for (a, b), x in und_w.items():
+        adj[a][b] = adj[a].get(b, 0.0) + x
+        adj[b][a] = adj[b].get(a, 0.0) + x
+        strength[a] += x
+        strength[b] += x
+    p = strength / two_m
+    node_term = -sum(_plogp(x) for x in p)
+
+    cur_adj, cur_p = adj, p
+    vmap = np.arange(n, dtype=np.int64)
+    while True:
+        mem, k = _infomap_sweep(cur_adj, cur_p, two_m)
+        if k == len(cur_p):
+            break
+        vmap = mem[vmap]
+        new_adj = [dict() for _ in range(k)]
+        new_p = np.zeros(k)
+        for u, d in enumerate(cur_adj):
+            mu = int(mem[u])
+            new_p[mu] += cur_p[u]
+            for vtx, w in d.items():
+                mv = int(mem[vtx])
+                if mu != mv:
+                    new_adj[mu][mv] = new_adj[mu].get(mv, 0.0) + w
+        cur_adj, cur_p = new_adj, new_p
+
+    # final codelength from the node-level partition
+    kfin = len(cur_p)
+    mod_p = np.zeros(kfin)
+    mod_cut = np.zeros(kfin)
+    for v in range(n):
+        mod_p[vmap[v]] += p[v]
+    for (a, b), x in und_w.items():
+        if vmap[a] != vmap[b]:
+            mod_cut[vmap[a]] += x
+            mod_cut[vmap[b]] += x
+    q = mod_cut / two_m
+    L = (
+        _plogp(float(q.sum()))
+        - 2.0 * sum(_plogp(x) for x in q)
+        + sum(_plogp(a + b) for a, b in zip(q, mod_p))
+        + node_term
+    )
+    # renumber by first appearance in vertex-id order
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, c in enumerate(vmap.tolist()):
+        out[i] = remap.setdefault(int(c), len(remap))
+    return out, len(remap), float(L)
+
+
+def community_optimal_modularity(
+    edges: Dataset | list | pa.Table, n: int,
+) -> tuple[np.ndarray, int, float]:
+    """Exact maximum-modularity partition — reference
+    igraph_community_optimal_modularity (src/optimal_modularity.c:46-
+    270, GLPK integer program; the reference itself warns it is only
+    feasible for small graphs).  This kernel replaces the ILP with an
+    exact partition DP over vertex subsets: best[S] = max over blocks
+    T with lowest-bit(S) in T of Q(T) + best[S \\ T] — O(3^n) block
+    splits, guarded to n <= 16.  Q is additive over communities
+    (Q(T) = 2*intra(T)/2m - (deg(T)/2m)^2 on the collapsed undirected
+    support, loops dropped like the other community kernels).
+
+    Returns (membership, n_communities, modularity)."""
+    if n > 16:
+        raise ValueError(
+            "community_optimal_modularity is exact and exponential; "
+            f"n={n} > 16 (reference's GLPK ILP has the same "
+            "small-graph scope) — use louvain/fastgreedy instead"
+        )
+    und_w = _collapse_undirected(edges, n)
+    two_m = 2.0 * sum(und_w.values())
+    if two_m <= 0:
+        return np.arange(n, dtype=np.int64), n, 0.0
+    full = 1 << n
+    # cross[v][mask] = total weight between v and the mask's vertices
+    wmat = np.zeros((n, n))
+    for (a, b), x in und_w.items():
+        wmat[a, b] += x
+        wmat[b, a] += x
+    cross = np.zeros((n, full))
+    for v in range(n):
+        arr = np.zeros(full)
+        for u in range(n):
+            if wmat[v, u]:
+                arr[1 << u] = wmat[v, u]
+        for b in range(n):
+            bit = 1 << b
+            idx = np.arange(full)
+            has = (idx & bit).astype(bool)
+            arr[has] += arr[idx[has] ^ bit]
+        cross[v] = arr
+    deg = wmat.sum(axis=1)
+    degsum = np.zeros(full)
+    intra = np.zeros(full)
+    low = np.zeros(full, dtype=np.int64)
+    for mask in range(1, full):
+        v = (mask & -mask).bit_length() - 1
+        low[mask] = v
+        rest = mask ^ (1 << v)
+        degsum[mask] = degsum[rest] + deg[v]
+        intra[mask] = intra[rest] + cross[v][rest]
+    q1 = 2.0 * intra / two_m - (degsum / two_m) ** 2
+    best = np.full(full, -np.inf)
+    choice = np.zeros(full, dtype=np.int64)
+    best[0] = 0.0
+    for mask in range(1, full):
+        lb = 1 << int(low[mask])
+        sub = mask
+        bm, bc, bpc = -np.inf, 0, 0
+        while sub:
+            if sub & lb:
+                cand = q1[sub] + best[mask ^ sub]
+                pc = bin(sub).count("1")
+                # tie-break toward smaller blocks: zero-degree
+                # vertices stay singletons instead of being absorbed
+                if cand > bm or (cand == bm and pc < bpc):
+                    bm, bc, bpc = cand, sub, pc
+            sub = (sub - 1) & mask
+        best[mask] = bm
+        choice[mask] = bc
+    mem = np.empty(n, dtype=np.int64)
+    mask, cid = full - 1, 0
+    while mask:
+        blk = int(choice[mask])
+        for v in range(n):
+            if blk & (1 << v):
+                mem[v] = cid
+        cid += 1
+        mask ^= blk
+    remap = {}
+    out = np.empty(n, dtype=np.int64)
+    for i, c in enumerate(mem.tolist()):
+        out[i] = remap.setdefault(int(c), len(remap))
+    return out, len(remap), float(best[full - 1])
