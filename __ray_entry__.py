@@ -1416,6 +1416,69 @@ def q_bipartite_matching(sf_dir: str):
     return pd.DataFrame({"matching_size": np.array([r["size"]], np.int64)})
 
 
+def q_cocitation(sf_dir: str):
+    """igraph_cocitation (src/cocitation.c:68): sparse nonzero pairs
+    of common-citer counts on the 200-vertex derived graph."""
+    from xdata_igraph_ray.graph.vertex_similarity import cocitation
+
+    df = (
+        cocitation(_li_edges_200(sf_dir), P=4)
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df
+
+
+def q_bibcoupling(sf_dir: str):
+    """igraph_bibcoupling (src/cocitation.c:102)."""
+    from xdata_igraph_ray.graph.vertex_similarity import bibcoupling
+
+    df = (
+        bibcoupling(_li_edges_200(sf_dir), P=4)
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df
+
+
+def q_similarity_jaccard(sf_dir: str):
+    """igraph_similarity_jaccard (src/cocitation.c:323), mode=out,
+    loops=False, sparse nonzero pairs."""
+    from xdata_igraph_ray.graph.vertex_similarity import similarity_jaccard
+
+    df = (
+        similarity_jaccard(_li_edges_200(sf_dir), mode="out", P=4)
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+    df["jaccard"] = np.round(df["jaccard"], 6)
+    return df
+
+
+def q_similarity_ilw(sf_dir: str):
+    """igraph_similarity_inverse_log_weighted (src/cocitation.c:159),
+    mode=out (pivots weighted by in-set-degree)."""
+    from xdata_igraph_ray.graph.vertex_similarity import (
+        similarity_inverse_log_weighted,
+    )
+
+    df = (
+        similarity_inverse_log_weighted(
+            _li_edges_200(sf_dir), mode="out", P=4
+        )
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+    df["sim"] = np.round(df["sim"], 6)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1513,6 +1576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": q_pii_scrub,
         "repetition_docs": q_repetition,
         "source_stats_docs": q_source_stats,
+        "cocitation_li": q_cocitation,
+        "bibcoupling_li": q_bibcoupling,
+        "similarity_jaccard_li": q_similarity_jaccard,
+        "similarity_ilw_li": q_similarity_ilw,
     }
 
 
@@ -2774,6 +2841,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(text)) AS BIGINT) AS total_chars,
                    round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
             FROM documents GROUP BY source
+            """,
+        # vertex similarity family (src/cocitation.c): sparse nonzero
+        # pairs over DISTINCT neighbor sets of the 200-vertex graph
+        "cocitation_li": f"""
+            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem)
+            SELECT e1.dst AS u, e2.dst AS w, count(*) AS cnt
+            FROM de e1 JOIN de e2
+              ON e1.src = e2.src AND e1.dst < e2.dst
+            GROUP BY u, w
+            """,
+        "bibcoupling_li": f"""
+            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem)
+            SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
+            FROM de e1 JOIN de e2
+              ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY u, w
+            """,
+        "similarity_jaccard_li": f"""
+            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem),
+            dl AS (SELECT * FROM de WHERE src <> dst),
+            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
+            c AS (
+              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
+              FROM dl e1 JOIN dl e2
+                ON e1.dst = e2.dst AND e1.src < e2.src
+              GROUP BY u, w
+            )
+            SELECT c.u, c.w,
+                   round(c.cnt * 1.0 / (d1.d + d2.d - c.cnt), 6) AS jaccard
+            FROM c JOIN deg d1 ON d1.vid = c.u
+                   JOIN deg d2 ON d2.vid = c.w
+            """,
+        "similarity_ilw_li": f"""
+            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem),
+            g AS (SELECT dst AS c, count(*) AS gsz FROM de GROUP BY dst),
+            wt AS (SELECT c, CASE WHEN gsz > 1 THEN 1.0 / ln(gsz)
+                             ELSE gsz END AS w FROM g),
+            p AS (
+              SELECT e1.src AS u, e2.src AS w2, e1.dst AS c
+              FROM de e1 JOIN de e2
+                ON e1.dst = e2.dst AND e1.src < e2.src
+            )
+            SELECT p.u, p.w2 AS w, round(sum(wt.w), 6) AS sim
+            FROM p JOIN wt ON wt.c = p.c
+            GROUP BY p.u, p.w2
             """,
         # optimal modularity oracled EXACTLY by enumerating all 7^7
         # label assignments of the 7-vertex derived multigraph and
