@@ -1479,6 +1479,66 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_mst(sf_dir: str):
+    """igraph_minimum_spanning_tree (src/spanning_trees.c:78) via
+    distributed Boruvka on a sparse 5000-vertex derived graph with
+    distinct canonical-edge weights (unique MSF).  The SQL oracle
+    verifies the spanning-forest STRUCTURE exactly (per-component
+    tree-edge count vs a recursive-CTE WCC); minimality is covered by
+    tests/test_mst.py vs networkx Kruskal."""
+    from xdata_igraph_ray.graph.mst import minimum_spanning_tree
+
+    nv = 5000
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok * 31 + pk) % 97 == 0
+        s = ok[keep] % nv
+        d = pk[keep] % nv
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table(
+            {
+                "src": s,
+                "dst": d,
+                "weight": (a * nv + b + 1).astype(np.float64),
+            }
+        )
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    forest = minimum_spanning_tree(ds, nv, P=4).to_pandas()
+
+    # per-component tree-edge counts; union-find on the (small) forest
+    parent = np.arange(nv)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in forest.itertuples():
+        ra, rb = find(int(r.a)), find(int(r.b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = np.array([find(int(r.a)) for r in forest.itertuples()])
+    df = (
+        pd.DataFrame({"comp": comps})
+        .groupby("comp")
+        .size()
+        .rename("tree_edges")
+        .reset_index()
+        .sort_values("comp")
+        .reset_index(drop=True)
+    )
+    df["comp"] = df["comp"].astype(np.int64)
+    df["tree_edges"] = df["tree_edges"].astype(np.int64)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1580,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bibcoupling_li": q_bibcoupling,
         "similarity_jaccard_li": q_similarity_jaccard,
         "similarity_ilw_li": q_similarity_ilw,
+        "mst_li": q_mst,
     }
 
 
@@ -3065,5 +3126,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sl USING (m)
             LEFT JOIN rt USING (m)
             LEFT JOIN mid USING (m)
+            """,
+        # spanning-forest STRUCTURE oracle: the Boruvka forest must
+        # have exactly (component size - 1) edges inside every WCC of
+        # the sparse derived graph (minimality is pytest-vs-networkx,
+        # tests/test_mst.py)
+        "mst_li": """
+            WITH RECURSIVE e AS (
+              SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
+              FROM lineitem
+              WHERE (l_orderkey * 31 + l_partkey) % 97 = 0
+            ),
+            und AS (
+              SELECT src AS a, dst AS b FROM e WHERE src <> dst
+              UNION SELECT dst, src FROM e WHERE src <> dst
+            ),
+            verts AS (SELECT DISTINCT a AS v FROM und),
+            reach(v, l) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
+            ),
+            wcc AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
+            SELECT comp, count(*) - 1 AS tree_edges
+            FROM wcc GROUP BY comp HAVING count(*) > 1
+            ORDER BY comp
             """,
     }
