@@ -177,3 +177,22 @@ def test_famous_graphs():
 
     with pytest.raises(ValueError):
         G.famous("nope")
+
+
+def test_atlas():
+    import pytest as _pytest
+
+    from xdata_igraph_ray.graph.generators import atlas
+
+    # Read & Wilson ordering facts (independent of the data source):
+    # 3 = K2, 7 = K3, 1252 = K7 (last graph, 21 undirected edges)
+    assert atlas(3).num_rows == 2
+    k3 = atlas(7)
+    assert k3.num_rows == 6
+    assert set(zip(k3["src"].to_numpy(), k3["dst"].to_numpy())) == {
+        (0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)
+    }
+    assert atlas(1252).num_rows == 42
+    assert atlas(2).num_rows == 0  # two isolated vertices
+    with _pytest.raises(ValueError):
+        atlas(1253)

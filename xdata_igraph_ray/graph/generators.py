@@ -434,3 +434,25 @@ def hsbm(n_clusters: int, m: int, rho, C, p_out: float,
     keep = rng.random(len(iu)) < p
     a, b = iu[keep], ju[keep]
     return _table(np.concatenate((a, b)), np.concatenate((b, a)))
+
+
+def atlas(number: int) -> pa.Table:
+    """Graph number ``number`` from Read & Wilson's *An Atlas of
+    Graphs* (igraph_atlas, src/atlas.c:62).  The reference's embedded
+    edge table (src/atlas-edges.h) was itself "converted from the
+    NetworkX software package" (src/atlas.c:46-47), so the bundled
+    networkx atlas IS the same public dataset; we read it through
+    networkx rather than vendoring the 1253-graph table.  Undirected:
+    each edge emitted in both directions (sbm/famous conventions)."""
+    try:
+        import networkx as nx
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "atlas() needs networkx (the atlas data source)"
+        ) from exc
+    if number < 0 or number > 1252:
+        raise ValueError("atlas number out of range [0, 1252]")
+    g = nx.graph_atlas(number)
+    a = np.array([e[0] for e in g.edges()], np.int64)
+    b = np.array([e[1] for e in g.edges()], np.int64)
+    return _table(np.concatenate((a, b)), np.concatenate((b, a)))
