@@ -1479,6 +1479,21 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_similarity_dice(sf_dir: str):
+    """igraph_similarity_dice (src/cocitation.c:384), mode=out,
+    loops=False, sparse nonzero pairs."""
+    from xdata_igraph_ray.graph.vertex_similarity import similarity_dice
+
+    df = (
+        similarity_dice(_li_edges_200(sf_dir), mode="out", P=4)
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+    df["dice"] = np.round(df["dice"], 6)
+    return df
+
+
 def q_mst(sf_dir: str):
     """igraph_minimum_spanning_tree (src/spanning_trees.c:78) via
     distributed Boruvka on a sparse 5000-vertex derived graph with
@@ -1537,6 +1552,33 @@ def q_mst(sf_dir: str):
     df["comp"] = df["comp"].astype(np.int64)
     df["tree_edges"] = df["tree_edges"].astype(np.int64)
     return df
+
+
+def q_cliques_small(sf_dir: str):
+    """Maximal-clique (size, count) histogram of a sparse 16-vertex
+    derived graph — hash-exact vs an exhaustive 2^16-subset SQL oracle
+    (igraph_maximal_cliques, src/maximal_cliques.c:322).  Complements
+    cliques_li, whose 5000-vertex graph is beyond SQL enumeration."""
+    from xdata_igraph_ray.graph.cliques import maximal_cliques
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok * 131 + pk * 17) % 1009 == 0
+        return pa.table({"src": ok[keep] % 16, "dst": pk[keep] % 16})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    cl = maximal_cliques(ds, P=3).to_pandas()
+    sizes = cl["clique"].map(len)
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {
+            "size": hist.index.to_numpy().astype(np.int64),
+            "cnt": hist.to_numpy().astype(np.int64),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1640,7 +1682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bibcoupling_li": q_bibcoupling,
         "similarity_jaccard_li": q_similarity_jaccard,
         "similarity_ilw_li": q_similarity_ilw,
+        "similarity_dice_li": q_similarity_dice,
         "mst_li": q_mst,
+        "cliques_small_li": q_cliques_small,
     }
 
 
@@ -2937,6 +2981,22 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN deg d1 ON d1.vid = c.u
                    JOIN deg d2 ON d2.vid = c.w
             """,
+        "similarity_dice_li": f"""
+            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem),
+            dl AS (SELECT * FROM de WHERE src <> dst),
+            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
+            c AS (
+              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
+              FROM dl e1 JOIN dl e2
+                ON e1.dst = e2.dst AND e1.src < e2.src
+              GROUP BY u, w
+            )
+            SELECT c.u, c.w,
+                   round(c.cnt * 2.0 / (d1.d + d2.d), 6) AS dice
+            FROM c JOIN deg d1 ON d1.vid = c.u
+                   JOIN deg d2 ON d2.vid = c.w
+            """,
         "similarity_ilw_li": f"""
             WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
                                l_partkey % {NV2} AS dst FROM lineitem),
@@ -3151,5 +3211,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        # EXACT maximal-clique oracle: enumerate all 2^16 vertex
+        # subsets; m is a clique iff it contains no non-edge pair,
+        # maximal iff every outside vertex misses some member
+        "cliques_small_li": """
+            WITH e AS (
+              SELECT DISTINCT least(l_orderkey % 16, l_partkey % 16) AS a,
+                     greatest(l_orderkey % 16, l_partkey % 16) AS b
+              FROM lineitem
+              WHERE (l_orderkey * 131 + l_partkey * 17) % 1009 = 0
+                AND l_orderkey % 16 <> l_partkey % 16
+            ),
+            nonedge AS (
+              SELECT i.range AS a, j.range AS b
+              FROM range(0, 16) i, range(0, 16) j
+              WHERE i.range < j.range
+                AND NOT EXISTS (SELECT 1 FROM e
+                                WHERE e.a = i.range AND e.b = j.range)
+            ),
+            cliq AS (
+              SELECT range AS m FROM range(1, 65536)
+              WHERE NOT EXISTS (
+                SELECT 1 FROM nonedge ne
+                WHERE ((range >> ne.a) & 1) = 1
+                  AND ((range >> ne.b) & 1) = 1)
+            ),
+            maxl AS (
+              SELECT m FROM cliq
+              WHERE NOT EXISTS (
+                SELECT 1 FROM range(0, 16) v
+                WHERE ((cliq.m >> v.range) & 1) = 0
+                  AND NOT EXISTS (
+                    SELECT 1 FROM nonedge ne
+                    WHERE (ne.a = v.range AND ((cliq.m >> ne.b) & 1) = 1)
+                       OR (ne.b = v.range AND ((cliq.m >> ne.a) & 1) = 1))
+              )
+            ),
+            sized AS (
+              SELECT (SELECT count(*) FROM range(0, 16) r
+                      WHERE ((maxl.m >> r.range) & 1) = 1) AS size
+              FROM maxl
+            )
+            SELECT size, count(*) AS cnt FROM sized
+            WHERE size >= 2 GROUP BY size ORDER BY size
             """,
     }
