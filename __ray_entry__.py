@@ -1479,6 +1479,23 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_lpa_sync(sf_dir: str):
+    """Exactly 8 synchronous LPA supersteps (mode=in, keep-if-tie,
+    min-label tie-break, per-edge multiplicity votes), renumbered by
+    first appearance — hash-exact vs a recursive-CTE replay of the
+    identical update rule.  Complements lpa_li (run to convergence
+    with red/black damping, pytest-verified invariants)."""
+    from xdata_igraph_ray.graph.lpa import label_propagation
+
+    eng = _engine(sf_dir)
+    label_propagation(eng, mode="in", max_iter=8, sync_iters=99)
+    lab = eng.state_arrays("label")
+    eng.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "label": lab.astype(np.int64)}
+    )
+
+
 def q_similarity_dice(sf_dir: str):
     """igraph_similarity_dice (src/cocitation.c:384), mode=out,
     loops=False, sparse nonzero pairs."""
@@ -1683,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_jaccard_li": q_similarity_jaccard,
         "similarity_ilw_li": q_similarity_ilw,
         "similarity_dice_li": q_similarity_dice,
+        "lpa_sync_li": q_lpa_sync,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3211,6 +3229,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        # sync-LPA replay: per iteration each vertex's in-neighbor
+        # label votes (per-edge multiplicity, self-loops included) are
+        # grouped per (v, l); winner = max votes then min label via the
+        # packed key c*1e6 - l; a vertex changes only if its CURRENT
+        # label's votes are STRICTLY below the winner's (keep-if-tie)
+        "lpa_sync_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            lab(v, l, iter) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION ALL
+              SELECT g.v,
+                     CASE WHEN g.win_l <> g.cur_l AND g.cur_w < g.win_w
+                          THEN g.win_l ELSE g.cur_l END,
+                     g.iter + 1
+              FROM (
+                SELECT t.v,
+                       min(t.iter) AS iter,
+                       (max(t.c * 1000000 - t.l) + 999999) // 1000000
+                         AS win_w,
+                       ((max(t.c * 1000000 - t.l) + 999999) // 1000000)
+                         * 1000000 - max(t.c * 1000000 - t.l) AS win_l,
+                       max(CASE WHEN t.own = 1 THEN t.l END) AS cur_l,
+                       max(CASE WHEN t.own = 1 THEN t.c ELSE 0 END)
+                         AS cur_w
+                FROM (
+                  SELECT m.v, m.l, sum(m.inc) AS c, max(m.own) AS own,
+                         min(m.iter) AS iter
+                  FROM (
+                    SELECT e.dst AS v, cur.l AS l, 1 AS inc, 0 AS own,
+                           cur.iter AS iter
+                    FROM lab cur JOIN e ON e.src = cur.v
+                    UNION ALL
+                    SELECT cur.v, cur.l, 0, 1, cur.iter FROM lab cur
+                  ) m
+                  GROUP BY m.v, m.l
+                ) t
+                GROUP BY t.v
+                HAVING min(t.iter) < 8
+              ) g
+            )
+            SELECT v AS vid,
+                   dense_rank() OVER (ORDER BY fv) - 1 AS label
+            FROM (
+              SELECT v, min(v) OVER (PARTITION BY l) AS fv
+              FROM lab WHERE iter = 8
+            )
             """,
         # EXACT maximal-clique oracle: enumerate all 2^16 vertex
         # subsets; m is a clique iff it contains no non-edge pair,
