@@ -1479,6 +1479,37 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_asof_events(sf_dir: str):
+    """Backward as-of join: each click event picks the user's latest
+    purchase at-or-before it (DuckDB ASOF LEFT JOIN semantics); right
+    side pre-aggregated to one row per (user, ts)."""
+    from xdata_igraph_ray.exchange import groupby_agg
+    from xdata_igraph_ray.stages.windows import asof_join
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(
+        ["event_type", "value"]
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    right = groupby_agg(
+        purchases, ["user_id", "ts"], [("value", "max", "rvalue")], P=4
+    )
+    df = (
+        asof_join(
+            clicks, right, key="user_id", ts_col="ts",
+            left_cols=["event_id"], right_cols=["rvalue"], P=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df["rvalue"] = np.round(df["rvalue"], 6)
+    return df[["event_id", "lag_us", "rvalue"]]
+
+
 def q_lpa_sync(sf_dir: str):
     """Exactly 8 synchronous LPA supersteps (mode=in, keep-if-tie,
     min-label tie-break, per-edge multiplicity votes), renumbered by
@@ -1701,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ilw_li": q_similarity_ilw,
         "similarity_dice_li": q_similarity_dice,
         "lpa_sync_li": q_lpa_sync,
+        "asof_events": q_asof_events,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3229,6 +3261,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        "asof_events": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            r AS (
+              SELECT user_id, ts, max(value) AS rvalue FROM events
+              WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT l.event_id,
+                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
+                     AS lag_us,
+                   round(r.rvalue, 6) AS rvalue
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
             """,
         # sync-LPA replay: per iteration each vertex's in-neighbor
         # label votes (per-edge multiplicity, self-loops included) are

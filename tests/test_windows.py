@@ -79,3 +79,46 @@ def test_sliding_non_divisible_width():
         for _, r in out.iterrows()
     }
     assert got == rows
+
+
+def test_asof_join_backward():
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)  # noqa: E731
+    left = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+        "eid": [1, 2, 3, 4, 5],
+        "k": [10, 10, 10, 20, 30],
+        "ts": [ts(5), ts(10), ts(2), ts(7), ts(9)],
+    }), preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+        "k": [10, 10, 20, 40],
+        "ts": [ts(3), ts(10), ts(8), ts(1)],
+        "v": [1.5, 2.5, 9.0, 7.0],
+    }), preserve_index=False))
+    df = (
+        windows.asof_join(left, right, key="k", ts_col="ts",
+                          left_cols=["eid"], right_cols=["v"], P=3)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    # eid1 t=5 -> right t=3 (v=1.5, lag 2s); eid2 t=10 -> t=10 INCLUSIVE
+    # (v=2.5, lag 0); eid3 t=2 -> no match; eid4 k=20 t=7 -> right t=8 is
+    # later -> no match; eid5 k=30 -> key absent -> no match
+    assert df["v"].tolist()[:2] == [1.5, 2.5]
+    assert df["lag_us"].tolist()[:2] == [2_000_000, 0]
+    assert df["v"].isna().tolist() == [False, False, True, True, True]
+    assert df["lag_us"].isna().tolist() == [False, False, True, True, True]
+
+
+def test_asof_join_empty_right():
+    left = rd.from_arrow(pa.table({
+        "eid": pa.array([1], pa.int64()),
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "v": pa.array([], pa.float64()),
+    }))
+    df = windows.asof_join(left, right, key="k", ts_col="ts",
+                           left_cols=["eid"], right_cols=["v"],
+                           P=2).to_pandas()
+    assert len(df) == 1 and df["v"].isna().all()

@@ -19,9 +19,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 from ..exchange import DEFAULT_PARTITIONS, exchange, groupby_agg
+
+
+@ray.remote
+def _tag(fn, tbl):
+    return fn(tbl)
 
 
 def tumbling(
@@ -113,3 +119,97 @@ def session(
                                     preserve_index=False)
 
     return exchange(events, [key], P=P, map_fn=project, reduce_fn=sessionize)
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    P: int = DEFAULT_PARTITIONS,
+) -> Dataset:
+    """Backward as-of join: for every left row, the LATEST right row of
+    the same ``key`` with right ts <= left ts (inclusive) — DuckDB
+    ``ASOF LEFT JOIN`` semantics.  Right rows must be unique per
+    (key, ts); pre-aggregate ties upstream (the SQL ASOF is equally
+    ambiguous on duplicates).
+
+    Distributed shape: both sides are tagged and hash-exchanged by
+    ``key`` in ONE all-to-all (side marker column), then each
+    partition runs a vectorized searchsorted merge — per-key data must
+    fit a partition, the same assumption as every hash join here.
+    Output: left_cols + right_cols (null where no match) + ``lag_us``
+    (left ts - matched right ts, microseconds; null if no match).
+    """
+    out_l = [c for c in left_cols if c != ts_col]
+    lschema = left.schema().base_schema
+    ltypes = {c: lschema.field(c).type for c in out_l}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {key: t[key],
+                ts_col: pc.cast(t[ts_col], pa.timestamp("us")),
+                "_side": pa.array(np.ones(len(t), np.int8))}
+        for c in out_l:
+            cols[c] = t[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(len(t), pa.float64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {key: t[key],
+                ts_col: pc.cast(t[ts_col], pa.timestamp("us")),
+                "_side": pa.array(np.zeros(len(t), np.int8))}
+        for c in out_l:
+            cols[c] = pa.nulls(len(t), ltypes[c])
+        for c in right_cols:
+            cols[c] = pc.cast(t[c], pa.float64())
+        return pa.table(cols)
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t[key].to_numpy(zero_copy_only=False)
+        tv = t[ts_col].to_numpy(zero_copy_only=False).view("int64")
+        lm = side == 1
+        rm = ~lm
+        lk, lt = k[lm], tv[lm]
+        rk, rt = k[rm], tv[rm]
+        cols: dict = {c: t[c].filter(pa.array(lm)) for c in out_l}
+        if len(lt) == 0 or len(rt) == 0:
+            n = len(lt)
+            cols["lag_us"] = pa.nulls(n, pa.int64())
+            for c in right_cols:
+                cols[c] = pa.nulls(n, pa.float64())
+            return pa.table(cols)
+        ro = np.lexsort((rt, rk))
+        rk, rt = rk[ro], rt[ro]
+        # dictionary-encode keys so the packed (key, ts) ordinal fits
+        uk = np.unique(np.concatenate((lk, rk)))
+        lki = np.searchsorted(uk, lk)
+        rki = np.searchsorted(uk, rk)
+        off = int(min(lt.min(), rt.min()))
+        dl = lt - off
+        dr = rt - off
+        if max(int(dl.max()), int(dr.max())) >= 1 << 43:
+            raise ValueError("asof_join: ts span exceeds 2^43 us (~278 y)")
+        pos = np.searchsorted(
+            rki * (1 << 43) + dr, lki * (1 << 43) + dl, side="right"
+        ) - 1
+        ok = (pos >= 0) & (rki[np.maximum(pos, 0)] == lki)
+        pos = np.maximum(pos, 0)
+        lag = np.where(ok, lt - rt[pos], 0)
+        cols["lag_us"] = pa.array(lag, pa.int64(), mask=~ok)
+        for c in right_cols:
+            rv = t[c].to_numpy(zero_copy_only=False)[rm][ro][pos]
+            cols[c] = pa.array(np.where(ok, rv, 0.0), pa.float64(),
+                               mask=~ok)
+        return pa.table(cols)
+
+    from ..exchange import block_refs
+
+    refs = [
+        *[_tag.remote(tag_left, r) for r in block_refs(left)],
+        *[_tag.remote(tag_right, r) for r in block_refs(right)],
+    ]
+    return exchange(refs, [key], P=P, reduce_fn=merge)
