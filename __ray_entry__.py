@@ -1479,6 +1479,48 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_laplacian(sf_dir: str):
+    """igraph_laplacian (src/spectral_properties.c:272), directed
+    unnormalized: sparse COO rows (src, dst, value)."""
+    from xdata_igraph_ray.graph.ops import get_laplacian
+
+    df = (
+        get_laplacian(_li_edges(sf_dir), P=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    df["value"] = np.round(df["value"], 6)
+    return df
+
+
+def q_bipartite_projection(sf_dir: str):
+    """igraph_bipartite_projection (src/bipartite.c:198) first-mode
+    projection of the order-supplier bipartite table: (u, w, weight =
+    shared suppliers)."""
+    from xdata_igraph_ray.graph.vertex_similarity import (
+        bipartite_projection,
+    )
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 150,
+                "dst": t["l_suppkey"].to_numpy() % 60,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        bipartite_projection(ds, which="first", P=4)
+        .to_pandas()
+        .sort_values(["u", "w"])
+        .reset_index(drop=True)
+    )
+
+
 def q_asof_events(sf_dir: str):
     """Backward as-of join: each click event picks the user's latest
     purchase at-or-before it (DuckDB ASOF LEFT JOIN semantics); right
@@ -1733,6 +1775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_dice_li": q_similarity_dice,
         "lpa_sync_li": q_lpa_sync,
         "asof_events": q_asof_events,
+        "bipartite_projection_li": q_bipartite_projection,
+        "laplacian_li": q_laplacian,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3261,6 +3305,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        "laplacian_li": f"""
+            WITH e AS (
+              SELECT src, dst FROM {_LI_E} WHERE src <> dst
+            ),
+            offd AS (
+              SELECT src, dst, -CAST(count(*) AS DOUBLE) AS value
+              FROM e GROUP BY src, dst
+            ),
+            diag AS (
+              SELECT src, src AS dst, CAST(count(*) AS DOUBLE) AS value
+              FROM e GROUP BY src
+            )
+            SELECT src, dst, round(value, 6) AS value FROM offd
+            UNION ALL
+            SELECT src, dst, round(value, 6) AS value FROM diag
+            """,
+        "bipartite_projection_li": """
+            WITH de AS (
+              SELECT DISTINCT l_orderkey % 150 AS src,
+                     l_suppkey % 60 AS dst FROM lineitem
+            )
+            SELECT e1.src AS u, e2.src AS w,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM de e1 JOIN de e2
+              ON e1.dst = e2.dst AND e1.src < e2.src
+            GROUP BY u, w
             """,
         "asof_events": """
             WITH l AS (

@@ -162,3 +162,61 @@ def test_centralization_degree_star():
     dst = leaves + [0] * 4
     c = metrics.centralization_degree(_ds(src, dst), n=5, P=2)
     assert c == pytest.approx(1.0)  # star maximizes degree centralization
+
+
+def test_get_laplacian_modes():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.ops import get_laplacian
+
+    rng = np.random.default_rng(8)
+    n, m = 20, 120
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.5, 2.0, m)
+    ds = rd.from_arrow(pa.table({
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64),
+        "weight": w}))
+
+    A = np.zeros((n, n))
+    for s, d, ww in zip(src, dst, w):
+        if s != d:
+            A[s, d] += ww
+    deg = A.sum(axis=1)
+
+    def to_mat(df):
+        M = np.zeros((n, n))
+        M[df["src"].to_numpy(), df["dst"].to_numpy()] = (
+            df["value"].to_numpy()
+        )
+        return M
+
+    got = to_mat(get_laplacian(ds, weighted=True, P=3).to_pandas())
+    exp = np.diag(deg) - A
+    assert np.allclose(got, exp)
+
+    got = to_mat(
+        get_laplacian(ds, weighted=True, normalized="out", P=3).to_pandas()
+    )
+    exp = np.diag((deg > 0).astype(float)) - A / np.where(deg > 0, deg, 1)[:, None]
+    assert np.allclose(got, exp)
+
+    # sym rule on a symmetric table
+    ssym = np.concatenate((src, dst))
+    dsym = np.concatenate((dst, src))
+    wsym = np.concatenate((w, w))
+    ds2 = rd.from_arrow(pa.table({
+        "src": ssym.astype(np.int64), "dst": dsym.astype(np.int64),
+        "weight": wsym}))
+    A2 = np.zeros((n, n))
+    for s, d, ww in zip(ssym, dsym, wsym):
+        if s != d:
+            A2[s, d] += ww
+    d2 = A2.sum(axis=1)
+    got = to_mat(
+        get_laplacian(ds2, weighted=True, normalized="sym", P=3).to_pandas()
+    )
+    sq = np.sqrt(np.where(d2 > 0, d2, 1))
+    exp = np.diag((d2 > 0).astype(float)) - A2 / np.outer(sq, sq)
+    assert np.allclose(got, exp)

@@ -136,3 +136,28 @@ def test_max_group_skips_hot_pivot():
     got = _pairs_df(cocitation(_ds(src, dst), P=2, max_group=5), "cnt")
     # hot pivot skipped: only the (1,2) pair from pivot 21 survives
     assert got == {(1, 2): 1.0}
+
+
+def test_bipartite_projection():
+    from xdata_igraph_ray.graph.vertex_similarity import (
+        bipartite_projection,
+    )
+
+    # bipartite: left 0..9, right 0..4 (roles positional, ids overlap)
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 10, 80)
+    dst = rng.integers(0, 5, 80)
+
+    for which, piv, mem in (("first", dst, src), ("second", src, dst)):
+        got = _pairs_df(
+            bipartite_projection(_ds(src, dst), which=which, P=3),
+            "weight",
+        )
+        exp: dict = {}
+        for p in set(piv.tolist()):
+            members = sorted({int(m) for m, q in zip(mem, piv) if q == p})
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    k = (members[i], members[j])
+                    exp[k] = exp.get(k, 0) + 1
+        assert {k: int(v) for k, v in got.items()} == exp

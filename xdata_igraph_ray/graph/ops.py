@@ -431,3 +431,91 @@ def _route_src(tbl: pa.Table, bounds):
     cuts = np.searchsorted(part[order], np.arange(P + 1))
     out = [t.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(P)]
     return tuple(out) if P > 1 else out[0]
+
+
+def get_laplacian(
+    edges: Dataset | list,
+    weighted: bool = False,
+    normalized: str | None = None,
+    P: int = DEFAULT_PARTITIONS,
+) -> Dataset:
+    """Sparse COO Laplacian (igraph_laplacian,
+    src/spectral_properties.c:272): loops ignored; diagonal = out-
+    strength; off-diagonal (i, j) = -multiplicity (or -sum of weights).
+    ``normalized='out'`` divides row i by d_i and sets the diagonal to
+    1 where d_i > 0 (the reference's directed rule,
+    spectral_properties.c:95-135); ``'sym'`` uses -w/sqrt(d_i d_j)
+    (the undirected rule, :186-220 — pass a symmetric edge table).
+    Output rows (src, dst, value), diagonal included, zero off-diagonal
+    pairs absent."""
+    refs = _refs(edges)
+
+    def noloop(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t["src"], t["dst"]))
+        t = t.filter(keep)
+        w = (
+            pc.cast(t["weight"], pa.float64())
+            if weighted and "weight" in t.column_names
+            else pa.array(np.ones(len(t), np.float64))
+        )
+        return pa.table({"src": t["src"], "dst": t["dst"], "w": w})
+
+    nl = [_apply.remote(noloop, r) for r in refs]
+    adj = groupby_agg(nl, ["src", "dst"], [("w", "sum", "w")], P=P,
+                      as_refs=True)
+    deg = groupby_agg(nl, ["src"], [("w", "sum", "d")], P=P, as_refs=True)
+
+    if normalized is None:
+        @ray.remote
+        def off(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": t["src"], "dst": t["dst"],
+                 "value": pc.negate(t["w"])}
+            )
+
+        @ray.remote
+        def diag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": t["src"], "dst": t["src"], "value": t["d"]}
+            )
+
+        return to_dataset(
+            [off.remote(r) for r in adj] + [diag.remote(r) for r in deg]
+        )
+
+    if normalized not in ("out", "sym"):
+        raise ValueError("normalized must be None, 'out' or 'sym'")
+    j = hash_join(adj, deg, keys=["src"], P=P, as_refs=True)
+    if normalized == "sym":
+        def rname(t: pa.Table) -> pa.Table:
+            return pa.table({"dst2": t["src"], "d2": t["d"]})
+
+        j = hash_join(
+            j, [_apply.remote(rname, r) for r in deg],
+            keys=["dst"], right_keys=["dst2"], P=P, as_refs=True,
+        )
+
+    @ray.remote
+    def off_n(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy()
+        d = t["d"].to_numpy()
+        v = (
+            -w / np.sqrt(d * t["d2"].to_numpy())
+            if "d2" in t.column_names else -w / d
+        )
+        return pa.table({"src": t["src"], "dst": t["dst"], "value": v})
+
+    @ray.remote
+    def diag_n(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"], "dst": t["src"],
+                "value": pa.array(
+                    np.ones(len(t), np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return to_dataset(
+        [off_n.remote(r) for r in j] + [diag_n.remote(r) for r in deg]
+    )

@@ -275,3 +275,27 @@ def similarity_dice(
     (igraph_similarity_dice, src/cocitation.c — defined from the same
     intersection counts as Jaccard)."""
     return _jaccard_dice(edges, mode, loops, "dice", P, max_group, n)
+
+
+def bipartite_projection(
+    edges: Dataset | list, which: str = "first",
+    P: int = DEFAULT_PARTITIONS, max_group: int | None = None,
+) -> Dataset:
+    """Weighted one-mode projection of a bipartite edge table
+    (igraph_bipartite_projection, src/bipartite.c:198: multiplicity =
+    number of shared opposite-side neighbors).  ``which='first'``
+    projects onto the src side (u, w share a dst); ``'second'`` onto
+    the dst side.  Output (u, w, weight) with u < w, nonzero pairs
+    only — the projection of a web-scale bipartite table is emitted
+    sparse, never as a dense matrix."""
+    if which == "first":
+        item, vid = "dst", "src"
+    elif which == "second":
+        item, vid = "src", "dst"
+    else:
+        raise ValueError("which must be 'first' or 'second'")
+    out, _ = _pair_counts(
+        edges, item, vid, "dir", False,
+        lambda lens: np.ones(len(lens)), max_group, "weight", P,
+    )
+    return out
