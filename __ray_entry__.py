@@ -1479,6 +1479,31 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_articulation(sf_dir: str):
+    """igraph_articulation_points (src/components.c:553) via the
+    distributed Tarjan-Vishkin reduction, on a sparse 200-vertex
+    derived graph — hash-exact vs a per-vertex-removal reachability
+    SQL oracle."""
+    from xdata_igraph_ray.graph.biconnectivity import biconnected
+
+    nv = 200
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok * 7 + pk) % 499 == 0
+        return pa.table({"src": ok[keep] % nv, "dst": pk[keep] % nv})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    _, artic, _ = biconnected(ds, nv, P=4)
+    df = artic.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"vid": pd.array([], dtype="int64")})
+    return df.sort_values("vid").reset_index(drop=True)
+
+
 def q_laplacian(sf_dir: str):
     """igraph_laplacian (src/spectral_properties.c:272), directed
     unnormalized: sparse COO rows (src, dst, value)."""
@@ -1777,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events": q_asof_events,
         "bipartite_projection_li": q_bipartite_projection,
         "laplacian_li": q_laplacian,
+        "articulation_points_li": q_articulation,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3305,6 +3331,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        # articulation oracle: v is a cut vertex iff removing it
+        # INCREASES the component count (per-candidate recursive
+        # reachability; isolated-vertex removal only decreases it)
+        "articulation_points_li": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200)
+                       AS a,
+                     greatest(l_orderkey % 200, l_partkey % 200) AS b
+              FROM lineitem
+              WHERE (l_orderkey * 7 + l_partkey) % 499 = 0
+                AND l_orderkey % 200 <> l_partkey % 200
+            ),
+            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            verts AS (SELECT DISTINCT a AS v FROM und),
+            reach(v, l) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
+            ),
+            ncomp0 AS (
+              SELECT count(DISTINCT ml) AS c
+              FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
+            ),
+            reach2(x, v, l) AS (
+              SELECT c.v AS x, s.v, s.v
+              FROM verts c JOIN verts s ON s.v <> c.v
+              UNION
+              SELECT reach2.x, und.b, reach2.l
+              FROM reach2 JOIN und ON und.a = reach2.v
+              WHERE und.b <> reach2.x
+            ),
+            ncomp AS (
+              SELECT x, count(DISTINCT ml) AS c
+              FROM (SELECT x, v, min(l) AS ml FROM reach2
+                    GROUP BY x, v)
+              GROUP BY x
+            )
+            SELECT ncomp.x AS vid FROM ncomp, ncomp0
+            WHERE ncomp.c > ncomp0.c ORDER BY vid
             """,
         "laplacian_li": f"""
             WITH e AS (
