@@ -3332,6 +3332,47 @@ def oracle_sql() -> dict[str, str]:
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
             """,
+        # coreness oracle: recursive-CTE replay of synchronous batch
+        # peeling (working-table semantics = one peel wave per step):
+        # k ratchets up to the min active ALL-degree (multiplicity,
+        # loops count twice), vertices with deg <= k peel at level k
+        "coreness_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            und AS (SELECT src AS a, dst AS b FROM e
+                    UNION ALL SELECT dst, src FROM e),
+            v AS {_LI_V},
+            rec(v, core, k) AS (
+              SELECT vid, CAST(NULL AS BIGINT), CAST(0 AS BIGINT) FROM v
+              UNION ALL
+              SELECT s.v,
+                     CASE WHEN s.core IS NOT NULL THEN s.core
+                          WHEN s.deg <= s.knew THEN s.knew END,
+                     s.knew
+              FROM (
+                SELECT r.v, r.core, coalesce(d.deg, 0) AS deg,
+                       greatest(r.k,
+                         (SELECT min(coalesce(d2.deg, 0))
+                          FROM rec r2
+                          LEFT JOIN (
+                            SELECT und.a AS v, count(*) AS deg
+                            FROM und JOIN rec r3
+                              ON r3.v = und.b AND r3.core IS NULL
+                            GROUP BY und.a
+                          ) d2 ON d2.v = r2.v
+                          WHERE r2.core IS NULL)) AS knew
+                FROM rec r
+                LEFT JOIN (
+                  SELECT und.a AS v, count(*) AS deg
+                  FROM und JOIN rec r4
+                    ON r4.v = und.b AND r4.core IS NULL
+                  GROUP BY und.a
+                ) d ON d.v = r.v AND r.core IS NULL
+                WHERE EXISTS (SELECT 1 FROM rec r5 WHERE r5.core IS NULL)
+              ) s
+            )
+            SELECT DISTINCT v AS vid, core FROM rec
+            WHERE core IS NOT NULL ORDER BY vid
+            """,
         # articulation oracle: v is a cut vertex iff removing it
         # INCREASES the component count (per-candidate recursive
         # reachability; isolated-vertex removal only decreases it)
