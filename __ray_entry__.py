@@ -1479,6 +1479,25 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Corpus-fit add-one-smoothed unigram LM score per document —
+    token rows sharded BY TOKEN (no model broadcast), hash-exact vs
+    the identical model expressed in SQL."""
+    from xdata_igraph_ray.stages.text import unigram_logprob
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    df = (
+        unigram_logprob(docs, P=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df["avg_logprob"] = np.round(df["avg_logprob"], 6)
+    return df
+
+
 def q_articulation(sf_dir: str):
     """igraph_articulation_points (src/components.c:553) via the
     distributed Tarjan-Vishkin reduction, on a sparse 200-vertex
@@ -1803,6 +1822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_projection_li": q_bipartite_projection,
         "laplacian_li": q_laplacian,
         "articulation_points_li": q_articulation,
+        "unigram_logprob_docs": q_unigram_logprob,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3331,6 +3351,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        "unigram_logprob_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS tok
+              FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (
+              SELECT (SELECT count(*) FROM toks) AS n,
+                     (SELECT count(*) FROM cnt) AS v
+            )
+            SELECT t.doc_id, count(*) AS n_tok,
+                   round(sum(ln((c.c + 1.0) / (tot.n + tot.v)))
+                         / count(*), 6) AS avg_logprob
+            FROM toks t JOIN cnt c USING (tok), tot
+            GROUP BY t.doc_id ORDER BY t.doc_id
             """,
         # coreness oracle: recursive-CTE replay of synchronous batch
         # peeling (working-table semantics = one peel wave per step):

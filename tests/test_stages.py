@@ -217,3 +217,32 @@ def test_repetition_stats_handcrafted():
     assert df["dup_2gram_frac"].tolist() == [
         round(2 / 3, 6), 0.0, round(3 / 5, 6)
     ]
+
+
+def test_unigram_logprob():
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xdata_igraph_ray.stages.text import unigram_logprob
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the cat", "the the DOG", "", "cat!"],
+    }))
+    df = unigram_logprob(docs, P=3).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # corpus: the x3, cat x2, dog x1 -> N=6, V=3, denom=9
+    lp = {"the": math.log(4 / 9), "cat": math.log(3 / 9),
+          "dog": math.log(2 / 9)}
+    exp = {
+        1: (2, (lp["the"] + lp["cat"]) / 2),
+        2: (3, (2 * lp["the"] + lp["dog"]) / 3),
+        4: (1, lp["cat"]),
+    }
+    assert df["doc_id"].tolist() == [1, 2, 4]  # empty doc dropped
+    for r in df.itertuples():
+        n, a = exp[int(r.doc_id)]
+        assert int(r.n_tok) == n
+        assert abs(float(r.avg_logprob) - a) < 1e-9

@@ -279,3 +279,96 @@ def source_stats(docs: Dataset) -> Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def unigram_logprob(docs: Dataset, P: int = 8) -> Dataset:
+    """Corpus-fit unigram language-model score per document — the
+    classic two-phase training-data quality signal: fit token counts
+    over the WHOLE corpus (distributed count aggregate), then score
+    each document's tokens under the add-one-smoothed model,
+    p(tok) = (c(tok)+1)/(N+V).  Output (doc_id, n_tok, avg_logprob)
+    for documents with >= 1 token.
+
+    Fully distributed: token rows are exchanged BY TOKEN and joined
+    against the co-partitioned count table (no model broadcast — at
+    web scale the vocabulary itself is sharded), then re-aggregated by
+    doc_id; the driver sees two scalars (N corpus tokens, V vocab).
+    Tokenization = TOKEN_RE over lowercased text, replicated exactly
+    by the DuckDB oracle via regexp_extract_all(lower(text))."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from ..exchange import block_refs, exchange, groupby_agg
+
+    @ray.remote
+    def apply(fn, *ts):
+        return fn(*ts)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        did = t["doc_id"].to_numpy()
+        for i, txt in enumerate(t["text"].to_pylist()):
+            tt = TOKEN_RE.findall(txt.lower())
+            toks.extend(tt)
+            ids.append(np.full(len(tt), did[i], np.int64))
+        return pa.table(
+            {
+                "doc_id": np.concatenate(ids) if ids
+                else np.empty(0, np.int64),
+                "tok": pa.array(toks, pa.string()),
+            }
+        )
+
+    refs = [
+        apply.remote(tok_rows, r)
+        for r in block_refs(docs.select_columns(["doc_id", "text"]))
+    ]
+    counts = groupby_agg(
+        refs, ["tok"], [(None, "count", "c")], P=P, as_refs=True
+    )
+
+    @ray.remote
+    def part_nv(t: pa.Table):
+        return int(pa.compute.sum(t["c"]).as_py() or 0), t.num_rows
+
+    parts = ray.get([part_nv.remote(r) for r in counts])
+    n_total = sum(p[0] for p in parts)
+    vocab = sum(p[1] for p in parts)
+    denom = float(n_total + vocab)
+
+    tok_parts = exchange(refs, ["tok"], P=P, as_refs=True)
+
+    def score(tp: pa.Table, cp: pa.Table) -> pa.Table:
+        j = tp.join(cp, keys=["tok"])
+        c = j["c"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": j["doc_id"],
+                "lp": np.log((c + 1.0) / denom),
+            }
+        )
+
+    scored = [
+        apply.remote(score, tok_parts[i], counts[i])
+        for i in range(len(counts))
+    ]
+    out = groupby_agg(
+        scored, ["doc_id"],
+        [("lp", "sum", "lp_sum"), (None, "count", "n_tok")],
+        P=P, as_refs=True,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+                "avg_logprob": t["lp_sum"].to_numpy()
+                / t["n_tok"].to_numpy(),
+            }
+        )
+
+    from ..exchange import to_dataset
+
+    return to_dataset([apply.remote(fin, r) for r in out])
