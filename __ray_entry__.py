@@ -1479,6 +1479,33 @@ def q_similarity_ilw(sf_dir: str):
     return df
 
 
+def q_topo_layers(sf_dir: str):
+    """igraph_topological_sorting layer order
+    (src/structural_properties.c:3325): layer(v) = longest path from
+    any source, on a sparse derived DAG (edges oriented src < dst)."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import topological_layers
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        s = ok % NV
+        d = pk % NV
+        keep = ((ok * 13 + pk) % 31 == 0) & (s < d)
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    eng = GraphEngine.from_edges(ds, n=NV, P=4)
+    layers, ok = topological_layers(eng)
+    eng.shutdown()
+    assert ok
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "layer": layers.astype(np.int64)}
+    )
+
+
 def q_unigram_logprob(sf_dir: str):
     """Corpus-fit add-one-smoothed unigram LM score per document —
     token rows sharded BY TOKEN (no model broadcast), hash-exact vs
@@ -1823,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "laplacian_li": q_laplacian,
         "articulation_points_li": q_articulation,
         "unigram_logprob_docs": q_unigram_logprob,
+        "topo_layers_li": q_topo_layers,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
     }
@@ -3351,6 +3379,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp, count(*) - 1 AS tree_edges
             FROM wcc GROUP BY comp HAVING count(*) > 1
             ORDER BY comp
+            """,
+        "topo_layers_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV} AS src,
+                     l_partkey % {NV} AS dst FROM lineitem
+              WHERE (l_orderkey * 13 + l_partkey) % 31 = 0
+                AND l_orderkey % {NV} < l_partkey % {NV}
+            ),
+            v AS {_LI_V},
+            lay(x, l) AS (
+              SELECT vid, 0 FROM v
+              UNION
+              SELECT de.dst, lay.l + 1 FROM lay JOIN de ON de.src = lay.x
+            )
+            SELECT x AS vid, max(l) AS layer FROM lay GROUP BY x
+            ORDER BY vid
             """,
         "unigram_logprob_docs": """
             WITH toks AS (
