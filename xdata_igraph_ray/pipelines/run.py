@@ -28,7 +28,7 @@ def main(argv=None) -> dict:
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "wcc", "scc", "lpa", "triangles",
                              "coreness", "sssp", "louvain", "betweenness",
-                             "maxflow", "walks"])
+                             "maxflow", "walks", "mst", "biconnected"])
     ap.add_argument("--weighted", action="store_true",
                     help="use the edge table's weight column")
     ap.add_argument("--source", type=int, default=0)
@@ -123,6 +123,43 @@ def main(argv=None) -> dict:
         with open(args.out + "/RUN.json", "w") as f:
             json.dump({"algo": "louvain", **info}, f)
         print(json.dumps({"algo": "louvain", **info}))
+        return info
+
+    if args.algo in ("mst", "biconnected"):
+        from ..exchange import _coerce_arrow, block_refs
+
+        refs = block_refs(edges)
+
+        @ray.remote
+        def _max_vid2(t):
+            import pyarrow.compute as pc
+
+            t = _coerce_arrow(t)
+            if len(t) == 0:
+                return -1
+            return max(int(pc.max(t["src"]).as_py()),
+                       int(pc.max(t["dst"]).as_py()))
+
+        n = max(int(m) for m in ray.get(
+            [_max_vid2.remote(r) for r in refs]
+        )) + 1
+        if args.algo == "mst":
+            from ..graph.mst import minimum_spanning_tree
+
+            out_ds = minimum_spanning_tree(refs, n, P=args.num_shards)
+            info = {"n": n}
+        else:
+            from ..graph.biconnectivity import biconnected
+
+            eb, artic, br = biconnected(refs, n, P=args.num_shards)
+            artic.write_parquet(args.out + "/articulation_points")
+            br.write_parquet(args.out + "/bridges")
+            out_ds = eb
+            info = {"n": n}
+        out_ds.write_parquet(args.out + "/result")
+        with open(args.out + "/RUN.json", "w") as f:
+            json.dump({"algo": args.algo, **info}, f)
+        print(json.dumps({"algo": args.algo, **info}))
         return info
 
     eng = GraphEngine.from_edges(edges, P=args.num_shards,
