@@ -109,7 +109,7 @@ def main():
 
     queries: dict[str, float] = {}
     extras: dict = {}
-    P = max(2, min(NCPU, 32))
+    P = int(os.environ.get("GRAFT_BENCH_P", max(2, min(NCPU, 32))))
 
     # -- pagerank / wcc / lpa on the big web graph -------------------------
     path = _edges_parquet(BENCH_V)
