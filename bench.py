@@ -248,18 +248,35 @@ def scaling():
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo = r_lo["queries"]["pagerank_web"]
-    t_hi = r_hi["queries"]["pagerank_web"]
+    # Hypervisor steal storms (see BASELINE.md §5: 20-30% steal for
+    # minutes at a time) wreck any single leg.  Interleave the two
+    # legs best-of-N: each leg's MINIMUM is the engine cost the
+    # instance was able to deliver; a storm inflates some rounds but
+    # cannot deflate any.
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    lo_walls, hi_walls = [], []
+    lo_eps = hi_eps = 0
+    edges = iters = None
+    for _ in range(rounds):
+        r_lo, r_hi = run(lo), run(hi)
+        lo_walls.append(r_lo["queries"]["pagerank_web"])
+        hi_walls.append(r_hi["queries"]["pagerank_web"])
+        lo_eps = max(lo_eps, r_lo["pagerank_edges_per_sec"])
+        hi_eps = max(hi_eps, r_hi["pagerank_edges_per_sec"])
+        edges = r_hi["edges"]
+        iters = r_hi["pagerank_iterations"]
+    t_lo, t_hi = min(lo_walls), min(hi_walls)
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
-        "metric": "pagerank_web scaling N=8 -> 4N=32 cpus",
+        "metric": f"pagerank_web scaling N={lo} -> 4N={hi} cpus "
+                  f"(best of {rounds} interleaved rounds per leg)",
         "sec_8": t_lo, "sec_32": t_hi,
-        "edges_per_sec_8": r_lo["pagerank_edges_per_sec"],
-        "edges_per_sec_32": r_hi["pagerank_edges_per_sec"],
+        "sec_8_rounds": lo_walls, "sec_32_rounds": hi_walls,
+        "edges_per_sec_8": lo_eps,
+        "edges_per_sec_32": hi_eps,
         "scaling_efficiency": round(eff, 3),
-        "edges": r_hi["edges"],
-        "iterations": r_hi["pagerank_iterations"],
+        "edges": edges,
+        "iterations": iters,
     }))
 
 
