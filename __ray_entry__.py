@@ -94,10 +94,35 @@ _LI_E = f"(SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst FROM lineite
 _LI_V = f"(SELECT range AS vid FROM range(0, {NV}))"
 
 
+_ENG_CACHE: dict[tuple, Any] = {}
+
+
+def _cached_engine(key: tuple, build: Callable[[], Any]):
+    """Shared GraphEngine per (graph variant, sf_dir).
+
+    The driver runs queries() sequentially in one process; every
+    algorithm (re)initialises its own state keys on the shards, so the
+    actors are reusable across queries.  Without this, each query
+    re-spun an 8-actor pool + CSR ingest (~2-4 s) — in round 2 that
+    overhead meant the correctness gate only got through 50 of 99
+    queries.  Cached engines are marked persistent so the per-query
+    eng.shutdown() calls are no-ops; actors are reclaimed at
+    ray.shutdown()."""
+    eng = _ENG_CACHE.get(key)
+    if eng is None or not eng.shards:
+        eng = build()
+        eng.persistent = True
+        _ENG_CACHE[key] = eng
+    return eng
+
+
 def _engine(sf_dir: str, P: int = 8):
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    return GraphEngine.from_edges(_li_edges(sf_dir), n=NV, P=P)
+    return _cached_engine(
+        ("li", sf_dir, P),
+        lambda: GraphEngine.from_edges(_li_edges(sf_dir), n=NV, P=P),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -277,23 +302,9 @@ def q_sssp(sf_dir: str):
 def q_sssp_weighted(sf_dir: str):
     """Weighted shortest distances from vertex 0 (weight = l_quantity,
     Bellman-Ford relaxation supersteps); unreachable -> -1."""
-    from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.paths import sssp_weighted
 
-    li = _read_pq(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_partkey", "l_quantity"],
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "src": t["l_orderkey"].to_numpy() % NV,
-                "dst": t["l_partkey"].to_numpy() % NV,
-                "weight": t["l_quantity"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    eng = GraphEngine.from_edges(li, n=NV, P=8, weighted=True)
+    eng = _engine_li_w(sf_dir)
     d = sssp_weighted(eng, [0], mode="out")
     eng.shutdown()
     return pd.DataFrame(
@@ -319,13 +330,46 @@ def _li_edges_200(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _engine_200(sf_dir: str):
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    return _cached_engine(
+        ("li200", sf_dir),
+        lambda: GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4),
+    )
+
+
+def _engine_li_w(sf_dir: str):
+    """Weighted (l_quantity) 1000-vertex lineitem engine, shared by the
+    weighted pagerank / sssp queries."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    def build():
+        li = _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["l_orderkey"].to_numpy() % NV,
+                    "dst": t["l_partkey"].to_numpy() % NV,
+                    "weight": t["l_quantity"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return GraphEngine.from_edges(li, n=NV, P=8, weighted=True)
+
+    return _cached_engine(("li_w", sf_dir), build)
+
+
 def q_closeness(sf_dir: str):
     """igraph closeness (out mode, unnormalized): 1 / (sum of
     distances + n * unreached), on the 200-vertex derived graph."""
     from xdata_igraph_ray.graph.centrality import closeness
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     c = closeness(eng, wave=100)
     eng.shutdown()
     return pd.DataFrame({"vid": np.arange(NV2), "closeness": np.round(c, 6)})
@@ -336,7 +380,7 @@ def q_harmonic(sf_dir: str):
     from xdata_igraph_ray.graph.centrality import harmonic_centrality
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     h = harmonic_centrality(eng, wave=100)
     eng.shutdown()
     return pd.DataFrame({"vid": np.arange(NV2), "harmonic": np.round(h, 6)})
@@ -488,7 +532,7 @@ def q_scan2(sf_dir: str):
     from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.scan import local_scan_k_ecount
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     vals = local_scan_k_ecount(eng, k=2, wave=100)
     eng.shutdown()
     return pd.DataFrame(
@@ -632,8 +676,10 @@ def q_knn_degree(sf_dir: str):
 
     knn, _ = avg_nearest_neighbor_degree(_li_und_simple(sf_dir), n=NV, P=8)
     df = knn.to_pandas().sort_values("vid").reset_index(drop=True)
-    df["knn"] = np.round(df["knn"], 6)
-    return df
+    # full doubles, no rounding: sdeg/k of exact ints is bit-identical
+    # to the oracle's division (np.round is banker's, DuckDB round is
+    # half-away -> 6-dp ties hash differently; round-2 driver FAIL)
+    return df[["vid", "knn"]]
 
 
 def q_diversity(sf_dir: str):
@@ -695,7 +741,7 @@ def q_path_length_hist(sf_dir: str):
     from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.paths import path_length_hist
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     hist, unconn = path_length_hist(eng, wave=100)
     eng.shutdown()
     rows = sorted(hist.items()) + [(-1, unconn)]
@@ -706,7 +752,7 @@ def q_diameter(sf_dir: str):
     from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.paths import diameter
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     d = diameter(eng, unconn=True)
     eng.shutdown()
     return pd.DataFrame({"diameter": [d]})
@@ -763,7 +809,7 @@ def q_eccentricity(sf_dir: str):
     from xdata_igraph_ray.graph.centrality import eccentricity, radius
     from xdata_igraph_ray.graph.engine import GraphEngine
 
-    eng = GraphEngine.from_edges(_li_edges_200(sf_dir), n=NV2, P=4)
+    eng = _engine_200(sf_dir)
     ecc = eccentricity(eng, wave=100)
     r = radius(eng)
     eng.shutdown()
@@ -1149,23 +1195,9 @@ def q_events_session(sf_dir: str):
 
 def q_pagerank_weighted_li(sf_dir: str):
     """Weighted PageRank (weight = l_quantity), fixed iterations."""
-    from xdata_igraph_ray.graph.engine import GraphEngine
     from xdata_igraph_ray.graph.pagerank import pagerank
 
-    li = _read_pq(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_partkey", "l_quantity"],
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "src": t["l_orderkey"].to_numpy() % NV,
-                "dst": t["l_partkey"].to_numpy() % NV,
-                "weight": t["l_quantity"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    eng = GraphEngine.from_edges(li, n=NV, P=8, weighted=True)
+    eng = _engine_li_w(sf_dir)
     pagerank(eng, tol=0.0, max_iter=PR_ITERS, weighted=True)
     scores = eng.state_arrays("pr")
     eng.shutdown()
@@ -2617,7 +2649,10 @@ def oracle_sql() -> dict[str, str]:
               FROM nb JOIN deg dn ON dn.vid = nb.nei
               GROUP BY nb.vid
             )
-            SELECT v.vid, round(s.sdeg / CAST(s.k AS DOUBLE), 6) AS knn
+            -- full doubles, no rounding (np.round is banker's, DuckDB
+            -- round() half-away -> 6-dp ties hashed differently; the
+            -- round-2 driver FAIL): int/int division is bit-identical
+            SELECT v.vid, CAST(s.sdeg AS DOUBLE) / CAST(s.k AS DOUBLE) AS knn
             FROM {_LI_V} v LEFT JOIN s ON s.vid = v.vid
             """,
         "diversity_li": f"""
@@ -2863,12 +2898,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             named(name) AS (VALUES {_triad_names_sql()})
             SELECT named.name AS triad,
-                   CASE WHEN named.name = '003'
-                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) / 6
+                   -- CAST: sum() is HUGEINT and '/' is float division in
+                   -- DuckDB -> n came out float64 while the Ray side emits
+                   -- int64 (round-2 driver hash FAIL); force BIGINT
+                   CAST(CASE WHEN named.name = '003'
+                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) // 6
                              - (SELECT sum(c) FROM fixed)
                         ELSE coalesce((SELECT sum(c) FROM fixed
                                        WHERE fixed.name = named.name), 0)
-                   END AS n
+                   END AS BIGINT) AS n
             FROM named
             """,
         "assortativity_li": f"""

@@ -41,7 +41,18 @@ def _check(src, dst, n, P):
             g.add_edge(min(s, d), max(s, d))
 
     exp_ap = set(nx.articulation_points(g))
-    exp_br = {(min(a, b), max(a, b)) for a, b in nx.bridges(g)}
+    # igraph multigraph semantics: a parallel pair is a 2-edge block,
+    # neither copy is a bridge — drop support pairs with multiplicity>1
+    from collections import Counter
+
+    mult = Counter(
+        (min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d
+    )
+    exp_br = {
+        (min(a, b), max(a, b))
+        for a, b in nx.bridges(g)
+        if mult[(min(a, b), max(a, b))] == 1
+    }
     exp_blocks = {
         frozenset((min(a, b), max(a, b)) for a, b in comp)
         for comp in nx.biconnected_component_edges(g)

@@ -44,6 +44,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
+    """STRICT compare mirroring the driver's value-hash gate: columns
+    sorted by name, dtypes must agree (int64 vs float64 hashes
+    differently), float columns must be BIT-identical (the driver
+    hashes raw values; allclose green + hash FAIL was round 2's
+    triad/knn failure mode)."""
     if len(got) != len(want):
         return f"ROWS {len(got)} vs {len(want)}"
     g, w = canon(got), canon(want)
@@ -51,14 +56,16 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> str:
         return f"SCHEMA {list(g.columns)} vs {list(w.columns)}"
     for c in g.columns:
         a, b = g[c].to_numpy(), w[c].to_numpy()
-        if a.dtype.kind == "f" or b.dtype.kind == "f":
-            if not np.allclose(
-                a.astype(float), b.astype(float), atol=1e-9, equal_nan=True
-            ):
-                bad = np.flatnonzero(
-                    ~np.isclose(a.astype(float), b.astype(float), atol=1e-9)
-                )[:3]
-                return f"VALUES col={c} rows={bad.tolist()}"
+        if a.dtype != b.dtype:
+            return f"DTYPE col={c} got={a.dtype} want={b.dtype}"
+        if a.dtype.kind == "f":
+            ab, bb = a.view(np.uint64), b.view(np.uint64)
+            if not (ab == bb).all():
+                bad = np.flatnonzero(ab != bb)[:3]
+                return (
+                    f"FLOATBITS col={c} rows={bad.tolist()} "
+                    f"got={a[bad].tolist()} want={b[bad].tolist()}"
+                )
         else:
             if not (a == b).all():
                 bad = np.flatnonzero(a != b)[:3]

@@ -33,7 +33,13 @@ rules (child id c stands for tree edge (parent(c), c)):
 Outputs match the reference's semantics: per-edge block ids (loops
 and isolated vertices carry no block, components.c:660-664),
 articulation point = vertex incident to >= 2 distinct blocks
-(components.c:571-599), bridge = the edge of a single-edge block.
+(components.c:571-599), bridge = the edge of a single-edge block
+whose support edge has multiplicity 1 (a parallel pair forms a
+2-edge block in igraph, so neither copy is a bridge — the aux graph
+runs on the collapsed support, hence the explicit multiplicity
+check).  Divergence on multigraphs: blocks are reported per SUPPORT
+edge (one (a, b, block) row per distinct endpoint pair), not per
+edge id — parallel copies share their pair's row.
 
 Driver footprint: the per-component BFS roots array (one id per
 non-singleton component) and scalar level counters — the same
@@ -539,7 +545,11 @@ def biconnected(
         for r in nblocks
     ]
 
-    # bridges: single-edge blocks
+    # bridges: single-edge blocks whose support edge has multiplicity 1
+    # — a parallel edge pair is a 2-edge biconnected block in igraph
+    # (components.c: neither copy is a bridge), so a support edge with
+    # multiplicity > 1 must never be reported as a bridge even though
+    # the collapsed aux graph sees it as a single-edge block
     bsizes = groupby_agg(
         EB, ["block"], [(None, "count", "m")], P=P, as_refs=True
     )
@@ -551,6 +561,21 @@ def biconnected(
     ]
     bridges = hash_join(EB, single, ["block"], how="left semi", P=P,
                         as_refs=True)
+    from .triangles import _canonicalize
+
+    canon = [_canonicalize.remote(r) for r in _refs(edges)]
+    emult = groupby_agg(
+        canon, ["a", "b"], [(None, "count", "m")], P=P, as_refs=True
+    )
+    multi = [
+        _apply.remote(
+            lambda t: t.filter(pc.greater(t["m"], 1)).select(["a", "b"]),
+            r,
+        )
+        for r in emult
+    ]
+    bridges = hash_join(bridges, multi, ["a", "b"], how="left anti",
+                        P=P, as_refs=True)
     bridges = [
         _apply.remote(lambda t: t.select(["a", "b"]), r) for r in bridges
     ]

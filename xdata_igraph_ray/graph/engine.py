@@ -3120,9 +3120,16 @@ class GraphEngine:
         return cls(shards, bounds, n, edges_total, weighted,
                    per_dest_refs=per_dest_refs)
 
-    def shutdown(self):
+    def shutdown(self, force: bool = False):
         """Release shard actors eagerly (GC also reclaims them, but
-        engine-churning callers — tests, benches — should be explicit)."""
+        engine-churning callers — tests, benches — should be explicit).
+
+        An engine marked ``persistent = True`` (shared across many
+        queries, e.g. the driver-gate cache in ``__ray_entry__``)
+        ignores plain shutdown() so per-query cleanup code stays
+        uniform; pass force=True to really release it."""
+        if getattr(self, "persistent", False) and not force:
+            return
         for s in self.shards:
             ray.kill(s, no_restart=True)
         self.shards = []

@@ -53,12 +53,12 @@ def _refs(ds):
     return ds if isinstance(ds, list) else block_refs(ds)
 
 
-def _canon(t: pa.Table) -> pa.Table:
+def _canon(t: pa.Table, weighted: bool = True) -> pa.Table:
     s = t["src"].to_numpy()
     d = t["dst"].to_numpy()
     w = (
         t["weight"].to_numpy().astype(np.float64)
-        if "weight" in t.column_names
+        if weighted and "weight" in t.column_names
         else np.ones(len(t), np.float64)
     )
     keep = s != d
@@ -84,16 +84,23 @@ def _argmin_rows(t: pa.Table, group: list[str], order: list[str]) -> pa.Table:
 
 def minimum_spanning_tree(
     edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS,
-    max_rounds: int = 64,
+    max_rounds: int = 64, weighted: bool = True,
 ) -> Dataset:
     """(a, b, w) rows of a minimum-weight spanning forest of the
     undirected view of `edges` (igraph_minimum_spanning_tree,
     src/spanning_trees.c:78; unweighted inputs reproduce the
-    _unweighted variant's forest up to tie choice)."""
+    _unweighted variant's forest up to tie choice).
+
+    ``weighted=False`` ignores any weight column and computes the
+    unweighted spanning forest (the reference dispatches on whether
+    weights are supplied, spanning_trees.c:78)."""
     import ray.data as rd
 
     # canonical simple weighted edge table; parallel edges -> min w
-    canon = [_apply.remote(_canon, r) for r in _refs(edges)]
+    canon = [
+        _apply.remote(lambda t, w=weighted: _canon(t, w), r)
+        for r in _refs(edges)
+    ]
     combine = lambda t: _argmin_rows(t, ["a", "b"], ["w"])  # noqa: E731
     e_refs = exchange(
         canon, ["a", "b"], P=P, map_fn=combine, reduce_fn=combine,

@@ -47,6 +47,15 @@ from ..exchange import (
 
 log = logging.getLogger(__name__)
 
+# Default hub cap: pair expansion is O(d^2) per pivot, so an uncapped
+# 3M-degree hub would emit ~4.5e12 pairs.  Default ON with a generous
+# bound (1e5 members -> <=5e9 pairs across the cluster, spread over
+# partitions); capped pivots are dropped from numerator AND
+# denominator and logged.  Pass max_group=None for exact small-graph
+# semantics (the oracle queries at n<=1000 never hit the cap either
+# way).
+DEFAULT_MAX_GROUP = 100_000
+
 
 @ray.remote
 def _apply(fn, tbl):
@@ -80,9 +89,11 @@ def _membership(edges, item_col: str, vid_col: str, mode: str,
     return distinct(rows, ["item", "vid"], P=P, as_refs=True)
 
 
-def _pair_reduce(weight_fn, max_group):
+def _pair_reduce(weight_fn):
     """Reduce fn for an item-keyed exchange: emit all unordered member
-    pairs per pivot group, carrying the pivot's weight."""
+    pairs per pivot group, carrying the pivot's weight.  Hot-pivot
+    capping happens upstream in _pair_counts (on the membership) so
+    intersection and degree counts stay consistent."""
 
     def pairs(t: pa.Table) -> pa.Table:
         item = t["item"].to_numpy()
@@ -92,20 +103,6 @@ def _pair_reduce(weight_fn, max_group):
         _, starts, lens = np.unique(
             item[order], return_index=True, return_counts=True
         )
-        if max_group is not None:
-            hot = lens > max_group
-            n_hot = int(hot.sum())
-            if n_hot:
-                log.warning(
-                    "vertex_similarity: skipping %d pivot(s) with > %d "
-                    "members (max size %d) — similarity values touching "
-                    "only hot pivots are undercounted",
-                    n_hot, max_group, int(lens.max()),
-                )
-                keep = np.repeat(~hot, lens)
-                vals = vals[keep]
-                lens = lens[~hot]
-                starts = np.cumsum(lens) - lens
         row_start = np.repeat(starts, lens)
         local = np.arange(len(vals), dtype=np.int64) - row_start
         m = int(local.sum())
@@ -133,20 +130,62 @@ def _pair_reduce(weight_fn, max_group):
     return pairs
 
 
+def _filter_hot(max_group: int):
+    """Drop every row of pivot groups larger than ``max_group`` —
+    applied to item-co-partitioned membership so group sizes are
+    global."""
+
+    def f(t: pa.Table) -> pa.Table:
+        item = t["item"].to_numpy()
+        vid = t["vid"].to_numpy()
+        order = np.argsort(item, kind="stable")
+        item, vid = item[order], vid[order]
+        _, lens = np.unique(item, return_counts=True)
+        hot = lens > max_group
+        n_hot = int(hot.sum())
+        if n_hot:
+            log.warning(
+                "vertex_similarity: dropping %d pivot(s) with > %d "
+                "members (max size %d) from BOTH intersection and "
+                "degree counts",
+                n_hot, max_group, int(lens.max()),
+            )
+            keep = np.repeat(~hot, lens)
+            item, vid = item[keep], vid[keep]
+        return pa.table({"item": item, "vid": vid})
+
+    return f
+
+
 def _pair_counts(edges, item_col, vid_col, mode, drop_self, weight_fn,
                  max_group, alias, P, as_refs=False):
+    """With ``max_group`` set, hot pivots are removed from the
+    membership ONCE, so the pair expansion and any degree counts a
+    caller derives from the returned membership see the same truncated
+    neighborhoods — Jaccard/Dice ratios stay unbiased (they are
+    computed as if hot pivot vertices' neighborhoods were deleted,
+    rather than undercounting only the numerator)."""
     mem = _membership(edges, item_col, vid_col, mode, drop_self, P)
-    pair_refs = exchange(
-        mem, ["item"], P=P,
-        reduce_fn=_pair_reduce(weight_fn, max_group), as_refs=True,
-    )
+    if max_group is not None:
+        mem = exchange(
+            mem, ["item"], P=P, reduce_fn=_filter_hot(max_group),
+            as_refs=True,
+        )
+        pair_refs = [
+            _apply.remote(_pair_reduce(weight_fn), r) for r in mem
+        ]
+    else:
+        pair_refs = exchange(
+            mem, ["item"], P=P,
+            reduce_fn=_pair_reduce(weight_fn), as_refs=True,
+        )
     out = groupby_agg(pair_refs, ["u", "w"], [("x", "sum", alias)], P=P,
                       as_refs=as_refs)
     return out, mem
 
 
 def cocitation(edges: Dataset | list, P: int = DEFAULT_PARTITIONS,
-               max_group: int | None = None) -> Dataset:
+               max_group: int | None = DEFAULT_MAX_GROUP) -> Dataset:
     """(u, w, cnt): number of vertices citing both u and w — pairs of
     each pivot's OUT-neighbor set (igraph_cocitation,
     src/cocitation.c:68 -> cocitation_real mode=IGRAPH_OUT)."""
@@ -158,7 +197,7 @@ def cocitation(edges: Dataset | list, P: int = DEFAULT_PARTITIONS,
 
 
 def bibcoupling(edges: Dataset | list, P: int = DEFAULT_PARTITIONS,
-                max_group: int | None = None) -> Dataset:
+                max_group: int | None = DEFAULT_MAX_GROUP) -> Dataset:
     """(u, w, cnt): number of vertices both u and w cite — pairs of
     each pivot's IN-neighbor set (igraph_bibcoupling,
     src/cocitation.c:102 -> cocitation_real mode=IGRAPH_IN)."""
@@ -171,7 +210,7 @@ def bibcoupling(edges: Dataset | list, P: int = DEFAULT_PARTITIONS,
 
 def similarity_inverse_log_weighted(
     edges: Dataset | list, mode: str = "out",
-    P: int = DEFAULT_PARTITIONS, max_group: int | None = None,
+    P: int = DEFAULT_PARTITIONS, max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> Dataset:
     """(u, w, sim): common neighbors weighted by 1/log(pivot degree)
     (Adamic-Adar; igraph_similarity_inverse_log_weighted,
@@ -255,7 +294,7 @@ def _jaccard_dice(edges, mode, loops, kind, P, max_group, n=None):
 
 def similarity_jaccard(
     edges: Dataset | list, mode: str = "out", loops: bool = False,
-    P: int = DEFAULT_PARTITIONS, max_group: int | None = None,
+    P: int = DEFAULT_PARTITIONS, max_group: int | None = DEFAULT_MAX_GROUP,
     n: int | None = None,
 ) -> Dataset:
     """(u, w, jaccard): |N(u) & N(w)| / |N(u) | N(w)| over mode
@@ -268,7 +307,7 @@ def similarity_jaccard(
 
 def similarity_dice(
     edges: Dataset | list, mode: str = "out", loops: bool = False,
-    P: int = DEFAULT_PARTITIONS, max_group: int | None = None,
+    P: int = DEFAULT_PARTITIONS, max_group: int | None = DEFAULT_MAX_GROUP,
     n: int | None = None,
 ) -> Dataset:
     """(u, w, dice): 2|N(u) & N(w)| / (|N(u)| + |N(w)|)
@@ -279,7 +318,7 @@ def similarity_dice(
 
 def bipartite_projection(
     edges: Dataset | list, which: str = "first",
-    P: int = DEFAULT_PARTITIONS, max_group: int | None = None,
+    P: int = DEFAULT_PARTITIONS, max_group: int | None = DEFAULT_MAX_GROUP,
 ) -> Dataset:
     """Weighted one-mode projection of a bipartite edge table
     (igraph_bipartite_projection, src/bipartite.c:198: multiplicity =

@@ -146,7 +146,9 @@ def main(argv=None) -> dict:
         if args.algo == "mst":
             from ..graph.mst import minimum_spanning_tree
 
-            out_ds = minimum_spanning_tree(refs, n, P=args.num_shards)
+            out_ds = minimum_spanning_tree(
+                refs, n, P=args.num_shards, weighted=args.weighted
+            )
             info = {"n": n}
         else:
             from ..graph.biconnectivity import biconnected

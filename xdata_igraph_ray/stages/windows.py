@@ -142,7 +142,25 @@ def asof_join(
     fit a partition, the same assumption as every hash join here.
     Output: left_cols + right_cols (null where no match) + ``lag_us``
     (left ts - matched right ts, microseconds; null if no match).
+
+    Contract: ``right_cols`` must be NUMERIC and are returned as
+    float64 (nullable) — int64 values above 2^53 would lose precision;
+    pre-cast or split such columns upstream.  The packed (key, ts)
+    searchsorted splits a 63-bit budget between the ts span and the
+    per-partition distinct-key count; both dimensions are guarded with
+    explicit errors rather than silent wraparound.
     """
+    for f in right.schema().base_schema:
+        if f.name in right_cols and not (
+            pa.types.is_integer(f.type)
+            or pa.types.is_floating(f.type)
+            or pa.types.is_decimal(f.type)
+            or pa.types.is_boolean(f.type)
+        ):
+            raise TypeError(
+                f"asof_join: right column {f.name!r} has non-numeric "
+                f"type {f.type} — right_cols are returned as float64"
+            )
     out_l = [c for c in left_cols if c != ts_col]
     lschema = left.schema().base_schema
     ltypes = {c: lschema.field(c).type for c in out_l}
@@ -162,6 +180,8 @@ def asof_join(
                 ts_col: pc.cast(t[ts_col], pa.timestamp("us")),
                 "_side": pa.array(np.zeros(len(t), np.int8))}
         for c in out_l:
+            if c == key:  # keep the key intact when it's also output
+                continue
             cols[c] = pa.nulls(len(t), ltypes[c])
         for c in right_cols:
             cols[c] = pc.cast(t[c], pa.float64())
@@ -191,10 +211,24 @@ def asof_join(
         off = int(min(lt.min(), rt.min()))
         dl = lt - off
         dr = rt - off
-        if max(int(dl.max()), int(dr.max())) >= 1 << 43:
-            raise ValueError("asof_join: ts span exceeds 2^43 us (~278 y)")
+        # split the 63-bit pack budget dynamically: ts span gets what
+        # it needs, the rest bounds the distinct-key count — both
+        # overflow modes raise instead of silently wrapping
+        ts_bits = max(1, max(int(dl.max()), int(dr.max())).bit_length())
+        if ts_bits > 43:
+            raise ValueError(
+                f"asof_join: ts span needs {ts_bits} bits (> 2^43 us "
+                "~278 y) — check the timestamp column"
+            )
+        if len(uk) >= 1 << (63 - ts_bits):
+            raise ValueError(
+                f"asof_join: {len(uk)} distinct keys in one partition "
+                f"exceeds the {63 - ts_bits}-bit pack budget — "
+                "increase P so fewer keys land per partition"
+            )
         pos = np.searchsorted(
-            rki * (1 << 43) + dr, lki * (1 << 43) + dl, side="right"
+            rki * (1 << ts_bits) + dr, lki * (1 << ts_bits) + dl,
+            side="right",
         ) - 1
         ok = (pos >= 0) & (rki[np.maximum(pos, 0)] == lki)
         pos = np.maximum(pos, 0)
