@@ -478,6 +478,30 @@ def q_closeness(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV2), "closeness": np.round(c, 6)})
 
 
+def q_closeness_in(sf_dir: str):
+    """closeness mode='in' (distances along reversed edges) — the
+    round-2 partial, now first-class (src/centrality.c:2473 modes).
+    Full doubles: 1/total of exact ints is bit-identical to the
+    oracle's division."""
+    from xdata_igraph_ray.graph.centrality import closeness
+
+    eng = _engine_200(sf_dir)
+    c = closeness(eng, wave=100, mode="in")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV2), "closeness": c})
+
+
+def q_closeness_all(sf_dir: str):
+    """closeness mode='all' (undirected view via the shards'
+    union CSR)."""
+    from xdata_igraph_ray.graph.centrality import closeness
+
+    eng = _engine_200(sf_dir)
+    c = closeness(eng, wave=100, mode="all")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.arange(NV2), "closeness": c})
+
+
 def q_harmonic(sf_dir: str):
     """Harmonic centrality (normalized) on the 200-vertex graph."""
     from xdata_igraph_ray.graph.centrality import harmonic_centrality
@@ -1922,6 +1946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_li": q_sssp,
         "sssp_weighted_li": q_sssp_weighted,
         "closeness_li": q_closeness,
+        "closeness_in_li": q_closeness_in,
+        "closeness_all_li": q_closeness_all,
         "closeness_weighted_li": q_closeness_weighted,
         "harmonic_li": q_harmonic,
         "betweenness_weighted_li": q_betweenness_weighted,
@@ -2351,6 +2377,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vid,
                    round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
                      AS closeness
+            FROM v JOIN agg ON agg.s = v.vid
+            """,
+        "closeness_in_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.src, r.d + 1 FROM r JOIN de ON de.dst = r.t
+              WHERE r.d < 16
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, count(*) AS reach, sum(d) AS dsum
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   1.0 / (CAST(agg.dsum AS DOUBLE)
+                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
+            FROM v JOIN agg ON agg.s = v.vid
+            """,
+        "closeness_all_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT l_orderkey % {NV2} AS a, l_partkey % {NV2} AS b
+                FROM lineitem
+                UNION ALL
+                SELECT l_partkey % {NV2}, l_orderkey % {NV2}
+                FROM lineitem
+              )
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.b, r.d + 1 FROM r JOIN de ON de.a = r.t
+              WHERE r.d < 16
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, count(*) AS reach, sum(d) AS dsum
+              FROM dist GROUP BY s
+            )
+            SELECT v.vid,
+                   1.0 / (CAST(agg.dsum AS DOUBLE)
+                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
             FROM v JOIN agg ON agg.s = v.vid
             """,
         "closeness_weighted_li": """
@@ -2956,8 +3031,10 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
               GROUP BY s
             )
-            SELECT v.vid, ecc.e AS ecc,
-                   (SELECT min(e) FROM ecc) AS radius
+            -- CAST: the recursive d literal starts INT32; Ray emits
+            -- int64 (driver hash is dtype-sensitive)
+            SELECT v.vid, CAST(ecc.e AS BIGINT) AS ecc,
+                   CAST((SELECT min(e) FROM ecc) AS BIGINT) AS radius
             FROM v JOIN ecc ON ecc.s = v.vid
             """,
         "triad_census_li": f"""

@@ -85,8 +85,9 @@ def test_maxflow_random_vs_networkx(seed):
     flow_tbl = pa.concat_tables(ray.get(r["flow"].to_arrow_refs()))
     _check_flow_valid(flow_tbl, edges, caps, s, t, r["value"], n)
     # the cut certifies optimality: capacity == value, s-side holds s
-    assert s in set(r["partition1"].tolist())
-    assert t not in set(r["partition1"].tolist())
+    p1 = set(r["partition1"].to_pandas()["vid"].tolist())
+    assert s in p1
+    assert t not in p1
     cut_cap = sum(r["cut"]["capacity"].to_pylist())
     assert abs(cut_cap - want) < 1e-6
 

@@ -128,6 +128,35 @@ def test_closeness_igraph_formula():
     eng.shutdown()
 
 
+def test_closeness_modes_vs_networkx():
+    """mode='in'/'all' (union-CSR BFS) vs networkx per-source BFS."""
+    import networkx as nx
+
+    n, m = 80, 300
+    src, dst = gnm_edges(n, m, seed=9)
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(zip(src, dst))
+    eng = _engine(src, dst, n, P=3)
+    got_in = closeness(eng, wave=40, mode="in")
+    got_all = closeness(eng, wave=40, mode="all")
+    gr = g.reverse()
+    gu = g.to_undirected()
+    for s in [0, 5, 41, 79]:
+        for got, gg in ((got_in, gr), (got_all, gu)):
+            d = nx.single_source_shortest_path_length(gg, s)
+            total = sum(d.values()) + n * (n - len(d))
+            assert got[s] == pytest.approx(1.0 / total), s
+    # eccentricity mode='all' on the undirected view
+    from xdata_igraph_ray.graph.centrality import eccentricity
+
+    ecc = eccentricity(eng, sources=[0, 7, 33], mode="all")
+    for i, s in enumerate([0, 7, 33]):
+        d = nx.single_source_shortest_path_length(gu, s)
+        assert ecc[i] == max(d.values()), s
+    eng.shutdown()
+
+
 def test_betweenness_sampled_sources():
     n, m = 80, 400
     src, dst = gnm_edges(n, m, seed=7)

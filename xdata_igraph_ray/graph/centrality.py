@@ -65,22 +65,30 @@ def _ms_waves(engine: GraphEngine, sources, wave: int):
 
 
 def _ms_forward(engine: GraphEngine, wave_sources,
-                max_level: int | None = None) -> int:
+                max_level: int | None = None,
+                direction: str = "fwd") -> int:
     """Level-synchronous multi-source BFS with path counting; returns
-    the deepest assigned level (bounded by ``max_level``)."""
+    the deepest assigned level (bounded by ``max_level``).
+    ``direction``: "fwd" (out-edges), "rev" (in-edges), "und"
+    (undirected view — lazily-built union CSR on the shards)."""
     shards = engine.shards
     ray.get([s.ms_init.remote(wave_sources) for s in shards])
     level = 0
     while max_level is None or level < max_level:
-        outs = engine.scatter("ms_fwd_scatter", level)
+        outs = engine.scatter("ms_fwd_scatter", level, direction)
         newly = sum(ray.get([
-            shards[q].ms_fwd_gather.remote(level, *engine.pieces(outs, q))
+            shards[q].ms_fwd_gather.remote(
+                level, *engine.pieces(outs, q), direction=direction
+            )
             for q in range(engine.P)
         ]))
         if newly == 0:
             break
         level += 1
     return level
+
+
+_MODE_DIR = {"out": "fwd", "in": "rev", "all": "und"}
 
 
 def betweenness(
@@ -148,18 +156,20 @@ def edge_betweenness(
 
 
 def eccentricity(
-    engine: GraphEngine, sources=None, wave: int = 128
+    engine: GraphEngine, sources=None, wave: int = 128,
+    mode: str = "out",
 ) -> np.ndarray:
     """Max finite distance from each source (igraph_eccentricity,
-    src/structural_properties.c — out mode over the given engine
-    graph; build a mutual-arc engine for igraph's ALL default)."""
+    src/structural_properties.c).  ``mode``: "out" (default here),
+    "in", or "all" (igraph's default — undirected view via the
+    shards' lazily-built union CSR)."""
     shards = engine.shards
     if sources is None:
         sources = np.arange(engine.n)
     out = np.empty(len(np.asarray(sources)), dtype=np.int64)
     pos = 0
     for ws in _ms_waves(engine, sources, wave):
-        _ms_forward(engine, ws)
+        _ms_forward(engine, ws, direction=_MODE_DIR[mode])
         parts = ray.get([s.ms_ecc_stats.remote() for s in shards])
         out[pos:pos + len(ws)] = np.max(parts, axis=0)
         pos += len(ws)
@@ -167,9 +177,10 @@ def eccentricity(
     return out
 
 
-def radius(engine: GraphEngine, wave: int = 128) -> int:
+def radius(engine: GraphEngine, wave: int = 128,
+           mode: str = "out") -> int:
     """min eccentricity (igraph_radius)."""
-    return int(eccentricity(engine, wave=wave).min())
+    return int(eccentricity(engine, wave=wave, mode=mode).min())
 
 
 def closeness(
@@ -185,10 +196,12 @@ def closeness(
     closeness = 1/sum (normalized: (n-1)/sum) — unreachable vertices
     count as distance n, exactly the reference's rule
     (src/centrality.c:2733-2736).  Returns one value per requested
-    source (default: all vertices)."""
-    if mode != "out":
-        raise NotImplementedError("closeness: only mode='out' in v2; "
-                                  "reverse the graph for mode='in'")
+    source (default: all vertices).  ``mode``: "out" follows
+    out-edges, "in" in-edges, "all" the undirected view (all three
+    reference modes, src/centrality.c:2473)."""
+    if mode not in _MODE_DIR:
+        raise ValueError(f"closeness: unknown mode {mode!r}")
+    direction = _MODE_DIR[mode]
     shards = engine.shards
     n = engine.n
     if sources is None:
@@ -196,7 +209,7 @@ def closeness(
     out = np.empty(len(np.asarray(sources)), dtype=np.float64)
     pos = 0
     for ws in _ms_waves(engine, sources, wave):
-        _ms_forward(engine, ws)
+        _ms_forward(engine, ws, direction=direction)
         stats = ray.get([s.ms_closeness_stats.remote() for s in shards])
         reach = np.sum([st[0] for st in stats], axis=0)
         dsum = np.sum([st[1] for st in stats], axis=0)
@@ -352,12 +365,13 @@ def harmonic_centrality(
     sources=None,
     normalized: bool = True,
     wave: int = 64,
+    mode: str = "out",
 ) -> np.ndarray:
     """Harmonic centrality (igraph_harmonic_centrality,
     src/centrality.c:2940): H(s) = sum over reachable u != s of
     1/d(s,u); unreachable pairs contribute 0 (no n-penalty — the
     point of the harmonic variant).  normalized divides by n-1.
-    Same multi-source BFS waves as closeness."""
+    Same multi-source BFS waves and out/in/all modes as closeness."""
     shards = engine.shards
     n = engine.n
     if sources is None:
@@ -365,7 +379,7 @@ def harmonic_centrality(
     out = np.empty(len(np.asarray(sources)), dtype=np.float64)
     pos = 0
     for ws in _ms_waves(engine, sources, wave):
-        _ms_forward(engine, ws)
+        _ms_forward(engine, ws, direction=_MODE_DIR[mode])
         stats = ray.get([s.ms_harmonic_stats.remote() for s in shards])
         h = np.sum(stats, axis=0)
         out[pos:pos + len(ws)] = h / (n - 1.0) if normalized else h

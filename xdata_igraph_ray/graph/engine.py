@@ -234,6 +234,9 @@ class GraphShard:
         else:
             key = other = np.empty(0, dtype=np.int64)
             w = np.empty(0) if self.weighted else None
+        return self._csr_arrays(key, other, w, lo)
+
+    def _csr_arrays(self, key, other, w, lo):
         order = np.argsort(key, kind="stable")
         indptr = np.concatenate(
             ([0], np.cumsum(np.bincount(key - lo, minlength=self.size)))
@@ -282,6 +285,29 @@ class GraphShard:
             "part": self.p, "lo": self.lo, "hi": self.hi,
             "edges": int(len(self.fw_dst)),
         }
+
+    def _ensure_und(self):
+        """Lazily build the union (undirected-view) CSR: per local
+        vertex, out-neighbors ++ in-neighbors (per-edge multiplicity
+        kept — distances are unaffected, and the relation is
+        symmetric, which the hub-broadcast receiver expansion relies
+        on).  Built once per shard on first mode='all' traversal."""
+        if getattr(self, "und_indptr", None) is not None:
+            return
+        kf = np.repeat(
+            np.arange(self.size, dtype=np.int64) + self.lo,
+            np.diff(self.fw_indptr),
+        )
+        kr = np.repeat(
+            np.arange(self.size, dtype=np.int64) + self.lo,
+            np.diff(self.rv_indptr),
+        )
+        key = np.concatenate((kf, kr))
+        other = np.concatenate((self.fw_dst, self.rv_src))
+        (self.und_indptr, self.und_tgt, _uw,
+         _dp, self.und_tgt_sorted, _seg,
+         self.und_src_by_tgt, self.und_ustarts, self.und_utgts,
+         self.und_useg) = self._csr_arrays(key, other, None, self.lo)
 
     def _piece(self, o):
         """This shard's slice of a sender's scatter output.  Two wire
@@ -1651,6 +1677,12 @@ class GraphShard:
             per_edge_src = self.fw_src_by_dst
             ustarts, ukeys, useg = self.fw_ustarts, self.fw_udsts, self.fw_useg
             nedges = len(self.fw_dst)
+        elif direction == "und":
+            self._ensure_und()
+            per_edge_src = self.und_src_by_tgt
+            ustarts, ukeys, useg = (self.und_ustarts, self.und_utgts,
+                                    self.und_useg)
+            nedges = len(self.und_tgt)
         else:
             per_edge_src = self.rv_dst_by_src
             ustarts, ukeys, useg = self.rv_ustarts, self.rv_usrcs, self.rv_useg
@@ -1739,19 +1771,24 @@ class GraphShard:
         d = counts[au]
         return int(d[d < self._MS_HEAVY_DEG].sum())
 
-    def ms_fwd_scatter(self, level: int):
+    def ms_fwd_scatter(self, level: int, direction: str = "fwd"):
         mask = self.ms_dist == level
         S = mask.shape[1]
-        nedges = len(self.fw_dst)
-        if nedges and self._ms_coo_cost(mask, self.fw_indptr) * 3 < \
+        if direction == "fwd":
+            indptr, targets = self.fw_indptr, self.fw_dst
+        elif direction == "und":
+            self._ensure_und()
+            indptr, targets = self.und_indptr, self.und_tgt
+        else:  # "rev": traverse in-edges (closeness/eccentricity mode=in)
+            indptr, targets = self.rv_indptr, self.rv_src
+        nedges = len(targets)
+        if nedges and self._ms_coo_cost(mask, indptr) * 3 < \
                 nedges * S:
             A = np.where(mask, self.ms_sigma, 0.0)
             V = self.ms_sigma[mask]
-            return self._ms_coo_msgs(
-                mask, V, self.fw_indptr, self.fw_dst, A=A
-            )
+            return self._ms_coo_msgs(mask, V, indptr, targets, A=A)
         A = np.where(mask, self.ms_sigma, 0.0)
-        return self._ms_matrix_msgs(A, "fwd")
+        return self._ms_matrix_msgs(A, direction)
 
     def _ms_apply_piece(self, acc, piece, direction):
         S = acc.shape[1]
@@ -1764,6 +1801,11 @@ class GraphShard:
             vids, rows, _ = piece
             if direction == "fwd":
                 sorted_keys, locs = self.rv_src_sorted, self.rv_dst_by_src
+            elif direction == "und":
+                # union relation is symmetric: local vertices adjacent
+                # to hub h = h's occurrences in the local union targets
+                self._ensure_und()
+                sorted_keys, locs = self.und_tgt_sorted, self.und_src_by_tgt
             else:
                 sorted_keys, locs = self.fw_dst_sorted, self.fw_src_by_dst
             starts = np.searchsorted(sorted_keys, vids)
@@ -1800,8 +1842,9 @@ class GraphShard:
             self._ms_apply_piece(acc, self._piece(o), direction)
         return acc
 
-    def ms_fwd_gather(self, level: int, *sender_outs) -> int:
-        acc = self._ms_acc(sender_outs, "fwd")
+    def ms_fwd_gather(self, level: int, *sender_outs,
+                      direction: str = "fwd") -> int:
+        acc = self._ms_acc(sender_outs, direction)
         newly = (self.ms_dist < 0) & (acc > 0)
         self.ms_dist[newly] = level + 1
         self.ms_sigma[newly] = acc[newly]
@@ -2816,6 +2859,16 @@ class GraphShard:
     def mf_reachable_mask(self):
         return self.mf_dist < np.iinfo(np.int64).max
 
+    def mf_sside_table(self):
+        """(vid) rows of this shard's NON-t-reaching vertices after the
+        cut BFS — the s-side of the min cut, shipped as an Arrow block
+        instead of an O(n) driver-side mask concat."""
+        return pa.table({
+            "vid": np.flatnonzero(
+                self.mf_dist >= np.iinfo(np.int64).max
+            ) + self.lo
+        })
+
     def mf_broadcast_reach(self):
         """(vid, 1) for locally t-reaching vertices after the cut
         BFS — patches receivers' per-arc reach caches."""
@@ -3044,9 +3097,22 @@ class GraphEngine:
         # build path's _route) become mandatory; enable with
         # per_dest_refs=True or XDATA_PER_DEST_REFS=1.
         if per_dest_refs is None:
-            per_dest_refs = os.environ.get("XDATA_PER_DEST_REFS", "") not in (
-                "", "0",
-            )
+            env = os.environ.get("XDATA_PER_DEST_REFS", "")
+            if env:
+                per_dest_refs = env not in ("0",)
+            else:
+                # default by topology: on a multi-node cluster the
+                # single-object wire mode makes every receiver pull
+                # ~P x the bytes it needs, so per-destination refs
+                # are the right default there; single node keeps the
+                # zero-copy single-object mode (proven output-equal,
+                # test_engine_modes.py)
+                try:
+                    alive = sum(1 for nd in ray.nodes()
+                                if nd.get("Alive", False))
+                except Exception:
+                    alive = 1
+                per_dest_refs = alive > 1
         self.per_dest_refs = bool(per_dest_refs)
 
     # -- superstep message routing ------------------------------------------

@@ -143,7 +143,7 @@ def maxflow(
     global_relabel_every: int = 8,
 ) -> dict:
     """Returns {"value", "flow" (Dataset src/dst/flow, optional),
-    "partition1" (np.ndarray of s-side vids, optional), "cut" (Table of
+    "partition1" (Dataset of s-side vids, optional), "cut" (Table of
     saturated crossing edges, optional)}.  Engine must come from
     :func:`flow_network` (simple graph, weights = capacities;
     unweighted engine = unit capacities)."""
@@ -171,8 +171,12 @@ def maxflow(
         # frozen excess trapped beyond the cut keeps those crossing
         # arcs saturated-but-not-on-the-min-cut.
         _resbfs(engine, [t], "to")
-        masks = ray.get([sh.mf_reachable_mask.remote() for sh in shards])
-        out["partition1"] = np.flatnonzero(~np.concatenate(masks))
+        # S-side vids as a (lazy) Dataset of per-shard tables — no
+        # O(n) driver concat; small-graph callers (Gomory-Hu, tests)
+        # materialize explicitly
+        out["partition1"] = rd.from_arrow_refs(
+            [sh.mf_sside_table.remote() for sh in shards]
+        )
         routs = engine.scatter("mf_broadcast_reach")
         cut_tbls = ray.get([
             shards[q].mf_cut_table.remote(*engine.pieces(routs, q))
@@ -437,7 +441,7 @@ def gomory_hu(edges, n: int, P: int = 8) -> pa.Table:
                         with_cut=True)
             fl[i] = r["value"]
             sside = np.zeros(n, dtype=bool)
-            sside[r["partition1"]] = True
+            sside[r["partition1"].to_pandas()["vid"].to_numpy()] = True
             move = (parent == parent[i]) & sside
             move[: i + 1] = False
             parent[move] = i

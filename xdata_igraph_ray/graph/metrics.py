@@ -530,11 +530,27 @@ def centralization_degree(
             )
             for r in refs
         ]
-    df = degrees(refs, n=n, P=P).to_pandas()
+    deg_ds = degrees(refs, n=n, P=P)
     if mode == "all":
-        deg = (df["out_deg"] + df["in_deg"]).to_numpy()
         tmax = 2.0 * (n - 1) * ((n - 1) if loops else (n - 2))
     else:
-        deg = df["out_deg" if mode == "out" else "in_deg"].to_numpy()
         tmax = float((n - 1) * (n if loops else n - 1))
-    return centralization(deg.astype(np.float64), tmax)
+
+    def part(t: pa.Table, m=mode):
+        if m == "all":
+            d = t["out_deg"].to_numpy() + t["in_deg"].to_numpy()
+        else:
+            d = t["out_deg" if m == "out" else "in_deg"].to_numpy()
+        if not len(d):
+            return (0.0, 0.0)
+        return (float(d.max()), float(d.sum()))
+
+    # distributed (max, sum) partials: sum(max - d_i) over the degree
+    # table = n*max - sum — only P pairs reach the driver (round-2
+    # pulled the whole per-vertex table)
+    parts = ray.get([_apply.remote(part, r) for r in block_refs(deg_ds)])
+    mx = max((p[0] for p in parts), default=0.0)
+    c = n * mx - sum(p[1] for p in parts)
+    if tmax:
+        return c / tmax
+    return c

@@ -139,6 +139,12 @@ def triangles(
 
 
 @ray.remote
+def _scalar(fn, tbl):
+    """Apply a table -> scalar reducer remotely (partial aggregate)."""
+    return fn(tbl)
+
+
+@ray.remote
 def _project(fn, tbl):
     return fn(tbl)
 
@@ -240,11 +246,19 @@ def transitivity_global(edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIO
             {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
         )
 
-    deg = groupby_agg(
+    deg_refs = groupby_agg(
         [_project.remote(both, r) for r in und],
-        ["vid"], [(None, "count", "deg")], P=P,
-    ).to_pandas()
-    triples = float((deg["deg"] * (deg["deg"] - 1) / 2).sum())
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+
+    def _triples(t: pa.Table) -> float:
+        d = t["deg"].to_numpy().astype(np.float64)
+        return float((d * (d - 1.0) / 2.0).sum())
+
+    # distributed partial sums — only P scalars reach the driver
+    # (round-2 pulled the whole per-vertex degree table, an O(n)
+    # driver materialization at web scale)
+    triples = sum(ray.get([_scalar.remote(_triples, r) for r in deg_refs]))
     total, _ = triangles(und, n, P=P, per_vertex=False)
     return (3.0 * total) / triples if triples else float("nan")
 
