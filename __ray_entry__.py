@@ -1132,6 +1132,63 @@ def q_ase(sf_dir: str):
     return pd.concat([rows, eig], ignore_index=True)
 
 
+def q_graphlets(sf_dir: str):
+    """Graphlet candidate basis (igraph_graphlets_candidate_basis,
+    src/glet.c:542) on the planted nested-weight fixture (6-clique
+    w=1 nesting a w=2 triangle nesting a w=3 pair, plus a separate
+    w=1 pair): rows (cid, vid, thr) with cid ordered by (thr, size,
+    bitmask).  The oracle enumerates all 2^8 subsets per threshold in
+    SQL; on this fixture the recursive basis provably equals
+    {maximal cliques S of G>=t with min internal weight t}
+    (tests/test_graphlets.py proves the recursion output)."""
+    from xdata_igraph_ray.graph.graphlets import (
+        graphlets_candidate_basis,
+    )
+
+    src, dst, w = [], [], []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            src.append(i)
+            dst.append(j)
+            if j < 3:
+                w.append(3.0 if (i, j) == (0, 1) else 2.0)
+            else:
+                w.append(1.0)
+    src.append(6)
+    dst.append(7)
+    w.append(1.0)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array(src, np.int64),
+                "dst": np.array(dst, np.int64),
+                "weight": np.array(w),
+            }
+        )
+    )
+    cliques, thr = graphlets_candidate_basis(ds, P=2)
+    items = sorted(
+        (
+            (float(t), len(c), int(np.sum(1 << c.astype(np.int64)))),
+            c,
+        )
+        for c, t in zip(cliques, thr)
+    )
+    rows = {"cid": [], "vid": [], "thr": []}
+    for cid, ((t, _s, _m), c) in enumerate(items):
+        for v in c.tolist():
+            rows["cid"].append(cid)
+            rows["vid"].append(v)
+            rows["thr"].append(int(t))
+    return pd.DataFrame(
+        {
+            "cid": np.array(rows["cid"], np.int64),
+            "vid": np.array(rows["vid"], np.int64),
+            "thr": np.array(rows["thr"], np.int64),
+        }
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -1298,13 +1355,17 @@ def q_events_hourly(sf_dir: str):
         ev, ["user_id", "hour"],
         [(None, "count", "n"), ("value", "sum", "total")], P=8,
     )
-    return out.map_batches(
-        lambda t: t.set_column(
+    # np.round (scaled half-even) matches DuckDB round(,4) bit-exact
+    # here (2-decimal inputs cannot tie at the 4th decimal); pyarrow's
+    # pc.round computes via an inexact 1e-4 multiple and diverges in
+    # the last bits
+    def _r(t: pa.Table) -> pa.Table:
+        return t.set_column(
             t.column_names.index("total"), "total",
-            pc.round(t["total"], ndigits=4),
-        ),
-        batch_format="pyarrow",
-    )
+            pa.array(np.round(t["total"].to_numpy(), 4)),
+        )
+
+    return out.map_batches(_r, batch_format="pyarrow")
 
 
 def q_events_sliding(sf_dir: str):
@@ -1320,7 +1381,7 @@ def q_events_sliding(sf_dir: str):
                 "user_id": t["user_id"],
                 "window_start": t["window_start"],
                 "n": t["n"],
-                "total": pc.round(t["total"], ndigits=4),
+                "total": pa.array(np.round(t["total"].to_numpy(), 4)),
             }
         ),
         batch_format="pyarrow",
@@ -1973,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_li": q_diameter,
         "centralization_degree_li": q_centralization_degree,
         "ase_li": q_ase,
+        "graphlets_li": q_graphlets,
         "louvain_li": q_louvain,
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
@@ -2228,7 +2290,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
               WHERE r.d < 16
             )
-            SELECT v.vid, coalesce(m.d, -1) AS dist
+            SELECT v.vid, CAST(coalesce(m.d, -1) AS BIGINT) AS dist
             FROM {_LI_V} v
             LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
               ON m.v = v.vid
@@ -2625,7 +2687,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.v
               WHERE r2.d < 16
             )
-            SELECT max(d) AS pseudo_diameter
+            SELECT CAST(max(d) AS BIGINT) AS pseudo_diameter
             FROM (SELECT v, min(d) AS d FROM r2 GROUP BY v)
             """,
         "eigenvector_li": f"""
@@ -2757,16 +2819,19 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1.0 ELSE 0.0 END AS len_ok
               FROM w
             )
+            -- full doubles, no rounding: ratios of exact ints in the
+            -- same evaluation order as the Python stage (round() hit
+            -- a genuine half-even/half-away tie at 0.8203125)
             SELECT doc_id,
-                   round(alpha_ratio, 6) AS alpha_ratio,
-                   round(stop_ratio, 6) AS stop_ratio,
-                   round(mean_word_len, 6) AS mean_word_len,
-                   round(0.3 * alpha_ratio
-                         + 0.3 * least(stop_ratio * 4.0, 1.0)
-                         + 0.2 * len_ok
-                         + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
-                                       AND 12.0 THEN 1.0 ELSE 0.0 END),
-                         6) AS quality
+                   alpha_ratio,
+                   stop_ratio,
+                   mean_word_len,
+                   0.3 * alpha_ratio
+                   + 0.3 * least(stop_ratio * 4.0, 1.0)
+                   + 0.2 * len_ok
+                   + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
+                                 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                     AS quality
             FROM f
             """,
         "langid_docs": f"""
@@ -2943,10 +3008,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.d < 12
             ),
             dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            SELECT d AS length, count(*) AS count
+            SELECT CAST(d AS BIGINT) AS length, count(*) AS count
             FROM dist WHERE d > 0 GROUP BY d
             UNION ALL
-            SELECT -1, {NV2} * ({NV2} - 1)
+            SELECT -1::BIGINT, {NV2} * ({NV2} - 1)
                        - (SELECT count(*) FROM dist WHERE d > 0)
             """,
         "diameter_li": f"""
@@ -2961,7 +3026,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
               WHERE r.d < 12
             )
-            SELECT max(d) AS diameter
+            SELECT CAST(max(d) AS BIGINT) AS diameter
             FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
             """,
         "centralization_degree_li": f"""
@@ -3652,7 +3717,7 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT de.dst, lay.l + 1 FROM lay JOIN de ON de.src = lay.x
             )
-            SELECT x AS vid, max(l) AS layer FROM lay GROUP BY x
+            SELECT x AS vid, CAST(max(l) AS BIGINT) AS layer FROM lay GROUP BY x
             ORDER BY vid
             """,
         "unigram_logprob_docs": """
@@ -3820,6 +3885,66 @@ def oracle_sql() -> dict[str, str]:
         # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
         # block / 0 across (closed-form spectrum of K_10), eigenvalues
         # all 9 — integer-rounded, so bit-exact
+        # graphlet candidate basis on the planted nested-weight
+        # fixture: exhaustive subset enumeration per threshold; a
+        # basis clique = maximal clique of G>=t whose min internal
+        # weight is exactly t (equals the recursion output on this
+        # fixture — proven in tests/test_graphlets.py)
+        "graphlets_li": """
+            WITH e AS MATERIALIZED (
+              SELECT i.range AS a, j.range AS b,
+                     CASE WHEN j.range < 3 THEN
+                          CASE WHEN i.range = 0 AND j.range = 1
+                               THEN 3 ELSE 2 END
+                          ELSE 1 END AS w
+              FROM range(0, 6) i, range(0, 6) j
+              WHERE i.range < j.range
+              UNION ALL SELECT 6, 7, 1
+            ),
+            thr AS (SELECT unnest([1, 2, 3]) AS t),
+            cl AS MATERIALIZED (
+              SELECT s.range AS m, th.t FROM range(3, 256) s, thr th
+              WHERE bit_count(s.range::BIGINT) >= 2
+                AND NOT EXISTS (
+                  SELECT 1 FROM range(0, 8) i, range(0, 8) j
+                  WHERE i.range < j.range
+                    AND ((s.range >> i.range) & 1) = 1
+                    AND ((s.range >> j.range) & 1) = 1
+                    AND NOT EXISTS (
+                      SELECT 1 FROM e
+                      WHERE e.a = i.range AND e.b = j.range
+                        AND e.w >= th.t))
+            ),
+            maxcl AS MATERIALIZED (
+              SELECT m, t FROM cl
+              WHERE NOT EXISTS (
+                SELECT 1 FROM range(0, 8) v
+                WHERE ((cl.m >> v.range) & 1) = 0
+                  AND NOT EXISTS (
+                    SELECT 1 FROM range(0, 8) u
+                    WHERE ((cl.m >> u.range) & 1) = 1
+                      AND NOT EXISTS (
+                        SELECT 1 FROM e
+                        WHERE e.a = least(u.range, v.range)
+                          AND e.b = greatest(u.range, v.range)
+                          AND e.w >= cl.t)))
+            ),
+            basis AS (
+              SELECT m, t FROM maxcl
+              WHERE t = (SELECT min(e.w) FROM e
+                         WHERE ((maxcl.m >> e.a) & 1) = 1
+                           AND ((maxcl.m >> e.b) & 1) = 1)
+            ),
+            ranked AS (
+              SELECT m, t,
+                     row_number() OVER (
+                       ORDER BY t, bit_count(m::BIGINT), m) - 1 AS cid
+              FROM basis
+            )
+            SELECT r.cid, v.range AS vid, CAST(r.t AS BIGINT) AS thr
+            FROM ranked r, range(0, 8) v
+            WHERE ((r.m >> v.range) & 1) = 1
+            """,
         "ase_li": """
             SELECT i.range AS u, j.range AS w,
                    CAST(CASE WHEN i.range // 10 = j.range // 10

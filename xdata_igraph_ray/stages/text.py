@@ -68,13 +68,17 @@ def quality_scores(docs: Dataset) -> Dataset:
         word_ok = ((mean_len >= 2.5) & (mean_len <= 12.0)).astype(float)
         q = 0.3 * alpha_ratio + 0.3 * np.minimum(stop_ratio * 4.0, 1.0) \
             + 0.2 * len_ok + 0.2 * word_ok
+        # full doubles, no rounding: every value is a ratio/sum of
+        # exact ints evaluated in the same order as the SQL oracle, so
+        # the floats are bit-identical; rounding here hit a genuine
+        # half-even-vs-half-away tie at the 6th decimal (0.8203125)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "alpha_ratio": alpha_ratio.round(6),
-                "stop_ratio": stop_ratio.round(6),
-                "mean_word_len": pd.Series(mean_len, index=df.index).round(6),
-                "quality": pd.Series(q, index=df.index).round(6),
+                "alpha_ratio": alpha_ratio,
+                "stop_ratio": stop_ratio,
+                "mean_word_len": pd.Series(mean_len, index=df.index),
+                "quality": pd.Series(q, index=df.index),
             }
         )
 
