@@ -1189,6 +1189,104 @@ def q_graphlets(sf_dir: str):
     )
 
 
+def q_min_separators(sf_dir: str):
+    """All minimum-size vertex separators
+    (igraph_minimum_size_separators, src/separators.c:643) of a
+    12-vertex derived lineitem graph; rows (sid, vid), sid ordered by
+    member bitmask.  The oracle brute-forces all 2^12 subsets with a
+    recursive-CTE reachability check in SQL."""
+    from xdata_igraph_ray.graph.separators import (
+        collapse_support,
+        minimum_size_separators,
+    )
+
+    nv = 12
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % nv,
+                "dst": t["l_partkey"].to_numpy() % nv,
+            }
+        ).filter(
+            pa.compute.equal(
+                (t["l_orderkey"].to_numpy() * 131
+                 + t["l_partkey"].to_numpy() * 17) % 487, 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    adj = collapse_support(ds, nv, P=4)
+    seps = minimum_size_separators(adj)
+    seps = sorted(seps, key=lambda s: sum(1 << v for v in s))
+    rows = {"sid": [], "vid": []}
+    for sid, s in enumerate(seps):
+        for v in s:
+            rows["sid"].append(sid)
+            rows["vid"].append(v)
+    return pd.DataFrame(
+        {
+            "sid": np.array(rows["sid"], np.int64),
+            "vid": np.array(rows["vid"], np.int64),
+        }
+    )
+
+
+def q_cohesive_blocks(sf_dir: str):
+    """Moody-White cohesive blocking (igraph_cohesive_blocks,
+    src/cohesive_blocks.c:202) on the paper's 23-vertex graph; the
+    oracle is the reference's OWN published output
+    (examples/simple/cohesive_blocks.out) as literal VALUES — a
+    golden check that the full pipeline (distributed support collapse
+    + separator enumeration + blocking) reproduces it.  Rows:
+    (block, vid, cohesion, parent)."""
+    from xdata_igraph_ray.graph.separators import cohesive_blocks
+
+    mw = [
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+        (1, 2), (1, 3), (1, 4), (1, 6),
+        (2, 3), (2, 5), (2, 6),
+        (3, 4), (3, 5), (3, 6),
+        (4, 5), (4, 6), (4, 20),
+        (5, 6),
+        (6, 7), (6, 10), (6, 13), (6, 18),
+        (7, 8), (7, 10), (7, 13),
+        (8, 9),
+        (9, 11), (9, 12),
+        (10, 11), (10, 13),
+        (11, 15),
+        (12, 15),
+        (13, 14),
+        (14, 15),
+        (16, 17), (16, 18), (16, 19),
+        (17, 19), (17, 20),
+        (18, 19), (18, 21), (18, 22),
+        (19, 20),
+        (20, 21), (20, 22),
+        (21, 22),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([p[0] for p in mw], np.int64),
+                "dst": np.array([p[1] for p in mw], np.int64),
+            }
+        )
+    )
+    blocks, coh, parents, _tree = cohesive_blocks(ds, n=23, P=3)
+    rows = {"block": [], "vid": [], "cohesion": [], "parent": []}
+    for b, members in enumerate(blocks):
+        for v in sorted(members):
+            rows["block"].append(b)
+            rows["vid"].append(v)
+            rows["cohesion"].append(coh[b])
+            rows["parent"].append(parents[b])
+    return pd.DataFrame(
+        {k: np.array(v, np.int64) for k, v in rows.items()}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2035,6 +2133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centralization_degree_li": q_centralization_degree,
         "ase_li": q_ase,
         "graphlets_li": q_graphlets,
+        "min_separators_li": q_min_separators,
+        "cohesive_blocks_li": q_cohesive_blocks,
         "louvain_li": q_louvain,
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
@@ -3885,6 +3985,79 @@ def oracle_sql() -> dict[str, str]:
         # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
         # block / 0 across (closed-form spectrum of K_10), eigenvalues
         # all 9 — integer-rounded, so bit-exact
+        # minimum-size separators: brute-force all 2^12 subsets in
+        # SQL; reachability from the lowest outside vertex via a
+        # UNION-dedup recursive CTE; S separates iff the closure
+        # misses an outside vertex; keep the minimum popcount
+        "min_separators_li": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT least(l_orderkey % 12, l_partkey % 12)
+                       AS a,
+                     greatest(l_orderkey % 12, l_partkey % 12) AS b
+              FROM lineitem
+              WHERE l_orderkey % 12 <> l_partkey % 12
+                AND (l_orderkey * 131 + l_partkey * 17) % 487 = 0
+            ),
+            und AS MATERIALIZED (
+              SELECT a AS v, b AS u FROM e UNION SELECT b, a FROM e
+            ),
+            seed AS MATERIALIZED (
+              SELECT m.range AS m,
+                     (SELECT min(v.range) FROM range(0, 12) v
+                      WHERE ((m.range >> v.range) & 1) = 0) AS s0
+              FROM range(0, 4096) m
+            ),
+            rec AS MATERIALIZED (
+              WITH RECURSIVE reach(m, v) AS (
+                SELECT m, s0 FROM seed WHERE s0 IS NOT NULL
+                UNION
+                SELECT r.m, n.u FROM reach r
+                JOIN und n ON n.v = r.v
+                WHERE ((r.m >> n.u) & 1) = 0
+              )
+              SELECT m, count(*) AS cnt FROM reach GROUP BY m
+            ),
+            sep AS MATERIALIZED (
+              SELECT s.m FROM seed s JOIN rec ON rec.m = s.m
+              WHERE rec.cnt < 12 - bit_count(s.m::BIGINT)
+            ),
+            mins AS (
+              SELECT m FROM sep
+              WHERE bit_count(m::BIGINT) =
+                    (SELECT min(bit_count(m::BIGINT)) FROM sep)
+            ),
+            ranked AS (
+              SELECT m, row_number() OVER (ORDER BY m) - 1 AS sid
+              FROM mins
+            )
+            SELECT r.sid, v.range AS vid
+            FROM ranked r, range(0, 12) v
+            WHERE ((r.m >> v.range) & 1) = 1
+            """,
+        # golden oracle: the reference's own published output for the
+        # Moody-White graph (examples/simple/cohesive_blocks.out)
+        "cohesive_blocks_li": """
+            WITH b(block, coh, parent) AS (
+              VALUES (0, 1, -1), (1, 2, 0), (2, 2, 0), (3, 5, 1),
+                     (4, 3, 2)
+            ),
+            m(block, vid) AS (
+              SELECT 0, range FROM range(0, 23)
+              UNION ALL
+              SELECT 1, unnest([0,1,2,3,4,5,6,16,17,18,19,20,21,22])
+              UNION ALL
+              SELECT 2, unnest([6,7,8,9,10,11,12,13,14,15])
+              UNION ALL
+              SELECT 3, unnest([0,1,2,3,4,5,6])
+              UNION ALL
+              SELECT 4, unnest([6,7,10,13])
+            )
+            SELECT CAST(m.block AS BIGINT) AS block,
+                   CAST(m.vid AS BIGINT) AS vid,
+                   CAST(b.coh AS BIGINT) AS cohesion,
+                   CAST(b.parent AS BIGINT) AS parent
+            FROM m JOIN b USING (block)
+            """,
         # graphlet candidate basis on the planted nested-weight
         # fixture: exhaustive subset enumeration per threshold; a
         # basis clique = maximal clique of G>=t whose min internal
