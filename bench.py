@@ -36,6 +36,42 @@ TRI_V = int(os.environ.get("GRAFT_TRI_VERTICES", "200000"))
 CACHE = "/tmp/graft_bench"
 
 
+
+def _cpu_times():
+    """(total_jiffies, steal_jiffies) from /proc/stat — BASELINE.md §5:
+    this sandbox sees 20-30% hypervisor steal storms; every timed
+    workload reports the steal%% observed during its own window so a
+    slow number is attributable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except Exception:
+        return 0, 0
+
+
+class _Timed:
+    """Context manager: wall time into queries[name], steal%% of the
+    window into steal[name]."""
+
+    def __init__(self, queries, steal, name):
+        self.q, self.s, self.name = queries, steal, name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        self.c0 = _cpu_times()
+        return self
+
+    def __exit__(self, *exc):
+        tot0, st0 = self.c0
+        tot1, st1 = _cpu_times()
+        self.q[self.name] = round(time.time() - self.t0, 3)
+        dt = tot1 - tot0
+        self.s[self.name] = round(100.0 * (st1 - st0) / dt, 1) if dt else 0.0
+        return False
+
+
 def _edges_parquet(n: int) -> str:
     """Edge table cached on disk so scaling runs share the same input
     (and generation stays off the clock)."""
@@ -108,6 +144,7 @@ def main():
     from xdata_igraph_ray.stages.extract import extracted_edges
 
     queries: dict[str, float] = {}
+    steal: dict[str, float] = {}
     extras: dict = {}
     P = int(os.environ.get("GRAFT_BENCH_P", max(2, min(NCPU, 32))))
 
@@ -119,13 +156,11 @@ def main():
     with open(path, "rb") as f:
         while f.read(1 << 24):
             pass
-    t0 = time.time()
-    eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)
-    queries["build_graph"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "build_graph"):
+        eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)
 
-    t0 = time.time()
-    info = pagerank(eng, tol=1e-6)
-    queries["pagerank_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "pagerank_web"):
+        info = pagerank(eng, tol=1e-6)
     extras["pagerank_iterations"] = info["iterations"]
     extras["pagerank_edges_per_sec"] = round(info["edges_per_sec"])
     extras["edges"] = eng.edge_count
@@ -135,29 +170,27 @@ def main():
         out = {
             "metric": "pagerank_web_wall_sec (1e-6 tol, power-law web graph)",
             "value": queries["pagerank_web"], "unit": "sec",
-            "queries": queries, "sf": SF_DIR, "num_cpus": NCPU, **extras,
+            "queries": queries, "steal_pct": steal, "sf": SF_DIR,
+            "num_cpus": NCPU, **extras,
         }
         print(json.dumps(out))
         eng.shutdown()
         ray.shutdown()
         return out
 
-    t0 = time.time()
-    wcc(eng)
-    queries["wcc_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "wcc_web"):
+        wcc(eng)
 
-    t0 = time.time()
-    label_propagation(eng, max_iter=60)
-    queries["lpa_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "lpa_web"):
+        label_propagation(eng, max_iter=60)
     eng.shutdown()
 
     # -- triangles on a medium power-law graph -----------------------------
     tri_path = _edges_parquet(TRI_V)
-    t0 = time.time()
-    total, _ = triangles(
-        _read_pq(tri_path), n=TRI_V, P=P, per_vertex=False
-    )
-    queries["triangles_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "triangles_web"):
+        total, _ = triangles(
+            _read_pq(tri_path), n=TRI_V, P=P, per_vertex=False
+        )
     extras["triangles_total"] = total
 
     # -- round-2 operators on the medium graph -----------------------------
@@ -167,26 +200,27 @@ def main():
     from xdata_igraph_ray.graph.community import louvain
 
     eng2 = GraphEngine.from_edges(_read_pq(tri_path), n=TRI_V, P=P)
-    t0 = time.time()
-    bc = betweenness(eng2, sources=np.arange(0, TRI_V, TRI_V // 64), wave=64)
-    queries["betweenness_sampled_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "betweenness_sampled_web"):
+        bc = betweenness(
+            eng2, sources=np.arange(0, TRI_V, TRI_V // 64), wave=64
+        )
     eng2.shutdown()
 
-    t0 = time.time()
-    _, ncomm = louvain(_read_pq(tri_path), n=TRI_V, P=P)
-    queries["louvain_web"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "louvain_web"):
+        _, ncomm = louvain(_read_pq(tri_path), n=TRI_V, P=P)
     extras["louvain_communities"] = ncomm
 
     # -- max-flow on a deep layered network (flow crosses 50 layers) -------
     from xdata_igraph_ray.graph import flow as flowmod
 
     mf_path = _layered_flow_parquet()
-    t0 = time.time()
-    eng3 = flowmod.flow_network(_read_pq(mf_path), n=50 * 2000 + 2, P=P)
-    r = flowmod.maxflow(eng3, 50 * 2000, 50 * 2000 + 1,
-                        with_flow=False, with_cut=True)
-    eng3.shutdown()
-    queries["maxflow_layered"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "maxflow_layered"):
+        eng3 = flowmod.flow_network(
+            _read_pq(mf_path), n=50 * 2000 + 2, P=P
+        )
+        r = flowmod.maxflow(eng3, 50 * 2000, 50 * 2000 + 1,
+                            with_flow=False, with_cut=True)
+        eng3.shutdown()
     cutcap = float(sum(r["cut"]["capacity"].to_pylist()))
     assert abs(cutcap - r["value"]) < 1e-6, "max-flow-min-cut certificate"
     extras["maxflow_value"] = r["value"]
@@ -197,28 +231,25 @@ def main():
     paths = entry.pages_fixture(SF_DIR)
     pages = _read_pq(paths["pages"])
     pages.count()  # warm
-    t0 = time.time()
-    extracted_edges(pages).materialize()
-    queries["extract_pages"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "extract_pages"):
+        extracted_edges(pages).materialize()
 
     # -- sf-table benches ---------------------------------------------------
-    t0 = time.time()
-    entry.q_lineitem_pricing(SF_DIR).materialize()
-    queries["lineitem_pricing"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "lineitem_pricing"):
+        entry.q_lineitem_pricing(SF_DIR).materialize()
 
-    t0 = time.time()
-    entry.q_minhash_pairs(SF_DIR).materialize()
-    queries["minhash_docs"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "minhash_docs"):
+        entry.q_minhash_pairs(SF_DIR).materialize()
 
-    t0 = time.time()
-    entry.q_knn(SF_DIR)
-    queries["knn_embeddings"] = round(time.time() - t0, 3)
+    with _Timed(queries, steal, "knn_embeddings"):
+        entry.q_knn(SF_DIR)
 
     out = {
         "metric": "pagerank_web_wall_sec (1e-6 tol, power-law web graph)",
         "value": queries["pagerank_web"],
         "unit": "sec",
         "queries": queries,
+        "steal_pct": steal,
         "sf": SF_DIR,
         "num_cpus": NCPU,
         **extras,
@@ -255,12 +286,15 @@ def scaling():
     # cannot deflate any.
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     lo_walls, hi_walls = [], []
+    lo_steal, hi_steal = [], []
     lo_eps = hi_eps = 0
     edges = iters = None
     for _ in range(rounds):
         r_lo, r_hi = run(lo), run(hi)
         lo_walls.append(r_lo["queries"]["pagerank_web"])
         hi_walls.append(r_hi["queries"]["pagerank_web"])
+        lo_steal.append(r_lo["steal_pct"].get("pagerank_web", 0.0))
+        hi_steal.append(r_hi["steal_pct"].get("pagerank_web", 0.0))
         lo_eps = max(lo_eps, r_lo["pagerank_edges_per_sec"])
         hi_eps = max(hi_eps, r_hi["pagerank_edges_per_sec"])
         edges = r_hi["edges"]
@@ -272,6 +306,7 @@ def scaling():
                   f"(best of {rounds} interleaved rounds per leg)",
         "sec_8": t_lo, "sec_32": t_hi,
         "sec_8_rounds": lo_walls, "sec_32_rounds": hi_walls,
+        "steal_pct_8_rounds": lo_steal, "steal_pct_32_rounds": hi_steal,
         "edges_per_sec_8": lo_eps,
         "edges_per_sec_32": hi_eps,
         "scaling_efficiency": round(eff, 3),
