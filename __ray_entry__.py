@@ -1287,6 +1287,68 @@ def q_cohesive_blocks(sf_dir: str):
     )
 
 
+def _scg_parts(sf_dir: str):
+    """Shared by the two SCG queries: exact-level-set grouping on the
+    integer degree vector of the simple undirected lineitem support
+    (deterministic, SQL = dense_rank by degree), then the DISTRIBUTED
+    coarse-matrix construction L A L^T via one tagged groupby-sum."""
+    from xdata_igraph_ray.exchange import block_refs, groupby_agg
+    from xdata_igraph_ray.graph.scg import (
+        coarse_adjacency,
+        scg_grouping,
+    )
+
+    und = _li_und_simple(sf_dir)
+    refs = block_refs(und)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": np.concatenate(
+                (t["src"].to_numpy(), t["dst"].to_numpy())
+            )
+        })
+
+    from xdata_igraph_ray.graph.scg import _apply as _scg_apply
+
+    degt = groupby_agg(
+        [_scg_apply.remote(both, r) for r in refs],
+        ["vid"], [(None, "count", "d")], P=8,
+    ).to_pandas()
+    deg = np.zeros(NV, np.float64)
+    deg[degt["vid"].to_numpy()] = degt["d"].to_numpy()
+    groups = scg_grouping(deg, 0, algo="exact")
+    coarse = coarse_adjacency(refs, groups, mtype="symmetric", P=8)
+    return groups, coarse
+
+
+def q_scg_groups(sf_dir: str):
+    """SCG exact grouping (igraph_scg_grouping algo=EXACT,
+    src/scg_exact_scg.c:36) on the degree vector: level sets labeled
+    ascending — SQL dense_rank replay."""
+    groups, _ = _scg_parts(sf_dir)
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "g": groups.astype(np.int64)}
+    )
+
+
+def q_scg_coarse(sf_dir: str):
+    """SCG coarse-grained adjacency L A L^T (igraph_scg_adjacency,
+    src/scg.c) for the exact degree grouping, entries quantized with
+    floor(x*1e6+0.5) (rounding-mode-independent on both sides)."""
+    groups, coarse = _scg_parts(sf_dir)
+    df = coarse.to_pandas()
+    agg = df.groupby(["ga", "gb"], as_index=False)["w"].sum()
+    return pd.DataFrame(
+        {
+            "ga": agg["ga"].to_numpy().astype(np.int64),
+            "gb": agg["gb"].to_numpy().astype(np.int64),
+            "wq": np.floor(
+                agg["w"].to_numpy() * 1e6 + 0.5
+            ).astype(np.int64),
+        }
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2134,6 +2196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ase_li": q_ase,
         "graphlets_li": q_graphlets,
         "min_separators_li": q_min_separators,
+        "scg_groups_li": q_scg_groups,
+        "scg_coarse_li": q_scg_coarse,
         "cohesive_blocks_li": q_cohesive_blocks,
         "louvain_li": q_louvain,
         "leading_eigenvector_li": q_leading_eigenvector,
@@ -3985,6 +4049,70 @@ def oracle_sql() -> dict[str, str]:
         # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
         # block / 0 across (closed-form spectrum of K_10), eigenvalues
         # all 9 — integer-rounded, so bit-exact
+        # SCG exact grouping on the degree vector: level sets labeled
+        # ascending = dense_rank by degree
+        "scg_groups_li": f"""
+            WITH u AS (
+              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
+                       AS a,
+                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
+              FROM lineitem
+              WHERE l_orderkey % {NV} <> l_partkey % {NV}
+            ),
+            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
+            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
+            alldeg AS (
+              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
+              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
+            )
+            SELECT vid,
+                   dense_rank() OVER (ORDER BY d) - 1 AS g
+            FROM alldeg
+            """,
+        # coarse matrix L A L^T for that grouping: per-edge weight
+        # 1/sqrt(|ga||gb|), both symmetric entries, grouped;
+        # floor(x*1e6+0.5) quantization matches the Python side's
+        # identical formula (rounding-mode independent)
+        "scg_coarse_li": f"""
+            WITH u AS MATERIALIZED (
+              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
+                       AS a,
+                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
+              FROM lineitem
+              WHERE l_orderkey % {NV} <> l_partkey % {NV}
+            ),
+            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
+            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
+            alldeg AS (
+              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
+              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
+            ),
+            grp AS MATERIALIZED (
+              SELECT vid, dense_rank() OVER (ORDER BY d) - 1 AS g
+              FROM alldeg
+            ),
+            gsz AS (SELECT g, count(*) AS sz FROM grp GROUP BY g),
+            pairs AS (
+              SELECT ga.g AS ga, gb.g AS gb,
+                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)) AS w
+              FROM u
+              JOIN grp ga ON ga.vid = u.a
+              JOIN grp gb ON gb.vid = u.b
+              JOIN gsz sa ON sa.g = ga.g
+              JOIN gsz sb ON sb.g = gb.g
+              UNION ALL
+              SELECT gb.g, ga.g,
+                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE))
+              FROM u
+              JOIN grp ga ON ga.vid = u.a
+              JOIN grp gb ON gb.vid = u.b
+              JOIN gsz sa ON sa.g = ga.g
+              JOIN gsz sb ON sb.g = gb.g
+            )
+            SELECT ga, gb,
+                   CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
+            FROM pairs GROUP BY ga, gb
+            """,
         # minimum-size separators: brute-force all 2^12 subsets in
         # SQL; reachability from the lowest outside vertex via a
         # UNION-dedup recursive CTE; S separates iff the closure
