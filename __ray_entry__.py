@@ -1349,6 +1349,68 @@ def q_scg_coarse(sf_dir: str):
     )
 
 
+def q_all_st_cuts(sf_dir: str):
+    """All minimal (s,t) edge cuts (igraph_all_st_cuts,
+    src/st-cuts.c:976) of a sparse 10-vertex derived digraph, s=0
+    t=9.  Rows (cid, kind, a, b): kind=0 partition-member rows
+    (a=vid, b=-1), kind=1 cut-arc rows; cid ordered by partition
+    bitmask.  The oracle enumerates all 2^8 candidate partitions with
+    two recursive-CTE reachability closures in SQL."""
+    from xdata_igraph_ray.graph.separators import all_st_cuts
+
+    dfarcs = (
+        _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t["l_orderkey"].to_numpy() % 10,
+                    "v": t["l_partkey"].to_numpy() % 10,
+                }
+            ).filter(
+                pa.compute.and_(
+                    pa.compute.equal(
+                        (t["l_orderkey"].to_numpy() * 131
+                         + t["l_partkey"].to_numpy() * 17) % 1321, 0
+                    ),
+                    pa.compute.not_equal(
+                        pa.array(t["l_orderkey"].to_numpy() % 10),
+                        pa.array(t["l_partkey"].to_numpy() % 10),
+                    ),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    arcs = sorted(
+        (int(r.u), int(r.v)) for r in dfarcs.itertuples()
+    )
+    cuts, parts = all_st_cuts(arcs, 10, 0, 9)
+    order = sorted(
+        range(len(parts)),
+        key=lambda i: sum(1 << v for v in parts[i]),
+    )
+    rows = {"cid": [], "kind": [], "a": [], "b": []}
+    for cid, i in enumerate(order):
+        for v in parts[i]:
+            rows["cid"].append(cid)
+            rows["kind"].append(0)
+            rows["a"].append(v)
+            rows["b"].append(-1)
+        for ei in cuts[i]:
+            rows["cid"].append(cid)
+            rows["kind"].append(1)
+            rows["a"].append(arcs[ei][0])
+            rows["b"].append(arcs[ei][1])
+    return pd.DataFrame(
+        {k: np.array(v, np.int64) for k, v in rows.items()}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2196,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ase_li": q_ase,
         "graphlets_li": q_graphlets,
         "min_separators_li": q_min_separators,
+        "all_st_cuts_li": q_all_st_cuts,
         "scg_groups_li": q_scg_groups,
         "scg_coarse_li": q_scg_coarse,
         "cohesive_blocks_li": q_cohesive_blocks,
@@ -4112,6 +4175,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT ga, gb,
                    CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
             FROM pairs GROUP BY ga, gb
+            """,
+        # all minimal (s,t) edge cuts: enumerate candidate partitions
+        # X (s in X, t not in X); X valid iff X = forward closure of s
+        # over non-cut arcs AND every cut-arc head reaches t backward
+        # over non-cut arcs (Provan-Shier characterization)
+        "all_st_cuts_li": """
+            WITH arcs AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey % 10 AS u, l_partkey % 10 AS v
+              FROM lineitem
+              WHERE l_orderkey % 10 <> l_partkey % 10
+                AND (l_orderkey * 131 + l_partkey * 17) % 1321 = 0
+            ),
+            subs AS MATERIALIZED (
+              SELECT m.range AS m FROM range(0, 1024) m
+              WHERE (m.range & 1) = 1 AND ((m.range >> 9) & 1) = 0
+            ),
+            fwd AS MATERIALIZED (
+              WITH RECURSIVE r(m, x) AS (
+                SELECT m, 0 FROM subs
+                UNION
+                SELECT r.m, a.v FROM r JOIN arcs a ON a.u = r.x
+                WHERE NOT (((r.m >> a.u) & 1) = 1
+                           AND ((r.m >> a.v) & 1) = 0)
+              ) SELECT m, x FROM r
+            ),
+            okx AS MATERIALIZED (
+              SELECT s.m FROM subs s
+              WHERE (SELECT count(*) FROM fwd WHERE fwd.m = s.m)
+                    = bit_count(s.m::BIGINT)
+                AND NOT EXISTS (
+                  SELECT 1 FROM fwd
+                  WHERE fwd.m = s.m AND ((s.m >> fwd.x) & 1) = 0)
+            ),
+            bwd AS MATERIALIZED (
+              WITH RECURSIVE r(m, x) AS (
+                SELECT m, 9 FROM okx
+                UNION
+                SELECT r.m, a.u FROM r JOIN arcs a ON a.v = r.x
+                WHERE NOT (((r.m >> a.u) & 1) = 1
+                           AND ((r.m >> a.v) & 1) = 0)
+              ) SELECT m, x FROM r
+            ),
+            final AS MATERIALIZED (
+              SELECT m FROM okx
+              WHERE NOT EXISTS (
+                SELECT 1 FROM arcs a
+                WHERE ((okx.m >> a.u) & 1) = 1
+                  AND ((okx.m >> a.v) & 1) = 0
+                  AND NOT EXISTS (SELECT 1 FROM bwd
+                                  WHERE bwd.m = okx.m AND bwd.x = a.v))
+            ),
+            ranked AS (
+              SELECT m, row_number() OVER (ORDER BY m) - 1 AS cid
+              FROM final
+            )
+            SELECT r.cid, 0::BIGINT AS kind, v.range AS a,
+                   -1::BIGINT AS b
+            FROM ranked r, range(0, 10) v
+            WHERE ((r.m >> v.range) & 1) = 1
+            UNION ALL
+            SELECT r.cid, 1::BIGINT, a.u, a.v
+            FROM ranked r JOIN arcs a
+              ON ((r.m >> a.u) & 1) = 1 AND ((r.m >> a.v) & 1) = 0
             """,
         # minimum-size separators: brute-force all 2^12 subsets in
         # SQL; reachability from the lowest outside vertex via a

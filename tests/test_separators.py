@@ -197,3 +197,60 @@ def test_collapse_support_and_predicates():
     assert is_separator(adj, {1})
     assert is_minimal_separator(adj, {1})
     assert not is_minimal_separator(adj, {0, 1})
+
+
+def test_all_st_cuts_reference_examples():
+    from xdata_igraph_ray.graph.separators import all_st_cuts
+
+    def canon(cuts, parts):
+        return sorted(
+            (tuple(p), tuple(c)) for c, p in zip(cuts, parts)
+        )
+
+    # example 1 (igraph_all_st_cuts.out section 1)
+    arcs = [(0, 1), (1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 4)]
+    cuts, parts = all_st_cuts(arcs, 6, 0, 4)
+    assert canon(cuts, parts) == sorted([
+        ((0,), (0,)),
+        ((0, 1), (1, 2, 5)),
+        ((0, 1, 5), (1, 2, 6)),
+        ((0, 1, 3), (1, 4, 5)),
+        ((0, 1, 3, 5), (1, 4, 6)),
+        ((0, 1, 2), (2, 3, 5)),
+        ((0, 1, 2, 5), (2, 3, 6)),
+        ((0, 1, 2, 3), (3, 4, 5)),
+        ((0, 1, 2, 3, 5), (3, 4, 6)),
+    ])
+    # example 2
+    cuts, parts = all_st_cuts([(0, 2), (1, 2)], 3, 1, 2)
+    assert canon(cuts, parts) == [((1,), (1,))]
+    # example 3 (cycle back-arc)
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 1)]
+    cuts, parts = all_st_cuts(arcs, 5, 0, 4)
+    assert canon(cuts, parts) == sorted([
+        ((0,), (0,)),
+        ((0, 1), (1,)),
+        ((0, 1, 2), (2,)),
+        ((0, 1, 2, 3), (3,)),
+    ])
+    # example 4 (diamond with parallel middle paths)
+    arcs = [(0, 1), (0, 2), (1, 3), (2, 3),
+            (1, 4), (1, 5), (1, 6),
+            (4, 2), (5, 2), (6, 2)]
+    cuts, parts = all_st_cuts(arcs, 7, 0, 3)
+    assert len(cuts) == 11
+    got = canon(cuts, parts)
+    assert ((0,), (0, 1)) in got
+    assert ((0, 1, 2, 4, 5, 6), (2, 3)) in got
+    # minimality: dropping any one edge of a cut un-cuts it
+    import networkx as nx
+
+    g = nx.DiGraph(arcs)
+    for cut in cuts:
+        for e in cut:
+            g2 = nx.DiGraph(
+                [a for i, a in enumerate(arcs)
+                 if i not in set(cut) - {e}]
+            )
+            g2.add_nodes_from(range(7))
+            assert nx.has_path(g2, 0, 3)

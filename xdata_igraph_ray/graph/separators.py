@@ -415,6 +415,67 @@ def minimum_size_separators(adj) -> list[tuple[int, ...]]:
     return seps
 
 
+def all_st_cuts(arcs: list[tuple[int, int]], n: int, s: int, t: int):
+    """All MINIMAL (s,t) edge cuts of a directed graph — reference
+    igraph_all_st_cuts (src/st-cuts.c:976, Provan-Shier listing).
+    Returns (cuts, partition1s): cuts as lists of input-edge indices,
+    partition1s the generating vertex sets X (arcs X -> complement
+    form the cut).
+
+    Characterization used here (equivalent to the P-S output, checked
+    against the reference's own example outputs): C(X) is a minimal
+    cut iff X is exactly the s-reachable set of G - C(X) and the HEAD
+    of every cut arc reaches t in G - C(X) (then dropping any one cut
+    arc restores an s-t path, and every minimal cut arises from a
+    unique such X).  Enumeration is over subsets (small-graph kernel,
+    n <= ~20) rather than the reference's output-polynomial recursion
+    — same output, simpler machinery; the distributed maxflow path
+    (flow.py) answers single-cut questions at scale."""
+    if s == t:
+        raise ValueError("s == t")
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for ei, (u, v) in enumerate(arcs):
+        adj[u].append((v, ei))
+    cuts, parts = [], []
+    free = [v for v in range(n) if v not in (s, t)]
+    for mask in range(1 << len(free)):
+        X = {s}
+        for i, v in enumerate(free):
+            if (mask >> i) & 1:
+                X.add(v)
+        cut = [ei for u in X for (v, ei) in adj[u] if v not in X]
+        cset = set(cut)
+        # reach from s avoiding cut arcs
+        seen = {s}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for (v, ei) in adj[x]:
+                if ei not in cset and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        if seen != X:
+            continue
+        # the head of every cut arc must reach t avoiding cut arcs
+        radj: list[list[int]] = [[] for _ in range(n)]
+        for ei2, (u, v) in enumerate(arcs):
+            if ei2 not in cset:
+                radj[v].append(u)
+        back = {t}
+        q = deque([t])
+        while q:
+            x = q.popleft()
+            for u in radj[x]:
+                if u not in back:
+                    back.add(u)
+                    q.append(u)
+        if not all(arcs[ei][1] in back for ei in cut):
+            continue
+        cuts.append(sorted(cut))
+        parts.append(sorted(X))
+    return cuts, parts
+
+
 # -- cohesive blocking -------------------------------------------------------
 
 
