@@ -1411,6 +1411,53 @@ def q_all_st_cuts(sf_dir: str):
     )
 
 
+def q_transitive_closure(sf_dir: str):
+    """Distributed transitive closure (reachability pairs) of the
+    200-vertex derived graph via multi-source BFS waves — reference
+    igraph_transitive_closure_dag semantics on general digraphs
+    (src/structural_properties.c:6340).  Oracle: recursive-CTE
+    reachability."""
+    from xdata_igraph_ray.graph.paths import transitive_closure
+
+    eng = _engine_200(sf_dir)
+    out = transitive_closure(eng, wave=100).to_pandas()
+    eng.shutdown()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_dominator_tree(sf_dir: str):
+    """Dominator tree (igraph_dominator_tree, src/st-cuts.c:388) of a
+    40-vertex derived flowgraph rooted at 0: (vid, idom); root -1,
+    unreachable -2.  Oracle: per-candidate-dominator reachability
+    closures in SQL (u dominates v iff v is unreachable from the root
+    when u is removed); idom = the dominator of v with the SMALLEST
+    dominated set (the chain is totally ordered and strictly
+    shrinking toward v)."""
+    from xdata_igraph_ray.graph.dominators import dominator_tree
+
+    nv = 40
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % nv,
+                "dst": t["l_partkey"].to_numpy() % nv,
+            }
+        ).filter(
+            pa.compute.equal(
+                (t["l_orderkey"].to_numpy() * 7
+                 + t["l_partkey"].to_numpy() * 3) % 31, 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    idom, _leftout = dominator_tree(ds, nv, root=0, P=4)
+    return pd.DataFrame(
+        {"vid": np.arange(nv), "idom": idom.astype(np.int64)}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2259,6 +2306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graphlets_li": q_graphlets,
         "min_separators_li": q_min_separators,
         "all_st_cuts_li": q_all_st_cuts,
+        "transitive_closure_li": q_transitive_closure,
+        "dominator_tree_li": q_dominator_tree,
         "scg_groups_li": q_scg_groups,
         "scg_coarse_li": q_scg_coarse,
         "cohesive_blocks_li": q_cohesive_blocks,
@@ -4175,6 +4224,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT ga, gb,
                    CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
             FROM pairs GROUP BY ga, gb
+            """,
+        "transitive_closure_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            r(s, t) AS (
+              SELECT src, dst FROM de WHERE src <> dst
+              UNION
+              SELECT r.s, de.dst FROM r JOIN de ON de.src = r.t
+              WHERE r.s <> de.dst
+            )
+            SELECT s AS src, t AS dst FROM r
+            """,
+        # u dominates v iff v is unreachable from the root with u
+        # removed; idom(v) = the dominator with the largest dominator
+        # set (the chain is totally ordered); root -1, unreachable -2
+        "dominator_tree_li": """
+            WITH arcs AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey % 40 AS u, l_partkey % 40 AS v
+              FROM lineitem
+              WHERE (l_orderkey * 7 + l_partkey * 3) % 31 = 0
+            ),
+            reach0 AS MATERIALIZED (
+              WITH RECURSIVE r(x) AS (
+                SELECT 0
+                UNION
+                SELECT a.v FROM r JOIN arcs a ON a.u = r.x
+              ) SELECT x FROM r
+            ),
+            -- reach(c, x): reachable from root avoiding candidate c
+            avoid AS MATERIALIZED (
+              WITH RECURSIVE r(c, x) AS (
+                SELECT cand.range, 0 FROM range(1, 40) cand
+                UNION
+                SELECT r.c, a.v FROM r JOIN arcs a ON a.u = r.x
+                WHERE a.v <> r.c AND a.u <> r.c
+              ) SELECT c, x FROM r
+            ),
+            dom AS MATERIALIZED (
+              -- c dominates v (v reachable, v<>c, v<>0): v not in
+              -- avoid(c); plus root dominates every reachable v
+              SELECT c.range AS c, v.x AS v
+              FROM range(1, 40) c, reach0 v
+              WHERE v.x <> 0 AND v.x <> c.range
+                AND NOT EXISTS (SELECT 1 FROM avoid
+                                WHERE avoid.c = c.range
+                                  AND avoid.x = v.x)
+              UNION ALL
+              SELECT 0, v.x FROM reach0 v WHERE v.x <> 0
+            ),
+            domsz AS (
+              SELECT c, count(*) AS sz FROM dom GROUP BY c
+            ),
+            idom AS (
+              SELECT d.v AS vid,
+                     -- the dominator chain of v is totally ordered
+                     -- and |dom(u)| strictly DECREASES toward v, so
+                     -- idom = the dominator with the smallest set
+                     (SELECT d2.c FROM dom d2
+                      JOIN domsz z ON z.c = d2.c
+                      WHERE d2.v = d.v
+                      ORDER BY z.sz ASC, d2.c LIMIT 1) AS i
+              FROM (SELECT DISTINCT v FROM dom) d
+            )
+            SELECT v.range AS vid,
+                   CAST(CASE
+                     WHEN v.range = 0 THEN -1
+                     WHEN NOT EXISTS (SELECT 1 FROM reach0
+                                      WHERE reach0.x = v.range)
+                       THEN -2
+                     ELSE (SELECT i FROM idom WHERE idom.vid = v.range)
+                   END AS BIGINT) AS idom
+            FROM range(0, 40) v
             """,
         # all minimal (s,t) edge cuts: enumerate candidate partitions
         # X (s in X, t not in X); X valid iff X = forward closure of s

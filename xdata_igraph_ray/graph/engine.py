@@ -2229,6 +2229,19 @@ class GraphShard:
         d = self.ms_dist
         return np.where(d >= 0, d, -1).max(axis=0)
 
+    def ms_reach_table(self) -> pa.Table:
+        """(src, dst) reachability pairs of the current wave on this
+        shard: src = wave source, dst = local vid with a finite BFS
+        level, self-pairs excluded — the per-shard building block of
+        the distributed transitive closure (the emitted block persists
+        in the object store, so the next wave can reuse the state)."""
+        src = self.meta["ms_sources"]
+        rows, cols = np.nonzero(self.ms_dist >= 0)
+        s = src[cols]
+        d = rows + self.lo
+        keep = s != d
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
     # -- edge betweenness (reference igraph_edge_betweenness
     #    src/centrality.c:2210): after a wave's backward pass, every
     #    shard accumulates its REV edges' dependencies; the (dist,

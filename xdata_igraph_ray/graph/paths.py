@@ -541,3 +541,30 @@ def dfs(edges, n: int, root: int = 0, mode: str = "out"):
             k += 1
             stack.append((w, int(indptr[w])))
     return {"order": order, "parent": parent}
+
+
+def transitive_closure(engine: GraphEngine, wave: int = 128,
+                       mode: str = "out"):
+    """Reachability closure as a Dataset of (src, dst) pairs —
+    reference igraph_transitive_closure_dag
+    (src/structural_properties.c:6340; this version handles general
+    digraphs, which on a DAG coincides with the reference: edge
+    (u, v) iff a nonempty path u -> v exists; self-pairs only for
+    vertices on cycles are NOT emitted — DAG semantics).
+
+    Distributed shape: multi-source BFS waves over the shard engine
+    ("ms" harness, same as closeness); after each wave every shard
+    emits its (source, reached-vid) block ref, so the closure
+    streams out as per-shard Arrow blocks and the driver never holds
+    the O(n^2) pair set.  ``mode``: out / in / all traversal."""
+    import ray.data as rd
+
+    from .centrality import _MODE_DIR, _ms_forward, _ms_waves
+
+    shards = engine.shards
+    refs = []
+    for ws in _ms_waves(engine, np.arange(engine.n), wave):
+        _ms_forward(engine, ws, direction=_MODE_DIR[mode])
+        refs.extend([s.ms_reach_table.remote() for s in shards])
+    ray.get([s.ms_free.remote() for s in shards])
+    return rd.from_arrow_refs(refs)
