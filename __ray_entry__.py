@@ -1458,6 +1458,20 @@ def q_dominator_tree(sf_dir: str):
     )
 
 
+def q_assortativity_nominal(sf_dir: str):
+    """Categorical assortativity (igraph_assortativity_nominal,
+    src/mixing.c) with types = vid % 7 over the directed lineitem
+    graph; floor(r*1e6+0.5) quantization."""
+    from xdata_igraph_ray.graph.metrics import assortativity_nominal
+
+    r = assortativity_nominal(
+        _li_edges(sf_dir), np.arange(NV) % 7, P=8, directed=True
+    )
+    return pd.DataFrame(
+        {"rq": [np.int64(np.floor(r * 1e6 + 0.5))]}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2307,6 +2321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_separators_li": q_min_separators,
         "all_st_cuts_li": q_all_st_cuts,
         "transitive_closure_li": q_transitive_closure,
+        "assortativity_nominal_li": q_assortativity_nominal,
         "dominator_tree_li": q_dominator_tree,
         "scg_groups_li": q_scg_groups,
         "scg_coarse_li": q_scg_coarse,
@@ -4224,6 +4239,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT ga, gb,
                    CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
             FROM pairs GROUP BY ga, gb
+            """,
+        "assortativity_nominal_li": f"""
+            WITH e AS (
+              SELECT (l_orderkey % {NV}) % 7 AS ft,
+                     (l_partkey % {NV}) % 7 AS tt
+              FROM lineitem
+            ),
+            m AS (SELECT count(*) AS m FROM e),
+            ab AS (
+              SELECT t.range AS ty,
+                     (SELECT count(*) FROM e WHERE e.ft = t.range)
+                       AS ai,
+                     (SELECT count(*) FROM e WHERE e.tt = t.range)
+                       AS bi,
+                     (SELECT count(*) FROM e
+                      WHERE e.ft = t.range AND e.tt = t.range) AS eii
+              FROM range(0, 7) t
+            ),
+            s AS (
+              SELECT
+                sum((CAST(ai AS DOUBLE) / (SELECT m FROM m))
+                    * (CAST(bi AS DOUBLE) / (SELECT m FROM m)))
+                  AS sumaibi,
+                sum(CAST(eii AS DOUBLE) / (SELECT m FROM m)) AS sumeii
+              FROM ab
+            )
+            SELECT CAST(floor(
+                     (sumeii - sumaibi) / (1.0 - sumaibi) * 1e6 + 0.5
+                   ) AS BIGINT) AS rq
+            FROM s
             """,
         "transitive_closure_li": f"""
             WITH RECURSIVE de AS (

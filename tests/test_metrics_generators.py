@@ -196,3 +196,45 @@ def test_atlas():
     assert atlas(2).num_rows == 0  # two isolated vertices
     with _pytest.raises(ValueError):
         atlas(1253)
+
+
+def test_assortativity_nominal_vs_naive():
+    """igraph_assortativity_nominal formula (src/mixing.c) vs a direct
+    translation on random graphs, both modes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.metrics import assortativity_nominal
+
+    rng = np.random.default_rng(13)
+    for directed in (True, False):
+        for trial in range(3):
+            n, m = 40, 150
+            src = rng.integers(0, n, m)
+            dst = rng.integers(0, n, m)
+            types = rng.integers(0, 4, n)
+            ds = rd.from_arrow(pa.table({
+                "src": src.astype(np.int64),
+                "dst": dst.astype(np.int64),
+            }))
+            got = assortativity_nominal(ds, types, P=3,
+                                        directed=directed)
+            T = 4
+            ai = np.zeros(T); bi = np.zeros(T); eii = np.zeros(T)
+            for u, v in zip(src, dst):
+                fu, tv = types[u], types[v]
+                ai[fu] += 1; bi[tv] += 1
+                if fu == tv:
+                    eii[fu] += 1
+                if not directed:
+                    if fu == tv:
+                        eii[fu] += 1
+                    ai[tv] += 1; bi[fu] += 1
+            sumaibi = float(((ai / m) * (bi / m)).sum())
+            sumeii = float((eii / m).sum())
+            if not directed:
+                sumaibi /= 4.0
+                sumeii /= 2.0
+            want = (sumeii - sumaibi) / (1.0 - sumaibi)
+            assert abs(got - want) < 1e-12, (directed, trial)

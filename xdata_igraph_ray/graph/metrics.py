@@ -554,3 +554,51 @@ def centralization_degree(
     if tmax:
         return c / tmax
     return c
+
+
+def assortativity_nominal(
+    edges: Dataset | list,
+    types: np.ndarray,
+    P: int = DEFAULT_PARTITIONS,
+    directed: bool = True,
+) -> float:
+    """Categorical assortativity (igraph_assortativity_nominal,
+    src/mixing.c): r = (sum e_ii - sum a_i b_i) / (1 - sum a_i b_i)
+    over the per-type edge-endpoint fractions, exactly the
+    reference's accumulation (undirected doubles both endpoints then
+    halves/quarters).  Distributed: the types array is broadcast via
+    ray.put once; each block contributes three bincount partials."""
+    types = np.asarray(types, np.int64)
+    if types.min() < 0:
+        raise ValueError("invalid types vector")
+    ntypes = int(types.max()) + 1
+    tref = ray.put(types)
+
+    @ray.remote
+    def part(t: pa.Table, ty):
+        ft = ty[t["src"].to_numpy()]
+        tt = ty[t["dst"].to_numpy()]
+        ai = np.bincount(ft, minlength=ntypes).astype(np.float64)
+        bi = np.bincount(tt, minlength=ntypes).astype(np.float64)
+        same = ft == tt
+        eii = np.bincount(ft[same], minlength=ntypes).astype(np.float64)
+        return len(t), ai, bi, eii
+
+    parts = ray.get([part.remote(r, tref) for r in _refs(edges)])
+    m = sum(p[0] for p in parts)
+    if m == 0:
+        return float("nan")
+    ai = sum(p[1] for p in parts)
+    bi = sum(p[2] for p in parts)
+    eii = sum(p[3] for p in parts)
+    if not directed:
+        # reference undirected: each edge also counts its reversed
+        # endpoints, doubling eii and symmetrizing ai/bi
+        eii = eii * 2.0
+        ai = bi = ai + bi
+    sumaibi = float(((ai / m) * (bi / m)).sum())
+    sumeii = float((eii / m).sum())
+    if not directed:
+        sumaibi /= 4.0
+        sumeii /= 2.0
+    return (sumeii - sumaibi) / (1.0 - sumaibi)
