@@ -1472,6 +1472,40 @@ def q_assortativity_nominal(sf_dir: str):
     )
 
 
+def q_mcs(sf_dir: str):
+    """Maximum cardinality search
+    (igraph_maximum_cardinality_search, src/decomposition.c:56;
+    pinned min-id tie-break) on a sparse 12-vertex derived support —
+    (vid, alpha) ranks.  The oracle replays the selection rule with a
+    recursive bitmask chain in SQL.  The chordality test built on
+    this order is pytest-verified vs networkx
+    (tests/test_decomposition.py)."""
+    from xdata_igraph_ray.graph.decomposition import (
+        maximum_cardinality_search,
+    )
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 12,
+                "dst": t["l_partkey"].to_numpy() % 12,
+            }
+        ).filter(
+            pa.compute.equal(
+                (t["l_orderkey"].to_numpy() * 131
+                 + t["l_partkey"].to_numpy() * 17) % 487, 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    alpha, _ = maximum_cardinality_search(ds, n=12, P=4)
+    return pd.DataFrame(
+        {"vid": np.arange(12), "alpha": alpha.astype(np.int64)}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2322,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "all_st_cuts_li": q_all_st_cuts,
         "transitive_closure_li": q_transitive_closure,
         "assortativity_nominal_li": q_assortativity_nominal,
+        "mcs_li": q_mcs,
         "dominator_tree_li": q_dominator_tree,
         "scg_groups_li": q_scg_groups,
         "scg_coarse_li": q_scg_coarse,
@@ -4239,6 +4274,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT ga, gb,
                    CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
             FROM pairs GROUP BY ga, gb
+            """,
+        # MCS replay: recursive chain over the numbered-set bitmask;
+        # at each step pick the unnumbered vertex with the most
+        # numbered neighbors (popcount of mask & nbmask), tie -> min
+        # id (the pinned rule); first pick gets rank n-1
+        "mcs_li": """
+            WITH RECURSIVE u AS MATERIALIZED (
+              SELECT DISTINCT least(l_orderkey % 12, l_partkey % 12)
+                       AS a,
+                     greatest(l_orderkey % 12, l_partkey % 12) AS b
+              FROM lineitem
+              WHERE l_orderkey % 12 <> l_partkey % 12
+                AND (l_orderkey * 131 + l_partkey * 17) % 487 = 0
+            ),
+            nbm AS MATERIALIZED (
+              SELECT v.range AS v,
+                     coalesce((SELECT sum(DISTINCT 1::BIGINT << x.o)
+                               FROM (SELECT b AS o FROM u
+                                     WHERE a = v.range
+                                     UNION
+                                     SELECT a FROM u
+                                     WHERE b = v.range) x), 0) AS m
+              FROM range(0, 12) v
+            ),
+            mcs(i, mask, v) AS (
+              SELECT 11, 0::BIGINT, 0
+              UNION ALL
+              SELECT r.i - 1,
+                     r.mask | (1::BIGINT << r.v),
+                     (SELECT c.v FROM nbm c
+                      WHERE (((r.mask | (1::BIGINT << r.v))
+                              >> c.v) & 1) = 0
+                      ORDER BY bit_count(
+                        ((r.mask | (1::BIGINT << r.v)) & c.m)::BIGINT
+                      ) DESC, c.v
+                      LIMIT 1)
+              FROM mcs r WHERE r.i > 0
+            )
+            SELECT CAST(v AS BIGINT) AS vid, CAST(i AS BIGINT) AS alpha FROM mcs
             """,
         "assortativity_nominal_li": f"""
             WITH e AS (
