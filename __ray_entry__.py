@@ -4315,5862 +4315,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
             FROM pairs GROUP BY ga, gb
             """,
-        # Eades FAS replay: bitmask chain; per step pick by priority
-        # (source=0 first, sink=1, else max outdeg-indeg among the
-        # remaining), tie min id; sources/maxdiff take front
-        # positions, sinks take back positions; feedback arcs = arcs
-        # violating the final ordering plus self-loops
-        "mcs_li": q_mcs,
-        "fas_li": q_fas,
-        "dominator_tree_li": q_dominator_tree,
-        "scg_groups_li": q_scg_groups,
-        "scg_coarse_li": q_scg_coarse,
-        "cohesive_blocks_li": q_cohesive_blocks,
-        "louvain_li": q_louvain,
-        "leading_eigenvector_li": q_leading_eigenvector,
-        "fastgreedy_li": q_fastgreedy,
-        "girvan_newman_li": q_girvan_newman,
-        "walktrap_li": q_walktrap,
-        "infomap_li": q_infomap,
-        "optimal_modularity_li": q_optimal_modularity,
-        "cliques_li": q_cliques,
-        "edge_betweenness_li": q_edge_betweenness,
-        "eccentricity_li": q_eccentricity,
-        "assortativity_li": q_assortativity,
-        "local_scan1_li": q_scan1,
-        "eigenvector_li": q_eigenvector,
-        "hits_li": q_hits,
-        "token_stats_docs": q_token_stats,
-        "lang_histogram_docs": q_lang_histogram,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "quality_docs": q_quality_docs,
-        "langid_docs": q_langid_docs,
-        "minhash_pairs_docs": q_minhash_pairs,
-        "simhash_pairs_docs": q_simhash_pairs,
-        "knn_embeddings": q_knn,
-        "knn_ivf_embeddings": q_knn_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_planted": q_embedding_near_dup_planted,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "pagerank_weighted_li": q_pagerank_weighted_li,
-        "lineitem_pricing": q_lineitem_pricing,
-        "maxflow_li": q_maxflow,
-        "st_edge_connectivity_li": q_st_edge_connectivity,
-        "is_bipartite_li": q_is_bipartite,
-        "bipartite_matching_li": q_bipartite_matching,
-        "random_walks_li": q_random_walks,
-        "motifs4_li": q_motifs4,
-        "pii_scrub_docs": q_pii_scrub,
-        "repetition_docs": q_repetition,
-        "source_stats_docs": q_source_stats,
-        "cocitation_li": q_cocitation,
-        "bibcoupling_li": q_bibcoupling,
-        "similarity_jaccard_li": q_similarity_jaccard,
-        "similarity_ilw_li": q_similarity_ilw,
-        "similarity_dice_li": q_similarity_dice,
-        "lpa_sync_li": q_lpa_sync,
-        "asof_events": q_asof_events,
-        "bipartite_projection_li": q_bipartite_projection,
-        "laplacian_li": q_laplacian,
-        "articulation_points_li": q_articulation,
-        "unigram_logprob_docs": q_unigram_logprob,
-        "topo_layers_li": q_topo_layers,
-        "mst_li": q_mst,
-        "cliques_small_li": q_cliques_small,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    n_pages = _pages_n("/root/testdata/sf0.01")
-    pages_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "pages", "*.parquet"
-    )
-    edges_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "edges", "*.parquet"
-    )
-    # language-ID trigram terms generated from the SAME frozen profiles
-    # the Ray stage uses (stages/text.py LangId.PROFILES)
-    from xdata_igraph_ray.stages.text import LangId
-
-    def _tri_sum(lang: str) -> str:
-        tris = sorted({
-            LangId.PROFILES[lang][i:i + 3]
-            for i in range(len(LangId.PROFILES[lang]) - 2)
-        })
-        terms = [
-            "(CASE WHEN position('" + t.replace("'", "''") + "' IN lt) > 0 "
-            "THEN 1 ELSE 0 END)"
-            for t in tris
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def _triad_lut_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import _TRIAD_OF_CODE
-
-        rows = []
-        for i, nm in enumerate(_TRIAD_OF_CODE):
-            rows.append(f"({i}, '{nm}', {int(nm[1])}, {int(nm[0])})")
-        return ", ".join(rows)
-
-    def _triad_names_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import TRIAD_NAMES
-
-        return ", ".join(f"('{nm}')" for nm in TRIAD_NAMES)
-
-    und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
-    tri_join = (
-        f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "
-        f"JOIN {und} e3 ON e3.a = e1.a AND e3.b = e2.b"
-    )
-    return {
-        "extract_text_pages": f"SELECT url, text FROM read_parquet('{pages_pq}')",
-        "extract_edges_pages": f"SELECT src_url, dst_url FROM read_parquet('{edges_pq}')",
-        "vertices_pages": f"""
-            SELECT row_number() OVER (ORDER BY url) - 1 AS vid, url FROM (
-              SELECT DISTINCT src_url AS url FROM read_parquet('{edges_pq}')
-              UNION
-              SELECT DISTINCT dst_url FROM read_parquet('{edges_pq}')
-            )""",
-        "pagerank_pages": f"""
-            WITH RECURSIVE eu AS (
-              SELECT src_url, dst_url FROM read_parquet('{edges_pq}')
-            ),
-            verts AS (
-              SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM (
-                SELECT DISTINCT src_url AS url FROM eu
-                UNION
-                SELECT DISTINCT dst_url FROM eu
-              )
-            ),
-            e AS (
-              SELECT vs.vid AS src, vd.vid AS dst
-              FROM eu
-              JOIN verts vs ON vs.url = eu.src_url
-              JOIN verts vd ON vd.url = eu.dst_url
-            ),
-            nn AS (SELECT count(*) AS c FROM verts),
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            -- igraph dangling semantics (src/centrality.c:926-939):
-            -- per iteration the teleport pool is the full mass of
-            -- dangling vertices plus (1-d) of everyone else's
-            pr(v, score, outdeg, iter) AS (
-              SELECT verts.vid, 1.0 / (SELECT c FROM nn),
-                     CAST(deg.outdeg AS DOUBLE), 0
-              FROM verts LEFT JOIN deg ON deg.vid = verts.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                WHERE p.outdeg IS NOT NULL
-                UNION ALL
-                SELECT p.v, ts.t / (SELECT c FROM nn), p.outdeg, p.iter
-                FROM pr p JOIN (
-                  SELECT iter, sum(CASE WHEN outdeg IS NULL THEN score
-                                        ELSE {1.0 - PR_DAMPING} * score END) AS t
-                  FROM pr GROUP BY iter
-                ) ts ON ts.iter = p.iter
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "degrees_li": f"""
-            SELECT v.vid,
-                   coalesce(o.c, 0) AS out_deg,
-                   coalesce(i.c, 0) AS in_deg
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, count(*) AS c FROM {_LI_E} GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM {_LI_E} GROUP BY dst) i USING (vid)
-            """,
-        "simplify_li": f"SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst",
-        "count_multiple_li": f"SELECT src, dst, count(*) AS count FROM {_LI_E} GROUP BY src, dst",
-        "top_out_degree_li": f"""
-            SELECT src AS vid, count(*) AS out_deg FROM {_LI_E}
-            GROUP BY src ORDER BY out_deg DESC, vid LIMIT 20""",
-        "wcc_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-            v AS {_LI_V},
-            reach(v, l) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY ml) - 1 AS wcc
-            FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            """,
-        "scc_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            v AS {_LI_V},
-            r(s, t) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT r.s, de.dst FROM r JOIN de ON de.src = r.t
-            )
-            SELECT vid, dense_rank() OVER (ORDER BY ml) - 1 AS scc FROM (
-              SELECT a.t AS vid, min(a.s) AS ml
-              FROM r a JOIN r b ON a.s = b.t AND a.t = b.s
-              GROUP BY a.t
-            )
-            """,
-        "pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "triangles_total_li": f"SELECT count(*) AS total FROM {tri_join}",
-        "triangles_per_vertex_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL
-              SELECT z FROM t
-            )
-            SELECT v.vid, coalesce(c.cnt, 0) AS count
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT vid, count(*) AS cnt FROM corners GROUP BY vid) c USING (vid)
-            """,
-        "edge_ops_li": f"""
-            WITH e1 AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            e2 AS (SELECT DISTINCT l_partkey % {NV} AS src, l_suppkey % {NV} AS dst FROM lineitem)
-            SELECT
-              (SELECT count(*) FROM (SELECT * FROM e1 UNION SELECT * FROM e2)) AS u,
-              (SELECT count(*) FROM (SELECT * FROM e1 INTERSECT SELECT * FROM e2)) AS i,
-              (SELECT count(*) FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e2)) AS d
-            """,
-        "reciprocity_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst)
-            SELECT round(
-              (SELECT count(*) FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
-              / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
-            """,
-        "sssp_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              -- depth bound >> the dense graph's true diameter (~4);
-              -- keeps the closure small without risking false -1s
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            )
-            SELECT v.vid, CAST(coalesce(m.d, -1) AS BIGINT) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "shortest_paths_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT v, min(d) AS d FROM r GROUP BY v),
-            par AS (
-              SELECT de.dst AS v, min(de.src) AS p
-              FROM de
-              JOIN dist da ON da.v = de.src
-              JOIN dist db ON db.v = de.dst AND db.d = da.d + 1
-              GROUP BY de.dst
-            ),
-            targets AS (SELECT range * 25 AS t FROM range(0, {NV // 25})),
-            walk(t, cur, path) AS (
-              SELECT t, t, CAST(t AS VARCHAR) FROM targets
-              JOIN dist ON dist.v = targets.t
-              UNION ALL
-              SELECT w.t, par.p,
-                     CAST(par.p AS VARCHAR) || '->' || w.path
-              FROM walk w JOIN par ON par.v = w.cur
-              WHERE w.cur <> 0
-            )
-            SELECT targets.t AS target,
-                   coalesce(done.path, '') AS path
-            FROM targets
-            LEFT JOIN (SELECT t, path FROM walk WHERE cur = 0) done
-              ON done.t = targets.t
-            """,
-        "scan0_li": f"""
-            WITH e AS {_LI_E}
-            SELECT v.vid, round(coalesce(o.c, 0) + coalesce(i.c, 0), 1)
-                     AS scan0
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY dst) i USING (vid)
-            """,
-        "scan2_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem),
-            de AS (SELECT DISTINCT src, dst FROM e),
-            -- closed 2-out-neighborhood membership per source
-            n1 AS (SELECT DISTINCT src AS s, dst AS t FROM de),
-            reach AS (
-              SELECT vid AS s, vid AS t
-              FROM (SELECT range AS vid FROM range(0, {NV2}))
-              UNION
-              SELECT s, t FROM n1
-              UNION
-              SELECT n1.s, de.dst FROM n1 JOIN de ON de.src = n1.t
-            )
-            SELECT v.vid, coalesce(cnt.c, 0) AS scan2
-            FROM (SELECT range AS vid FROM range(0, {NV2})) v
-            LEFT JOIN (
-              SELECT ra.s AS vid, count(*) AS c
-              FROM e
-              JOIN reach ra ON ra.t = e.src
-              JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
-              GROUP BY ra.s
-            ) cnt USING (vid)
-            """,
-        "scan1_them_li": f"""
-            WITH us AS {_LI_E},
-            them AS (SELECT l_partkey % {NV} AS src,
-                            l_suppkey % {NV} AS dst FROM lineitem),
-            adj AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT src AS a, dst AS b FROM us
-                UNION ALL SELECT dst, src FROM us
-              )
-            ),
-            tnl AS (SELECT src AS x, dst AS y FROM them
-                    WHERE src <> dst),
-            inc AS (
-              SELECT t.x, t.y FROM tnl t
-              JOIN adj ON adj.a = t.x AND adj.b = t.y
-            ),
-            loops AS (SELECT src AS vid, count(*) AS c FROM them
-                      WHERE src = dst GROUP BY src),
-            wedge AS (
-              SELECT a1.a AS vid, count(*) AS c
-              FROM tnl t
-              JOIN adj a1 ON a1.b = t.x
-              JOIN adj a2 ON a2.a = a1.a AND a2.b = t.y
-              WHERE a1.a <> t.x AND a1.a <> t.y
-              GROUP BY a1.a
-            ),
-            incc AS (
-              SELECT vid, count(*) AS c FROM (
-                SELECT x AS vid FROM inc UNION ALL SELECT y FROM inc
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(incc.c, 0) + coalesce(loops.c, 0)
-                   + coalesce(wedge.c, 0) AS scan1_them
-            FROM {_LI_V} v
-            LEFT JOIN incc USING (vid)
-            LEFT JOIN loops USING (vid)
-            LEFT JOIN wedge USING (vid)
-            """,
-        "sssp_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     min(l_quantity) AS w
-              FROM lineitem GROUP BY 1, 2
-            ),
-            r(v, d) AS (
-              SELECT 0, CAST(0 AS DOUBLE)
-              UNION
-              -- cap 100 >> the measured max shortest distance (76 at
-              -- sf0.001, 17 at sf0.01); weights >= 1 bound recursion
-              SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.v
-              WHERE r.d + e.w < 100
-            )
-            SELECT v.vid, round(coalesce(m.d, -1), 6) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "closeness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_in_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.src, r.d + 1 FROM r JOIN de ON de.dst = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_all_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT l_orderkey % {NV2} AS a, l_partkey % {NV2} AS b
-                FROM lineitem
-                UNION ALL
-                SELECT l_partkey % {NV2}, l_orderkey % {NV2}
-                FROM lineitem
-              )
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.b, r.d + 1 FROM r JOIN de ON de.a = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + 60.0 * (60 - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        # weighted sigma: weighted walks of total weight exactly
-        # d(s,t) are precisely the min-weight s->t paths (positive
-        # integer weights), summed over step counts
-        "betweenness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, ws, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.ws + de.w, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.ws + de.w < 25
-              GROUP BY w.s, de.dst, w.ws + de.w
-            ),
-            -- same (s,t,ws) reached at different step counts lands in
-            -- different iterations: sum them
-            wks AS (SELECT s, t, ws, sum(c) AS c FROM wk GROUP BY 1, 2, 3),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wks.c
-              FROM dist JOIN wks ON wks.s = dist.s AND wks.t = dist.t
-                                AND wks.ws = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.d > 0
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.d > 0
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "harmonic_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / 59.0, 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "harmonic_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / ({NV2} - 1.0), 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            -- walks of length exactly d(s,t) are precisely the
-            -- shortest s->t paths, so sigma = walk count at k = d
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.s <> vt.t
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.s <> sv.t
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "personalized_pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v,
-                       (1.0 - {PR_DAMPING})
-                       * (CASE p.v WHEN 0 THEN 0.6 WHEN 1 THEN 0.4 ELSE 0.0 END),
-                       p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "pseudo_diameter_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT DISTINCT src, dst FROM
-                    (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
-            r1(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.v
-              WHERE r1.d < 16
-            ),
-            d1 AS (SELECT v, min(d) AS d FROM r1 GROUP BY v),
-            -- np.argmax tie-break: smallest vid among the max distances
-            far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
-            r2(v, d) AS (
-              SELECT (SELECT v FROM far), 0
-              UNION
-              SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.v
-              WHERE r2.d < 16
-            )
-            SELECT CAST(max(d) AS BIGINT) AS pseudo_diameter
-            FROM (SELECT v, min(d) AS d FROM r2 GROUP BY v)
-            """,
-        "eigenvector_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- power iteration x <- (A^T x)/64 (the /64 only bounds
-            -- growth; the final max-normalization removes all scaling)
-            ev(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.x) / 64.0, min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, p.x AS x, p.iter AS iter
-                FROM ev p JOIN e ON e.src = p.v
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 60
-            ),
-            fin AS (SELECT v, x FROM ev WHERE iter = 60)
-            SELECT v.vid,
-                   round(coalesce(fin.x, 0) / (SELECT max(x) FROM fin), 6)
-                     AS ev
-            FROM v LEFT JOIN fin ON fin.v = v.vid
-            """,
-        "hits_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- hub <- A (A^T hub) / 4096 per round (HITS, reference
-            -- src/centrality.c:840,886); scaling removed at the end
-            hub(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.val) / 4096.0, min(m.iter) + 1
-              FROM (
-                SELECT e1.src AS v, a.val AS val, a.iter AS iter
-                FROM e e1 JOIN (
-                  SELECT e2.dst AS w, sum(h.x) AS val, h.iter AS iter
-                  FROM hub h JOIN e e2 ON e2.src = h.v
-                  GROUP BY e2.dst, h.iter
-                ) a ON a.w = e1.dst
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 40
-            ),
-            hf AS (SELECT v, x FROM hub WHERE iter = 40),
-            af AS (
-              SELECT e.dst AS v, sum(hf.x) AS x
-              FROM e JOIN hf ON hf.v = e.src
-              GROUP BY e.dst
-            )
-            SELECT v.vid,
-                   round(coalesce(hf.x, 0) / (SELECT max(x) FROM hf), 6)
-                     AS hub,
-                   round(coalesce(af.x, 0) / (SELECT max(x) FROM af), 6)
-                     AS auth
-            FROM v
-            LEFT JOIN hf ON hf.v = v.vid
-            LEFT JOIN af ON af.v = v.vid
-            """,
-        "knn_embeddings": """
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "knn_ivf_embeddings": """
-            -- nprobe = n_clusters in the query => IVF degenerates to
-            -- exact brute force, so the oracle is the same top-k
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "embedding_near_dup": """
-            -- exact brute force: every pair at cosine >= 0.95 (the
-            -- banded-LSH recall bound is ~1e-4 misses; on this table
-            -- the truth set is computed exactly)
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM embeddings x, embeddings y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "embedding_near_dup_planted": f"""
-            WITH pe AS (
-              SELECT * FROM read_parquet(
-                '{os.path.join(FIXTURE_ROOT, "emb_planted",
-                               "embeddings.parquet")}')
-            )
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM pe x, pe y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "quality_docs": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     greatest(length(text), 1) AS n,
-                     regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
-              FROM documents
-            ),
-            f AS (
-              SELECT doc_id,
-                     CAST(alpha AS DOUBLE) / n AS alpha_ratio,
-                     CAST(len(list_filter(words, x -> lower(x) IN
-                       ('the','of','and','to','in','a','is','that','it',
-                        'for','on','as','with','was','at','by','an','be',
-                        'this'))) AS DOUBLE)
-                       / greatest(len(words), 1) AS stop_ratio,
-                     CASE WHEN len(words) = 0 THEN 0.0
-                          ELSE list_avg(list_transform(words,
-                                                       x -> length(x)))
-                     END AS mean_word_len,
-                     CASE WHEN n BETWEEN 50 AND 100000
-                          THEN 1.0 ELSE 0.0 END AS len_ok
-              FROM w
-            )
-            -- full doubles, no rounding: ratios of exact ints in the
-            -- same evaluation order as the Python stage (round() hit
-            -- a genuine half-even/half-away tie at 0.8203125)
-            SELECT doc_id,
-                   alpha_ratio,
-                   stop_ratio,
-                   mean_word_len,
-                   0.3 * alpha_ratio
-                   + 0.3 * least(stop_ratio * 4.0, 1.0)
-                   + 0.2 * len_ok
-                   + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
-                                 AND 12.0 THEN 1.0 ELSE 0.0 END)
-                     AS quality
-            FROM f
-            """,
-        "langid_docs": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     ' ' || lower(substr(text, 1, 2000)) || ' ' AS lt
-              FROM documents
-            ),
-            s AS (
-              SELECT doc_id,
-                     {_tri_sum('en')} AS s_en,
-                     {_tri_sum('de')} AS s_de,
-                     {_tri_sum('fr')} AS s_fr
-              FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
-                        WHEN s_de > s_en THEN 'de'
-                        WHEN s_en > 0 THEN 'en'
-                        ELSE 'und' END AS lang_pred
-            FROM s
-            """,
-        "strength_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              l_quantity AS w FROM lineitem)
-            SELECT v.vid,
-                   round(coalesce(o.s, 0), 4) AS out_strength,
-                   round(coalesce(i.s, 0), 4) AS in_strength
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, sum(w) AS s FROM e GROUP BY dst) i USING (vid)
-            """,
-        "modularity_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            m AS (SELECT count(*) AS me FROM u),
-            w AS (SELECT count(*) AS win FROM u WHERE a % 4 = b % 4),
-            degs AS (
-              SELECT comm, CAST(sum(c) AS DOUBLE) AS k FROM (
-                SELECT a % 4 AS comm, count(*) AS c FROM u GROUP BY 1
-                UNION ALL
-                SELECT b % 4, count(*) FROM u GROUP BY 1
-              ) GROUP BY comm
-            )
-            SELECT round(
-              (SELECT win FROM w) / CAST((SELECT me FROM m) AS DOUBLE)
-              - (SELECT sum((k / (2.0 * (SELECT me FROM m))) ** 2) FROM degs),
-            6) AS modularity
-            """,
-        "dyad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src,dst) a, greatest(src,dst) b, count(*) c
-              FROM de GROUP BY 1, 2
-            )
-            SELECT
-              (SELECT count(*) FROM pc_ WHERE c = 2) AS mut,
-              (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
-              {NV} * ({NV} - 1) // 2
-                - (SELECT count(*) FROM pc_) AS null
-            """,
-        "knn_degree_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a,
-                              greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            nb AS (SELECT a AS vid, b AS nei FROM u
-                   UNION ALL SELECT b, a FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            s AS (
-              SELECT nb.vid, sum(dn.d) AS sdeg, count(*) AS k
-              FROM nb JOIN deg dn ON dn.vid = nb.nei
-              GROUP BY nb.vid
-            )
-            -- full doubles, no rounding (np.round is banker's, DuckDB
-            -- round() half-away -> 6-dp ties hashed differently; the
-            -- round-2 driver FAIL): int/int division is bit-identical
-            SELECT v.vid, CAST(s.sdeg AS DOUBLE) / CAST(s.k AS DOUBLE) AS knn
-            FROM {_LI_V} v LEFT JOIN s ON s.vid = v.vid
-            """,
-        "diversity_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              CAST(l_quantity AS DOUBLE) AS w
-                       FROM lineitem),
-            inc AS (SELECT src AS vid, w FROM e
-                    UNION ALL SELECT dst, w FROM e),
-            agg AS (
-              SELECT vid, sum(w) AS s, sum(w * ln(w)) AS ent,
-                     count(*) AS k
-              FROM inc GROUP BY vid
-            )
-            SELECT v.vid,
-                   round((ln(agg.s) - agg.ent / agg.s) / ln(agg.k), 6)
-                     AS diversity
-            FROM {_LI_V} v LEFT JOIN agg ON agg.vid = v.vid
-            """,
-        "constraint_li": f"""
-            WITH e AS {_LI_E},
-            mu AS (
-              SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM (
-                SELECT src AS i, dst AS j FROM e WHERE src <> dst
-                UNION ALL
-                SELECT dst, src FROM e WHERE src <> dst
-              ) GROUP BY i, j
-            ),
-            si AS (SELECT i, sum(w) AS s FROM mu GROUP BY i),
-            p AS (SELECT mu.i, mu.j, mu.w / si.s AS p
-                  FROM mu JOIN si USING (i)),
-            ind AS (
-              SELECT a.i, b.j, sum(a.p * b.p) AS ind
-              FROM p a JOIN p b ON b.i = a.j
-              WHERE a.i <> b.j
-              GROUP BY a.i, b.j
-            ),
-            c AS (
-              SELECT p.i AS vid,
-                     sum((p.p + coalesce(ind.ind, 0)) ** 2) AS c
-              FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
-              GROUP BY p.i
-            )
-            SELECT v.vid, round(c.c, 6) AS constraint
-            FROM {_LI_V} v LEFT JOIN c USING (vid)
-            """,
-        "barrat_li": f"""
-            WITH e AS {_LI_E},
-            u AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b,
-                         CAST(count(*) AS DOUBLE) AS w
-                  FROM e WHERE src <> dst GROUP BY 1, 2),
-            deg AS (
-              SELECT vid, count(*) AS k, sum(w) AS s FROM (
-                SELECT a AS vid, w FROM u UNION ALL SELECT b, w FROM u
-              ) GROUP BY vid
-            ),
-            tri AS (
-              SELECT e1.a AS va, e1.b AS vb, e2.b AS vc,
-                     e1.w AS wab, e3.w AS wac, e2.w AS wbc
-              FROM u e1
-              JOIN u e2 ON e2.a = e1.b
-              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
-            ),
-            corn AS (
-              SELECT va AS vid, wab + wac AS c FROM tri
-              UNION ALL SELECT vb, wab + wbc FROM tri
-              UNION ALL SELECT vc, wac + wbc FROM tri
-            ),
-            tw AS (SELECT vid, sum(c) AS tw FROM corn GROUP BY vid)
-            SELECT v.vid,
-                   round(CASE WHEN deg.k >= 2
-                         THEN coalesce(tw.tw, 0) / (deg.s * (deg.k - 1))
-                         END, 6) AS barrat
-            FROM {_LI_V} v
-            LEFT JOIN deg ON deg.vid = v.vid
-            LEFT JOIN tw ON tw.vid = v.vid
-            """,
-        "get_stochastic_li": f"""
-            WITH e AS {_LI_E},
-            cnt AS (SELECT src, dst, count(*) AS c FROM e GROUP BY 1, 2),
-            od AS (SELECT src, count(*) AS d FROM e GROUP BY src)
-            SELECT cnt.src, cnt.dst,
-                   round(cnt.c / CAST(od.d AS DOUBLE), 6) AS p
-            FROM cnt JOIN od USING (src)
-            """,
-        "path_length_hist_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            SELECT CAST(d AS BIGINT) AS length, count(*) AS count
-            FROM dist WHERE d > 0 GROUP BY d
-            UNION ALL
-            SELECT -1::BIGINT, {NV2} * ({NV2} - 1)
-                       - (SELECT count(*) FROM dist WHERE d > 0)
-            """,
-        "diameter_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            )
-            SELECT CAST(max(d) AS BIGINT) AS diameter
-            FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            """,
-        "centralization_degree_li": f"""
-            WITH e AS (SELECT * FROM {_LI_E} x WHERE x.src <> x.dst),
-            deg AS (
-              SELECT v.vid,
-                     coalesce(o.c, 0) + coalesce(i.c, 0) AS d
-              FROM {_LI_V} v
-              LEFT JOIN (SELECT src AS vid, count(*) AS c FROM e
-                         GROUP BY src) o USING (vid)
-              LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM e
-                         GROUP BY dst) i USING (vid)
-            )
-            SELECT round(
-              (SELECT sum((SELECT max(d) FROM deg) - d) FROM deg)
-              / (2.0 * ({NV} - 1) * ({NV} - 2)), 6) AS centralization
-            """,
-        "edge_betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV4} AS src,
-                              l_partkey % {NV4} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV4})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT de.src, de.dst,
-                   round(coalesce(sum(su.c * vt.c / st.c), 0), 6) AS eb
-            FROM de
-            LEFT JOIN sp su ON su.t = de.src
-            LEFT JOIN sp vt ON vt.s = de.dst
-            LEFT JOIN sp st ON st.s = su.s AND st.t = vt.t
-                           AND st.d = su.d + 1 + vt.d
-            GROUP BY de.src, de.dst
-            """,
-        "eccentricity_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            ecc AS (
-              SELECT s, max(d) AS e
-              FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-              GROUP BY s
-            )
-            -- CAST: the recursive d literal starts INT32; Ray emits
-            -- int64 (driver hash is dtype-sensitive)
-            SELECT v.vid, CAST(ecc.e AS BIGINT) AS ecc,
-                   CAST((SELECT min(e) FROM ecc) AS BIGINT) AS radius
-            FROM v JOIN ecc ON ecc.s = v.vid
-            """,
-        "triad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}
-                        WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-                     max(CASE WHEN src < dst THEN 1 ELSE 0 END)
-                     + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END)
-                       AS code
-              FROM de GROUP BY 1, 2
-            ),
-            nb AS (
-              SELECT a AS c, b AS o, code FROM pc_
-              UNION ALL
-              SELECT b, a, code FROM pc_
-            ),
-            w AS (
-              SELECT n1.c AS center, n1.o AS x, n2.o AS y,
-                     n1.code AS cx, n2.code AS cy
-              FROM nb n1 JOIN nb n2 ON n2.c = n1.c AND n1.o < n2.o
-            ),
-            t AS (
-              SELECT w.*, coalesce(pc_.code, 0) AS cxy
-              FROM w LEFT JOIN pc_ ON pc_.a = w.x AND pc_.b = w.y
-            ),
-            f AS (SELECT * FROM t WHERE cxy = 0 OR center < x),
-            coded AS (
-              SELECT CASE WHEN center < x THEN cx*16 + cy*4 + cxy
-                          WHEN center < y THEN cx*16 + cxy*4 + cy
-                          ELSE cxy*16 + cx*4 + cy END AS code64
-              FROM f
-            ),
-            lut(code64, name, na, nm) AS (VALUES {_triad_lut_sql()}),
-            counted AS (
-              SELECT l.name, count(*) AS c,
-                     sum(l.na) AS sa, sum(l.nm) AS sm
-              FROM coded JOIN lut l USING (code64) GROUP BY l.name
-            ),
-            pairstats AS (
-              SELECT count(*) FILTER (code <> 3) AS asym,
-                     count(*) FILTER (code = 3) AS mut
-              FROM pc_
-            ),
-            fixed AS (
-              SELECT name, c FROM counted
-              UNION ALL
-              SELECT '012',
-                     (SELECT asym FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sa) FROM counted), 0)
-              UNION ALL
-              SELECT '102',
-                     (SELECT mut FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sm) FROM counted), 0)
-            ),
-            named(name) AS (VALUES {_triad_names_sql()})
-            SELECT named.name AS triad,
-                   -- CAST: sum() is HUGEINT and '/' is float division in
-                   -- DuckDB -> n came out float64 while the Ray side emits
-                   -- int64 (round-2 driver hash FAIL); force BIGINT
-                   CAST(CASE WHEN named.name = '003'
-                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) // 6
-                             - (SELECT sum(c) FROM fixed)
-                        ELSE coalesce((SELECT sum(c) FROM fixed
-                                       WHERE fixed.name = named.name), 0)
-                   END AS BIGINT) AS n
-            FROM named
-            """,
-        "assortativity_li": f"""
-            WITH e AS {_LI_E},
-            od AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-            idg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst),
-            xy AS (
-              SELECT od.d AS x, idg.d AS y FROM e
-              JOIN od ON od.vid = e.src
-              JOIN idg ON idg.vid = e.dst
-            )
-            SELECT round(corr(x, y), 6) AS assortativity FROM xy
-            """,
-        "local_scan1_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL SELECT z FROM t
-            ),
-            tri AS (SELECT vid, count(*) AS c FROM corners GROUP BY vid),
-            u AS {und},
-            deg AS (
-              SELECT vid, count(*) AS d FROM (
-                SELECT a AS vid FROM u UNION ALL SELECT b FROM u
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(tri.c, 0) + coalesce(deg.d, 0) AS scan1
-            FROM {_LI_V} v
-            LEFT JOIN tri USING (vid)
-            LEFT JOIN deg USING (vid)
-            """,
-        "token_stats_docs": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
-            FROM documents
-            """,
-        "lang_histogram_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
-        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-        "events_hourly": """
-            SELECT user_id, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 4) AS total
-            FROM events GROUP BY user_id, date_trunc('hour', ts)
-            """,
-        "events_sliding": """
-            WITH w AS (
-              SELECT user_id, date_trunc('hour', ts) AS window_start, value
-              FROM events
-              UNION ALL
-              SELECT user_id, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
-              FROM events
-            )
-            SELECT user_id, window_start, count(*) AS n,
-                   round(sum(value), 4) AS total
-            FROM w GROUP BY user_id, window_start
-            """,
-        "events_session": """
-            WITH x AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END AS brk
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            y AS (
-              SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM x
-            )
-            SELECT user_id, min(ts) AS session_start,
-                   max(ts) AS session_end, count(*) AS n
-            FROM y GROUP BY user_id, sid
-            """,
-        "pagerank_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     l_quantity AS w FROM lineitem
-            ),
-            v AS {_LI_V},
-            st AS (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src),
-            pr(v, score, s, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(st.s AS DOUBLE), 0
-              FROM v JOIN st ON st.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.s2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score * e.w / p.s AS val,
-                       CAST(NULL AS DOUBLE) AS s2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.s, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "lineitem_pricing": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-                   count(*) AS n
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-            """,
-        # induced 4-motif census by EXHAUSTIVE quadruple enumeration:
-        # C(60,4) = 487,635 quadruples x 6 edge lookups; classes are
-        # separated by (edge count, max within-subset degree)
-        "motifs4_li": """
-            WITH e AS (
-              SELECT DISTINCT
-                least(l_orderkey % 60, l_partkey % 60) AS a,
-                greatest(l_orderkey % 60, l_partkey % 60) AS b
-              FROM lineitem
-              WHERE l_orderkey % 60 <> l_partkey % 60
-            ),
-            v AS (SELECT range AS x FROM range(0, 60)),
-            quads AS (
-              SELECT v1.x AS p, v2.x AS q, v3.x AS r, v4.x AS s
-              FROM v v1 JOIN v v2 ON v2.x > v1.x
-                   JOIN v v3 ON v3.x > v2.x
-                   JOIN v v4 ON v4.x > v3.x
-            ),
-            lab AS (
-              SELECT
-                (CASE WHEN e1.a IS NOT NULL THEN 1 ELSE 0 END) AS x12,
-                (CASE WHEN e2.a IS NOT NULL THEN 1 ELSE 0 END) AS x13,
-                (CASE WHEN e3.a IS NOT NULL THEN 1 ELSE 0 END) AS x14,
-                (CASE WHEN e4.a IS NOT NULL THEN 1 ELSE 0 END) AS x23,
-                (CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END) AS x24,
-                (CASE WHEN e6.a IS NOT NULL THEN 1 ELSE 0 END) AS x34
-              FROM quads
-              LEFT JOIN e e1 ON e1.a = p AND e1.b = q
-              LEFT JOIN e e2 ON e2.a = p AND e2.b = r
-              LEFT JOIN e e3 ON e3.a = p AND e3.b = s
-              LEFT JOIN e e4 ON e4.a = q AND e4.b = r
-              LEFT JOIN e e5 ON e5.a = q AND e5.b = s
-              LEFT JOIN e e6 ON e6.a = r AND e6.b = s
-            ),
-            cls AS (
-              SELECT
-                x12 + x13 + x14 + x23 + x24 + x34 AS m,
-                greatest(x12 + x13 + x14, x12 + x23 + x24,
-                         x13 + x23 + x34, x14 + x24 + x34) AS dmax,
-                least(x12 + x13 + x14, x12 + x23 + x24,
-                      x13 + x23 + x34, x14 + x24 + x34) AS dmin
-              FROM lab
-            ),
-            named AS (
-              SELECT CASE
-                WHEN m = 3 AND dmax = 3 THEN 'claw'
-                WHEN m = 3 THEN 'p4'
-                WHEN m = 4 AND dmax = 3 THEN 'paw'
-                WHEN m = 4 THEN 'c4'
-                WHEN m = 5 THEN 'diamond'
-                WHEN m = 6 THEN 'k4'
-              END AS motif
-              FROM cls WHERE m >= 3 AND dmin >= 1
-            ),
-            classes(motif) AS (
-              VALUES ('c4'), ('claw'), ('diamond'), ('k4'), ('p4'), ('paw')
-            )
-            SELECT classes.motif,
-                   CAST(count(named.motif) AS BIGINT) AS count
-            FROM classes LEFT JOIN named USING (motif)
-            GROUP BY classes.motif
-            """,
-        # same explicit base-131 Horner token hash as
-        # stages/text.py::fingerprint (mod 2^31-1), XOR-combined with
-        # 1-based token position — bit-exact replay
-        "fingerprint_docs": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                       AS tok,
-                     generate_subscripts(
-                       regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
-                       AS pos
-              FROM documents
-            ),
-            th AS (
-              SELECT doc_id, pos,
-                     list_reduce(
-                       [0::BIGINT] || list_transform(split(tok, ''),
-                                             c -> ord(c)::BIGINT),
-                       (a, b) -> (a * 131 + b) % 2147483647) AS h
-              FROM toks
-            )
-            SELECT d.doc_id, CAST(COALESCE(x.fp, 0) AS BIGINT) AS fp
-            FROM documents d LEFT JOIN (
-              SELECT doc_id, bit_xor(h * pos) AS fp
-              FROM th GROUP BY doc_id
-            ) x USING (doc_id)
-            """,
-        "pii_scrub_docs": r"""
-            WITH planted AS (
-              SELECT doc_id,
-                     text || CASE WHEN doc_id % 7 = 0
-                       THEN ' contact: user' || CAST(doc_id AS VARCHAR)
-                            || '@example.com or +1-555-0100 at 10.0.0.1'
-                       ELSE '' END AS t
-              FROM documents
-            ),
-            s1 AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
-                     )) AS BIGINT) AS n_emails,
-                     regexp_replace(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g') AS t
-              FROM planted
-            ),
-            s2 AS (
-              SELECT doc_id, n_emails,
-                     CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,}'))
-                          AS BIGINT) AS n_phones,
-                     regexp_replace(t, '\+\d[\d-]{7,}', '<PHONE>', 'g') AS t
-              FROM s1
-            )
-            SELECT doc_id, n_emails, n_phones,
-                   CAST(len(regexp_extract_all(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
-                   )) AS BIGINT) AS n_ips,
-                   regexp_replace(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-                     '<IP>', 'g') AS text_clean
-            FROM s2
-            """,
-        "repetition_docs": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(string_split(text, ' ')) AS word,
-                     generate_subscripts(string_split(text, ' '), 1) AS pos
-              FROM documents
-            ),
-            pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
-            per AS (
-              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
-                     max(c) AS top_cnt
-              FROM pw GROUP BY 1
-            ),
-            bg AS (
-              SELECT a.doc_id, a.word || ' ' || b.word AS gram
-              FROM w a JOIN w b
-                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            ),
-            pbg AS (
-              SELECT doc_id, count(*) AS n_bg,
-                     count(DISTINCT gram) AS d_bg
-              FROM bg GROUP BY 1
-            )
-            SELECT per.doc_id, CAST(per.n_words AS BIGINT) AS n_words,
-                   round(per.n_distinct * 1.0 / per.n_words, 6)
-                     AS distinct_ratio,
-                   round(per.top_cnt * 1.0 / per.n_words, 6)
-                     AS top_word_frac,
-                   round(CASE WHEN coalesce(pbg.n_bg, 0) = 0 THEN 0
-                         ELSE 1.0 - pbg.d_bg * 1.0 / pbg.n_bg END, 6)
-                     AS dup_2gram_frac
-            FROM per LEFT JOIN pbg USING (doc_id)
-            """,
-        "source_stats_docs": """
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
-                   round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
-            FROM documents GROUP BY source
-            """,
-        # vertex similarity family (src/cocitation.c): sparse nonzero
-        # pairs over DISTINCT neighbor sets of the 200-vertex graph
-        "cocitation_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.dst AS u, e2.dst AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.src = e2.src AND e1.dst < e2.dst
-            GROUP BY u, w
-            """,
-        "bibcoupling_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "similarity_jaccard_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 1.0 / (d1.d + d2.d - c.cnt), 6) AS jaccard
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_dice_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 2.0 / (d1.d + d2.d), 6) AS dice
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_ilw_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            g AS (SELECT dst AS c, count(*) AS gsz FROM de GROUP BY dst),
-            wt AS (SELECT c, CASE WHEN gsz > 1 THEN 1.0 / ln(gsz)
-                             ELSE gsz END AS w FROM g),
-            p AS (
-              SELECT e1.src AS u, e2.src AS w2, e1.dst AS c
-              FROM de e1 JOIN de e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-            )
-            SELECT p.u, p.w2 AS w, round(sum(wt.w), 6) AS sim
-            FROM p JOIN wt ON wt.c = p.c
-            GROUP BY p.u, p.w2
-            """,
-        # optimal modularity oracled EXACTLY by enumerating all 7^7
-        # label assignments of the 7-vertex derived multigraph and
-        # canonicalizing the argmax to first-appearance numbering
-        "optimal_modularity_li": """
-            WITH e AS (
-              SELECT least(l_orderkey % 7, l_partkey % 7) AS a,
-                     greatest(l_orderkey % 7, l_partkey % 7) AS b,
-                     CAST(count(*) AS DOUBLE) AS w
-              FROM lineitem
-              WHERE l_orderkey % 7 <> l_partkey % 7
-              GROUP BY 1, 2
-            ),
-            m AS (SELECT sum(w) AS mm FROM e),
-            deg AS (
-              SELECT v, sum(w) AS d FROM (
-                SELECT a AS v, w FROM e
-                UNION ALL SELECT b AS v, w FROM e
-              ) GROUP BY v
-            ),
-            lab AS (
-              SELECT t.x, r.v,
-                     CAST((t.x // CAST(pow(7, r.v) AS BIGINT)) % 7
-                          AS BIGINT) AS lb
-              FROM range(0, 823543) t(x), range(0, 7) r(v)
-            ),
-            intra AS (
-              SELECT la.x, sum(e.w) AS iw
-              FROM e
-              JOIN lab la ON la.v = e.a
-              JOIN lab lb2 ON lb2.x = la.x AND lb2.v = e.b
-                          AND lb2.lb = la.lb
-              GROUP BY la.x
-            ),
-            degc AS (
-              SELECT lab.x, lab.lb, sum(deg.d) AS dc
-              FROM lab JOIN deg ON deg.v = lab.v
-              GROUP BY lab.x, lab.lb
-            ),
-            sums AS (
-              SELECT x, sum(dc * dc) AS s2 FROM degc GROUP BY x
-            ),
-            qval AS (
-              SELECT s.x,
-                     coalesce(i.iw, 0) / m.mm
-                       - s.s2 / (4 * m.mm * m.mm) AS q
-              FROM sums s LEFT JOIN intra i ON i.x = s.x, m
-            ),
-            best AS (
-              SELECT x, q FROM qval ORDER BY q DESC, x ASC LIMIT 1
-            ),
-            fin AS (
-              SELECT lab.v, lab.lb, best.q
-              FROM lab JOIN best ON lab.x = best.x
-            ),
-            canon AS (
-              SELECT v, min(v) OVER (PARTITION BY lb) AS fv, q
-              FROM fin
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY fv) - 1 AS comm,
-                   round(q, 6) AS modularity
-            FROM canon ORDER BY vid
-            """,
-        # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
-        # vertices give 2^11 s-side masks; min cut capacity over all of
-        # them IS the max flow (no flow algorithm needed in SQL)
-        "maxflow_li": """
-            WITH e AS (
-              SELECT l_orderkey % 12 AS src, l_partkey % 12 AS dst,
-                     CAST(count(*) AS DOUBLE) AS cap
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-              GROUP BY 1, 2
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, coalesce(sum(e.cap), 0) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT min(cut) AS maxflow_value FROM cuts
-            """,
-        "st_edge_connectivity_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 12 AS src, l_partkey % 12 AS dst
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, count(e.src) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(cut) AS BIGINT) AS connectivity FROM cuts
-            """,
-        # bipartite iff no odd closed walk (per component); the walk
-        # closure over (start, v, parity) is a tiny fixpoint: 12*12*2
-        # states for li12, 16*16*2 for the two-mode graph
-        "is_bipartite_li": """
-            WITH RECURSIVE
-            ea AS (
-              SELECT DISTINCT l_orderkey % 12 AS a, l_partkey % 12 AS b
-              FROM lineitem
-            ),
-            ua AS (SELECT a, b FROM ea UNION SELECT b AS a, a AS b FROM ea),
-            wa(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ua) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wa w JOIN ua u ON u.a = w.v
-            ),
-            eb AS (
-              SELECT DISTINCT l_orderkey % 8 AS a, 8 + (l_suppkey % 8) AS b
-              FROM lineitem
-            ),
-            ub AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
-            wb(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ub) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wb w JOIN ub u ON u.a = w.v
-            )
-            SELECT 'li12' AS graph,
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wa WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
-            UNION ALL
-            SELECT 'li_bi',
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wb WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT)
-            """,
-        # maximum bipartite matching = min cut of the unit network
-        # s -> L(8) -> R(8) -> t, enumerated over 2^16 middle masks
-        # (Koenig duality; arcs: s->every left, every right->t)
-        "bipartite_matching_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 8 AS l, l_suppkey % 8 AS r
-              FROM lineitem
-              WHERE l_quantity = 1 AND l_linenumber = 7
-                AND l_discount >= 0.09
-            ),
-            masks AS (SELECT range AS m FROM range(0, 65536)),
-            sl AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> i) & 1) = 0 GROUP BY m
-            ),
-            rt AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> (8 + i)) & 1) = 1 GROUP BY m
-            ),
-            mid AS (
-              SELECT masks.m, count(e.l) AS c
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.l) & 1) = 1
-               AND ((masks.m >> (8 + e.r)) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(
-              coalesce(sl.c, 0) + coalesce(rt.c, 0) + coalesce(mid.c, 0)
-            ) AS BIGINT) AS matching_size
-            FROM masks
-            LEFT JOIN sl USING (m)
-            LEFT JOIN rt USING (m)
-            LEFT JOIN mid USING (m)
-            """,
-        # spanning-forest STRUCTURE oracle: the Boruvka forest must
-        # have exactly (component size - 1) edges inside every WCC of
-        # the sparse derived graph (minimality is pytest-vs-networkx,
-        # tests/test_mst.py)
-        "mst_li": """
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
-              FROM lineitem
-              WHERE (l_orderkey * 31 + l_partkey) % 97 = 0
-            ),
-            und AS (
-              SELECT src AS a, dst AS b FROM e WHERE src <> dst
-              UNION SELECT dst, src FROM e WHERE src <> dst
-            ),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            wcc AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
-            SELECT comp, count(*) - 1 AS tree_edges
-            FROM wcc GROUP BY comp HAVING count(*) > 1
-            ORDER BY comp
-            """,
-        "topo_layers_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV} AS src,
-                     l_partkey % {NV} AS dst FROM lineitem
-              WHERE (l_orderkey * 13 + l_partkey) % 31 = 0
-                AND l_orderkey % {NV} < l_partkey % {NV}
-            ),
-            v AS {_LI_V},
-            lay(x, l) AS (
-              SELECT vid, 0 FROM v
-              UNION
-              SELECT de.dst, lay.l + 1 FROM lay JOIN de ON de.src = lay.x
-            )
-            SELECT x AS vid, CAST(max(l) AS BIGINT) AS layer FROM lay GROUP BY x
-            ORDER BY vid
-            """,
-        "unigram_logprob_docs": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text),
-                                               '[a-z0-9]+')) AS tok
-              FROM documents
-            ),
-            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-            tot AS (
-              SELECT (SELECT count(*) FROM toks) AS n,
-                     (SELECT count(*) FROM cnt) AS v
-            )
-            SELECT t.doc_id, count(*) AS n_tok,
-                   round(sum(ln((c.c + 1.0) / (tot.n + tot.v)))
-                         / count(*), 6) AS avg_logprob
-            FROM toks t JOIN cnt c USING (tok), tot
-            GROUP BY t.doc_id ORDER BY t.doc_id
-            """,
-        # coreness oracle: recursive-CTE replay of synchronous batch
-        # peeling (working-table semantics = one peel wave per step):
-        # k ratchets up to the min active ALL-degree (multiplicity,
-        # loops count twice), vertices with deg <= k peel at level k
-        "coreness_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e
-                    UNION ALL SELECT dst, src FROM e),
-            v AS {_LI_V},
-            rec(v, core, k) AS (
-              SELECT vid, CAST(NULL AS BIGINT), CAST(0 AS BIGINT) FROM v
-              UNION ALL
-              SELECT s.v,
-                     CASE WHEN s.core IS NOT NULL THEN s.core
-                          WHEN s.deg <= s.knew THEN s.knew END,
-                     s.knew
-              FROM (
-                SELECT r.v, r.core, coalesce(d.deg, 0) AS deg,
-                       greatest(r.k,
-                         (SELECT min(coalesce(d2.deg, 0))
-                          FROM rec r2
-                          LEFT JOIN (
-                            SELECT und.a AS v, count(*) AS deg
-                            FROM und JOIN rec r3
-                              ON r3.v = und.b AND r3.core IS NULL
-                            GROUP BY und.a
-                          ) d2 ON d2.v = r2.v
-                          WHERE r2.core IS NULL)) AS knew
-                FROM rec r
-                LEFT JOIN (
-                  SELECT und.a AS v, count(*) AS deg
-                  FROM und JOIN rec r4
-                    ON r4.v = und.b AND r4.core IS NULL
-                  GROUP BY und.a
-                ) d ON d.v = r.v AND r.core IS NULL
-                WHERE EXISTS (SELECT 1 FROM rec r5 WHERE r5.core IS NULL)
-              ) s
-            )
-            SELECT DISTINCT v AS vid, core FROM rec
-            WHERE core IS NOT NULL ORDER BY vid
-            """,
-        # articulation oracle: v is a cut vertex iff removing it
-        # INCREASES the component count (per-candidate recursive
-        # reachability; isolated-vertex removal only decreases it)
-        "articulation_points_li": """
-            WITH RECURSIVE e AS (
-              SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200)
-                       AS a,
-                     greatest(l_orderkey % 200, l_partkey % 200) AS b
-              FROM lineitem
-              WHERE (l_orderkey * 7 + l_partkey) % 499 = 0
-                AND l_orderkey % 200 <> l_partkey % 200
-            ),
-            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            ncomp0 AS (
-              SELECT count(DISTINCT ml) AS c
-              FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            ),
-            reach2(x, v, l) AS (
-              SELECT c.v AS x, s.v, s.v
-              FROM verts c JOIN verts s ON s.v <> c.v
-              UNION
-              SELECT reach2.x, und.b, reach2.l
-              FROM reach2 JOIN und ON und.a = reach2.v
-              WHERE und.b <> reach2.x
-            ),
-            ncomp AS (
-              SELECT x, count(DISTINCT ml) AS c
-              FROM (SELECT x, v, min(l) AS ml FROM reach2
-                    GROUP BY x, v)
-              GROUP BY x
-            )
-            SELECT ncomp.x AS vid FROM ncomp, ncomp0
-            WHERE ncomp.c > ncomp0.c ORDER BY vid
-            """,
-        "laplacian_li": f"""
-            WITH e AS (
-              SELECT src, dst FROM {_LI_E} WHERE src <> dst
-            ),
-            offd AS (
-              SELECT src, dst, -CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src, dst
-            ),
-            diag AS (
-              SELECT src, src AS dst, CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src
-            )
-            SELECT src, dst, round(value, 6) AS value FROM offd
-            UNION ALL
-            SELECT src, dst, round(value, 6) AS value FROM diag
-            """,
-        "bipartite_projection_li": """
-            WITH de AS (
-              SELECT DISTINCT l_orderkey % 150 AS src,
-                     l_suppkey % 60 AS dst FROM lineitem
-            )
-            SELECT e1.src AS u, e2.src AS w,
-                   CAST(count(*) AS DOUBLE) AS weight
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "asof_events": """
-            WITH l AS (
-              SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'click'
-            ),
-            r AS (
-              SELECT user_id, ts, max(value) AS rvalue FROM events
-              WHERE event_type = 'purchase' GROUP BY user_id, ts
-            )
-            SELECT l.event_id,
-                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
-                     AS lag_us,
-                   round(r.rvalue, 6) AS rvalue
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-            ORDER BY l.event_id
-            """,
-        # sync-LPA replay: per iteration each vertex's in-neighbor
-        # label votes (per-edge multiplicity, self-loops included) are
-        # grouped per (v, l); winner = max votes then min label via the
-        # packed key c*1e6 - l; a vertex changes only if its CURRENT
-        # label's votes are STRICTLY below the winner's (keep-if-tie)
-        "lpa_sync_li": _lpa_sync_sql(8),
-        # lpa_li runs the same sync semantics for 16 supersteps (the
-        # round-2 no_oracle fix: the canonical name is now the oracled
-        # deterministic variant)
-        "lpa_li": _lpa_sync_sql(16),
-        # community algorithms on planted ring-of-cliques fixtures:
-        # the oracle emits the planted partition; hash equality
-        # certifies exact recovery (sizes probed exact per algorithm)
-        "louvain_li": _planted_sql(10, 10),
-        "leading_eigenvector_li": _planted_sql(4, 8),
-        "fastgreedy_li": _planted_sql(8, 8),
-        "girvan_newman_li": _planted_sql(5, 5),
-        "walktrap_li": _planted_sql(8, 8),
-        "infomap_li": _planted_sql(8, 8),
-        # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
-        # block / 0 across (closed-form spectrum of K_10), eigenvalues
-        # all 9 — integer-rounded, so bit-exact
-        # SCG exact grouping on the degree vector: level sets labeled
-        # ascending = dense_rank by degree
-        "scg_groups_li": f"""
-            WITH u AS (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            )
-            SELECT vid,
-                   dense_rank() OVER (ORDER BY d) - 1 AS g
-            FROM alldeg
-            """,
-        # coarse matrix L A L^T for that grouping: per-edge weight
-        # 1/sqrt(|ga||gb|), both symmetric entries, grouped;
-        # floor(x*1e6+0.5) quantization matches the Python side's
-        # identical formula (rounding-mode independent)
-        "scg_coarse_li": f"""
-            WITH u AS MATERIALIZED (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            ),
-            grp AS MATERIALIZED (
-              SELECT vid, dense_rank() OVER (ORDER BY d) - 1 AS g
-              FROM alldeg
-            ),
-            gsz AS (SELECT g, count(*) AS sz FROM grp GROUP BY g),
-            pairs AS (
-              SELECT ga.g AS ga, gb.g AS gb,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)) AS w
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-              UNION ALL
-              SELECT gb.g, ga.g,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE))
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-            )
-            SELECT ga, gb,
-                   CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
-            FROM pairs GROUP BY ga, gb
-            """,
-        # Eades FAS replay: bitmask chain; per step pick by priority
-        # (source=0 first, sink=1, else max outdeg-indeg among the
-        # remaining), tie min id; sources/maxdiff take front
-        # positions, sinks take back positions; feedback arcs = arcs
-        # violating the final ordering plus self-loops
-        "fas_li": """
-            WITH RECURSIVE arcs AS (
-              SELECT DISTINCT l_orderkey % 12 AS u, l_partkey % 12 AS v
-              FROM lineitem
-              WHERE (l_orderkey * 131 + l_partkey * 17) % 487 = 0
-            ),
-            masks AS (
-              SELECT w.range AS v,
-                     coalesce((SELECT sum(DISTINCT 1::BIGINT << a.u)
-                               FROM arcs a
-                               WHERE a.v = w.range AND a.u <> a.v),
-                              0) AS inm,
-                     coalesce((SELECT sum(DISTINCT 1::BIGINT << a.v)
-                               FROM arcs a
-                               WHERE a.u = w.range AND a.u <> a.v),
-                              0) AS outm
-              FROM range(0, 12) w
-            ),
-            chain(i, mask, npos, nneg, v, pos) AS (
-              SELECT 0, 0::BIGINT, 0, 0, -1, -1
-              UNION ALL
-              SELECT c.i + 1, pre.nm,
-                     c.npos + CASE WHEN pick.pri <> 1 THEN 1 ELSE 0
-                              END,
-                     c.nneg + CASE WHEN pick.pri = 1 THEN 1 ELSE 0
-                              END,
-                     pick.v,
-                     CASE WHEN pick.pri = 1 THEN 11 - c.nneg
-                          ELSE c.npos END
-              FROM chain c,
-                LATERAL (SELECT CASE WHEN c.v >= 0
-                                THEN c.mask | (1::BIGINT << c.v)
-                                ELSE c.mask END AS nm) pre,
-                LATERAL (
-                  SELECT t.v, t.pri FROM (
-                    SELECT m.v AS v,
-                           CASE WHEN bit_count(
-                                  (m.inm & (4095 - pre.nm))::BIGINT
-                                ) = 0 THEN 0
-                                WHEN bit_count(
-                                  (m.outm & (4095 - pre.nm))::BIGINT
-                                ) = 0 THEN 1
-                                ELSE 2 END AS pri,
-                           bit_count((m.inm & (4095 - pre.nm))::BIGINT)
-                           - bit_count(
-                               (m.outm & (4095 - pre.nm))::BIGINT
-                             ) AS negdiff
-                    FROM masks m
-                    WHERE ((pre.nm >> m.v) & 1) = 0
-                  ) t
-                  ORDER BY t.pri,
-                           CASE WHEN t.pri = 2 THEN t.negdiff
-                                ELSE 0 END,
-                           t.v
-                  LIMIT 1
-                ) pick
-              WHERE c.i < 12
-            ),
-            ord_ AS (
-              SELECT v, pos FROM chain WHERE v >= 0
-            )
-            SELECT 0::BIGINT AS kind, CAST(o.v AS BIGINT) AS a,
-                   CAST(o.pos AS BIGINT) AS b
-            FROM ord_ o
-            UNION ALL
-            SELECT 1::BIGINT, CAST(a.u AS BIGINT), CAST(a.v AS BIGINT)
-            FROM arcs a
-            JOIN ord_ cu ON cu.v = a.u
-            JOIN ord_ cv ON cv.v = a.v
-            WHERE a.u = a.v OR cu.pos > cv.pos
-            """,
-        # MCS replay: recursive chain over the numbered-set bitmask;
-        # at each step pick the unnumbered vertex with the most
-        # numbered neighbors (popcount of mask & nbmask), tie -> min
-        # id (the pinned rule); first pick gets rank n-1
-        "assortativity_nominal_li": q_assortativity_nominal,
-        "mcs_li": q_mcs,
-        "fas_li": q_fas,
-        "dominator_tree_li": q_dominator_tree,
-        "scg_groups_li": q_scg_groups,
-        "scg_coarse_li": q_scg_coarse,
-        "cohesive_blocks_li": q_cohesive_blocks,
-        "louvain_li": q_louvain,
-        "leading_eigenvector_li": q_leading_eigenvector,
-        "fastgreedy_li": q_fastgreedy,
-        "girvan_newman_li": q_girvan_newman,
-        "walktrap_li": q_walktrap,
-        "infomap_li": q_infomap,
-        "optimal_modularity_li": q_optimal_modularity,
-        "cliques_li": q_cliques,
-        "edge_betweenness_li": q_edge_betweenness,
-        "eccentricity_li": q_eccentricity,
-        "assortativity_li": q_assortativity,
-        "local_scan1_li": q_scan1,
-        "eigenvector_li": q_eigenvector,
-        "hits_li": q_hits,
-        "token_stats_docs": q_token_stats,
-        "lang_histogram_docs": q_lang_histogram,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "quality_docs": q_quality_docs,
-        "langid_docs": q_langid_docs,
-        "minhash_pairs_docs": q_minhash_pairs,
-        "simhash_pairs_docs": q_simhash_pairs,
-        "knn_embeddings": q_knn,
-        "knn_ivf_embeddings": q_knn_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_planted": q_embedding_near_dup_planted,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "pagerank_weighted_li": q_pagerank_weighted_li,
-        "lineitem_pricing": q_lineitem_pricing,
-        "maxflow_li": q_maxflow,
-        "st_edge_connectivity_li": q_st_edge_connectivity,
-        "is_bipartite_li": q_is_bipartite,
-        "bipartite_matching_li": q_bipartite_matching,
-        "random_walks_li": q_random_walks,
-        "motifs4_li": q_motifs4,
-        "pii_scrub_docs": q_pii_scrub,
-        "repetition_docs": q_repetition,
-        "source_stats_docs": q_source_stats,
-        "cocitation_li": q_cocitation,
-        "bibcoupling_li": q_bibcoupling,
-        "similarity_jaccard_li": q_similarity_jaccard,
-        "similarity_ilw_li": q_similarity_ilw,
-        "similarity_dice_li": q_similarity_dice,
-        "lpa_sync_li": q_lpa_sync,
-        "asof_events": q_asof_events,
-        "bipartite_projection_li": q_bipartite_projection,
-        "laplacian_li": q_laplacian,
-        "articulation_points_li": q_articulation,
-        "unigram_logprob_docs": q_unigram_logprob,
-        "topo_layers_li": q_topo_layers,
-        "mst_li": q_mst,
-        "cliques_small_li": q_cliques_small,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    n_pages = _pages_n("/root/testdata/sf0.01")
-    pages_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "pages", "*.parquet"
-    )
-    edges_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "edges", "*.parquet"
-    )
-    # language-ID trigram terms generated from the SAME frozen profiles
-    # the Ray stage uses (stages/text.py LangId.PROFILES)
-    from xdata_igraph_ray.stages.text import LangId
-
-    def _tri_sum(lang: str) -> str:
-        tris = sorted({
-            LangId.PROFILES[lang][i:i + 3]
-            for i in range(len(LangId.PROFILES[lang]) - 2)
-        })
-        terms = [
-            "(CASE WHEN position('" + t.replace("'", "''") + "' IN lt) > 0 "
-            "THEN 1 ELSE 0 END)"
-            for t in tris
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def _triad_lut_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import _TRIAD_OF_CODE
-
-        rows = []
-        for i, nm in enumerate(_TRIAD_OF_CODE):
-            rows.append(f"({i}, '{nm}', {int(nm[1])}, {int(nm[0])})")
-        return ", ".join(rows)
-
-    def _triad_names_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import TRIAD_NAMES
-
-        return ", ".join(f"('{nm}')" for nm in TRIAD_NAMES)
-
-    und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
-    tri_join = (
-        f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "
-        f"JOIN {und} e3 ON e3.a = e1.a AND e3.b = e2.b"
-    )
-    return {
-        "extract_text_pages": f"SELECT url, text FROM read_parquet('{pages_pq}')",
-        "extract_edges_pages": f"SELECT src_url, dst_url FROM read_parquet('{edges_pq}')",
-        "vertices_pages": f"""
-            SELECT row_number() OVER (ORDER BY url) - 1 AS vid, url FROM (
-              SELECT DISTINCT src_url AS url FROM read_parquet('{edges_pq}')
-              UNION
-              SELECT DISTINCT dst_url FROM read_parquet('{edges_pq}')
-            )""",
-        "pagerank_pages": f"""
-            WITH RECURSIVE eu AS (
-              SELECT src_url, dst_url FROM read_parquet('{edges_pq}')
-            ),
-            verts AS (
-              SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM (
-                SELECT DISTINCT src_url AS url FROM eu
-                UNION
-                SELECT DISTINCT dst_url FROM eu
-              )
-            ),
-            e AS (
-              SELECT vs.vid AS src, vd.vid AS dst
-              FROM eu
-              JOIN verts vs ON vs.url = eu.src_url
-              JOIN verts vd ON vd.url = eu.dst_url
-            ),
-            nn AS (SELECT count(*) AS c FROM verts),
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            -- igraph dangling semantics (src/centrality.c:926-939):
-            -- per iteration the teleport pool is the full mass of
-            -- dangling vertices plus (1-d) of everyone else's
-            pr(v, score, outdeg, iter) AS (
-              SELECT verts.vid, 1.0 / (SELECT c FROM nn),
-                     CAST(deg.outdeg AS DOUBLE), 0
-              FROM verts LEFT JOIN deg ON deg.vid = verts.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                WHERE p.outdeg IS NOT NULL
-                UNION ALL
-                SELECT p.v, ts.t / (SELECT c FROM nn), p.outdeg, p.iter
-                FROM pr p JOIN (
-                  SELECT iter, sum(CASE WHEN outdeg IS NULL THEN score
-                                        ELSE {1.0 - PR_DAMPING} * score END) AS t
-                  FROM pr GROUP BY iter
-                ) ts ON ts.iter = p.iter
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "degrees_li": f"""
-            SELECT v.vid,
-                   coalesce(o.c, 0) AS out_deg,
-                   coalesce(i.c, 0) AS in_deg
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, count(*) AS c FROM {_LI_E} GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM {_LI_E} GROUP BY dst) i USING (vid)
-            """,
-        "simplify_li": f"SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst",
-        "count_multiple_li": f"SELECT src, dst, count(*) AS count FROM {_LI_E} GROUP BY src, dst",
-        "top_out_degree_li": f"""
-            SELECT src AS vid, count(*) AS out_deg FROM {_LI_E}
-            GROUP BY src ORDER BY out_deg DESC, vid LIMIT 20""",
-        "wcc_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-            v AS {_LI_V},
-            reach(v, l) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY ml) - 1 AS wcc
-            FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            """,
-        "scc_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            v AS {_LI_V},
-            r(s, t) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT r.s, de.dst FROM r JOIN de ON de.src = r.t
-            )
-            SELECT vid, dense_rank() OVER (ORDER BY ml) - 1 AS scc FROM (
-              SELECT a.t AS vid, min(a.s) AS ml
-              FROM r a JOIN r b ON a.s = b.t AND a.t = b.s
-              GROUP BY a.t
-            )
-            """,
-        "pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "triangles_total_li": f"SELECT count(*) AS total FROM {tri_join}",
-        "triangles_per_vertex_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL
-              SELECT z FROM t
-            )
-            SELECT v.vid, coalesce(c.cnt, 0) AS count
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT vid, count(*) AS cnt FROM corners GROUP BY vid) c USING (vid)
-            """,
-        "edge_ops_li": f"""
-            WITH e1 AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            e2 AS (SELECT DISTINCT l_partkey % {NV} AS src, l_suppkey % {NV} AS dst FROM lineitem)
-            SELECT
-              (SELECT count(*) FROM (SELECT * FROM e1 UNION SELECT * FROM e2)) AS u,
-              (SELECT count(*) FROM (SELECT * FROM e1 INTERSECT SELECT * FROM e2)) AS i,
-              (SELECT count(*) FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e2)) AS d
-            """,
-        "reciprocity_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst)
-            SELECT round(
-              (SELECT count(*) FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
-              / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
-            """,
-        "sssp_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              -- depth bound >> the dense graph's true diameter (~4);
-              -- keeps the closure small without risking false -1s
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            )
-            SELECT v.vid, CAST(coalesce(m.d, -1) AS BIGINT) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "shortest_paths_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT v, min(d) AS d FROM r GROUP BY v),
-            par AS (
-              SELECT de.dst AS v, min(de.src) AS p
-              FROM de
-              JOIN dist da ON da.v = de.src
-              JOIN dist db ON db.v = de.dst AND db.d = da.d + 1
-              GROUP BY de.dst
-            ),
-            targets AS (SELECT range * 25 AS t FROM range(0, {NV // 25})),
-            walk(t, cur, path) AS (
-              SELECT t, t, CAST(t AS VARCHAR) FROM targets
-              JOIN dist ON dist.v = targets.t
-              UNION ALL
-              SELECT w.t, par.p,
-                     CAST(par.p AS VARCHAR) || '->' || w.path
-              FROM walk w JOIN par ON par.v = w.cur
-              WHERE w.cur <> 0
-            )
-            SELECT targets.t AS target,
-                   coalesce(done.path, '') AS path
-            FROM targets
-            LEFT JOIN (SELECT t, path FROM walk WHERE cur = 0) done
-              ON done.t = targets.t
-            """,
-        "scan0_li": f"""
-            WITH e AS {_LI_E}
-            SELECT v.vid, round(coalesce(o.c, 0) + coalesce(i.c, 0), 1)
-                     AS scan0
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY dst) i USING (vid)
-            """,
-        "scan2_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem),
-            de AS (SELECT DISTINCT src, dst FROM e),
-            -- closed 2-out-neighborhood membership per source
-            n1 AS (SELECT DISTINCT src AS s, dst AS t FROM de),
-            reach AS (
-              SELECT vid AS s, vid AS t
-              FROM (SELECT range AS vid FROM range(0, {NV2}))
-              UNION
-              SELECT s, t FROM n1
-              UNION
-              SELECT n1.s, de.dst FROM n1 JOIN de ON de.src = n1.t
-            )
-            SELECT v.vid, coalesce(cnt.c, 0) AS scan2
-            FROM (SELECT range AS vid FROM range(0, {NV2})) v
-            LEFT JOIN (
-              SELECT ra.s AS vid, count(*) AS c
-              FROM e
-              JOIN reach ra ON ra.t = e.src
-              JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
-              GROUP BY ra.s
-            ) cnt USING (vid)
-            """,
-        "scan1_them_li": f"""
-            WITH us AS {_LI_E},
-            them AS (SELECT l_partkey % {NV} AS src,
-                            l_suppkey % {NV} AS dst FROM lineitem),
-            adj AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT src AS a, dst AS b FROM us
-                UNION ALL SELECT dst, src FROM us
-              )
-            ),
-            tnl AS (SELECT src AS x, dst AS y FROM them
-                    WHERE src <> dst),
-            inc AS (
-              SELECT t.x, t.y FROM tnl t
-              JOIN adj ON adj.a = t.x AND adj.b = t.y
-            ),
-            loops AS (SELECT src AS vid, count(*) AS c FROM them
-                      WHERE src = dst GROUP BY src),
-            wedge AS (
-              SELECT a1.a AS vid, count(*) AS c
-              FROM tnl t
-              JOIN adj a1 ON a1.b = t.x
-              JOIN adj a2 ON a2.a = a1.a AND a2.b = t.y
-              WHERE a1.a <> t.x AND a1.a <> t.y
-              GROUP BY a1.a
-            ),
-            incc AS (
-              SELECT vid, count(*) AS c FROM (
-                SELECT x AS vid FROM inc UNION ALL SELECT y FROM inc
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(incc.c, 0) + coalesce(loops.c, 0)
-                   + coalesce(wedge.c, 0) AS scan1_them
-            FROM {_LI_V} v
-            LEFT JOIN incc USING (vid)
-            LEFT JOIN loops USING (vid)
-            LEFT JOIN wedge USING (vid)
-            """,
-        "sssp_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     min(l_quantity) AS w
-              FROM lineitem GROUP BY 1, 2
-            ),
-            r(v, d) AS (
-              SELECT 0, CAST(0 AS DOUBLE)
-              UNION
-              -- cap 100 >> the measured max shortest distance (76 at
-              -- sf0.001, 17 at sf0.01); weights >= 1 bound recursion
-              SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.v
-              WHERE r.d + e.w < 100
-            )
-            SELECT v.vid, round(coalesce(m.d, -1), 6) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "closeness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_in_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.src, r.d + 1 FROM r JOIN de ON de.dst = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_all_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT l_orderkey % {NV2} AS a, l_partkey % {NV2} AS b
-                FROM lineitem
-                UNION ALL
-                SELECT l_partkey % {NV2}, l_orderkey % {NV2}
-                FROM lineitem
-              )
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.b, r.d + 1 FROM r JOIN de ON de.a = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + 60.0 * (60 - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        # weighted sigma: weighted walks of total weight exactly
-        # d(s,t) are precisely the min-weight s->t paths (positive
-        # integer weights), summed over step counts
-        "betweenness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, ws, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.ws + de.w, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.ws + de.w < 25
-              GROUP BY w.s, de.dst, w.ws + de.w
-            ),
-            -- same (s,t,ws) reached at different step counts lands in
-            -- different iterations: sum them
-            wks AS (SELECT s, t, ws, sum(c) AS c FROM wk GROUP BY 1, 2, 3),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wks.c
-              FROM dist JOIN wks ON wks.s = dist.s AND wks.t = dist.t
-                                AND wks.ws = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.d > 0
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.d > 0
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "harmonic_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / 59.0, 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "harmonic_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / ({NV2} - 1.0), 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            -- walks of length exactly d(s,t) are precisely the
-            -- shortest s->t paths, so sigma = walk count at k = d
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.s <> vt.t
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.s <> sv.t
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "personalized_pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v,
-                       (1.0 - {PR_DAMPING})
-                       * (CASE p.v WHEN 0 THEN 0.6 WHEN 1 THEN 0.4 ELSE 0.0 END),
-                       p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "pseudo_diameter_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT DISTINCT src, dst FROM
-                    (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
-            r1(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.v
-              WHERE r1.d < 16
-            ),
-            d1 AS (SELECT v, min(d) AS d FROM r1 GROUP BY v),
-            -- np.argmax tie-break: smallest vid among the max distances
-            far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
-            r2(v, d) AS (
-              SELECT (SELECT v FROM far), 0
-              UNION
-              SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.v
-              WHERE r2.d < 16
-            )
-            SELECT CAST(max(d) AS BIGINT) AS pseudo_diameter
-            FROM (SELECT v, min(d) AS d FROM r2 GROUP BY v)
-            """,
-        "eigenvector_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- power iteration x <- (A^T x)/64 (the /64 only bounds
-            -- growth; the final max-normalization removes all scaling)
-            ev(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.x) / 64.0, min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, p.x AS x, p.iter AS iter
-                FROM ev p JOIN e ON e.src = p.v
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 60
-            ),
-            fin AS (SELECT v, x FROM ev WHERE iter = 60)
-            SELECT v.vid,
-                   round(coalesce(fin.x, 0) / (SELECT max(x) FROM fin), 6)
-                     AS ev
-            FROM v LEFT JOIN fin ON fin.v = v.vid
-            """,
-        "hits_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- hub <- A (A^T hub) / 4096 per round (HITS, reference
-            -- src/centrality.c:840,886); scaling removed at the end
-            hub(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.val) / 4096.0, min(m.iter) + 1
-              FROM (
-                SELECT e1.src AS v, a.val AS val, a.iter AS iter
-                FROM e e1 JOIN (
-                  SELECT e2.dst AS w, sum(h.x) AS val, h.iter AS iter
-                  FROM hub h JOIN e e2 ON e2.src = h.v
-                  GROUP BY e2.dst, h.iter
-                ) a ON a.w = e1.dst
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 40
-            ),
-            hf AS (SELECT v, x FROM hub WHERE iter = 40),
-            af AS (
-              SELECT e.dst AS v, sum(hf.x) AS x
-              FROM e JOIN hf ON hf.v = e.src
-              GROUP BY e.dst
-            )
-            SELECT v.vid,
-                   round(coalesce(hf.x, 0) / (SELECT max(x) FROM hf), 6)
-                     AS hub,
-                   round(coalesce(af.x, 0) / (SELECT max(x) FROM af), 6)
-                     AS auth
-            FROM v
-            LEFT JOIN hf ON hf.v = v.vid
-            LEFT JOIN af ON af.v = v.vid
-            """,
-        "knn_embeddings": """
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "knn_ivf_embeddings": """
-            -- nprobe = n_clusters in the query => IVF degenerates to
-            -- exact brute force, so the oracle is the same top-k
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "embedding_near_dup": """
-            -- exact brute force: every pair at cosine >= 0.95 (the
-            -- banded-LSH recall bound is ~1e-4 misses; on this table
-            -- the truth set is computed exactly)
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM embeddings x, embeddings y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "embedding_near_dup_planted": f"""
-            WITH pe AS (
-              SELECT * FROM read_parquet(
-                '{os.path.join(FIXTURE_ROOT, "emb_planted",
-                               "embeddings.parquet")}')
-            )
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM pe x, pe y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "quality_docs": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     greatest(length(text), 1) AS n,
-                     regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
-              FROM documents
-            ),
-            f AS (
-              SELECT doc_id,
-                     CAST(alpha AS DOUBLE) / n AS alpha_ratio,
-                     CAST(len(list_filter(words, x -> lower(x) IN
-                       ('the','of','and','to','in','a','is','that','it',
-                        'for','on','as','with','was','at','by','an','be',
-                        'this'))) AS DOUBLE)
-                       / greatest(len(words), 1) AS stop_ratio,
-                     CASE WHEN len(words) = 0 THEN 0.0
-                          ELSE list_avg(list_transform(words,
-                                                       x -> length(x)))
-                     END AS mean_word_len,
-                     CASE WHEN n BETWEEN 50 AND 100000
-                          THEN 1.0 ELSE 0.0 END AS len_ok
-              FROM w
-            )
-            -- full doubles, no rounding: ratios of exact ints in the
-            -- same evaluation order as the Python stage (round() hit
-            -- a genuine half-even/half-away tie at 0.8203125)
-            SELECT doc_id,
-                   alpha_ratio,
-                   stop_ratio,
-                   mean_word_len,
-                   0.3 * alpha_ratio
-                   + 0.3 * least(stop_ratio * 4.0, 1.0)
-                   + 0.2 * len_ok
-                   + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
-                                 AND 12.0 THEN 1.0 ELSE 0.0 END)
-                     AS quality
-            FROM f
-            """,
-        "langid_docs": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     ' ' || lower(substr(text, 1, 2000)) || ' ' AS lt
-              FROM documents
-            ),
-            s AS (
-              SELECT doc_id,
-                     {_tri_sum('en')} AS s_en,
-                     {_tri_sum('de')} AS s_de,
-                     {_tri_sum('fr')} AS s_fr
-              FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
-                        WHEN s_de > s_en THEN 'de'
-                        WHEN s_en > 0 THEN 'en'
-                        ELSE 'und' END AS lang_pred
-            FROM s
-            """,
-        "strength_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              l_quantity AS w FROM lineitem)
-            SELECT v.vid,
-                   round(coalesce(o.s, 0), 4) AS out_strength,
-                   round(coalesce(i.s, 0), 4) AS in_strength
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, sum(w) AS s FROM e GROUP BY dst) i USING (vid)
-            """,
-        "modularity_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            m AS (SELECT count(*) AS me FROM u),
-            w AS (SELECT count(*) AS win FROM u WHERE a % 4 = b % 4),
-            degs AS (
-              SELECT comm, CAST(sum(c) AS DOUBLE) AS k FROM (
-                SELECT a % 4 AS comm, count(*) AS c FROM u GROUP BY 1
-                UNION ALL
-                SELECT b % 4, count(*) FROM u GROUP BY 1
-              ) GROUP BY comm
-            )
-            SELECT round(
-              (SELECT win FROM w) / CAST((SELECT me FROM m) AS DOUBLE)
-              - (SELECT sum((k / (2.0 * (SELECT me FROM m))) ** 2) FROM degs),
-            6) AS modularity
-            """,
-        "dyad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src,dst) a, greatest(src,dst) b, count(*) c
-              FROM de GROUP BY 1, 2
-            )
-            SELECT
-              (SELECT count(*) FROM pc_ WHERE c = 2) AS mut,
-              (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
-              {NV} * ({NV} - 1) // 2
-                - (SELECT count(*) FROM pc_) AS null
-            """,
-        "knn_degree_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a,
-                              greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            nb AS (SELECT a AS vid, b AS nei FROM u
-                   UNION ALL SELECT b, a FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            s AS (
-              SELECT nb.vid, sum(dn.d) AS sdeg, count(*) AS k
-              FROM nb JOIN deg dn ON dn.vid = nb.nei
-              GROUP BY nb.vid
-            )
-            -- full doubles, no rounding (np.round is banker's, DuckDB
-            -- round() half-away -> 6-dp ties hashed differently; the
-            -- round-2 driver FAIL): int/int division is bit-identical
-            SELECT v.vid, CAST(s.sdeg AS DOUBLE) / CAST(s.k AS DOUBLE) AS knn
-            FROM {_LI_V} v LEFT JOIN s ON s.vid = v.vid
-            """,
-        "diversity_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              CAST(l_quantity AS DOUBLE) AS w
-                       FROM lineitem),
-            inc AS (SELECT src AS vid, w FROM e
-                    UNION ALL SELECT dst, w FROM e),
-            agg AS (
-              SELECT vid, sum(w) AS s, sum(w * ln(w)) AS ent,
-                     count(*) AS k
-              FROM inc GROUP BY vid
-            )
-            SELECT v.vid,
-                   round((ln(agg.s) - agg.ent / agg.s) / ln(agg.k), 6)
-                     AS diversity
-            FROM {_LI_V} v LEFT JOIN agg ON agg.vid = v.vid
-            """,
-        "constraint_li": f"""
-            WITH e AS {_LI_E},
-            mu AS (
-              SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM (
-                SELECT src AS i, dst AS j FROM e WHERE src <> dst
-                UNION ALL
-                SELECT dst, src FROM e WHERE src <> dst
-              ) GROUP BY i, j
-            ),
-            si AS (SELECT i, sum(w) AS s FROM mu GROUP BY i),
-            p AS (SELECT mu.i, mu.j, mu.w / si.s AS p
-                  FROM mu JOIN si USING (i)),
-            ind AS (
-              SELECT a.i, b.j, sum(a.p * b.p) AS ind
-              FROM p a JOIN p b ON b.i = a.j
-              WHERE a.i <> b.j
-              GROUP BY a.i, b.j
-            ),
-            c AS (
-              SELECT p.i AS vid,
-                     sum((p.p + coalesce(ind.ind, 0)) ** 2) AS c
-              FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
-              GROUP BY p.i
-            )
-            SELECT v.vid, round(c.c, 6) AS constraint
-            FROM {_LI_V} v LEFT JOIN c USING (vid)
-            """,
-        "barrat_li": f"""
-            WITH e AS {_LI_E},
-            u AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b,
-                         CAST(count(*) AS DOUBLE) AS w
-                  FROM e WHERE src <> dst GROUP BY 1, 2),
-            deg AS (
-              SELECT vid, count(*) AS k, sum(w) AS s FROM (
-                SELECT a AS vid, w FROM u UNION ALL SELECT b, w FROM u
-              ) GROUP BY vid
-            ),
-            tri AS (
-              SELECT e1.a AS va, e1.b AS vb, e2.b AS vc,
-                     e1.w AS wab, e3.w AS wac, e2.w AS wbc
-              FROM u e1
-              JOIN u e2 ON e2.a = e1.b
-              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
-            ),
-            corn AS (
-              SELECT va AS vid, wab + wac AS c FROM tri
-              UNION ALL SELECT vb, wab + wbc FROM tri
-              UNION ALL SELECT vc, wac + wbc FROM tri
-            ),
-            tw AS (SELECT vid, sum(c) AS tw FROM corn GROUP BY vid)
-            SELECT v.vid,
-                   round(CASE WHEN deg.k >= 2
-                         THEN coalesce(tw.tw, 0) / (deg.s * (deg.k - 1))
-                         END, 6) AS barrat
-            FROM {_LI_V} v
-            LEFT JOIN deg ON deg.vid = v.vid
-            LEFT JOIN tw ON tw.vid = v.vid
-            """,
-        "get_stochastic_li": f"""
-            WITH e AS {_LI_E},
-            cnt AS (SELECT src, dst, count(*) AS c FROM e GROUP BY 1, 2),
-            od AS (SELECT src, count(*) AS d FROM e GROUP BY src)
-            SELECT cnt.src, cnt.dst,
-                   round(cnt.c / CAST(od.d AS DOUBLE), 6) AS p
-            FROM cnt JOIN od USING (src)
-            """,
-        "path_length_hist_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            SELECT CAST(d AS BIGINT) AS length, count(*) AS count
-            FROM dist WHERE d > 0 GROUP BY d
-            UNION ALL
-            SELECT -1::BIGINT, {NV2} * ({NV2} - 1)
-                       - (SELECT count(*) FROM dist WHERE d > 0)
-            """,
-        "diameter_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            )
-            SELECT CAST(max(d) AS BIGINT) AS diameter
-            FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            """,
-        "centralization_degree_li": f"""
-            WITH e AS (SELECT * FROM {_LI_E} x WHERE x.src <> x.dst),
-            deg AS (
-              SELECT v.vid,
-                     coalesce(o.c, 0) + coalesce(i.c, 0) AS d
-              FROM {_LI_V} v
-              LEFT JOIN (SELECT src AS vid, count(*) AS c FROM e
-                         GROUP BY src) o USING (vid)
-              LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM e
-                         GROUP BY dst) i USING (vid)
-            )
-            SELECT round(
-              (SELECT sum((SELECT max(d) FROM deg) - d) FROM deg)
-              / (2.0 * ({NV} - 1) * ({NV} - 2)), 6) AS centralization
-            """,
-        "edge_betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV4} AS src,
-                              l_partkey % {NV4} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV4})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT de.src, de.dst,
-                   round(coalesce(sum(su.c * vt.c / st.c), 0), 6) AS eb
-            FROM de
-            LEFT JOIN sp su ON su.t = de.src
-            LEFT JOIN sp vt ON vt.s = de.dst
-            LEFT JOIN sp st ON st.s = su.s AND st.t = vt.t
-                           AND st.d = su.d + 1 + vt.d
-            GROUP BY de.src, de.dst
-            """,
-        "eccentricity_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            ecc AS (
-              SELECT s, max(d) AS e
-              FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-              GROUP BY s
-            )
-            -- CAST: the recursive d literal starts INT32; Ray emits
-            -- int64 (driver hash is dtype-sensitive)
-            SELECT v.vid, CAST(ecc.e AS BIGINT) AS ecc,
-                   CAST((SELECT min(e) FROM ecc) AS BIGINT) AS radius
-            FROM v JOIN ecc ON ecc.s = v.vid
-            """,
-        "triad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}
-                        WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-                     max(CASE WHEN src < dst THEN 1 ELSE 0 END)
-                     + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END)
-                       AS code
-              FROM de GROUP BY 1, 2
-            ),
-            nb AS (
-              SELECT a AS c, b AS o, code FROM pc_
-              UNION ALL
-              SELECT b, a, code FROM pc_
-            ),
-            w AS (
-              SELECT n1.c AS center, n1.o AS x, n2.o AS y,
-                     n1.code AS cx, n2.code AS cy
-              FROM nb n1 JOIN nb n2 ON n2.c = n1.c AND n1.o < n2.o
-            ),
-            t AS (
-              SELECT w.*, coalesce(pc_.code, 0) AS cxy
-              FROM w LEFT JOIN pc_ ON pc_.a = w.x AND pc_.b = w.y
-            ),
-            f AS (SELECT * FROM t WHERE cxy = 0 OR center < x),
-            coded AS (
-              SELECT CASE WHEN center < x THEN cx*16 + cy*4 + cxy
-                          WHEN center < y THEN cx*16 + cxy*4 + cy
-                          ELSE cxy*16 + cx*4 + cy END AS code64
-              FROM f
-            ),
-            lut(code64, name, na, nm) AS (VALUES {_triad_lut_sql()}),
-            counted AS (
-              SELECT l.name, count(*) AS c,
-                     sum(l.na) AS sa, sum(l.nm) AS sm
-              FROM coded JOIN lut l USING (code64) GROUP BY l.name
-            ),
-            pairstats AS (
-              SELECT count(*) FILTER (code <> 3) AS asym,
-                     count(*) FILTER (code = 3) AS mut
-              FROM pc_
-            ),
-            fixed AS (
-              SELECT name, c FROM counted
-              UNION ALL
-              SELECT '012',
-                     (SELECT asym FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sa) FROM counted), 0)
-              UNION ALL
-              SELECT '102',
-                     (SELECT mut FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sm) FROM counted), 0)
-            ),
-            named(name) AS (VALUES {_triad_names_sql()})
-            SELECT named.name AS triad,
-                   -- CAST: sum() is HUGEINT and '/' is float division in
-                   -- DuckDB -> n came out float64 while the Ray side emits
-                   -- int64 (round-2 driver hash FAIL); force BIGINT
-                   CAST(CASE WHEN named.name = '003'
-                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) // 6
-                             - (SELECT sum(c) FROM fixed)
-                        ELSE coalesce((SELECT sum(c) FROM fixed
-                                       WHERE fixed.name = named.name), 0)
-                   END AS BIGINT) AS n
-            FROM named
-            """,
-        "assortativity_li": f"""
-            WITH e AS {_LI_E},
-            od AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-            idg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst),
-            xy AS (
-              SELECT od.d AS x, idg.d AS y FROM e
-              JOIN od ON od.vid = e.src
-              JOIN idg ON idg.vid = e.dst
-            )
-            SELECT round(corr(x, y), 6) AS assortativity FROM xy
-            """,
-        "local_scan1_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL SELECT z FROM t
-            ),
-            tri AS (SELECT vid, count(*) AS c FROM corners GROUP BY vid),
-            u AS {und},
-            deg AS (
-              SELECT vid, count(*) AS d FROM (
-                SELECT a AS vid FROM u UNION ALL SELECT b FROM u
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(tri.c, 0) + coalesce(deg.d, 0) AS scan1
-            FROM {_LI_V} v
-            LEFT JOIN tri USING (vid)
-            LEFT JOIN deg USING (vid)
-            """,
-        "token_stats_docs": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
-            FROM documents
-            """,
-        "lang_histogram_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
-        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-        "events_hourly": """
-            SELECT user_id, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 4) AS total
-            FROM events GROUP BY user_id, date_trunc('hour', ts)
-            """,
-        "events_sliding": """
-            WITH w AS (
-              SELECT user_id, date_trunc('hour', ts) AS window_start, value
-              FROM events
-              UNION ALL
-              SELECT user_id, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
-              FROM events
-            )
-            SELECT user_id, window_start, count(*) AS n,
-                   round(sum(value), 4) AS total
-            FROM w GROUP BY user_id, window_start
-            """,
-        "events_session": """
-            WITH x AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END AS brk
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            y AS (
-              SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM x
-            )
-            SELECT user_id, min(ts) AS session_start,
-                   max(ts) AS session_end, count(*) AS n
-            FROM y GROUP BY user_id, sid
-            """,
-        "pagerank_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     l_quantity AS w FROM lineitem
-            ),
-            v AS {_LI_V},
-            st AS (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src),
-            pr(v, score, s, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(st.s AS DOUBLE), 0
-              FROM v JOIN st ON st.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.s2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score * e.w / p.s AS val,
-                       CAST(NULL AS DOUBLE) AS s2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.s, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "lineitem_pricing": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-                   count(*) AS n
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-            """,
-        # induced 4-motif census by EXHAUSTIVE quadruple enumeration:
-        # C(60,4) = 487,635 quadruples x 6 edge lookups; classes are
-        # separated by (edge count, max within-subset degree)
-        "motifs4_li": """
-            WITH e AS (
-              SELECT DISTINCT
-                least(l_orderkey % 60, l_partkey % 60) AS a,
-                greatest(l_orderkey % 60, l_partkey % 60) AS b
-              FROM lineitem
-              WHERE l_orderkey % 60 <> l_partkey % 60
-            ),
-            v AS (SELECT range AS x FROM range(0, 60)),
-            quads AS (
-              SELECT v1.x AS p, v2.x AS q, v3.x AS r, v4.x AS s
-              FROM v v1 JOIN v v2 ON v2.x > v1.x
-                   JOIN v v3 ON v3.x > v2.x
-                   JOIN v v4 ON v4.x > v3.x
-            ),
-            lab AS (
-              SELECT
-                (CASE WHEN e1.a IS NOT NULL THEN 1 ELSE 0 END) AS x12,
-                (CASE WHEN e2.a IS NOT NULL THEN 1 ELSE 0 END) AS x13,
-                (CASE WHEN e3.a IS NOT NULL THEN 1 ELSE 0 END) AS x14,
-                (CASE WHEN e4.a IS NOT NULL THEN 1 ELSE 0 END) AS x23,
-                (CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END) AS x24,
-                (CASE WHEN e6.a IS NOT NULL THEN 1 ELSE 0 END) AS x34
-              FROM quads
-              LEFT JOIN e e1 ON e1.a = p AND e1.b = q
-              LEFT JOIN e e2 ON e2.a = p AND e2.b = r
-              LEFT JOIN e e3 ON e3.a = p AND e3.b = s
-              LEFT JOIN e e4 ON e4.a = q AND e4.b = r
-              LEFT JOIN e e5 ON e5.a = q AND e5.b = s
-              LEFT JOIN e e6 ON e6.a = r AND e6.b = s
-            ),
-            cls AS (
-              SELECT
-                x12 + x13 + x14 + x23 + x24 + x34 AS m,
-                greatest(x12 + x13 + x14, x12 + x23 + x24,
-                         x13 + x23 + x34, x14 + x24 + x34) AS dmax,
-                least(x12 + x13 + x14, x12 + x23 + x24,
-                      x13 + x23 + x34, x14 + x24 + x34) AS dmin
-              FROM lab
-            ),
-            named AS (
-              SELECT CASE
-                WHEN m = 3 AND dmax = 3 THEN 'claw'
-                WHEN m = 3 THEN 'p4'
-                WHEN m = 4 AND dmax = 3 THEN 'paw'
-                WHEN m = 4 THEN 'c4'
-                WHEN m = 5 THEN 'diamond'
-                WHEN m = 6 THEN 'k4'
-              END AS motif
-              FROM cls WHERE m >= 3 AND dmin >= 1
-            ),
-            classes(motif) AS (
-              VALUES ('c4'), ('claw'), ('diamond'), ('k4'), ('p4'), ('paw')
-            )
-            SELECT classes.motif,
-                   CAST(count(named.motif) AS BIGINT) AS count
-            FROM classes LEFT JOIN named USING (motif)
-            GROUP BY classes.motif
-            """,
-        # same explicit base-131 Horner token hash as
-        # stages/text.py::fingerprint (mod 2^31-1), XOR-combined with
-        # 1-based token position — bit-exact replay
-        "fingerprint_docs": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                       AS tok,
-                     generate_subscripts(
-                       regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
-                       AS pos
-              FROM documents
-            ),
-            th AS (
-              SELECT doc_id, pos,
-                     list_reduce(
-                       [0::BIGINT] || list_transform(split(tok, ''),
-                                             c -> ord(c)::BIGINT),
-                       (a, b) -> (a * 131 + b) % 2147483647) AS h
-              FROM toks
-            )
-            SELECT d.doc_id, CAST(COALESCE(x.fp, 0) AS BIGINT) AS fp
-            FROM documents d LEFT JOIN (
-              SELECT doc_id, bit_xor(h * pos) AS fp
-              FROM th GROUP BY doc_id
-            ) x USING (doc_id)
-            """,
-        "pii_scrub_docs": r"""
-            WITH planted AS (
-              SELECT doc_id,
-                     text || CASE WHEN doc_id % 7 = 0
-                       THEN ' contact: user' || CAST(doc_id AS VARCHAR)
-                            || '@example.com or +1-555-0100 at 10.0.0.1'
-                       ELSE '' END AS t
-              FROM documents
-            ),
-            s1 AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
-                     )) AS BIGINT) AS n_emails,
-                     regexp_replace(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g') AS t
-              FROM planted
-            ),
-            s2 AS (
-              SELECT doc_id, n_emails,
-                     CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,}'))
-                          AS BIGINT) AS n_phones,
-                     regexp_replace(t, '\+\d[\d-]{7,}', '<PHONE>', 'g') AS t
-              FROM s1
-            )
-            SELECT doc_id, n_emails, n_phones,
-                   CAST(len(regexp_extract_all(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
-                   )) AS BIGINT) AS n_ips,
-                   regexp_replace(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-                     '<IP>', 'g') AS text_clean
-            FROM s2
-            """,
-        "repetition_docs": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(string_split(text, ' ')) AS word,
-                     generate_subscripts(string_split(text, ' '), 1) AS pos
-              FROM documents
-            ),
-            pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
-            per AS (
-              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
-                     max(c) AS top_cnt
-              FROM pw GROUP BY 1
-            ),
-            bg AS (
-              SELECT a.doc_id, a.word || ' ' || b.word AS gram
-              FROM w a JOIN w b
-                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            ),
-            pbg AS (
-              SELECT doc_id, count(*) AS n_bg,
-                     count(DISTINCT gram) AS d_bg
-              FROM bg GROUP BY 1
-            )
-            SELECT per.doc_id, CAST(per.n_words AS BIGINT) AS n_words,
-                   round(per.n_distinct * 1.0 / per.n_words, 6)
-                     AS distinct_ratio,
-                   round(per.top_cnt * 1.0 / per.n_words, 6)
-                     AS top_word_frac,
-                   round(CASE WHEN coalesce(pbg.n_bg, 0) = 0 THEN 0
-                         ELSE 1.0 - pbg.d_bg * 1.0 / pbg.n_bg END, 6)
-                     AS dup_2gram_frac
-            FROM per LEFT JOIN pbg USING (doc_id)
-            """,
-        "source_stats_docs": """
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
-                   round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
-            FROM documents GROUP BY source
-            """,
-        # vertex similarity family (src/cocitation.c): sparse nonzero
-        # pairs over DISTINCT neighbor sets of the 200-vertex graph
-        "cocitation_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.dst AS u, e2.dst AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.src = e2.src AND e1.dst < e2.dst
-            GROUP BY u, w
-            """,
-        "bibcoupling_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "similarity_jaccard_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 1.0 / (d1.d + d2.d - c.cnt), 6) AS jaccard
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_dice_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 2.0 / (d1.d + d2.d), 6) AS dice
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_ilw_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            g AS (SELECT dst AS c, count(*) AS gsz FROM de GROUP BY dst),
-            wt AS (SELECT c, CASE WHEN gsz > 1 THEN 1.0 / ln(gsz)
-                             ELSE gsz END AS w FROM g),
-            p AS (
-              SELECT e1.src AS u, e2.src AS w2, e1.dst AS c
-              FROM de e1 JOIN de e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-            )
-            SELECT p.u, p.w2 AS w, round(sum(wt.w), 6) AS sim
-            FROM p JOIN wt ON wt.c = p.c
-            GROUP BY p.u, p.w2
-            """,
-        # optimal modularity oracled EXACTLY by enumerating all 7^7
-        # label assignments of the 7-vertex derived multigraph and
-        # canonicalizing the argmax to first-appearance numbering
-        "optimal_modularity_li": """
-            WITH e AS (
-              SELECT least(l_orderkey % 7, l_partkey % 7) AS a,
-                     greatest(l_orderkey % 7, l_partkey % 7) AS b,
-                     CAST(count(*) AS DOUBLE) AS w
-              FROM lineitem
-              WHERE l_orderkey % 7 <> l_partkey % 7
-              GROUP BY 1, 2
-            ),
-            m AS (SELECT sum(w) AS mm FROM e),
-            deg AS (
-              SELECT v, sum(w) AS d FROM (
-                SELECT a AS v, w FROM e
-                UNION ALL SELECT b AS v, w FROM e
-              ) GROUP BY v
-            ),
-            lab AS (
-              SELECT t.x, r.v,
-                     CAST((t.x // CAST(pow(7, r.v) AS BIGINT)) % 7
-                          AS BIGINT) AS lb
-              FROM range(0, 823543) t(x), range(0, 7) r(v)
-            ),
-            intra AS (
-              SELECT la.x, sum(e.w) AS iw
-              FROM e
-              JOIN lab la ON la.v = e.a
-              JOIN lab lb2 ON lb2.x = la.x AND lb2.v = e.b
-                          AND lb2.lb = la.lb
-              GROUP BY la.x
-            ),
-            degc AS (
-              SELECT lab.x, lab.lb, sum(deg.d) AS dc
-              FROM lab JOIN deg ON deg.v = lab.v
-              GROUP BY lab.x, lab.lb
-            ),
-            sums AS (
-              SELECT x, sum(dc * dc) AS s2 FROM degc GROUP BY x
-            ),
-            qval AS (
-              SELECT s.x,
-                     coalesce(i.iw, 0) / m.mm
-                       - s.s2 / (4 * m.mm * m.mm) AS q
-              FROM sums s LEFT JOIN intra i ON i.x = s.x, m
-            ),
-            best AS (
-              SELECT x, q FROM qval ORDER BY q DESC, x ASC LIMIT 1
-            ),
-            fin AS (
-              SELECT lab.v, lab.lb, best.q
-              FROM lab JOIN best ON lab.x = best.x
-            ),
-            canon AS (
-              SELECT v, min(v) OVER (PARTITION BY lb) AS fv, q
-              FROM fin
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY fv) - 1 AS comm,
-                   round(q, 6) AS modularity
-            FROM canon ORDER BY vid
-            """,
-        # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
-        # vertices give 2^11 s-side masks; min cut capacity over all of
-        # them IS the max flow (no flow algorithm needed in SQL)
-        "maxflow_li": """
-            WITH e AS (
-              SELECT l_orderkey % 12 AS src, l_partkey % 12 AS dst,
-                     CAST(count(*) AS DOUBLE) AS cap
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-              GROUP BY 1, 2
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, coalesce(sum(e.cap), 0) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT min(cut) AS maxflow_value FROM cuts
-            """,
-        "st_edge_connectivity_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 12 AS src, l_partkey % 12 AS dst
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, count(e.src) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(cut) AS BIGINT) AS connectivity FROM cuts
-            """,
-        # bipartite iff no odd closed walk (per component); the walk
-        # closure over (start, v, parity) is a tiny fixpoint: 12*12*2
-        # states for li12, 16*16*2 for the two-mode graph
-        "is_bipartite_li": """
-            WITH RECURSIVE
-            ea AS (
-              SELECT DISTINCT l_orderkey % 12 AS a, l_partkey % 12 AS b
-              FROM lineitem
-            ),
-            ua AS (SELECT a, b FROM ea UNION SELECT b AS a, a AS b FROM ea),
-            wa(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ua) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wa w JOIN ua u ON u.a = w.v
-            ),
-            eb AS (
-              SELECT DISTINCT l_orderkey % 8 AS a, 8 + (l_suppkey % 8) AS b
-              FROM lineitem
-            ),
-            ub AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
-            wb(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ub) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wb w JOIN ub u ON u.a = w.v
-            )
-            SELECT 'li12' AS graph,
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wa WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
-            UNION ALL
-            SELECT 'li_bi',
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wb WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT)
-            """,
-        # maximum bipartite matching = min cut of the unit network
-        # s -> L(8) -> R(8) -> t, enumerated over 2^16 middle masks
-        # (Koenig duality; arcs: s->every left, every right->t)
-        "bipartite_matching_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 8 AS l, l_suppkey % 8 AS r
-              FROM lineitem
-              WHERE l_quantity = 1 AND l_linenumber = 7
-                AND l_discount >= 0.09
-            ),
-            masks AS (SELECT range AS m FROM range(0, 65536)),
-            sl AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> i) & 1) = 0 GROUP BY m
-            ),
-            rt AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> (8 + i)) & 1) = 1 GROUP BY m
-            ),
-            mid AS (
-              SELECT masks.m, count(e.l) AS c
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.l) & 1) = 1
-               AND ((masks.m >> (8 + e.r)) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(
-              coalesce(sl.c, 0) + coalesce(rt.c, 0) + coalesce(mid.c, 0)
-            ) AS BIGINT) AS matching_size
-            FROM masks
-            LEFT JOIN sl USING (m)
-            LEFT JOIN rt USING (m)
-            LEFT JOIN mid USING (m)
-            """,
-        # spanning-forest STRUCTURE oracle: the Boruvka forest must
-        # have exactly (component size - 1) edges inside every WCC of
-        # the sparse derived graph (minimality is pytest-vs-networkx,
-        # tests/test_mst.py)
-        "mst_li": """
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
-              FROM lineitem
-              WHERE (l_orderkey * 31 + l_partkey) % 97 = 0
-            ),
-            und AS (
-              SELECT src AS a, dst AS b FROM e WHERE src <> dst
-              UNION SELECT dst, src FROM e WHERE src <> dst
-            ),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            wcc AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
-            SELECT comp, count(*) - 1 AS tree_edges
-            FROM wcc GROUP BY comp HAVING count(*) > 1
-            ORDER BY comp
-            """,
-        "topo_layers_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV} AS src,
-                     l_partkey % {NV} AS dst FROM lineitem
-              WHERE (l_orderkey * 13 + l_partkey) % 31 = 0
-                AND l_orderkey % {NV} < l_partkey % {NV}
-            ),
-            v AS {_LI_V},
-            lay(x, l) AS (
-              SELECT vid, 0 FROM v
-              UNION
-              SELECT de.dst, lay.l + 1 FROM lay JOIN de ON de.src = lay.x
-            )
-            SELECT x AS vid, CAST(max(l) AS BIGINT) AS layer FROM lay GROUP BY x
-            ORDER BY vid
-            """,
-        "unigram_logprob_docs": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text),
-                                               '[a-z0-9]+')) AS tok
-              FROM documents
-            ),
-            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-            tot AS (
-              SELECT (SELECT count(*) FROM toks) AS n,
-                     (SELECT count(*) FROM cnt) AS v
-            )
-            SELECT t.doc_id, count(*) AS n_tok,
-                   round(sum(ln((c.c + 1.0) / (tot.n + tot.v)))
-                         / count(*), 6) AS avg_logprob
-            FROM toks t JOIN cnt c USING (tok), tot
-            GROUP BY t.doc_id ORDER BY t.doc_id
-            """,
-        # coreness oracle: recursive-CTE replay of synchronous batch
-        # peeling (working-table semantics = one peel wave per step):
-        # k ratchets up to the min active ALL-degree (multiplicity,
-        # loops count twice), vertices with deg <= k peel at level k
-        "coreness_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e
-                    UNION ALL SELECT dst, src FROM e),
-            v AS {_LI_V},
-            rec(v, core, k) AS (
-              SELECT vid, CAST(NULL AS BIGINT), CAST(0 AS BIGINT) FROM v
-              UNION ALL
-              SELECT s.v,
-                     CASE WHEN s.core IS NOT NULL THEN s.core
-                          WHEN s.deg <= s.knew THEN s.knew END,
-                     s.knew
-              FROM (
-                SELECT r.v, r.core, coalesce(d.deg, 0) AS deg,
-                       greatest(r.k,
-                         (SELECT min(coalesce(d2.deg, 0))
-                          FROM rec r2
-                          LEFT JOIN (
-                            SELECT und.a AS v, count(*) AS deg
-                            FROM und JOIN rec r3
-                              ON r3.v = und.b AND r3.core IS NULL
-                            GROUP BY und.a
-                          ) d2 ON d2.v = r2.v
-                          WHERE r2.core IS NULL)) AS knew
-                FROM rec r
-                LEFT JOIN (
-                  SELECT und.a AS v, count(*) AS deg
-                  FROM und JOIN rec r4
-                    ON r4.v = und.b AND r4.core IS NULL
-                  GROUP BY und.a
-                ) d ON d.v = r.v AND r.core IS NULL
-                WHERE EXISTS (SELECT 1 FROM rec r5 WHERE r5.core IS NULL)
-              ) s
-            )
-            SELECT DISTINCT v AS vid, core FROM rec
-            WHERE core IS NOT NULL ORDER BY vid
-            """,
-        # articulation oracle: v is a cut vertex iff removing it
-        # INCREASES the component count (per-candidate recursive
-        # reachability; isolated-vertex removal only decreases it)
-        "articulation_points_li": """
-            WITH RECURSIVE e AS (
-              SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200)
-                       AS a,
-                     greatest(l_orderkey % 200, l_partkey % 200) AS b
-              FROM lineitem
-              WHERE (l_orderkey * 7 + l_partkey) % 499 = 0
-                AND l_orderkey % 200 <> l_partkey % 200
-            ),
-            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            ncomp0 AS (
-              SELECT count(DISTINCT ml) AS c
-              FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            ),
-            reach2(x, v, l) AS (
-              SELECT c.v AS x, s.v, s.v
-              FROM verts c JOIN verts s ON s.v <> c.v
-              UNION
-              SELECT reach2.x, und.b, reach2.l
-              FROM reach2 JOIN und ON und.a = reach2.v
-              WHERE und.b <> reach2.x
-            ),
-            ncomp AS (
-              SELECT x, count(DISTINCT ml) AS c
-              FROM (SELECT x, v, min(l) AS ml FROM reach2
-                    GROUP BY x, v)
-              GROUP BY x
-            )
-            SELECT ncomp.x AS vid FROM ncomp, ncomp0
-            WHERE ncomp.c > ncomp0.c ORDER BY vid
-            """,
-        "laplacian_li": f"""
-            WITH e AS (
-              SELECT src, dst FROM {_LI_E} WHERE src <> dst
-            ),
-            offd AS (
-              SELECT src, dst, -CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src, dst
-            ),
-            diag AS (
-              SELECT src, src AS dst, CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src
-            )
-            SELECT src, dst, round(value, 6) AS value FROM offd
-            UNION ALL
-            SELECT src, dst, round(value, 6) AS value FROM diag
-            """,
-        "bipartite_projection_li": """
-            WITH de AS (
-              SELECT DISTINCT l_orderkey % 150 AS src,
-                     l_suppkey % 60 AS dst FROM lineitem
-            )
-            SELECT e1.src AS u, e2.src AS w,
-                   CAST(count(*) AS DOUBLE) AS weight
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "asof_events": """
-            WITH l AS (
-              SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'click'
-            ),
-            r AS (
-              SELECT user_id, ts, max(value) AS rvalue FROM events
-              WHERE event_type = 'purchase' GROUP BY user_id, ts
-            )
-            SELECT l.event_id,
-                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
-                     AS lag_us,
-                   round(r.rvalue, 6) AS rvalue
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-            ORDER BY l.event_id
-            """,
-        # sync-LPA replay: per iteration each vertex's in-neighbor
-        # label votes (per-edge multiplicity, self-loops included) are
-        # grouped per (v, l); winner = max votes then min label via the
-        # packed key c*1e6 - l; a vertex changes only if its CURRENT
-        # label's votes are STRICTLY below the winner's (keep-if-tie)
-        "lpa_sync_li": _lpa_sync_sql(8),
-        # lpa_li runs the same sync semantics for 16 supersteps (the
-        # round-2 no_oracle fix: the canonical name is now the oracled
-        # deterministic variant)
-        "lpa_li": _lpa_sync_sql(16),
-        # community algorithms on planted ring-of-cliques fixtures:
-        # the oracle emits the planted partition; hash equality
-        # certifies exact recovery (sizes probed exact per algorithm)
-        "louvain_li": _planted_sql(10, 10),
-        "leading_eigenvector_li": _planted_sql(4, 8),
-        "fastgreedy_li": _planted_sql(8, 8),
-        "girvan_newman_li": _planted_sql(5, 5),
-        "walktrap_li": _planted_sql(8, 8),
-        "infomap_li": _planted_sql(8, 8),
-        # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
-        # block / 0 across (closed-form spectrum of K_10), eigenvalues
-        # all 9 — integer-rounded, so bit-exact
-        # SCG exact grouping on the degree vector: level sets labeled
-        # ascending = dense_rank by degree
-        "scg_groups_li": f"""
-            WITH u AS (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            )
-            SELECT vid,
-                   dense_rank() OVER (ORDER BY d) - 1 AS g
-            FROM alldeg
-            """,
-        # coarse matrix L A L^T for that grouping: per-edge weight
-        # 1/sqrt(|ga||gb|), both symmetric entries, grouped;
-        # floor(x*1e6+0.5) quantization matches the Python side's
-        # identical formula (rounding-mode independent)
-        "scg_coarse_li": f"""
-            WITH u AS (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            ),
-            grp AS (
-              SELECT vid, dense_rank() OVER (ORDER BY d) - 1 AS g
-              FROM alldeg
-            ),
-            gsz AS (SELECT g, count(*) AS sz FROM grp GROUP BY g),
-            pairs AS (
-              SELECT ga.g AS ga, gb.g AS gb,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)) AS w
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-              UNION ALL
-              SELECT gb.g, ga.g,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE))
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-            )
-            SELECT ga, gb,
-                   CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
-            FROM pairs GROUP BY ga, gb
-            """,
-        # Eades FAS replay: bitmask chain; per step pick by priority
-        # (source=0 first, sink=1, else max outdeg-indeg among the
-        # remaining), tie min id; sources/maxdiff take front
-        # positions, sinks take back positions; feedback arcs = arcs
-        # violating the final ordering plus self-loops
-        "mcs_li": q_mcs,
-        "fas_li": q_fas,
-        "dominator_tree_li": q_dominator_tree,
-        "scg_groups_li": q_scg_groups,
-        "scg_coarse_li": q_scg_coarse,
-        "cohesive_blocks_li": q_cohesive_blocks,
-        "louvain_li": q_louvain,
-        "leading_eigenvector_li": q_leading_eigenvector,
-        "fastgreedy_li": q_fastgreedy,
-        "girvan_newman_li": q_girvan_newman,
-        "walktrap_li": q_walktrap,
-        "infomap_li": q_infomap,
-        "optimal_modularity_li": q_optimal_modularity,
-        "cliques_li": q_cliques,
-        "edge_betweenness_li": q_edge_betweenness,
-        "eccentricity_li": q_eccentricity,
-        "assortativity_li": q_assortativity,
-        "local_scan1_li": q_scan1,
-        "eigenvector_li": q_eigenvector,
-        "hits_li": q_hits,
-        "token_stats_docs": q_token_stats,
-        "lang_histogram_docs": q_lang_histogram,
-        "exact_dedup_docs": q_exact_dedup_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "quality_docs": q_quality_docs,
-        "langid_docs": q_langid_docs,
-        "minhash_pairs_docs": q_minhash_pairs,
-        "simhash_pairs_docs": q_simhash_pairs,
-        "knn_embeddings": q_knn,
-        "knn_ivf_embeddings": q_knn_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "embedding_near_dup_planted": q_embedding_near_dup_planted,
-        "multimodal_features": q_multimodal_features,
-        "events_hourly": q_events_hourly,
-        "events_sliding": q_events_sliding,
-        "events_session": q_events_session,
-        "pagerank_weighted_li": q_pagerank_weighted_li,
-        "lineitem_pricing": q_lineitem_pricing,
-        "maxflow_li": q_maxflow,
-        "st_edge_connectivity_li": q_st_edge_connectivity,
-        "is_bipartite_li": q_is_bipartite,
-        "bipartite_matching_li": q_bipartite_matching,
-        "random_walks_li": q_random_walks,
-        "motifs4_li": q_motifs4,
-        "pii_scrub_docs": q_pii_scrub,
-        "repetition_docs": q_repetition,
-        "source_stats_docs": q_source_stats,
-        "cocitation_li": q_cocitation,
-        "bibcoupling_li": q_bibcoupling,
-        "similarity_jaccard_li": q_similarity_jaccard,
-        "similarity_ilw_li": q_similarity_ilw,
-        "similarity_dice_li": q_similarity_dice,
-        "lpa_sync_li": q_lpa_sync,
-        "asof_events": q_asof_events,
-        "bipartite_projection_li": q_bipartite_projection,
-        "laplacian_li": q_laplacian,
-        "articulation_points_li": q_articulation,
-        "unigram_logprob_docs": q_unigram_logprob,
-        "topo_layers_li": q_topo_layers,
-        "mst_li": q_mst,
-        "cliques_small_li": q_cliques_small,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    n_pages = _pages_n("/root/testdata/sf0.01")
-    pages_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "pages", "*.parquet"
-    )
-    edges_pq = os.path.join(
-        FIXTURE_ROOT, f"pages_{n_pages}", "edges", "*.parquet"
-    )
-    # language-ID trigram terms generated from the SAME frozen profiles
-    # the Ray stage uses (stages/text.py LangId.PROFILES)
-    from xdata_igraph_ray.stages.text import LangId
-
-    def _tri_sum(lang: str) -> str:
-        tris = sorted({
-            LangId.PROFILES[lang][i:i + 3]
-            for i in range(len(LangId.PROFILES[lang]) - 2)
-        })
-        terms = [
-            "(CASE WHEN position('" + t.replace("'", "''") + "' IN lt) > 0 "
-            "THEN 1 ELSE 0 END)"
-            for t in tris
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    def _triad_lut_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import _TRIAD_OF_CODE
-
-        rows = []
-        for i, nm in enumerate(_TRIAD_OF_CODE):
-            rows.append(f"({i}, '{nm}', {int(nm[1])}, {int(nm[0])})")
-        return ", ".join(rows)
-
-    def _triad_names_sql() -> str:
-        from xdata_igraph_ray.graph.motifs import TRIAD_NAMES
-
-        return ", ".join(f"('{nm}')" for nm in TRIAD_NAMES)
-
-    und = f"(SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b FROM {_LI_E} WHERE src <> dst)"
-    tri_join = (
-        f"{und} e1 JOIN {und} e2 ON e2.a = e1.b "
-        f"JOIN {und} e3 ON e3.a = e1.a AND e3.b = e2.b"
-    )
-    return {
-        "extract_text_pages": f"SELECT url, text FROM read_parquet('{pages_pq}')",
-        "extract_edges_pages": f"SELECT src_url, dst_url FROM read_parquet('{edges_pq}')",
-        "vertices_pages": f"""
-            SELECT row_number() OVER (ORDER BY url) - 1 AS vid, url FROM (
-              SELECT DISTINCT src_url AS url FROM read_parquet('{edges_pq}')
-              UNION
-              SELECT DISTINCT dst_url FROM read_parquet('{edges_pq}')
-            )""",
-        "pagerank_pages": f"""
-            WITH RECURSIVE eu AS (
-              SELECT src_url, dst_url FROM read_parquet('{edges_pq}')
-            ),
-            verts AS (
-              SELECT url, row_number() OVER (ORDER BY url) - 1 AS vid FROM (
-                SELECT DISTINCT src_url AS url FROM eu
-                UNION
-                SELECT DISTINCT dst_url FROM eu
-              )
-            ),
-            e AS (
-              SELECT vs.vid AS src, vd.vid AS dst
-              FROM eu
-              JOIN verts vs ON vs.url = eu.src_url
-              JOIN verts vd ON vd.url = eu.dst_url
-            ),
-            nn AS (SELECT count(*) AS c FROM verts),
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            -- igraph dangling semantics (src/centrality.c:926-939):
-            -- per iteration the teleport pool is the full mass of
-            -- dangling vertices plus (1-d) of everyone else's
-            pr(v, score, outdeg, iter) AS (
-              SELECT verts.vid, 1.0 / (SELECT c FROM nn),
-                     CAST(deg.outdeg AS DOUBLE), 0
-              FROM verts LEFT JOIN deg ON deg.vid = verts.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                WHERE p.outdeg IS NOT NULL
-                UNION ALL
-                SELECT p.v, ts.t / (SELECT c FROM nn), p.outdeg, p.iter
-                FROM pr p JOIN (
-                  SELECT iter, sum(CASE WHEN outdeg IS NULL THEN score
-                                        ELSE {1.0 - PR_DAMPING} * score END) AS t
-                  FROM pr GROUP BY iter
-                ) ts ON ts.iter = p.iter
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "degrees_li": f"""
-            SELECT v.vid,
-                   coalesce(o.c, 0) AS out_deg,
-                   coalesce(i.c, 0) AS in_deg
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, count(*) AS c FROM {_LI_E} GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM {_LI_E} GROUP BY dst) i USING (vid)
-            """,
-        "simplify_li": f"SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst",
-        "count_multiple_li": f"SELECT src, dst, count(*) AS count FROM {_LI_E} GROUP BY src, dst",
-        "top_out_degree_li": f"""
-            SELECT src AS vid, count(*) AS out_deg FROM {_LI_E}
-            GROUP BY src ORDER BY out_deg DESC, vid LIMIT 20""",
-        "wcc_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-            v AS {_LI_V},
-            reach(v, l) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY ml) - 1 AS wcc
-            FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            """,
-        "scc_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            v AS {_LI_V},
-            r(s, t) AS (
-              SELECT vid, vid FROM v
-              UNION
-              SELECT r.s, de.dst FROM r JOIN de ON de.src = r.t
-            )
-            SELECT vid, dense_rank() OVER (ORDER BY ml) - 1 AS scc FROM (
-              SELECT a.t AS vid, min(a.s) AS ml
-              FROM r a JOIN r b ON a.s = b.t AND a.t = b.s
-              GROUP BY a.t
-            )
-            """,
-        "pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "triangles_total_li": f"SELECT count(*) AS total FROM {tri_join}",
-        "triangles_per_vertex_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL
-              SELECT z FROM t
-            )
-            SELECT v.vid, coalesce(c.cnt, 0) AS count
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT vid, count(*) AS cnt FROM corners GROUP BY vid) c USING (vid)
-            """,
-        "edge_ops_li": f"""
-            WITH e1 AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            e2 AS (SELECT DISTINCT l_partkey % {NV} AS src, l_suppkey % {NV} AS dst FROM lineitem)
-            SELECT
-              (SELECT count(*) FROM (SELECT * FROM e1 UNION SELECT * FROM e2)) AS u,
-              (SELECT count(*) FROM (SELECT * FROM e1 INTERSECT SELECT * FROM e2)) AS i,
-              (SELECT count(*) FROM (SELECT * FROM e1 EXCEPT SELECT * FROM e2)) AS d
-            """,
-        "reciprocity_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst)
-            SELECT round(
-              (SELECT count(*) FROM de a JOIN de b ON a.src = b.dst AND a.dst = b.src)
-              / CAST((SELECT count(*) FROM de) AS DOUBLE), 6) AS reciprocity
-            """,
-        "sssp_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              -- depth bound >> the dense graph's true diameter (~4);
-              -- keeps the closure small without risking false -1s
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            )
-            SELECT v.vid, CAST(coalesce(m.d, -1) AS BIGINT) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "shortest_paths_li": f"""
-            WITH RECURSIVE de AS (SELECT DISTINCT src, dst FROM {_LI_E}),
-            r(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT de.dst, r.d + 1 FROM r JOIN de ON de.src = r.v
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT v, min(d) AS d FROM r GROUP BY v),
-            par AS (
-              SELECT de.dst AS v, min(de.src) AS p
-              FROM de
-              JOIN dist da ON da.v = de.src
-              JOIN dist db ON db.v = de.dst AND db.d = da.d + 1
-              GROUP BY de.dst
-            ),
-            targets AS (SELECT range * 25 AS t FROM range(0, {NV // 25})),
-            walk(t, cur, path) AS (
-              SELECT t, t, CAST(t AS VARCHAR) FROM targets
-              JOIN dist ON dist.v = targets.t
-              UNION ALL
-              SELECT w.t, par.p,
-                     CAST(par.p AS VARCHAR) || '->' || w.path
-              FROM walk w JOIN par ON par.v = w.cur
-              WHERE w.cur <> 0
-            )
-            SELECT targets.t AS target,
-                   coalesce(done.path, '') AS path
-            FROM targets
-            LEFT JOIN (SELECT t, path FROM walk WHERE cur = 0) done
-              ON done.t = targets.t
-            """,
-        "scan0_li": f"""
-            WITH e AS {_LI_E}
-            SELECT v.vid, round(coalesce(o.c, 0) + coalesce(i.c, 0), 1)
-                     AS scan0
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS c
-                       FROM e GROUP BY dst) i USING (vid)
-            """,
-        "scan2_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem),
-            de AS (SELECT DISTINCT src, dst FROM e),
-            -- closed 2-out-neighborhood membership per source
-            n1 AS (SELECT DISTINCT src AS s, dst AS t FROM de),
-            reach AS (
-              SELECT vid AS s, vid AS t
-              FROM (SELECT range AS vid FROM range(0, {NV2}))
-              UNION
-              SELECT s, t FROM n1
-              UNION
-              SELECT n1.s, de.dst FROM n1 JOIN de ON de.src = n1.t
-            )
-            SELECT v.vid, coalesce(cnt.c, 0) AS scan2
-            FROM (SELECT range AS vid FROM range(0, {NV2})) v
-            LEFT JOIN (
-              SELECT ra.s AS vid, count(*) AS c
-              FROM e
-              JOIN reach ra ON ra.t = e.src
-              JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
-              GROUP BY ra.s
-            ) cnt USING (vid)
-            """,
-        "scan1_them_li": f"""
-            WITH us AS {_LI_E},
-            them AS (SELECT l_partkey % {NV} AS src,
-                            l_suppkey % {NV} AS dst FROM lineitem),
-            adj AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT src AS a, dst AS b FROM us
-                UNION ALL SELECT dst, src FROM us
-              )
-            ),
-            tnl AS (SELECT src AS x, dst AS y FROM them
-                    WHERE src <> dst),
-            inc AS (
-              SELECT t.x, t.y FROM tnl t
-              JOIN adj ON adj.a = t.x AND adj.b = t.y
-            ),
-            loops AS (SELECT src AS vid, count(*) AS c FROM them
-                      WHERE src = dst GROUP BY src),
-            wedge AS (
-              SELECT a1.a AS vid, count(*) AS c
-              FROM tnl t
-              JOIN adj a1 ON a1.b = t.x
-              JOIN adj a2 ON a2.a = a1.a AND a2.b = t.y
-              WHERE a1.a <> t.x AND a1.a <> t.y
-              GROUP BY a1.a
-            ),
-            incc AS (
-              SELECT vid, count(*) AS c FROM (
-                SELECT x AS vid FROM inc UNION ALL SELECT y FROM inc
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(incc.c, 0) + coalesce(loops.c, 0)
-                   + coalesce(wedge.c, 0) AS scan1_them
-            FROM {_LI_V} v
-            LEFT JOIN incc USING (vid)
-            LEFT JOIN loops USING (vid)
-            LEFT JOIN wedge USING (vid)
-            """,
-        "sssp_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     min(l_quantity) AS w
-              FROM lineitem GROUP BY 1, 2
-            ),
-            r(v, d) AS (
-              SELECT 0, CAST(0 AS DOUBLE)
-              UNION
-              -- cap 100 >> the measured max shortest distance (76 at
-              -- sf0.001, 17 at sf0.01); weights >= 1 bound recursion
-              SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.v
-              WHERE r.d + e.w < 100
-            )
-            SELECT v.vid, round(coalesce(m.d, -1), 6) AS dist
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT v, min(d) AS d FROM r GROUP BY v) m
-              ON m.v = v.vid
-            """,
-        "closeness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + {NV2}.0 * ({NV2} - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_in_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.src, r.d + 1 FROM r JOIN de ON de.dst = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_all_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT a, b FROM (
-                SELECT l_orderkey % {NV2} AS a, l_partkey % {NV2} AS b
-                FROM lineitem
-                UNION ALL
-                SELECT l_partkey % {NV2}, l_orderkey % {NV2}
-                FROM lineitem
-              )
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.b, r.d + 1 FROM r JOIN de ON de.a = r.t
-              WHERE r.d < 16
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   1.0 / (CAST(agg.dsum AS DOUBLE)
-                          + {NV2}.0 * ({NV2} - agg.reach)) AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        "closeness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, count(*) AS reach, sum(d) AS dsum
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(1.0 / (agg.dsum + 60.0 * (60 - agg.reach)), 6)
-                     AS closeness
-            FROM v JOIN agg ON agg.s = v.vid
-            """,
-        # weighted sigma: weighted walks of total weight exactly
-        # d(s,t) are precisely the min-weight s->t paths (positive
-        # integer weights), summed over step counts
-        "betweenness_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, ws, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.ws + de.w, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.ws + de.w < 25
-              GROUP BY w.s, de.dst, w.ws + de.w
-            ),
-            -- same (s,t,ws) reached at different step counts lands in
-            -- different iterations: sum them
-            wks AS (SELECT s, t, ws, sum(c) AS c FROM wk GROUP BY 1, 2, 3),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wks.c
-              FROM dist JOIN wks ON wks.s = dist.s AND wks.t = dist.t
-                                AND wks.ws = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.d > 0
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.d > 0
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "harmonic_weighted_li": """
-            WITH RECURSIVE de AS (
-              SELECT l_orderkey % 60 AS src, l_partkey % 60 AS dst,
-                     min((CAST(l_quantity AS BIGINT) % 3) + 1) AS w
-              FROM lineitem
-              GROUP BY 1, 2
-            ),
-            v AS (SELECT range AS vid FROM range(0, 60)),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + de.w FROM r JOIN de ON de.src = r.t
-              WHERE r.d + de.w < 25
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / 59.0, 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "harmonic_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            agg AS (
-              SELECT s, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0 END) AS h
-              FROM dist GROUP BY s
-            )
-            SELECT v.vid,
-                   round(coalesce(agg.h, 0) / ({NV2} - 1.0), 6) AS harmonic
-            FROM v LEFT JOIN agg ON agg.s = v.vid
-            """,
-        "betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            -- walks of length exactly d(s,t) are precisely the
-            -- shortest s->t paths, so sigma = walk count at k = d
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT v.vid, round(coalesce(b.bc, 0), 6) AS bc
-            FROM v LEFT JOIN (
-              SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
-              FROM sp sv
-              JOIN sp vt ON vt.s = sv.t AND vt.s <> vt.t
-              JOIN sp st ON st.s = sv.s AND st.t = vt.t
-                        AND st.d = sv.d + vt.d
-              WHERE sv.s <> sv.t
-              GROUP BY sv.t
-            ) b USING (vid)
-            """,
-        "personalized_pagerank_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
-            pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score / p.outdeg AS val,
-                       CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v,
-                       (1.0 - {PR_DAMPING})
-                       * (CASE p.v WHEN 0 THEN 0.6 WHEN 1 THEN 0.4 ELSE 0.0 END),
-                       p.outdeg, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "pseudo_diameter_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT DISTINCT src, dst FROM
-                    (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
-            r1(v, d) AS (
-              SELECT 0, 0
-              UNION
-              SELECT und.dst, r1.d + 1 FROM r1 JOIN und ON und.src = r1.v
-              WHERE r1.d < 16
-            ),
-            d1 AS (SELECT v, min(d) AS d FROM r1 GROUP BY v),
-            -- np.argmax tie-break: smallest vid among the max distances
-            far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
-            r2(v, d) AS (
-              SELECT (SELECT v FROM far), 0
-              UNION
-              SELECT und.dst, r2.d + 1 FROM r2 JOIN und ON und.src = r2.v
-              WHERE r2.d < 16
-            )
-            SELECT CAST(max(d) AS BIGINT) AS pseudo_diameter
-            FROM (SELECT v, min(d) AS d FROM r2 GROUP BY v)
-            """,
-        "eigenvector_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- power iteration x <- (A^T x)/64 (the /64 only bounds
-            -- growth; the final max-normalization removes all scaling)
-            ev(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.x) / 64.0, min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, p.x AS x, p.iter AS iter
-                FROM ev p JOIN e ON e.src = p.v
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 60
-            ),
-            fin AS (SELECT v, x FROM ev WHERE iter = 60)
-            SELECT v.vid,
-                   round(coalesce(fin.x, 0) / (SELECT max(x) FROM fin), 6)
-                     AS ev
-            FROM v LEFT JOIN fin ON fin.v = v.vid
-            """,
-        "hits_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            v AS {_LI_V},
-            -- hub <- A (A^T hub) / 4096 per round (HITS, reference
-            -- src/centrality.c:840,886); scaling removed at the end
-            hub(v, x, iter) AS (
-              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
-              UNION ALL
-              SELECT m.v, sum(m.val) / 4096.0, min(m.iter) + 1
-              FROM (
-                SELECT e1.src AS v, a.val AS val, a.iter AS iter
-                FROM e e1 JOIN (
-                  SELECT e2.dst AS w, sum(h.x) AS val, h.iter AS iter
-                  FROM hub h JOIN e e2 ON e2.src = h.v
-                  GROUP BY e2.dst, h.iter
-                ) a ON a.w = e1.dst
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < 40
-            ),
-            hf AS (SELECT v, x FROM hub WHERE iter = 40),
-            af AS (
-              SELECT e.dst AS v, sum(hf.x) AS x
-              FROM e JOIN hf ON hf.v = e.src
-              GROUP BY e.dst
-            )
-            SELECT v.vid,
-                   round(coalesce(hf.x, 0) / (SELECT max(x) FROM hf), 6)
-                     AS hub,
-                   round(coalesce(af.x, 0) / (SELECT max(x) FROM af), 6)
-                     AS auth
-            FROM v
-            LEFT JOIN hf ON hf.v = v.vid
-            LEFT JOIN af ON af.v = v.vid
-            """,
-        "knn_embeddings": """
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "knn_ivf_embeddings": """
-            -- nprobe = n_clusters in the query => IVF degenerates to
-            -- exact brute force, so the oracle is the same top-k
-            SELECT query_id, vec_id FROM (
-              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                     list_cosine_similarity(q.embedding, e.embedding) AS cos
-              FROM embeddings q, embeddings e
-              WHERE q.vec_id < 4
-            )
-            QUALIFY row_number() OVER (
-              PARTITION BY query_id ORDER BY cos DESC, vec_id) <= 10
-            """,
-        "embedding_near_dup": """
-            -- exact brute force: every pair at cosine >= 0.95 (the
-            -- banded-LSH recall bound is ~1e-4 misses; on this table
-            -- the truth set is computed exactly)
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM embeddings x, embeddings y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "embedding_near_dup_planted": f"""
-            WITH pe AS (
-              SELECT * FROM read_parquet(
-                '{os.path.join(FIXTURE_ROOT, "emb_planted",
-                               "embeddings.parquet")}')
-            )
-            SELECT a, b FROM (
-              SELECT x.vec_id AS a, y.vec_id AS b,
-                     list_cosine_similarity(x.embedding, y.embedding)
-                       AS cosine
-              FROM pe x, pe y
-              WHERE x.vec_id < y.vec_id
-            ) WHERE cosine >= 0.95
-            """,
-        "quality_docs": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     greatest(length(text), 1) AS n,
-                     regexp_extract_all(text, '[A-Za-z0-9]+') AS words,
-                     len(regexp_extract_all(text, '[A-Za-z]')) AS alpha
-              FROM documents
-            ),
-            f AS (
-              SELECT doc_id,
-                     CAST(alpha AS DOUBLE) / n AS alpha_ratio,
-                     CAST(len(list_filter(words, x -> lower(x) IN
-                       ('the','of','and','to','in','a','is','that','it',
-                        'for','on','as','with','was','at','by','an','be',
-                        'this'))) AS DOUBLE)
-                       / greatest(len(words), 1) AS stop_ratio,
-                     CASE WHEN len(words) = 0 THEN 0.0
-                          ELSE list_avg(list_transform(words,
-                                                       x -> length(x)))
-                     END AS mean_word_len,
-                     CASE WHEN n BETWEEN 50 AND 100000
-                          THEN 1.0 ELSE 0.0 END AS len_ok
-              FROM w
-            )
-            -- full doubles, no rounding: ratios of exact ints in the
-            -- same evaluation order as the Python stage (round() hit
-            -- a genuine half-even/half-away tie at 0.8203125)
-            SELECT doc_id,
-                   alpha_ratio,
-                   stop_ratio,
-                   mean_word_len,
-                   0.3 * alpha_ratio
-                   + 0.3 * least(stop_ratio * 4.0, 1.0)
-                   + 0.2 * len_ok
-                   + 0.2 * (CASE WHEN mean_word_len BETWEEN 2.5
-                                 AND 12.0 THEN 1.0 ELSE 0.0 END)
-                     AS quality
-            FROM f
-            """,
-        "langid_docs": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     ' ' || lower(substr(text, 1, 2000)) || ' ' AS lt
-              FROM documents
-            ),
-            s AS (
-              SELECT doc_id,
-                     {_tri_sum('en')} AS s_en,
-                     {_tri_sum('de')} AS s_de,
-                     {_tri_sum('fr')} AS s_fr
-              FROM t
-            )
-            SELECT doc_id,
-                   CASE WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
-                        WHEN s_de > s_en THEN 'de'
-                        WHEN s_en > 0 THEN 'en'
-                        ELSE 'und' END AS lang_pred
-            FROM s
-            """,
-        "strength_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              l_quantity AS w FROM lineitem)
-            SELECT v.vid,
-                   round(coalesce(o.s, 0), 4) AS out_strength,
-                   round(coalesce(i.s, 0), 4) AS in_strength
-            FROM {_LI_V} v
-            LEFT JOIN (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src) o USING (vid)
-            LEFT JOIN (SELECT dst AS vid, sum(w) AS s FROM e GROUP BY dst) i USING (vid)
-            """,
-        "modularity_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            m AS (SELECT count(*) AS me FROM u),
-            w AS (SELECT count(*) AS win FROM u WHERE a % 4 = b % 4),
-            degs AS (
-              SELECT comm, CAST(sum(c) AS DOUBLE) AS k FROM (
-                SELECT a % 4 AS comm, count(*) AS c FROM u GROUP BY 1
-                UNION ALL
-                SELECT b % 4, count(*) FROM u GROUP BY 1
-              ) GROUP BY comm
-            )
-            SELECT round(
-              (SELECT win FROM w) / CAST((SELECT me FROM m) AS DOUBLE)
-              - (SELECT sum((k / (2.0 * (SELECT me FROM m))) ** 2) FROM degs),
-            6) AS modularity
-            """,
-        "dyad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E} WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src,dst) a, greatest(src,dst) b, count(*) c
-              FROM de GROUP BY 1, 2
-            )
-            SELECT
-              (SELECT count(*) FROM pc_ WHERE c = 2) AS mut,
-              (SELECT count(*) FROM pc_ WHERE c = 1) AS asym,
-              {NV} * ({NV} - 1) // 2
-                - (SELECT count(*) FROM pc_) AS null
-            """,
-        "knn_degree_li": f"""
-            WITH u AS (SELECT DISTINCT least(src,dst) AS a,
-                              greatest(src,dst) AS b
-                       FROM {_LI_E} WHERE src <> dst),
-            nb AS (SELECT a AS vid, b AS nei FROM u
-                   UNION ALL SELECT b, a FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            s AS (
-              SELECT nb.vid, sum(dn.d) AS sdeg, count(*) AS k
-              FROM nb JOIN deg dn ON dn.vid = nb.nei
-              GROUP BY nb.vid
-            )
-            -- full doubles, no rounding (np.round is banker's, DuckDB
-            -- round() half-away -> 6-dp ties hashed differently; the
-            -- round-2 driver FAIL): int/int division is bit-identical
-            SELECT v.vid, CAST(s.sdeg AS DOUBLE) / CAST(s.k AS DOUBLE) AS knn
-            FROM {_LI_V} v LEFT JOIN s ON s.vid = v.vid
-            """,
-        "diversity_li": f"""
-            WITH e AS (SELECT l_orderkey % {NV} AS src,
-                              l_partkey % {NV} AS dst,
-                              CAST(l_quantity AS DOUBLE) AS w
-                       FROM lineitem),
-            inc AS (SELECT src AS vid, w FROM e
-                    UNION ALL SELECT dst, w FROM e),
-            agg AS (
-              SELECT vid, sum(w) AS s, sum(w * ln(w)) AS ent,
-                     count(*) AS k
-              FROM inc GROUP BY vid
-            )
-            SELECT v.vid,
-                   round((ln(agg.s) - agg.ent / agg.s) / ln(agg.k), 6)
-                     AS diversity
-            FROM {_LI_V} v LEFT JOIN agg ON agg.vid = v.vid
-            """,
-        "constraint_li": f"""
-            WITH e AS {_LI_E},
-            mu AS (
-              SELECT i, j, CAST(count(*) AS DOUBLE) AS w FROM (
-                SELECT src AS i, dst AS j FROM e WHERE src <> dst
-                UNION ALL
-                SELECT dst, src FROM e WHERE src <> dst
-              ) GROUP BY i, j
-            ),
-            si AS (SELECT i, sum(w) AS s FROM mu GROUP BY i),
-            p AS (SELECT mu.i, mu.j, mu.w / si.s AS p
-                  FROM mu JOIN si USING (i)),
-            ind AS (
-              SELECT a.i, b.j, sum(a.p * b.p) AS ind
-              FROM p a JOIN p b ON b.i = a.j
-              WHERE a.i <> b.j
-              GROUP BY a.i, b.j
-            ),
-            c AS (
-              SELECT p.i AS vid,
-                     sum((p.p + coalesce(ind.ind, 0)) ** 2) AS c
-              FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
-              GROUP BY p.i
-            )
-            SELECT v.vid, round(c.c, 6) AS constraint
-            FROM {_LI_V} v LEFT JOIN c USING (vid)
-            """,
-        "barrat_li": f"""
-            WITH e AS {_LI_E},
-            u AS (SELECT least(src,dst) AS a, greatest(src,dst) AS b,
-                         CAST(count(*) AS DOUBLE) AS w
-                  FROM e WHERE src <> dst GROUP BY 1, 2),
-            deg AS (
-              SELECT vid, count(*) AS k, sum(w) AS s FROM (
-                SELECT a AS vid, w FROM u UNION ALL SELECT b, w FROM u
-              ) GROUP BY vid
-            ),
-            tri AS (
-              SELECT e1.a AS va, e1.b AS vb, e2.b AS vc,
-                     e1.w AS wab, e3.w AS wac, e2.w AS wbc
-              FROM u e1
-              JOIN u e2 ON e2.a = e1.b
-              JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
-            ),
-            corn AS (
-              SELECT va AS vid, wab + wac AS c FROM tri
-              UNION ALL SELECT vb, wab + wbc FROM tri
-              UNION ALL SELECT vc, wac + wbc FROM tri
-            ),
-            tw AS (SELECT vid, sum(c) AS tw FROM corn GROUP BY vid)
-            SELECT v.vid,
-                   round(CASE WHEN deg.k >= 2
-                         THEN coalesce(tw.tw, 0) / (deg.s * (deg.k - 1))
-                         END, 6) AS barrat
-            FROM {_LI_V} v
-            LEFT JOIN deg ON deg.vid = v.vid
-            LEFT JOIN tw ON tw.vid = v.vid
-            """,
-        "get_stochastic_li": f"""
-            WITH e AS {_LI_E},
-            cnt AS (SELECT src, dst, count(*) AS c FROM e GROUP BY 1, 2),
-            od AS (SELECT src, count(*) AS d FROM e GROUP BY src)
-            SELECT cnt.src, cnt.dst,
-                   round(cnt.c / CAST(od.d AS DOUBLE), 6) AS p
-            FROM cnt JOIN od USING (src)
-            """,
-        "path_length_hist_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            SELECT CAST(d AS BIGINT) AS length, count(*) AS count
-            FROM dist WHERE d > 0 GROUP BY d
-            UNION ALL
-            SELECT -1::BIGINT, {NV2} * ({NV2} - 1)
-                       - (SELECT count(*) FROM dist WHERE d > 0)
-            """,
-        "diameter_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            )
-            SELECT CAST(max(d) AS BIGINT) AS diameter
-            FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-            """,
-        "centralization_degree_li": f"""
-            WITH e AS (SELECT * FROM {_LI_E} x WHERE x.src <> x.dst),
-            deg AS (
-              SELECT v.vid,
-                     coalesce(o.c, 0) + coalesce(i.c, 0) AS d
-              FROM {_LI_V} v
-              LEFT JOIN (SELECT src AS vid, count(*) AS c FROM e
-                         GROUP BY src) o USING (vid)
-              LEFT JOIN (SELECT dst AS vid, count(*) AS c FROM e
-                         GROUP BY dst) i USING (vid)
-            )
-            SELECT round(
-              (SELECT sum((SELECT max(d) FROM deg) - d) FROM deg)
-              / (2.0 * ({NV} - 1) * ({NV} - 2)), 6) AS centralization
-            """,
-        "edge_betweenness_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV4} AS src,
-                              l_partkey % {NV4} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV4})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
-            wk(s, t, k, c) AS (
-              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
-              UNION ALL
-              SELECT w.s, de.dst, w.k + 1, sum(w.c)
-              FROM wk w JOIN de ON de.src = w.t
-              WHERE w.k < 8
-              GROUP BY w.s, de.dst, w.k + 1
-            ),
-            sp AS (
-              SELECT dist.s, dist.t, dist.d, wk.c
-              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
-                               AND wk.k = dist.d
-            )
-            SELECT de.src, de.dst,
-                   round(coalesce(sum(su.c * vt.c / st.c), 0), 6) AS eb
-            FROM de
-            LEFT JOIN sp su ON su.t = de.src
-            LEFT JOIN sp vt ON vt.s = de.dst
-            LEFT JOIN sp st ON st.s = su.s AND st.t = vt.t
-                           AND st.d = su.d + 1 + vt.d
-            GROUP BY de.src, de.dst
-            """,
-        "eccentricity_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV2} AS src,
-                              l_partkey % {NV2} AS dst FROM lineitem
-            ),
-            v AS (SELECT range AS vid FROM range(0, {NV2})),
-            r(s, t, d) AS (
-              SELECT vid, vid, 0 FROM v
-              UNION
-              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
-              WHERE r.d < 12
-            ),
-            ecc AS (
-              SELECT s, max(d) AS e
-              FROM (SELECT s, t, min(d) AS d FROM r GROUP BY s, t)
-              GROUP BY s
-            )
-            -- CAST: the recursive d literal starts INT32; Ray emits
-            -- int64 (driver hash is dtype-sensitive)
-            SELECT v.vid, CAST(ecc.e AS BIGINT) AS ecc,
-                   CAST((SELECT min(e) FROM ecc) AS BIGINT) AS radius
-            FROM v JOIN ecc ON ecc.s = v.vid
-            """,
-        "triad_census_li": f"""
-            WITH de AS (SELECT DISTINCT src, dst FROM {_LI_E}
-                        WHERE src <> dst),
-            pc_ AS (
-              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-                     max(CASE WHEN src < dst THEN 1 ELSE 0 END)
-                     + 2 * max(CASE WHEN src > dst THEN 1 ELSE 0 END)
-                       AS code
-              FROM de GROUP BY 1, 2
-            ),
-            nb AS (
-              SELECT a AS c, b AS o, code FROM pc_
-              UNION ALL
-              SELECT b, a, code FROM pc_
-            ),
-            w AS (
-              SELECT n1.c AS center, n1.o AS x, n2.o AS y,
-                     n1.code AS cx, n2.code AS cy
-              FROM nb n1 JOIN nb n2 ON n2.c = n1.c AND n1.o < n2.o
-            ),
-            t AS (
-              SELECT w.*, coalesce(pc_.code, 0) AS cxy
-              FROM w LEFT JOIN pc_ ON pc_.a = w.x AND pc_.b = w.y
-            ),
-            f AS (SELECT * FROM t WHERE cxy = 0 OR center < x),
-            coded AS (
-              SELECT CASE WHEN center < x THEN cx*16 + cy*4 + cxy
-                          WHEN center < y THEN cx*16 + cxy*4 + cy
-                          ELSE cxy*16 + cx*4 + cy END AS code64
-              FROM f
-            ),
-            lut(code64, name, na, nm) AS (VALUES {_triad_lut_sql()}),
-            counted AS (
-              SELECT l.name, count(*) AS c,
-                     sum(l.na) AS sa, sum(l.nm) AS sm
-              FROM coded JOIN lut l USING (code64) GROUP BY l.name
-            ),
-            pairstats AS (
-              SELECT count(*) FILTER (code <> 3) AS asym,
-                     count(*) FILTER (code = 3) AS mut
-              FROM pc_
-            ),
-            fixed AS (
-              SELECT name, c FROM counted
-              UNION ALL
-              SELECT '012',
-                     (SELECT asym FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sa) FROM counted), 0)
-              UNION ALL
-              SELECT '102',
-                     (SELECT mut FROM pairstats) * ({NV} - 2)
-                     - coalesce((SELECT sum(sm) FROM counted), 0)
-            ),
-            named(name) AS (VALUES {_triad_names_sql()})
-            SELECT named.name AS triad,
-                   -- CAST: sum() is HUGEINT and '/' is float division in
-                   -- DuckDB -> n came out float64 while the Ray side emits
-                   -- int64 (round-2 driver hash FAIL); force BIGINT
-                   CAST(CASE WHEN named.name = '003'
-                        THEN {NV}::BIGINT * ({NV} - 1) * ({NV} - 2) // 6
-                             - (SELECT sum(c) FROM fixed)
-                        ELSE coalesce((SELECT sum(c) FROM fixed
-                                       WHERE fixed.name = named.name), 0)
-                   END AS BIGINT) AS n
-            FROM named
-            """,
-        "assortativity_li": f"""
-            WITH e AS {_LI_E},
-            od AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
-            idg AS (SELECT dst AS vid, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY dst),
-            xy AS (
-              SELECT od.d AS x, idg.d AS y FROM e
-              JOIN od ON od.vid = e.src
-              JOIN idg ON idg.vid = e.dst
-            )
-            SELECT round(corr(x, y), 6) AS assortativity FROM xy
-            """,
-        "local_scan1_li": f"""
-            WITH t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM {tri_join}),
-            corners AS (
-              SELECT x AS vid FROM t UNION ALL
-              SELECT y FROM t UNION ALL SELECT z FROM t
-            ),
-            tri AS (SELECT vid, count(*) AS c FROM corners GROUP BY vid),
-            u AS {und},
-            deg AS (
-              SELECT vid, count(*) AS d FROM (
-                SELECT a AS vid FROM u UNION ALL SELECT b FROM u
-              ) GROUP BY vid
-            )
-            SELECT v.vid,
-                   coalesce(tri.c, 0) + coalesce(deg.d, 0) AS scan1
-            FROM {_LI_V} v
-            LEFT JOIN tri USING (vid)
-            LEFT JOIN deg USING (vid)
-            """,
-        "token_stats_docs": r"""
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
-            FROM documents
-            """,
-        "lang_histogram_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
-        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
-        "events_hourly": """
-            SELECT user_id, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 4) AS total
-            FROM events GROUP BY user_id, date_trunc('hour', ts)
-            """,
-        "events_sliding": """
-            WITH w AS (
-              SELECT user_id, date_trunc('hour', ts) AS window_start, value
-              FROM events
-              UNION ALL
-              SELECT user_id, date_trunc('hour', ts) - INTERVAL 1 HOUR, value
-              FROM events
-            )
-            SELECT user_id, window_start, count(*) AS n,
-                   round(sum(value), 4) AS total
-            FROM w GROUP BY user_id, window_start
-            """,
-        "events_session": """
-            WITH x AS (
-              SELECT user_id, ts,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END AS brk
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-            ),
-            y AS (
-              SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-              FROM x
-            )
-            SELECT user_id, min(ts) AS session_start,
-                   max(ts) AS session_end, count(*) AS n
-            FROM y GROUP BY user_id, sid
-            """,
-        "pagerank_weighted_li": f"""
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % {NV} AS src, l_partkey % {NV} AS dst,
-                     l_quantity AS w FROM lineitem
-            ),
-            v AS {_LI_V},
-            st AS (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src),
-            pr(v, score, s, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(st.s AS DOUBLE), 0
-              FROM v JOIN st ON st.vid = v.vid
-              UNION ALL
-              SELECT m.v, sum(m.val), any_value(m.s2), min(m.iter) + 1
-              FROM (
-                SELECT e.dst AS v, {PR_DAMPING} * p.score * e.w / p.s AS val,
-                       CAST(NULL AS DOUBLE) AS s2, p.iter AS iter
-                FROM pr p JOIN e ON e.src = p.v
-                UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.s, p.iter
-                FROM pr p
-              ) m
-              GROUP BY m.v
-              HAVING min(m.iter) < {PR_ITERS}
-            )
-            SELECT v AS vid, round(score, 6) AS score FROM pr
-            WHERE iter = {PR_ITERS}
-            """,
-        "lineitem_pricing": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-                   count(*) AS n
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
-            """,
-        # induced 4-motif census by EXHAUSTIVE quadruple enumeration:
-        # C(60,4) = 487,635 quadruples x 6 edge lookups; classes are
-        # separated by (edge count, max within-subset degree)
-        "motifs4_li": """
-            WITH e AS (
-              SELECT DISTINCT
-                least(l_orderkey % 60, l_partkey % 60) AS a,
-                greatest(l_orderkey % 60, l_partkey % 60) AS b
-              FROM lineitem
-              WHERE l_orderkey % 60 <> l_partkey % 60
-            ),
-            v AS (SELECT range AS x FROM range(0, 60)),
-            quads AS (
-              SELECT v1.x AS p, v2.x AS q, v3.x AS r, v4.x AS s
-              FROM v v1 JOIN v v2 ON v2.x > v1.x
-                   JOIN v v3 ON v3.x > v2.x
-                   JOIN v v4 ON v4.x > v3.x
-            ),
-            lab AS (
-              SELECT
-                (CASE WHEN e1.a IS NOT NULL THEN 1 ELSE 0 END) AS x12,
-                (CASE WHEN e2.a IS NOT NULL THEN 1 ELSE 0 END) AS x13,
-                (CASE WHEN e3.a IS NOT NULL THEN 1 ELSE 0 END) AS x14,
-                (CASE WHEN e4.a IS NOT NULL THEN 1 ELSE 0 END) AS x23,
-                (CASE WHEN e5.a IS NOT NULL THEN 1 ELSE 0 END) AS x24,
-                (CASE WHEN e6.a IS NOT NULL THEN 1 ELSE 0 END) AS x34
-              FROM quads
-              LEFT JOIN e e1 ON e1.a = p AND e1.b = q
-              LEFT JOIN e e2 ON e2.a = p AND e2.b = r
-              LEFT JOIN e e3 ON e3.a = p AND e3.b = s
-              LEFT JOIN e e4 ON e4.a = q AND e4.b = r
-              LEFT JOIN e e5 ON e5.a = q AND e5.b = s
-              LEFT JOIN e e6 ON e6.a = r AND e6.b = s
-            ),
-            cls AS (
-              SELECT
-                x12 + x13 + x14 + x23 + x24 + x34 AS m,
-                greatest(x12 + x13 + x14, x12 + x23 + x24,
-                         x13 + x23 + x34, x14 + x24 + x34) AS dmax,
-                least(x12 + x13 + x14, x12 + x23 + x24,
-                      x13 + x23 + x34, x14 + x24 + x34) AS dmin
-              FROM lab
-            ),
-            named AS (
-              SELECT CASE
-                WHEN m = 3 AND dmax = 3 THEN 'claw'
-                WHEN m = 3 THEN 'p4'
-                WHEN m = 4 AND dmax = 3 THEN 'paw'
-                WHEN m = 4 THEN 'c4'
-                WHEN m = 5 THEN 'diamond'
-                WHEN m = 6 THEN 'k4'
-              END AS motif
-              FROM cls WHERE m >= 3 AND dmin >= 1
-            ),
-            classes(motif) AS (
-              VALUES ('c4'), ('claw'), ('diamond'), ('k4'), ('p4'), ('paw')
-            )
-            SELECT classes.motif,
-                   CAST(count(named.motif) AS BIGINT) AS count
-            FROM classes LEFT JOIN named USING (motif)
-            GROUP BY classes.motif
-            """,
-        # same explicit base-131 Horner token hash as
-        # stages/text.py::fingerprint (mod 2^31-1), XOR-combined with
-        # 1-based token position — bit-exact replay
-        "fingerprint_docs": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))
-                       AS tok,
-                     generate_subscripts(
-                       regexp_extract_all(text, '[A-Za-z0-9]+'), 1)
-                       AS pos
-              FROM documents
-            ),
-            th AS (
-              SELECT doc_id, pos,
-                     list_reduce(
-                       [0::BIGINT] || list_transform(split(tok, ''),
-                                             c -> ord(c)::BIGINT),
-                       (a, b) -> (a * 131 + b) % 2147483647) AS h
-              FROM toks
-            )
-            SELECT d.doc_id, CAST(COALESCE(x.fp, 0) AS BIGINT) AS fp
-            FROM documents d LEFT JOIN (
-              SELECT doc_id, bit_xor(h * pos) AS fp
-              FROM th GROUP BY doc_id
-            ) x USING (doc_id)
-            """,
-        "pii_scrub_docs": r"""
-            WITH planted AS (
-              SELECT doc_id,
-                     text || CASE WHEN doc_id % 7 = 0
-                       THEN ' contact: user' || CAST(doc_id AS VARCHAR)
-                            || '@example.com or +1-555-0100 at 10.0.0.1'
-                       ELSE '' END AS t
-              FROM documents
-            ),
-            s1 AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
-                     )) AS BIGINT) AS n_emails,
-                     regexp_replace(
-                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g') AS t
-              FROM planted
-            ),
-            s2 AS (
-              SELECT doc_id, n_emails,
-                     CAST(len(regexp_extract_all(t, '\+\d[\d-]{7,}'))
-                          AS BIGINT) AS n_phones,
-                     regexp_replace(t, '\+\d[\d-]{7,}', '<PHONE>', 'g') AS t
-              FROM s1
-            )
-            SELECT doc_id, n_emails, n_phones,
-                   CAST(len(regexp_extract_all(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
-                   )) AS BIGINT) AS n_ips,
-                   regexp_replace(
-                     t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-                     '<IP>', 'g') AS text_clean
-            FROM s2
-            """,
-        "repetition_docs": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(string_split(text, ' ')) AS word,
-                     generate_subscripts(string_split(text, ' '), 1) AS pos
-              FROM documents
-            ),
-            pw AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
-            per AS (
-              SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
-                     max(c) AS top_cnt
-              FROM pw GROUP BY 1
-            ),
-            bg AS (
-              SELECT a.doc_id, a.word || ' ' || b.word AS gram
-              FROM w a JOIN w b
-                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            ),
-            pbg AS (
-              SELECT doc_id, count(*) AS n_bg,
-                     count(DISTINCT gram) AS d_bg
-              FROM bg GROUP BY 1
-            )
-            SELECT per.doc_id, CAST(per.n_words AS BIGINT) AS n_words,
-                   round(per.n_distinct * 1.0 / per.n_words, 6)
-                     AS distinct_ratio,
-                   round(per.top_cnt * 1.0 / per.n_words, 6)
-                     AS top_word_frac,
-                   round(CASE WHEN coalesce(pbg.n_bg, 0) = 0 THEN 0
-                         ELSE 1.0 - pbg.d_bg * 1.0 / pbg.n_bg END, 6)
-                     AS dup_2gram_frac
-            FROM per LEFT JOIN pbg USING (doc_id)
-            """,
-        "source_stats_docs": """
-            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(len(text)) AS BIGINT) AS total_chars,
-                   round(sum(len(text)) * 1.0 / count(*), 2) AS mean_chars
-            FROM documents GROUP BY source
-            """,
-        # vertex similarity family (src/cocitation.c): sparse nonzero
-        # pairs over DISTINCT neighbor sets of the 200-vertex graph
-        "cocitation_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.dst AS u, e2.dst AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.src = e2.src AND e1.dst < e2.dst
-            GROUP BY u, w
-            """,
-        "bibcoupling_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem)
-            SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "similarity_jaccard_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 1.0 / (d1.d + d2.d - c.cnt), 6) AS jaccard
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_dice_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            dl AS (SELECT * FROM de WHERE src <> dst),
-            deg AS (SELECT src AS vid, count(*) AS d FROM dl GROUP BY src),
-            c AS (
-              SELECT e1.src AS u, e2.src AS w, count(*) AS cnt
-              FROM dl e1 JOIN dl e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-              GROUP BY u, w
-            )
-            SELECT c.u, c.w,
-                   round(c.cnt * 2.0 / (d1.d + d2.d), 6) AS dice
-            FROM c JOIN deg d1 ON d1.vid = c.u
-                   JOIN deg d2 ON d2.vid = c.w
-            """,
-        "similarity_ilw_li": f"""
-            WITH de AS (SELECT DISTINCT l_orderkey % {NV2} AS src,
-                               l_partkey % {NV2} AS dst FROM lineitem),
-            g AS (SELECT dst AS c, count(*) AS gsz FROM de GROUP BY dst),
-            wt AS (SELECT c, CASE WHEN gsz > 1 THEN 1.0 / ln(gsz)
-                             ELSE gsz END AS w FROM g),
-            p AS (
-              SELECT e1.src AS u, e2.src AS w2, e1.dst AS c
-              FROM de e1 JOIN de e2
-                ON e1.dst = e2.dst AND e1.src < e2.src
-            )
-            SELECT p.u, p.w2 AS w, round(sum(wt.w), 6) AS sim
-            FROM p JOIN wt ON wt.c = p.c
-            GROUP BY p.u, p.w2
-            """,
-        # optimal modularity oracled EXACTLY by enumerating all 7^7
-        # label assignments of the 7-vertex derived multigraph and
-        # canonicalizing the argmax to first-appearance numbering
-        "optimal_modularity_li": """
-            WITH e AS (
-              SELECT least(l_orderkey % 7, l_partkey % 7) AS a,
-                     greatest(l_orderkey % 7, l_partkey % 7) AS b,
-                     CAST(count(*) AS DOUBLE) AS w
-              FROM lineitem
-              WHERE l_orderkey % 7 <> l_partkey % 7
-              GROUP BY 1, 2
-            ),
-            m AS (SELECT sum(w) AS mm FROM e),
-            deg AS (
-              SELECT v, sum(w) AS d FROM (
-                SELECT a AS v, w FROM e
-                UNION ALL SELECT b AS v, w FROM e
-              ) GROUP BY v
-            ),
-            lab AS (
-              SELECT t.x, r.v,
-                     CAST((t.x // CAST(pow(7, r.v) AS BIGINT)) % 7
-                          AS BIGINT) AS lb
-              FROM range(0, 823543) t(x), range(0, 7) r(v)
-            ),
-            intra AS (
-              SELECT la.x, sum(e.w) AS iw
-              FROM e
-              JOIN lab la ON la.v = e.a
-              JOIN lab lb2 ON lb2.x = la.x AND lb2.v = e.b
-                          AND lb2.lb = la.lb
-              GROUP BY la.x
-            ),
-            degc AS (
-              SELECT lab.x, lab.lb, sum(deg.d) AS dc
-              FROM lab JOIN deg ON deg.v = lab.v
-              GROUP BY lab.x, lab.lb
-            ),
-            sums AS (
-              SELECT x, sum(dc * dc) AS s2 FROM degc GROUP BY x
-            ),
-            qval AS (
-              SELECT s.x,
-                     coalesce(i.iw, 0) / m.mm
-                       - s.s2 / (4 * m.mm * m.mm) AS q
-              FROM sums s LEFT JOIN intra i ON i.x = s.x, m
-            ),
-            best AS (
-              SELECT x, q FROM qval ORDER BY q DESC, x ASC LIMIT 1
-            ),
-            fin AS (
-              SELECT lab.v, lab.lb, best.q
-              FROM lab JOIN best ON lab.x = best.x
-            ),
-            canon AS (
-              SELECT v, min(v) OVER (PARTITION BY lb) AS fv, q
-              FROM fin
-            )
-            SELECT v AS vid,
-                   dense_rank() OVER (ORDER BY fv) - 1 AS comm,
-                   round(q, 6) AS modularity
-            FROM canon ORDER BY vid
-            """,
-        # max-flow oracled EXACTLY via max-flow-min-cut duality: the 12
-        # vertices give 2^11 s-side masks; min cut capacity over all of
-        # them IS the max flow (no flow algorithm needed in SQL)
-        "maxflow_li": """
-            WITH e AS (
-              SELECT l_orderkey % 12 AS src, l_partkey % 12 AS dst,
-                     CAST(count(*) AS DOUBLE) AS cap
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-              GROUP BY 1, 2
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, coalesce(sum(e.cap), 0) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT min(cut) AS maxflow_value FROM cuts
-            """,
-        "st_edge_connectivity_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 12 AS src, l_partkey % 12 AS dst
-              FROM lineitem
-              WHERE l_orderkey % 12 <> l_partkey % 12
-            ),
-            masks AS (
-              SELECT range AS m FROM range(0, 4096)
-              WHERE ((range >> 0) & 1) = 1 AND ((range >> 11) & 1) = 0
-            ),
-            cuts AS (
-              SELECT masks.m, count(e.src) AS cut
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.src) & 1) = 1
-               AND ((masks.m >> e.dst) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(cut) AS BIGINT) AS connectivity FROM cuts
-            """,
-        # bipartite iff no odd closed walk (per component); the walk
-        # closure over (start, v, parity) is a tiny fixpoint: 12*12*2
-        # states for li12, 16*16*2 for the two-mode graph
-        "is_bipartite_li": """
-            WITH RECURSIVE
-            ea AS (
-              SELECT DISTINCT l_orderkey % 12 AS a, l_partkey % 12 AS b
-              FROM lineitem
-            ),
-            ua AS (SELECT a, b FROM ea UNION SELECT b AS a, a AS b FROM ea),
-            wa(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ua) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wa w JOIN ua u ON u.a = w.v
-            ),
-            eb AS (
-              SELECT DISTINCT l_orderkey % 8 AS a, 8 + (l_suppkey % 8) AS b
-              FROM lineitem
-            ),
-            ub AS (SELECT a, b FROM eb UNION SELECT b AS a, a AS b FROM eb),
-            wb(s, v, p) AS (
-              SELECT a AS s, a AS v, 0 AS p FROM (SELECT DISTINCT a FROM ub) q
-              UNION
-              SELECT w.s, u.b, 1 - w.p FROM wb w JOIN ub u ON u.a = w.v
-            )
-            SELECT 'li12' AS graph,
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wa WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT) AS is_bipartite
-            UNION ALL
-            SELECT 'li_bi',
-                   CAST(CASE WHEN EXISTS (
-                     SELECT 1 FROM wb WHERE s = v AND p = 1
-                   ) THEN 0 ELSE 1 END AS BIGINT)
-            """,
-        # maximum bipartite matching = min cut of the unit network
-        # s -> L(8) -> R(8) -> t, enumerated over 2^16 middle masks
-        # (Koenig duality; arcs: s->every left, every right->t)
-        "bipartite_matching_li": """
-            WITH e AS (
-              SELECT DISTINCT l_orderkey % 8 AS l, l_suppkey % 8 AS r
-              FROM lineitem
-              WHERE l_quantity = 1 AND l_linenumber = 7
-                AND l_discount >= 0.09
-            ),
-            masks AS (SELECT range AS m FROM range(0, 65536)),
-            sl AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> i) & 1) = 0 GROUP BY m
-            ),
-            rt AS (
-              SELECT m, count(*) AS c FROM masks, range(0, 8) t(i)
-              WHERE ((m >> (8 + i)) & 1) = 1 GROUP BY m
-            ),
-            mid AS (
-              SELECT masks.m, count(e.l) AS c
-              FROM masks LEFT JOIN e
-                ON ((masks.m >> e.l) & 1) = 1
-               AND ((masks.m >> (8 + e.r)) & 1) = 0
-              GROUP BY masks.m
-            )
-            SELECT CAST(min(
-              coalesce(sl.c, 0) + coalesce(rt.c, 0) + coalesce(mid.c, 0)
-            ) AS BIGINT) AS matching_size
-            FROM masks
-            LEFT JOIN sl USING (m)
-            LEFT JOIN rt USING (m)
-            LEFT JOIN mid USING (m)
-            """,
-        # spanning-forest STRUCTURE oracle: the Boruvka forest must
-        # have exactly (component size - 1) edges inside every WCC of
-        # the sparse derived graph (minimality is pytest-vs-networkx,
-        # tests/test_mst.py)
-        "mst_li": """
-            WITH RECURSIVE e AS (
-              SELECT l_orderkey % 5000 AS src, l_partkey % 5000 AS dst
-              FROM lineitem
-              WHERE (l_orderkey * 31 + l_partkey) % 97 = 0
-            ),
-            und AS (
-              SELECT src AS a, dst AS b FROM e WHERE src <> dst
-              UNION SELECT dst, src FROM e WHERE src <> dst
-            ),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            wcc AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
-            SELECT comp, count(*) - 1 AS tree_edges
-            FROM wcc GROUP BY comp HAVING count(*) > 1
-            ORDER BY comp
-            """,
-        "topo_layers_li": f"""
-            WITH RECURSIVE de AS (
-              SELECT DISTINCT l_orderkey % {NV} AS src,
-                     l_partkey % {NV} AS dst FROM lineitem
-              WHERE (l_orderkey * 13 + l_partkey) % 31 = 0
-                AND l_orderkey % {NV} < l_partkey % {NV}
-            ),
-            v AS {_LI_V},
-            lay(x, l) AS (
-              SELECT vid, 0 FROM v
-              UNION
-              SELECT de.dst, lay.l + 1 FROM lay JOIN de ON de.src = lay.x
-            )
-            SELECT x AS vid, CAST(max(l) AS BIGINT) AS layer FROM lay GROUP BY x
-            ORDER BY vid
-            """,
-        "unigram_logprob_docs": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text),
-                                               '[a-z0-9]+')) AS tok
-              FROM documents
-            ),
-            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-            tot AS (
-              SELECT (SELECT count(*) FROM toks) AS n,
-                     (SELECT count(*) FROM cnt) AS v
-            )
-            SELECT t.doc_id, count(*) AS n_tok,
-                   round(sum(ln((c.c + 1.0) / (tot.n + tot.v)))
-                         / count(*), 6) AS avg_logprob
-            FROM toks t JOIN cnt c USING (tok), tot
-            GROUP BY t.doc_id ORDER BY t.doc_id
-            """,
-        # coreness oracle: recursive-CTE replay of synchronous batch
-        # peeling (working-table semantics = one peel wave per step):
-        # k ratchets up to the min active ALL-degree (multiplicity,
-        # loops count twice), vertices with deg <= k peel at level k
-        "coreness_li": f"""
-            WITH RECURSIVE e AS {_LI_E},
-            und AS (SELECT src AS a, dst AS b FROM e
-                    UNION ALL SELECT dst, src FROM e),
-            v AS {_LI_V},
-            rec(v, core, k) AS (
-              SELECT vid, CAST(NULL AS BIGINT), CAST(0 AS BIGINT) FROM v
-              UNION ALL
-              SELECT s.v,
-                     CASE WHEN s.core IS NOT NULL THEN s.core
-                          WHEN s.deg <= s.knew THEN s.knew END,
-                     s.knew
-              FROM (
-                SELECT r.v, r.core, coalesce(d.deg, 0) AS deg,
-                       greatest(r.k,
-                         (SELECT min(coalesce(d2.deg, 0))
-                          FROM rec r2
-                          LEFT JOIN (
-                            SELECT und.a AS v, count(*) AS deg
-                            FROM und JOIN rec r3
-                              ON r3.v = und.b AND r3.core IS NULL
-                            GROUP BY und.a
-                          ) d2 ON d2.v = r2.v
-                          WHERE r2.core IS NULL)) AS knew
-                FROM rec r
-                LEFT JOIN (
-                  SELECT und.a AS v, count(*) AS deg
-                  FROM und JOIN rec r4
-                    ON r4.v = und.b AND r4.core IS NULL
-                  GROUP BY und.a
-                ) d ON d.v = r.v AND r.core IS NULL
-                WHERE EXISTS (SELECT 1 FROM rec r5 WHERE r5.core IS NULL)
-              ) s
-            )
-            SELECT DISTINCT v AS vid, core FROM rec
-            WHERE core IS NOT NULL ORDER BY vid
-            """,
-        # articulation oracle: v is a cut vertex iff removing it
-        # INCREASES the component count (per-candidate recursive
-        # reachability; isolated-vertex removal only decreases it)
-        "articulation_points_li": """
-            WITH RECURSIVE e AS (
-              SELECT DISTINCT least(l_orderkey % 200, l_partkey % 200)
-                       AS a,
-                     greatest(l_orderkey % 200, l_partkey % 200) AS b
-              FROM lineitem
-              WHERE (l_orderkey * 7 + l_partkey) % 499 = 0
-                AND l_orderkey % 200 <> l_partkey % 200
-            ),
-            und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-            verts AS (SELECT DISTINCT a AS v FROM und),
-            reach(v, l) AS (
-              SELECT v, v FROM verts
-              UNION
-              SELECT und.b, reach.l FROM reach JOIN und ON und.a = reach.v
-            ),
-            ncomp0 AS (
-              SELECT count(DISTINCT ml) AS c
-              FROM (SELECT v, min(l) AS ml FROM reach GROUP BY v)
-            ),
-            reach2(x, v, l) AS (
-              SELECT c.v AS x, s.v, s.v
-              FROM verts c JOIN verts s ON s.v <> c.v
-              UNION
-              SELECT reach2.x, und.b, reach2.l
-              FROM reach2 JOIN und ON und.a = reach2.v
-              WHERE und.b <> reach2.x
-            ),
-            ncomp AS (
-              SELECT x, count(DISTINCT ml) AS c
-              FROM (SELECT x, v, min(l) AS ml FROM reach2
-                    GROUP BY x, v)
-              GROUP BY x
-            )
-            SELECT ncomp.x AS vid FROM ncomp, ncomp0
-            WHERE ncomp.c > ncomp0.c ORDER BY vid
-            """,
-        "laplacian_li": f"""
-            WITH e AS (
-              SELECT src, dst FROM {_LI_E} WHERE src <> dst
-            ),
-            offd AS (
-              SELECT src, dst, -CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src, dst
-            ),
-            diag AS (
-              SELECT src, src AS dst, CAST(count(*) AS DOUBLE) AS value
-              FROM e GROUP BY src
-            )
-            SELECT src, dst, round(value, 6) AS value FROM offd
-            UNION ALL
-            SELECT src, dst, round(value, 6) AS value FROM diag
-            """,
-        "bipartite_projection_li": """
-            WITH de AS (
-              SELECT DISTINCT l_orderkey % 150 AS src,
-                     l_suppkey % 60 AS dst FROM lineitem
-            )
-            SELECT e1.src AS u, e2.src AS w,
-                   CAST(count(*) AS DOUBLE) AS weight
-            FROM de e1 JOIN de e2
-              ON e1.dst = e2.dst AND e1.src < e2.src
-            GROUP BY u, w
-            """,
-        "asof_events": """
-            WITH l AS (
-              SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'click'
-            ),
-            r AS (
-              SELECT user_id, ts, max(value) AS rvalue FROM events
-              WHERE event_type = 'purchase' GROUP BY user_id, ts
-            )
-            SELECT l.event_id,
-                   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT)
-                     AS lag_us,
-                   round(r.rvalue, 6) AS rvalue
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-            ORDER BY l.event_id
-            """,
-        # sync-LPA replay: per iteration each vertex's in-neighbor
-        # label votes (per-edge multiplicity, self-loops included) are
-        # grouped per (v, l); winner = max votes then min label via the
-        # packed key c*1e6 - l; a vertex changes only if its CURRENT
-        # label's votes are STRICTLY below the winner's (keep-if-tie)
-        "lpa_sync_li": _lpa_sync_sql(8),
-        # lpa_li runs the same sync semantics for 16 supersteps (the
-        # round-2 no_oracle fix: the canonical name is now the oracled
-        # deterministic variant)
-        "lpa_li": _lpa_sync_sql(16),
-        # community algorithms on planted ring-of-cliques fixtures:
-        # the oracle emits the planted partition; hash equality
-        # certifies exact recovery (sizes probed exact per algorithm)
-        "louvain_li": _planted_sql(10, 10),
-        "leading_eigenvector_li": _planted_sql(4, 8),
-        "fastgreedy_li": _planted_sql(8, 8),
-        "girvan_newman_li": _planted_sql(5, 5),
-        "walktrap_li": _planted_sql(8, 8),
-        "infomap_li": _planted_sql(8, 8),
-        # ASE on 6 disjoint 10-cliques: rank-6 Gram = 0.9 within a
-        # block / 0 across (closed-form spectrum of K_10), eigenvalues
-        # all 9 — integer-rounded, so bit-exact
-        # SCG exact grouping on the degree vector: level sets labeled
-        # ascending = dense_rank by degree
-        "scg_groups_li": f"""
-            WITH u AS (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            )
-            SELECT vid,
-                   dense_rank() OVER (ORDER BY d) - 1 AS g
-            FROM alldeg
-            """,
-        # coarse matrix L A L^T for that grouping: per-edge weight
-        # 1/sqrt(|ga||gb|), both symmetric entries, grouped;
-        # floor(x*1e6+0.5) quantization matches the Python side's
-        # identical formula (rounding-mode independent)
-        "scg_coarse_li": f"""
-            WITH u AS (
-              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
-                       AS a,
-                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
-              FROM lineitem
-              WHERE l_orderkey % {NV} <> l_partkey % {NV}
-            ),
-            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
-            deg AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
-            alldeg AS (
-              SELECT v.range AS vid, coalesce(deg.d, 0) AS d
-              FROM range(0, {NV}) v LEFT JOIN deg ON deg.vid = v.range
-            ),
-            grp AS (
-              SELECT vid, dense_rank() OVER (ORDER BY d) - 1 AS g
-              FROM alldeg
-            ),
-            gsz AS (SELECT g, count(*) AS sz FROM grp GROUP BY g),
-            pairs AS (
-              SELECT ga.g AS ga, gb.g AS gb,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE)) AS w
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-              UNION ALL
-              SELECT gb.g, ga.g,
-                     1.0 / sqrt(CAST(sa.sz * sb.sz AS DOUBLE))
-              FROM u
-              JOIN grp ga ON ga.vid = u.a
-              JOIN grp gb ON gb.vid = u.b
-              JOIN gsz sa ON sa.g = ga.g
-              JOIN gsz sb ON sb.g = gb.g
-            )
-            SELECT ga, gb,
-                   CAST(floor(sum(w) * 1e6 + 0.5) AS BIGINT) AS wq
-            FROM pairs GROUP BY ga, gb
-            """,
-        # Eades FAS replay: bitmask chain; per step pick by priority
-        # (source=0 first, sink=1, else max outdeg-indeg among the
-        # remaining), tie min id; sources/maxdiff take front
-        # positions, sinks take back positions; feedback arcs = arcs
-        # violating the final ordering plus self-loops
         "fas_li": """
             WITH RECURSIVE arcs AS (
               SELECT DISTINCT l_orderkey % 12 AS u, l_partkey % 12 AS v
