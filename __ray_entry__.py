@@ -727,6 +727,85 @@ def q_eigenvector(sf_dir: str):
     return pd.DataFrame({"vid": np.arange(NV), "ev": np.round(ev, 6)})
 
 
+def q_centralization_closeness(sf_dir: str):
+    """igraph_centralization_closeness (src/centrality.c:3158):
+    normalized closeness + star-max formula; quantized scalar."""
+    from xdata_igraph_ray.graph.centrality import closeness
+    from xdata_igraph_ray.graph.metrics import (
+        centralization,
+        centralization_closeness_tmax,
+    )
+
+    eng = _engine_200(sf_dir)
+    c = closeness(eng, wave=100, normalized=True)
+    eng.shutdown()
+    val = centralization(c, centralization_closeness_tmax(NV2, "out"))
+    return pd.DataFrame(
+        {"rq": [np.int64(np.floor(val * 1e6 + 0.5))]}
+    )
+
+
+def q_centralization_betweenness(sf_dir: str):
+    """igraph_centralization_betweenness (src/centrality.c:3031):
+    exact directed betweenness + (n-1)^2(n-2) max; quantized."""
+    from xdata_igraph_ray.graph.centrality import betweenness
+    from xdata_igraph_ray.graph.metrics import (
+        centralization,
+        centralization_betweenness_tmax,
+    )
+
+    from xdata_igraph_ray.graph.build import simplify
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % NV2,
+                "dst": t["l_partkey"].to_numpy() % NV2,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # SIMPLIFIED graph (multi-edges would multiply path counts, same
+    # as q_betweenness); aggregate over 6dp-rounded scores — the
+    # precision at which engine and SQL walk-count oracle agree
+    simple = simplify(ds, remove_loops=False, P=8)
+    eng = GraphEngine.from_edges(simple, n=NV2, P=4)
+    bc = betweenness(eng, wave=100)
+    eng.shutdown(force=True)
+    val = centralization(
+        np.round(bc, 6),
+        centralization_betweenness_tmax(NV2, directed=True),
+    )
+    return pd.DataFrame(
+        {"rq": [np.int64(np.floor(val * 1e6 + 0.5))]}
+    )
+
+
+def q_centralization_evcent(sf_dir: str):
+    """igraph_centralization_eigenvector_centrality
+    (src/centrality.c:3291): max-scaled eigenvector scores + directed
+    n-1 max; quantized."""
+    from xdata_igraph_ray.graph.centrality import eigenvector_centrality
+    from xdata_igraph_ray.graph.metrics import (
+        centralization,
+        centralization_evcent_tmax,
+    )
+
+    eng = _engine(sf_dir)
+    eigenvector_centrality(eng, tol=1e-12)
+    ev = eng.state_arrays("ev")
+    eng.shutdown()
+    val = centralization(
+        ev, centralization_evcent_tmax(NV, directed=True, scale=True)
+    )
+    return pd.DataFrame(
+        {"rq": [np.int64(np.floor(val * 1e6 + 0.5))]}
+    )
+
+
 def q_hits(sf_dir: str):
     from xdata_igraph_ray.graph.centrality import hits
 
@@ -1542,6 +1621,47 @@ def q_fas(sf_dir: str):
         rows["b"].append(v)
     return pd.DataFrame(
         {k: np.array(v, np.int64) for k, v in rows.items()}
+    )
+
+
+def q_erdos_gallai(sf_dir: str):
+    """is_graphical_degree_sequence evidence table: the Erdos-Gallai
+    inequality terms for the lineitem support's degree sequence —
+    (k, lhs, rhs) for every k; the sequence comes from a real graph
+    so lhs <= rhs everywhere, and hash equality checks the entire
+    computation (igraph_is_graphical_degree_sequence,
+    src/structural_properties.c)."""
+    from xdata_igraph_ray.exchange import block_refs, groupby_agg
+    from xdata_igraph_ray.graph.generators import (
+        is_graphical_degree_sequence,
+    )
+    from xdata_igraph_ray.graph.scg import _apply as _sapply
+
+    und = _li_und_simple(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": np.concatenate(
+                (t["src"].to_numpy(), t["dst"].to_numpy())
+            )
+        })
+
+    degt = groupby_agg(
+        [_sapply.remote(both, r) for r in block_refs(und)],
+        ["vid"], [(None, "count", "d")], P=8,
+    ).to_pandas()
+    deg = np.zeros(NV, np.int64)
+    deg[degt["vid"].to_numpy()] = degt["d"].to_numpy()
+    assert is_graphical_degree_sequence(deg)
+    d = np.sort(deg)[::-1]
+    ks = np.arange(1, NV + 1)
+    lhs = np.cumsum(d)
+    rhs = ks * (ks - 1) + np.array(
+        [np.minimum(d[k:], k).sum() for k in ks]
+    )
+    return pd.DataFrame(
+        {"k": ks.astype(np.int64), "lhs": lhs.astype(np.int64),
+         "rhs": rhs.astype(np.int64)}
     )
 
 
@@ -2397,6 +2517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_nominal_li": q_assortativity_nominal,
         "mcs_li": q_mcs,
         "fas_li": q_fas,
+        "centralization_closeness_li": q_centralization_closeness,
+        "erdos_gallai_li": q_erdos_gallai,
+        "centralization_betweenness_li": q_centralization_betweenness,
+        "centralization_evcent_li": q_centralization_evcent,
         "dominator_tree_li": q_dominator_tree,
         "scg_groups_li": q_scg_groups,
         "scg_coarse_li": q_scg_coarse,
@@ -4385,6 +4509,149 @@ def oracle_sql() -> dict[str, str]:
             JOIN ord_ cu ON cu.v = a.u
             JOIN ord_ cv ON cv.v = a.v
             WHERE a.u = a.v OR cu.pos > cv.pos
+            """,
+        # Erdos-Gallai inequality terms over the support's sorted
+        # degree sequence (window cumsum + per-k tail of min(d, k))
+        "erdos_gallai_li": f"""
+            WITH u AS (
+              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
+                       AS a,
+                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
+              FROM lineitem
+              WHERE l_orderkey % {NV} <> l_partkey % {NV}
+            ),
+            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
+            degc AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
+            alldeg AS (
+              SELECT v.range AS vid, coalesce(degc.d, 0) AS d
+              FROM range(0, {NV}) v
+              LEFT JOIN degc ON degc.vid = v.range
+            ),
+            sorted_ AS (
+              SELECT d,
+                     row_number() OVER (ORDER BY d DESC, vid) AS k
+              FROM alldeg
+            ),
+            pre AS (
+              SELECT k, sum(d) OVER (ORDER BY k) AS lhs FROM sorted_
+            ),
+            tail AS (
+              -- DuckDB least() SKIPS nulls, so guard the unmatched
+              -- LEFT JOIN row explicitly
+              SELECT a.k,
+                     coalesce(sum(CASE WHEN x.k IS NULL THEN NULL
+                                       ELSE least(x.d, a.k) END),
+                              0) AS t
+              FROM sorted_ a LEFT JOIN sorted_ x ON x.k > a.k
+              GROUP BY a.k
+            )
+            SELECT CAST(pre.k AS BIGINT) AS k,
+                   CAST(pre.lhs AS BIGINT) AS lhs,
+                   CAST(pre.k * (pre.k - 1) + tail.t AS BIGINT) AS rhs
+            FROM pre JOIN tail ON tail.k = pre.k
+            """,
+        # centralization family: per-vertex score CTEs (same bodies as
+        # closeness_li / betweenness_li / eigenvector_li) wrapped with
+        # n*max - sum over the star-graph theoretical maxima
+        "centralization_closeness_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 16
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            agg AS (
+              SELECT s, count(*) AS reach, sum(d) AS dsum
+              FROM dist GROUP BY s
+            ),
+            clo AS (
+              SELECT ({NV2} - 1.0)
+                     / (CAST(agg.dsum AS DOUBLE)
+                        + {NV2}.0 * ({NV2} - agg.reach)) AS c
+              FROM v JOIN agg ON agg.s = v.vid
+            )
+            SELECT CAST(floor(
+              ({NV2} * (SELECT max(c) FROM clo)
+               - (SELECT sum(c) FROM clo))
+              / (({NV2} - 1.0) * (1.0 - 1.0 / {NV2})) * 1e6 + 0.5
+            ) AS BIGINT) AS rq
+            """,
+        "centralization_betweenness_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de.dst, r.d + 1 FROM r JOIN de ON de.src = r.t
+              WHERE r.d < 12
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            wk(s, t, k, c) AS (
+              SELECT vid, vid, 0, CAST(1 AS DOUBLE) FROM v
+              UNION ALL
+              SELECT w.s, de.dst, w.k + 1, sum(w.c)
+              FROM wk w JOIN de ON de.src = w.t
+              WHERE w.k < 8
+              GROUP BY w.s, de.dst, w.k + 1
+            ),
+            sp AS (
+              SELECT dist.s, dist.t, dist.d, wk.c
+              FROM dist JOIN wk ON wk.s = dist.s AND wk.t = dist.t
+                               AND wk.k = dist.d
+            ),
+            bcv AS (
+              SELECT round(coalesce(b.bc, 0), 6) AS bc
+              FROM v LEFT JOIN (
+                SELECT sv.t AS vid, sum(sv.c * vt.c / st.c) AS bc
+                FROM sp sv
+                JOIN sp vt ON vt.s = sv.t AND vt.s <> vt.t
+                JOIN sp st ON st.s = sv.s AND st.t = vt.t
+                          AND st.d = sv.d + vt.d
+                WHERE sv.s <> sv.t
+                GROUP BY sv.t
+              ) b USING (vid)
+            )
+            SELECT CAST(floor(
+              ({NV2} * (SELECT max(bc) FROM bcv)
+               - (SELECT sum(bc) FROM bcv))
+              / (({NV2} - 1.0) * ({NV2} - 1.0) * ({NV2} - 2.0))
+              * 1e6 + 0.5
+            ) AS BIGINT) AS rq
+            """,
+        "centralization_evcent_li": f"""
+            WITH RECURSIVE e AS {_LI_E},
+            v AS {_LI_V},
+            ev(v, x, iter) AS (
+              SELECT vid, CAST(1.0 AS DOUBLE), 0 FROM v
+              UNION ALL
+              SELECT m.v, sum(m.x) / 64.0, min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, p.x AS x, p.iter AS iter
+                FROM ev p JOIN e ON e.src = p.v
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < 60
+            ),
+            fin AS (SELECT v, x FROM ev WHERE iter = 60),
+            sc AS (
+              SELECT coalesce(fin.x, 0) / (SELECT max(x) FROM fin)
+                       AS ev
+              FROM v LEFT JOIN fin ON fin.v = v.vid
+            )
+            SELECT CAST(floor(
+              ({NV} * (SELECT max(ev) FROM sc)
+               - (SELECT sum(ev) FROM sc))
+              / ({NV} - 1.0) * 1e6 + 0.5
+            ) AS BIGINT) AS rq
             """,
         # MCS replay: recursive chain over the numbered-set bitmask;
         # at each step pick the unnumbered vertex with the most

@@ -238,3 +238,67 @@ def test_assortativity_nominal_vs_naive():
                 sumeii /= 2.0
             want = (sumeii - sumaibi) / (1.0 - sumaibi)
             assert abs(got - want) < 1e-12, (directed, trial)
+
+
+def test_degree_sequence_checks():
+    """is_degree_sequence / is_graphical_degree_sequence vs
+    brute-force realizability on tiny sequences."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from xdata_igraph_ray.graph.generators import (
+        is_degree_sequence,
+        is_graphical_degree_sequence,
+    )
+
+    assert is_degree_sequence([2, 2, 2])
+    assert not is_degree_sequence([2, 1])  # odd sum
+    assert is_degree_sequence([2, 1], [1, 2])
+    assert not is_degree_sequence([2, 1], [1, 1])
+    assert not is_degree_sequence([-1, 1])
+
+    def brute_undirected(seq):
+        n = len(seq)
+        pairs = list(combinations(range(n), 2))
+        for mask in range(1 << len(pairs)):
+            deg = [0] * n
+            for i, (a, b) in enumerate(pairs):
+                if (mask >> i) & 1:
+                    deg[a] += 1
+                    deg[b] += 1
+            if deg == list(seq):
+                return True
+        return False
+
+    rng = np.random.default_rng(31)
+    for _ in range(25):
+        n = int(rng.integers(2, 6))
+        seq = sorted(rng.integers(0, n, n).tolist(), reverse=True)
+        got = is_graphical_degree_sequence(seq)
+        want = brute_undirected(seq)
+        assert got == want, seq
+
+    def brute_directed(o, i_):
+        n = len(o)
+        arcs = [(a, b) for a in range(n) for b in range(n) if a != b]
+        for mask in range(1 << len(arcs)):
+            od = [0] * n
+            idg = [0] * n
+            for k, (a, b) in enumerate(arcs):
+                if (mask >> k) & 1:
+                    od[a] += 1
+                    idg[b] += 1
+            if od == list(o) and idg == list(i_):
+                return True
+        return False
+
+    for _ in range(15):
+        n = int(rng.integers(2, 4))
+        o = rng.integers(0, n, n).tolist()
+        i_ = rng.integers(0, n, n).tolist()
+        if sum(o) != sum(i_):
+            assert not is_graphical_degree_sequence(o, i_)
+            continue
+        assert is_graphical_degree_sequence(o, i_) == \
+            brute_directed(o, i_), (o, i_)

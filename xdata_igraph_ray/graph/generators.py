@@ -456,3 +456,57 @@ def atlas(number: int) -> pa.Table:
     a = np.array([e[0] for e in g.edges()], np.int64)
     b = np.array([e[1] for e in g.edges()], np.int64)
     return _table(np.concatenate((a, b)), np.concatenate((b, a)))
+
+
+def is_degree_sequence(out_degrees, in_degrees=None) -> bool:
+    """igraph_is_degree_sequence (src/structural_properties.c):
+    non-negative; undirected -> even sum; directed -> equal lengths
+    and equal in/out sums."""
+    out = np.asarray(out_degrees, np.int64)
+    if len(out) and out.min() < 0:
+        return False
+    if in_degrees is None:
+        return int(out.sum()) % 2 == 0
+    ind = np.asarray(in_degrees, np.int64)
+    if len(ind) and ind.min() < 0:
+        return False
+    return len(out) == len(ind) and int(out.sum()) == int(ind.sum())
+
+
+def is_graphical_degree_sequence(out_degrees, in_degrees=None) -> bool:
+    """igraph_is_graphical_degree_sequence
+    (src/structural_properties.c; Hakimi 1962 / Erdos-Miklos-Toroczkai
+    2010).  Pinned equivalent theorems instead of the reference's
+    Havel-Hakimi-style iteration: the Erdos-Gallai inequalities for
+    the undirected case and Fulkerson-Chen-Anstee for the directed
+    case — identical verdicts, vectorized."""
+    if not is_degree_sequence(out_degrees, in_degrees):
+        return False
+    out = np.asarray(out_degrees, np.int64)
+    n = len(out)
+    if n == 0:
+        return True
+    if in_degrees is None:
+        d = np.sort(out)[::-1]
+        if d[0] >= n:
+            return False
+        pre = np.cumsum(d)
+        ks = np.arange(1, n + 1)
+        # sum_{i>k} min(d_i, k) for each k
+        rhs_tail = np.array([
+            np.minimum(d[k:], k).sum() for k in ks
+        ])
+        return bool(np.all(pre <= ks * (ks - 1) + rhs_tail))
+    ind = np.asarray(in_degrees, np.int64)
+    if len(out) and (out.max() >= n or ind.max() >= n):
+        return False
+    # FCA: sort pairs by (out, in) non-increasing lexicographic
+    order = np.lexsort((-ind, -out))
+    o, i_ = out[order], ind[order]
+    for k in range(1, n + 1):
+        lhs = int(o[:k].sum())
+        rhs = int(np.minimum(i_[:k], k - 1).sum()) \
+            + int(np.minimum(i_[k:], k).sum())
+        if lhs > rhs:
+            return False
+    return True

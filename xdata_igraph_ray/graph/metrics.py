@@ -602,3 +602,29 @@ def assortativity_nominal(
         sumaibi /= 4.0
         sumeii /= 2.0
     return (sumeii - sumaibi) / (1.0 - sumaibi)
+
+
+def centralization_closeness_tmax(n: int, mode: str = "out") -> float:
+    """igraph_centralization_closeness_tmax (src/centrality.c:3211):
+    star-graph maximum for NORMALIZED closeness."""
+    if mode != "all":
+        return (n - 1.0) * (1.0 - 1.0 / n)
+    return (n - 1.0) * (n - 2.0) / (2.0 * n - 3.0)
+
+
+def centralization_betweenness_tmax(n: int, directed: bool = True) -> float:
+    """igraph_centralization_betweenness_tmax (src/centrality.c:3082)."""
+    t = (n - 1.0) * (n - 1.0) * (n - 2.0)
+    return t if directed else t / 2.0
+
+
+def centralization_evcent_tmax(
+    n: int, directed: bool = False, scale: bool = True,
+) -> float:
+    """igraph_centralization_eigenvector_centrality_tmax
+    (src/centrality.c:3357)."""
+    if directed:
+        return float(n - 1)
+    if scale:
+        return float(n - 2)
+    return (n - 2.0) / np.sqrt(2.0)
