@@ -1665,6 +1665,51 @@ def q_erdos_gallai(sf_dir: str):
     )
 
 
+def q_compare_communities(sf_dir: str):
+    """igraph_compare_communities + split_join_distance
+    (src/community.c:3062,3177) between the degree-rank partition and
+    vid%7 on the lineitem support: one row with all five metrics
+    (vi/nmi/rand/ari quantized 1e6, split-join exact int)."""
+    from xdata_igraph_ray.exchange import block_refs, groupby_agg
+    from xdata_igraph_ray.graph.community import (
+        compare_communities,
+        split_join_distance,
+    )
+    from xdata_igraph_ray.graph.scg import _apply as _sapply
+
+    und = _li_und_simple(sf_dir)
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": np.concatenate(
+                (t["src"].to_numpy(), t["dst"].to_numpy())
+            )
+        })
+
+    degt = groupby_agg(
+        [_sapply.remote(both, r) for r in block_refs(und)],
+        ["vid"], [(None, "count", "d")], P=8,
+    ).to_pandas()
+    deg = np.zeros(NV, np.int64)
+    deg[degt["vid"].to_numpy()] = degt["d"].to_numpy()
+    _, m1 = np.unique(deg, return_inverse=True)
+    m2 = np.arange(NV) % 7
+
+    def q6(x):
+        return np.int64(np.floor(x * 1e6 + 0.5))
+
+    d12, d21 = split_join_distance(m1, m2)
+    return pd.DataFrame(
+        {
+            "vi_q": [q6(compare_communities(m1, m2, "vi"))],
+            "nmi_q": [q6(compare_communities(m1, m2, "nmi"))],
+            "rand_q": [q6(compare_communities(m1, m2, "rand"))],
+            "ari_q": [q6(compare_communities(m1, m2, "adjusted_rand"))],
+            "sj": [np.int64(d12 + d21)],
+        }
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2519,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fas_li": q_fas,
         "centralization_closeness_li": q_centralization_closeness,
         "erdos_gallai_li": q_erdos_gallai,
+        "compare_communities_li": q_compare_communities,
         "centralization_betweenness_li": q_centralization_betweenness,
         "centralization_evcent_li": q_centralization_evcent,
         "dominator_tree_li": q_dominator_tree,
@@ -4509,6 +4555,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN ord_ cu ON cu.v = a.u
             JOIN ord_ cv ON cv.v = a.v
             WHERE a.u = a.v OR cu.pos > cv.pos
+            """,
+        # community-comparison metrics between the degree-rank
+        # partition and vid%7: confusion matrix by GROUP BY, entropy /
+        # mutual information with ln, rand identities per the
+        # reference's derivation; floats quantized, split-join exact
+        "compare_communities_li": f"""
+            WITH u AS (
+              SELECT DISTINCT least(l_orderkey % {NV}, l_partkey % {NV})
+                       AS a,
+                     greatest(l_orderkey % {NV}, l_partkey % {NV}) AS b
+              FROM lineitem
+              WHERE l_orderkey % {NV} <> l_partkey % {NV}
+            ),
+            nb AS (SELECT a AS vid FROM u UNION ALL SELECT b FROM u),
+            degc AS (SELECT vid, count(*) AS d FROM nb GROUP BY vid),
+            mem AS (
+              SELECT v.range AS vid,
+                     dense_rank() OVER (
+                       ORDER BY coalesce(degc.d, 0)) - 1 AS g1,
+                     v.range % 7 AS g2
+              FROM range(0, {NV}) v
+              LEFT JOIN degc ON degc.vid = v.range
+            ),
+            conf AS (
+              SELECT g1, g2, count(*) AS c FROM mem GROUP BY g1, g2
+            ),
+            rs AS (SELECT g1, sum(c) AS c FROM conf GROUP BY g1),
+            cs AS (SELECT g2, sum(c) AS c FROM conf GROUP BY g2),
+            nn AS (SELECT CAST({NV} AS DOUBLE) AS n),
+            ent AS (
+              SELECT
+                (SELECT -sum((c / n) * ln(c / n)) FROM rs, nn) AS h1,
+                (SELECT -sum((c / n) * ln(c / n)) FROM cs, nn) AS h2,
+                (SELECT sum((conf.c / n) * (ln(conf.c / n)
+                        - ln(rs.c / n) - ln(cs.c / n)))
+                 FROM conf
+                 JOIN rs ON rs.g1 = conf.g1
+                 JOIN cs ON cs.g2 = conf.g2, nn) AS mi,
+                (SELECT sum((c / n) * (c - 1.0) / (n - 1.0))
+                 FROM conf, nn) AS rterm,
+                (SELECT sum((c / n) * (c - 1.0) / (n - 1.0))
+                 FROM rs, nn) AS f1,
+                (SELECT sum((c / n) * (c - 1.0) / (n - 1.0))
+                 FROM cs, nn) AS f2,
+                (SELECT {NV} - sum(mx) FROM (
+                   SELECT max(c) AS mx FROM conf GROUP BY g1)) AS d12,
+                (SELECT {NV} - sum(mx) FROM (
+                   SELECT max(c) AS mx FROM conf GROUP BY g2)) AS d21
+            )
+            SELECT
+              CAST(floor((h1 + h2 - 2 * mi) * 1e6 + 0.5) AS BIGINT)
+                AS vi_q,
+              CAST(floor((2 * mi / (h1 + h2)) * 1e6 + 0.5) AS BIGINT)
+                AS nmi_q,
+              CAST(floor((1.0 + 2 * rterm - f1 - f2) * 1e6 + 0.5)
+                AS BIGINT) AS rand_q,
+              CAST(floor((((1.0 + 2 * rterm - f1 - f2)
+                           - (f1 * f2 + (1 - f1) * (1 - f2)))
+                          / (1.0 - (f1 * f2 + (1 - f1) * (1 - f2))))
+                         * 1e6 + 0.5) AS BIGINT) AS ari_q,
+              CAST(d12 + d21 AS BIGINT) AS sj
+            FROM ent
             """,
         # Erdos-Gallai inequality terms over the support's sorted
         # degree sequence (window cumsum + per-k tail of min(d, k))

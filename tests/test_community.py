@@ -70,3 +70,65 @@ def test_louvain_deterministic():
     m1 = louvain(_ds(t), n=80, P=2)[0].to_pandas().sort_values("vid")
     m2 = louvain(_ds(t), n=80, P=3)[0].to_pandas().sort_values("vid")
     assert list(m1["comm"]) == list(m2["comm"])  # partition-count independent
+
+
+def test_compare_communities_vs_naive():
+    """igraph_compare_communities formulas vs direct O(n^2)
+    pair-counting / dict-based entropy computation."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from xdata_igraph_ray.graph.community import (
+        compare_communities,
+        split_join_distance,
+    )
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        n = 60
+        a = rng.integers(0, 5, n)
+        b = rng.integers(0, 4, n)
+
+        # identical partitions: fixed points
+        assert abs(compare_communities(a, a, "vi")) < 1e-12
+        assert compare_communities(a, a, "nmi") == 1.0
+        assert abs(compare_communities(a, a, "rand") - 1) < 1e-12
+        assert abs(compare_communities(a, a, "adjusted_rand") - 1) < 1e-12
+        assert compare_communities(a, a, "split-join") == 0.0
+
+        # rand via brute pair counting
+        same_a = np.equal.outer(a, a)
+        same_b = np.equal.outer(b, b)
+        iu = np.triu_indices(n, 1)
+        agree = (same_a[iu] == same_b[iu]).sum()
+        rand_naive = agree / len(iu[0])
+        assert abs(compare_communities(a, b, "rand") - rand_naive) < 1e-12
+
+        # vi/nmi via dicts
+        pa_ = Counter(a.tolist())
+        pb_ = Counter(b.tolist())
+        pab = Counter(zip(a.tolist(), b.tolist()))
+        h1 = -sum(c / n * math.log(c / n) for c in pa_.values())
+        h2 = -sum(c / n * math.log(c / n) for c in pb_.values())
+        mi = sum(
+            c / n * math.log((c / n) / (pa_[x] / n * pb_[y] / n))
+            for (x, y), c in pab.items()
+        )
+        assert abs(compare_communities(a, b, "vi") - (h1 + h2 - 2 * mi)) < 1e-10
+        assert abs(
+            compare_communities(a, b, "nmi") - 2 * mi / (h1 + h2)
+        ) < 1e-10
+
+        # split-join via dicts
+        d12 = n - sum(
+            max(c for (x, _y), c in pab.items() if x == i)
+            for i in pa_
+        )
+        d21 = n - sum(
+            max(c for (_x, y), c in pab.items() if y == j)
+            for j in pb_
+        )
+        got12, got21 = split_join_distance(a, b)
+        assert (got12, got21) == (d12, d21)

@@ -965,3 +965,76 @@ def community_optimal_modularity(
     for i, c in enumerate(mem.tolist()):
         out[i] = remap.setdefault(int(c), len(remap))
     return out, len(remap), float(best[full - 1])
+
+
+def _reindex(m: np.ndarray) -> np.ndarray:
+    _, inv = np.unique(np.asarray(m, np.int64), return_inverse=True)
+    return inv
+
+
+def _confusion(c1: np.ndarray, c2: np.ndarray):
+    k2 = int(c2.max()) + 1
+    key = c1.astype(np.int64) * k2 + c2
+    uk, cnt = np.unique(key, return_counts=True)
+    return uk // k2, uk % k2, cnt.astype(np.float64)
+
+
+def split_join_distance(
+    comm1: np.ndarray, comm2: np.ndarray,
+) -> tuple[int, int]:
+    """igraph_split_join_distance (src/community.c:3177, van Dongen
+    2000): d(a->b) = n - sum_i max_j n(i,j); returns both
+    directions."""
+    c1, c2 = _reindex(comm1), _reindex(comm2)
+    n = len(c1)
+    ri, ci, cnt = _confusion(c1, c2)
+    d12 = n - sum(
+        int(cnt[ri == i].max()) for i in range(int(c1.max()) + 1)
+    )
+    d21 = n - sum(
+        int(cnt[ci == j].max()) for j in range(int(c2.max()) + 1)
+    )
+    return d12, d21
+
+
+def compare_communities(
+    comm1: np.ndarray, comm2: np.ndarray, method: str = "vi",
+) -> float:
+    """igraph_compare_communities (src/community.c:3062): vi (Meila),
+    nmi (Danon), split-join (summed both directions), rand,
+    adjusted_rand — exact replay of the reference formulas over the
+    sparse confusion matrix."""
+    c1, c2 = _reindex(comm1), _reindex(comm2)
+    n = float(len(c1))
+    if method == "split-join":
+        d12, d21 = split_join_distance(c1, c2)
+        return float(d12 + d21)
+    ri, ci, cnt = _confusion(c1, c2)
+    if method in ("vi", "nmi"):
+        p1 = np.bincount(c1) / n
+        p2 = np.bincount(c2) / n
+        h1 = float(-(p1 * np.log(p1, where=p1 > 0,
+                                 out=np.zeros_like(p1))).sum())
+        h2 = float(-(p2 * np.log(p2, where=p2 > 0,
+                                 out=np.zeros_like(p2))).sum())
+        p = cnt / n
+        mut = float(
+            (p * (np.log(p) - np.log(p1[ri]) - np.log(p2[ci]))).sum()
+        )
+        if method == "vi":
+            return h1 + h2 - 2.0 * mut
+        return 1.0 if h1 == 0 and h2 == 0 else 2.0 * mut / (h1 + h2)
+    if method in ("rand", "adjusted_rand"):
+        if n < 2:
+            raise ValueError("rand indices need at least two vertices")
+        r = float(((cnt / n) * (cnt - 1.0) / (n - 1.0)).sum())
+        rs = np.bincount(ri, weights=cnt)
+        cs = np.bincount(ci, weights=cnt)
+        f1 = float(((rs / n) * (rs - 1.0) / (n - 1.0)).sum())
+        f2 = float(((cs / n) * (cs - 1.0) / (n - 1.0)).sum())
+        rand = 1.0 + 2.0 * r - f1 - f2
+        if method == "rand":
+            return rand
+        expected = f1 * f2 + (1.0 - f1) * (1.0 - f2)
+        return (rand - expected) / (1.0 - expected)
+    raise ValueError(f"unknown method {method!r}")
