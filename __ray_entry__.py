@@ -1710,6 +1710,53 @@ def q_compare_communities(sf_dir: str):
     )
 
 
+def q_automorphisms(sf_dir: str):
+    """Automorphism group order via VF2 enumeration
+    (igraph_count_isomorphisms_vf2, src/topology.c; the
+    enumeration-based stand-in for igraph_automorphisms' BLISS
+    counting) on a 6-vertex derived digraph; the oracle enumerates
+    all 6^6 candidate maps in SQL and keeps arc-preserving
+    permutations."""
+    from xdata_igraph_ray.graph.isomorphism import count_isomorphisms
+
+    dfarcs = (
+        _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["l_orderkey"].to_numpy() % 6,
+                    "dst": t["l_partkey"].to_numpy() % 6,
+                }
+            ).filter(
+                pa.compute.and_(
+                    pa.compute.equal(
+                        (t["l_orderkey"].to_numpy() * 131
+                         + t["l_partkey"].to_numpy() * 17) % 1009, 0
+                    ),
+                    pa.compute.not_equal(
+                        pa.array(t["l_orderkey"].to_numpy() % 6),
+                        pa.array(t["l_partkey"].to_numpy() % 6),
+                    ),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    t = pa.table(
+        {
+            "src": dfarcs["src"].to_numpy().astype(np.int64),
+            "dst": dfarcs["dst"].to_numpy().astype(np.int64),
+        }
+    )
+    cnt = count_isomorphisms(t, 6, t, 6, directed=True)
+    return pd.DataFrame({"aut": [np.int64(cnt)]})
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2565,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centralization_closeness_li": q_centralization_closeness,
         "erdos_gallai_li": q_erdos_gallai,
         "compare_communities_li": q_compare_communities,
+        "automorphisms_li": q_automorphisms,
         "centralization_betweenness_li": q_centralization_betweenness,
         "centralization_evcent_li": q_centralization_evcent,
         "dominator_tree_li": q_dominator_tree,
@@ -4555,6 +4603,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN ord_ cu ON cu.v = a.u
             JOIN ord_ cv ON cv.v = a.v
             WHERE a.u = a.v OR cu.pos > cv.pos
+            """,
+        # automorphism count: all 6^6 candidate maps, keep distinct
+        # (permutation) arc-preserving ones
+        "automorphisms_li": """
+            WITH arcs AS (
+              SELECT DISTINCT l_orderkey % 6 AS u, l_partkey % 6 AS v
+              FROM lineitem
+              WHERE l_orderkey % 6 <> l_partkey % 6
+                AND (l_orderkey * 131 + l_partkey * 17) % 1009 = 0
+            ),
+            perms AS (
+              SELECT [p0.range, p1.range, p2.range,
+                      p3.range, p4.range, p5.range] AS p
+              FROM range(0, 6) p0, range(0, 6) p1, range(0, 6) p2,
+                   range(0, 6) p3, range(0, 6) p4, range(0, 6) p5
+              WHERE len(list_distinct(
+                      [p0.range, p1.range, p2.range,
+                       p3.range, p4.range, p5.range])) = 6
+            )
+            SELECT count(*) AS aut FROM perms
+            WHERE NOT EXISTS (
+              SELECT 1 FROM arcs a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM arcs b
+                WHERE b.u = list_extract(perms.p, a.u + 1)
+                  AND b.v = list_extract(perms.p, a.v + 1)))
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

@@ -129,3 +129,54 @@ def test_subisomorphic_vs_networkx_monomorphism():
         gm = nxiso.DiGraphMatcher(g_t, g_p)
         want = gm.subgraph_is_monomorphic()
         assert subisomorphic(pat, 4, tgt, 9) == want, seed
+
+
+def test_count_isomorphisms_automorphism_groups():
+    """count_isomorphisms(g, g) = automorphism group order — known
+    groups: cycle C_n -> 2n (dihedral, undirected), directed cycle ->
+    n, path P_n -> 2, star K_1,k -> k!."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    from xdata_igraph_ray.graph.isomorphism import (
+        count_isomorphisms,
+        get_isomorphisms,
+    )
+
+    def t(arcs):
+        return pa.table({
+            "src": np.array([a[0] for a in arcs], np.int64),
+            "dst": np.array([a[1] for a in arcs], np.int64),
+        })
+
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    assert count_isomorphisms(t(c5), 5, t(c5), 5, directed=True) == 5
+    assert count_isomorphisms(t(c5), 5, t(c5), 5, directed=False) == 10
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    assert count_isomorphisms(t(p4), 4, t(p4), 4, directed=False) == 2
+    star = [(0, i) for i in range(1, 5)]
+    assert count_isomorphisms(t(star), 5, t(star), 5,
+                              directed=False) == math.factorial(4)
+    # mappings are valid isomorphisms
+    for m in get_isomorphisms(t(c5), 5, t(c5), 5, directed=True):
+        mapped = {(int(m[a]), int(m[b])) for a, b in c5}
+        assert mapped == set(c5)
+    # vs networkx on random graphs
+    import networkx as nx
+    from networkx.algorithms.isomorphism import GraphMatcher
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        n = 7
+        pairs = [
+            (a, b) for a in range(n) for b in range(a + 1, n)
+            if rng.random() < 0.4
+        ]
+        arcs = pairs + [(b, a) for a, b in pairs]
+        g = nx.Graph(pairs)
+        g.add_nodes_from(range(n))
+        want = sum(1 for _ in GraphMatcher(g, g).isomorphisms_iter())
+        got = count_isomorphisms(t(arcs), n, t(arcs), n, directed=True)
+        assert got == want, trial

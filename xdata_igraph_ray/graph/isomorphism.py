@@ -182,3 +182,81 @@ def isomorphic_many(pairs, directed: bool = True) -> list[bool]:
         for (e1, n1), (e2, n2) in pairs
     ]
     return ray.get(futs)
+
+
+def _vf2_all(out1, in1, out2, in2, n, limit=None):
+    """Enumerate ALL isomorphism mappings g1 -> g2 (the callback form
+    of the reference's igraph_isomorphic_function_vf2 /
+    igraph_get_isomorphisms_vf2, src/topology.c)."""
+    deg1 = np.array([len(out1[v]) + len(in1[v]) for v in range(n)])
+    order = np.argsort(-deg1, kind="stable")
+    core1 = np.full(n, -1, dtype=np.int64)
+    core2 = np.full(n, -1, dtype=np.int64)
+    found: list[np.ndarray] = []
+
+    def feasible(a: int, b: int) -> bool:
+        if (len(out1[a]) != len(out2[b])) or (len(in1[a]) != len(in2[b])):
+            return False
+        for x in out1[a]:
+            m = core1[x]
+            if m >= 0 and m not in out2[b]:
+                return False
+        for x in in1[a]:
+            m = core1[x]
+            if m >= 0 and m not in in2[b]:
+                return False
+        for y in out2[b]:
+            m = core2[y]
+            if m >= 0 and m not in out1[a]:
+                return False
+        for y in in2[b]:
+            m = core2[y]
+            if m >= 0 and m not in in1[a]:
+                return False
+        return True
+
+    def rec(i: int) -> bool:
+        if i == n:
+            found.append(core1.copy())
+            return limit is not None and len(found) >= limit
+        a = int(order[i])
+        for b in range(n):
+            if core2[b] < 0 and feasible(a, b):
+                core1[a] = b
+                core2[b] = a
+                if rec(i + 1):
+                    return True
+                core1[a] = -1
+                core2[b] = -1
+        return False
+
+    rec(0)
+    return found
+
+
+def get_isomorphisms(
+    edges1: pa.Table, n1: int, edges2: pa.Table, n2: int,
+    directed: bool = True, limit: int | None = None,
+) -> list[np.ndarray]:
+    """All g1 -> g2 isomorphism mappings
+    (igraph_get_isomorphisms_vf2, src/topology.c); on g1 == g2 this
+    enumerates the automorphism group's elements."""
+    if n1 != n2 or len(edges1) != len(edges2):
+        return []
+    out1, in1 = _adj(edges1, n1, directed)
+    out2, in2 = _adj(edges2, n2, directed)
+    d1 = sorted((len(out1[v]), len(in1[v])) for v in range(n1))
+    d2 = sorted((len(out2[v]), len(in2[v])) for v in range(n2))
+    if d1 != d2:
+        return []
+    return _vf2_all(out1, in1, out2, in2, n1, limit=limit)
+
+
+def count_isomorphisms(
+    edges1: pa.Table, n1: int, edges2: pa.Table, n2: int,
+    directed: bool = True,
+) -> int:
+    """igraph_count_isomorphisms_vf2; count_isomorphisms(g, g) is the
+    automorphism group order (the enumeration-based stand-in for
+    igraph_automorphisms' BLISS counting)."""
+    return len(get_isomorphisms(edges1, n1, edges2, n2, directed))
