@@ -141,3 +141,36 @@ def test_dfs_visitor_vs_networkx():
         g.add_edge(a, b)
     want = list(nx.dfs_preorder_nodes(g, source=0))
     assert order[:len(want)].tolist() == want
+
+
+def test_are_connected_and_unfold_tree():
+    import numpy as np
+    import networkx as nx
+    import pyarrow as pa
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.ops import are_connected, unfold_tree
+
+    arcs = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1)]
+    ds = rd.from_arrow(pa.table({
+        "src": np.array([a[0] for a in arcs], np.int64),
+        "dst": np.array([a[1] for a in arcs], np.int64),
+    }))
+    assert are_connected(ds, 0, 1)
+    assert not are_connected(ds, 1, 0)
+
+    tree, vidx = unfold_tree(ds, 4, roots=[0], mode="out")
+    ts = tree["src"].to_numpy()
+    td = tree["dst"].to_numpy()
+    # every original edge appears once, projected through vertex_index
+    proj = sorted((int(vidx[a]), int(vidx[b])) for a, b in zip(ts, td))
+    assert proj == sorted(arcs)
+    # the unfolded reachable part is a forest on the undirected view
+    g = nx.Graph()
+    g.add_nodes_from(range(len(vidx)))
+    g.add_edges_from(zip(ts.tolist(), td.tolist()))
+    assert nx.is_forest(nx.Graph(list(zip(ts.tolist(), td.tolist()))))
+    # copies map to original seen vertices
+    assert all(0 <= vidx[i] < 4 for i in range(4, len(vidx)))
+    # vertex count grew by (edges - tree-edges-of-reachable) copies
+    assert len(vidx) == 4 + (len(arcs) - 3)

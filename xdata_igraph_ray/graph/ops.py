@@ -519,3 +519,85 @@ def get_laplacian(
     return to_dataset(
         [off_n.remote(r) for r in j] + [diag_n.remote(r) for r in deg]
     )
+
+
+def are_connected(edges: Dataset | list, u: int, v: int,
+                  P: int = DEFAULT_PARTITIONS) -> bool:
+    """igraph_are_connected: does the arc (u, v) exist (directed
+    probe over the distributed edge table)."""
+    refs = _refs(edges)
+
+    def probe(t: pa.Table) -> bool:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return bool(((s == u) & (d == v)).any())
+
+    return any(ray.get([_apply.remote(probe, r) for r in refs]))
+
+
+def unfold_tree(
+    edges: Dataset | list, n: int, roots, mode: str = "out",
+    P: int = DEFAULT_PARTITIONS,
+):
+    """igraph_unfold_tree (src/structural_properties.c): BFS from the
+    roots; the first edge reaching a vertex keeps it, every later
+    edge that would re-visit a seen vertex gets a fresh COPY of that
+    endpoint, so the reachable part unfolds into a forest.  Returns
+    (tree_edges Table (src, dst), vertex_index array mapping every
+    output vertex to its original).  Pinned divergence: incident
+    edges are visited in sorted (src, dst) order rather than the
+    reference's edge-id order — same structure, copy numbering may
+    differ.  Driver kernel over the collapsed arc list."""
+    from collections import deque
+
+    refs = _refs(edges)
+
+    def arcs_of(t: pa.Table):
+        return t["src"].to_numpy(), t["dst"].to_numpy()
+
+    parts = ray.get([_apply.remote(arcs_of, r) for r in refs])
+    s = np.concatenate([p[0] for p in parts]) if parts else \
+        np.empty(0, np.int64)
+    d = np.concatenate([p[1] for p in parts]) if parts else \
+        np.empty(0, np.int64)
+    order = np.lexsort((d, s))
+    s, d = s[order], d[order]
+    ne = len(s)
+    # incidence per the traversal mode
+    inc: list[list[int]] = [[] for _ in range(n)]
+    for ei in range(ne):
+        if mode in ("out", "all"):
+            inc[s[ei]].append(ei)
+        if mode in ("in", "all"):
+            inc[d[ei]].append(ei)
+    out_s = s.copy()
+    out_d = d.copy()
+    vertex_index = list(range(n))
+    seen_v = np.zeros(n, dtype=bool)
+    seen_e = np.zeros(ne, dtype=bool)
+    v_ptr = n
+    for root in np.atleast_1d(np.asarray(roots, np.int64)).tolist():
+        if seen_v[root]:
+            continue
+        seen_v[root] = True
+        q = deque([root])
+        while q:
+            act = q.popleft()
+            for ei in inc[act]:
+                if seen_e[ei]:
+                    continue
+                seen_e[ei] = True
+                frm, to = int(s[ei]), int(d[ei])
+                nei = to if frm == act else frm
+                if not seen_v[nei]:
+                    seen_v[nei] = True
+                    q.append(nei)
+                else:
+                    vertex_index.append(nei)
+                    if frm == nei:
+                        out_s[ei] = v_ptr
+                    else:
+                        out_d[ei] = v_ptr
+                    v_ptr += 1
+    tree = pa.table({"src": out_s, "dst": out_d})
+    return tree, np.asarray(vertex_index, np.int64)
