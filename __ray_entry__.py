@@ -1757,6 +1757,35 @@ def q_automorphisms(sf_dir: str):
     return pd.DataFrame({"aut": [np.int64(cnt)]})
 
 
+def q_all_simple_paths(sf_dir: str):
+    """All simple paths 0 -> {8, 9} on the sparse 10-vertex derived
+    digraph (igraph_get_all_simple_paths, src/paths.c:60); one row
+    per path as an arrow string.  Oracle: recursive CTE carrying the
+    visited bitmask."""
+    from xdata_igraph_ray.graph.paths import get_all_simple_paths
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 10,
+                "dst": t["l_partkey"].to_numpy() % 10,
+            }
+        ).filter(
+            pa.compute.equal(
+                (t["l_orderkey"].to_numpy() * 131
+                 + t["l_partkey"].to_numpy() * 17) % 1321, 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    paths = get_all_simple_paths(ds, 10, 0, [8, 9], P=4)
+    return pd.DataFrame(
+        {"path": sorted("->".join(map(str, p)) for p in paths)}
+    )
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2613,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "erdos_gallai_li": q_erdos_gallai,
         "compare_communities_li": q_compare_communities,
         "automorphisms_li": q_automorphisms,
+        "all_simple_paths_li": q_all_simple_paths,
         "centralization_betweenness_li": q_centralization_betweenness,
         "centralization_evcent_li": q_centralization_evcent,
         "dominator_tree_li": q_dominator_tree,
@@ -4603,6 +4633,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN ord_ cu ON cu.v = a.u
             JOIN ord_ cv ON cv.v = a.v
             WHERE a.u = a.v OR cu.pos > cv.pos
+            """,
+        # all simple paths via a recursive CTE carrying the visited
+        # bitmask; loops dropped (reference ignores loop edges)
+        "all_simple_paths_li": """
+            WITH RECURSIVE arcs AS (
+              SELECT DISTINCT l_orderkey % 10 AS u, l_partkey % 10 AS v
+              FROM lineitem
+              WHERE l_orderkey % 10 <> l_partkey % 10
+                AND (l_orderkey * 131 + l_partkey * 17) % 1321 = 0
+            ),
+            walk(v, mask, p) AS (
+              SELECT 0, 1::BIGINT, '0'
+              UNION ALL
+              SELECT a.v, w.mask | (1::BIGINT << a.v),
+                     w.p || '->' || CAST(a.v AS VARCHAR)
+              FROM walk w JOIN arcs a ON a.u = w.v
+              WHERE ((w.mask >> a.v) & 1) = 0
+            )
+            SELECT p AS path FROM walk WHERE v IN (8, 9)
             """,
         # automorphism count: all 6^6 candidate maps, keep distinct
         # (permutation) arc-preserving ones

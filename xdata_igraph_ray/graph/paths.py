@@ -568,3 +568,63 @@ def transitive_closure(engine: GraphEngine, wave: int = 128,
         refs.extend([s.ms_reach_table.remote() for s in shards])
     ray.get([s.ms_free.remote() for s in shards])
     return rd.from_arrow_refs(refs)
+
+
+def get_all_simple_paths(
+    edges, n: int, source: int, targets, mode: str = "out",
+    cutoff: int | None = None, max_paths: int = 1_000_000,
+    P: int = 8,
+):
+    """All simple paths from ``source`` to each target
+    (igraph_get_all_simple_paths, src/paths.c:60 — multi/loop edges
+    ignored; exponential worst case, driver kernel over the collapsed
+    arc set).  Deterministic order: neighbors expanded ascending.
+    ``cutoff`` bounds path length in edges; ``max_paths`` is a loud
+    guard against lattice blow-up (raises, never truncates
+    silently)."""
+    from ..exchange import block_refs, distinct
+
+    refs = edges if isinstance(edges, list) else block_refs(edges)
+    uniq = distinct(refs, ["src", "dst"], P=P, as_refs=True)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for t in ray.get(uniq):
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        for u, v in zip(s.tolist(), d.tolist()):
+            if u == v:
+                continue
+            if mode in ("out", "all"):
+                adj[u].append(v)
+            if mode in ("in", "all"):
+                adj[v].append(u)
+    for a in adj:
+        a.sort()
+    tset = set(
+        int(x) for x in np.atleast_1d(np.asarray(targets)).tolist()
+    )
+    out: list[list[int]] = []
+    path = [source]
+    on = np.zeros(n, dtype=bool)
+    on[source] = True
+
+    def rec():
+        v = path[-1]
+        if v in tset:  # the trivial [source] path counts when
+            # source is a target, matching the reference's DFS
+            out.append(path.copy())
+            if len(out) > max_paths:
+                raise RuntimeError(
+                    f"get_all_simple_paths: > {max_paths} paths"
+                )
+        if cutoff is not None and len(path) - 1 >= cutoff:
+            return
+        for w in adj[v]:
+            if not on[w]:
+                on[w] = True
+                path.append(w)
+                rec()
+                path.pop()
+                on[w] = False
+
+    rec()
+    return out
