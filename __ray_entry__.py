@@ -1786,6 +1786,21 @@ def q_all_simple_paths(sf_dir: str):
     )
 
 
+def q_convergence_degree(sf_dir: str):
+    """Per-edge convergence degree (igraph_convergence_degree,
+    src/structural_properties.c:4011) on the 200-vertex derived
+    digraph; ins/outs exact ints, cd quantized."""
+    from xdata_igraph_ray.graph.paths import convergence_degree
+
+    t = convergence_degree(_li_edges_200(sf_dir), NV2, directed=True,
+                           P=4)
+    df = t.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    df["cdq"] = np.floor(
+        df["cd"].to_numpy() * 1e6 + 0.5
+    ).astype(np.int64)
+    return df[["src", "dst", "ins", "outs", "cdq"]]
+
+
 def q_assortativity(sf_dir: str):
     from xdata_igraph_ray.graph.metrics import assortativity_degree
 
@@ -2643,6 +2658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_communities_li": q_compare_communities,
         "automorphisms_li": q_automorphisms,
         "all_simple_paths_li": q_all_simple_paths,
+        "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
         "centralization_evcent_li": q_centralization_evcent,
         "dominator_tree_li": q_dominator_tree,
@@ -4633,6 +4649,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN ord_ cu ON cu.v = a.u
             JOIN ord_ cv ON cv.v = a.v
             WHERE a.u = a.v OR cu.pos > cv.pos
+            """,
+        # convergence degree: ins(e) = #roots with d(i,u)+1 = d(i,v)
+        # (forward all-pairs dist), outs(e) = #roots with
+        # d(v,i)+1 = d(u,i) (the same dist table read backwards)
+        "convergence_degree_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT DISTINCT l_orderkey % {NV2} AS src,
+                              l_partkey % {NV2} AS dst FROM lineitem
+            ),
+            e AS (SELECT src, dst FROM de WHERE src <> dst),
+            v AS (SELECT range AS vid FROM range(0, {NV2})),
+            r(s, t, d) AS (
+              SELECT vid, vid, 0 FROM v
+              UNION
+              SELECT r.s, de2.dst, r.d + 1
+              FROM r JOIN e de2 ON de2.src = r.t
+              WHERE r.d < 16
+            ),
+            dist AS (SELECT s, t, min(d) AS d FROM r GROUP BY s, t),
+            cnt AS (
+              SELECT e.src, e.dst,
+                     (SELECT count(*) FROM dist a JOIN dist b
+                      ON a.s = b.s
+                      WHERE a.t = e.src AND b.t = e.dst
+                        AND a.d + 1 = b.d) AS ins,
+                     (SELECT count(*) FROM dist a JOIN dist b
+                      ON a.t = b.t
+                      WHERE a.s = e.dst AND b.s = e.src
+                        AND a.d + 1 = b.d) AS outs
+              FROM e
+            )
+            SELECT CAST(src AS BIGINT) AS src,
+                   CAST(dst AS BIGINT) AS dst,
+                   CAST(ins AS BIGINT) AS ins,
+                   CAST(outs AS BIGINT) AS outs,
+                   CAST(floor(CAST(ins - outs AS DOUBLE)
+                              / (ins + outs) * 1e6 + 0.5) AS BIGINT)
+                     AS cdq
+            FROM cnt
             """,
         # all simple paths via a recursive CTE carrying the visited
         # bitmask; loops dropped (reference ignores loop edges)
