@@ -283,7 +283,17 @@ def hash_join(
             )
         except pa.lib.ArrowInvalid:
             # Arrow's join kernel rejects nested / extension payload
-            # columns (e.g. tensor columns); fall back to pandas
+            # columns (e.g. tensor columns); fall back to pandas.
+            # Logged loudly: this path de-vectorizes the join, so a
+            # hot-loop join landing here is a performance bug.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "hash_join: Arrow join kernel rejected the schema "
+                "(nested/extension column?) — falling back to pandas "
+                "for a %d x %d row partition; this de-vectorizes the "
+                "join", len(lt), len(rt),
+            )
             ldf, rdf = lt.to_pandas(), rt.to_pandas()
             if how == "left semi":
                 out = ldf[ldf.set_index(keys).index.isin(
