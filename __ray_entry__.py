@@ -1757,6 +1757,57 @@ def q_automorphisms(sf_dir: str):
     return pd.DataFrame({"aut": [np.int64(cnt)]})
 
 
+def q_canonical_permutation(sf_dir: str):
+    """Canonical labeling (igraph_canonical_permutation,
+    src/topology.c:2695-2762; BLISS stand-in with the pinned
+    border-order min-code canonical form — see
+    graph/isomorphism.py) of the same 6-vertex derived digraph as
+    automorphisms_li.  Oracle: enumerate all 6! labelings in SQL,
+    compute the identical 36-bit border-order code, pick min code
+    with lexicographically-smallest-labeling tie-break."""
+    from xdata_igraph_ray.graph.isomorphism import canonical_permutation
+
+    dfarcs = (
+        _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey"],
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["l_orderkey"].to_numpy() % 6,
+                    "dst": t["l_partkey"].to_numpy() % 6,
+                }
+            ).filter(
+                pa.compute.and_(
+                    pa.compute.equal(
+                        (t["l_orderkey"].to_numpy() * 131
+                         + t["l_partkey"].to_numpy() * 17) % 1009, 0
+                    ),
+                    pa.compute.not_equal(
+                        pa.array(t["l_orderkey"].to_numpy() % 6),
+                        pa.array(t["l_partkey"].to_numpy() % 6),
+                    ),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    t = pa.table(
+        {
+            "src": dfarcs["src"].to_numpy().astype(np.int64),
+            "dst": dfarcs["dst"].to_numpy().astype(np.int64),
+        }
+    )
+    lab = canonical_permutation(t, 6, directed=True)
+    return pd.DataFrame({
+        "vid": np.arange(6, dtype=np.int64),
+        "rank": lab.astype(np.int64),
+    })
+
+
 def q_all_simple_paths(sf_dir: str):
     """All simple paths 0 -> {8, 9} on the sparse 10-vertex derived
     digraph (igraph_get_all_simple_paths, src/paths.c:60); one row
@@ -2657,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "erdos_gallai_li": q_erdos_gallai,
         "compare_communities_li": q_compare_communities,
         "automorphisms_li": q_automorphisms,
+        "canonical_permutation_li": q_canonical_permutation,
         "all_simple_paths_li": q_all_simple_paths,
         "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
@@ -4733,6 +4785,55 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM arcs b
                 WHERE b.u = list_extract(perms.p, a.u + 1)
                   AND b.v = list_extract(perms.p, a.v + 1)))
+            """,
+        # canonical labeling: enumerate all 6! labelings l (l[v] = new
+        # id of v), compute the 36-bit border-order adjacency code
+        # (cell (i,j) at bit j*j+i if i<j else i*i+i+1+j; no loops in
+        # the arc set so the diagonal is all 0), min code then lex-min
+        # labeling — identical definition to graph/isomorphism.py
+        "canonical_permutation_li": """
+            WITH arcs AS (
+              SELECT DISTINCT l_orderkey % 6 AS u, l_partkey % 6 AS v
+              FROM lineitem
+              WHERE l_orderkey % 6 <> l_partkey % 6
+                AND (l_orderkey * 131 + l_partkey * 17) % 1009 = 0
+            ),
+            labs AS (
+              SELECT [p0.range, p1.range, p2.range,
+                      p3.range, p4.range, p5.range] AS l
+              FROM range(0, 6) p0, range(0, 6) p1, range(0, 6) p2,
+                   range(0, 6) p3, range(0, 6) p4, range(0, 6) p5
+              WHERE len(list_distinct(
+                      [p0.range, p1.range, p2.range,
+                       p3.range, p4.range, p5.range])) = 6
+            ),
+            coded AS (
+              SELECT l,
+                (SELECT coalesce(sum(
+                   1::BIGINT << (35 - (CASE
+                     WHEN list_extract(l, a.u + 1)
+                          < list_extract(l, a.v + 1)
+                     THEN list_extract(l, a.v + 1)
+                          * list_extract(l, a.v + 1)
+                          + list_extract(l, a.u + 1)
+                     ELSE list_extract(l, a.u + 1)
+                          * list_extract(l, a.u + 1)
+                          + list_extract(l, a.u + 1) + 1
+                          + list_extract(l, a.v + 1)
+                   END))::INT), 0)
+                 FROM arcs a) AS code,
+                list_extract(l, 1) * 7776 + list_extract(l, 2) * 1296
+                  + list_extract(l, 3) * 216 + list_extract(l, 4) * 36
+                  + list_extract(l, 5) * 6 + list_extract(l, 6)
+                  AS lexkey
+              FROM labs
+            ),
+            best AS (
+              SELECT l FROM coded ORDER BY code, lexkey LIMIT 1
+            )
+            SELECT v.range::BIGINT AS vid,
+                   list_extract(best.l, v.range + 1)::BIGINT AS rank
+            FROM best, range(0, 6) v
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

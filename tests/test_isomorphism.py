@@ -180,3 +180,136 @@ def test_count_isomorphisms_automorphism_groups():
         want = sum(1 for _ in GraphMatcher(g, g).isomorphisms_iter())
         got = count_isomorphisms(t(arcs), n, t(arcs), n, directed=True)
         assert got == want, trial
+
+
+def test_canonical_permutation_brute_force():
+    """Canonical labeling == argmin over all labelings of the
+    border-order adjacency code; ties counted (= |Aut|) and broken
+    lexicographically — vs full permutation enumeration."""
+    import itertools
+
+    from xdata_igraph_ray.graph.isomorphism import _canon_search
+
+    def brute(src, dst, n, directed):
+        A = np.zeros((n, n), dtype=bool)
+        A[src, dst] = True
+        if not directed:
+            A[dst, src] = True
+
+        def code(lab):
+            perm = np.empty(n, dtype=int)
+            perm[lab] = np.arange(n)
+            blocks = []
+            for k in range(n):
+                b = 0
+                for i in range(k):
+                    b = (b << 1) | bool(A[perm[i], perm[k]])
+                b = (b << 1) | bool(A[perm[k], perm[k]])
+                for j in range(k):
+                    b = (b << 1) | bool(A[perm[k], perm[j]])
+                blocks.append(b)
+            return tuple(blocks)
+
+        bestc, bestl, cnt = None, None, 0
+        for p in itertools.permutations(range(n)):
+            lab = np.array(p)
+            c = code(lab)
+            if bestc is None or c < bestc:
+                bestc, bestl, cnt = c, lab, 1
+            elif c == bestc:
+                cnt += 1
+                if lab.tolist() < bestl.tolist():
+                    bestl = lab
+        return bestc, bestl, cnt
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(2, 7))
+        directed = bool(rng.integers(0, 2))
+        m = int(rng.integers(0, n * (n - 1) + 1))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        e = pa.table({"src": src, "dst": dst})
+        got = _canon_search(e, n, directed)
+        want = brute(src, dst, n, directed)
+        assert got[0] == want[0], trial
+        assert got[1].tolist() == want[1].tolist(), trial
+        assert got[2] == want[2], trial
+
+
+def test_canonical_invariance_and_bliss_iso():
+    from xdata_igraph_ray.graph.isomorphism import (
+        automorphism_group_order,
+        count_isomorphisms,
+        isomorphic_bliss,
+    )
+
+    rng = np.random.default_rng(12)
+    for trial in range(10):
+        n = int(rng.integers(3, 10))
+        directed = bool(rng.integers(0, 2))
+        m = int(rng.integers(n, 3 * n))
+        src = rng.integers(0, n, m).astype(np.int64)
+        dst = rng.integers(0, n, m).astype(np.int64)
+        e1 = pa.table({"src": src, "dst": dst})
+        p = rng.permutation(n)
+        e2 = pa.table({"src": p[src], "dst": p[dst]})
+        iso, m12 = isomorphic_bliss(e1, n, e2, n, directed)
+        assert iso, trial
+        s1 = set(zip(src.tolist(), dst.tolist()))
+        s2 = set(zip(p[src].tolist(), p[dst].tolist()))
+        if not directed:
+            s1 |= {(b, a) for a, b in s1}
+            s2 |= {(b, a) for a, b in s2}
+        for a, b in s1:
+            assert (int(m12[a]), int(m12[b])) in s2, trial
+        assert automorphism_group_order(e1, n, directed) == \
+            count_isomorphisms(e1, n, e1, n, directed), trial
+    # non-isomorphic pair: same degree sequence, different structure
+    # (C6 vs two triangles)
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    tt = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    e1 = pa.table({"src": np.array([a for a, _ in c6], dtype=np.int64),
+                   "dst": np.array([b for _, b in c6], dtype=np.int64)})
+    e2 = pa.table({"src": np.array([a for a, _ in tt], dtype=np.int64),
+                   "dst": np.array([b for _, b in tt], dtype=np.int64)})
+    iso, _ = isomorphic_bliss(e1, 6, e2, 6, directed=False)
+    assert not iso
+
+
+def test_automorphism_known_groups():
+    import math
+
+    from xdata_igraph_ray.graph.isomorphism import automorphism_group_order
+
+    def ring(n):
+        return pa.table({
+            "src": np.arange(n, dtype=np.int64),
+            "dst": (np.arange(n, dtype=np.int64) + 1) % n,
+        })
+
+    assert automorphism_group_order(ring(6), 6, directed=True) == 6
+    assert automorphism_group_order(ring(6), 6, directed=False) == 12
+    star = pa.table({"src": np.zeros(4, dtype=np.int64),
+                     "dst": np.arange(1, 5, dtype=np.int64)})
+    assert automorphism_group_order(star, 5, directed=False) == \
+        math.factorial(4)
+    full = pa.table({
+        "src": np.repeat(np.arange(5), 5).astype(np.int64),
+        "dst": np.tile(np.arange(5), 5).astype(np.int64),
+    })
+    assert automorphism_group_order(full, 5, directed=False) == \
+        math.factorial(5)
+
+
+def test_canonical_node_budget_guard():
+    import pytest as _pytest
+
+    from xdata_igraph_ray.graph.isomorphism import canonical_permutation
+
+    full = pa.table({
+        "src": np.repeat(np.arange(9), 9).astype(np.int64),
+        "dst": np.tile(np.arange(9), 9).astype(np.int64),
+    })
+    with _pytest.raises(RuntimeError, match="node budget"):
+        canonical_permutation(full, 9, directed=False, node_budget=1000)

@@ -18,6 +18,8 @@ sequence rank — deterministic.
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -260,3 +262,166 @@ def count_isomorphisms(
     automorphism group order (the enumeration-based stand-in for
     igraph_automorphisms' BLISS counting)."""
     return len(get_isomorphisms(edges1, n1, edges2, n2, directed))
+
+
+# -- canonical labeling (BLISS replacement) ----------------------------------
+#
+# The reference wraps the BLISS library for igraph_canonical_permutation /
+# igraph_isomorphic_bliss / igraph_automorphisms (src/topology.c:2695-2906,
+# src/bliss.cc).  BLISS computes *a* canonical form relative to its
+# refinement heuristics; any isomorphism-invariant canonical form is an
+# equally valid contract, so instead of porting the refinement machinery we
+# pin an explicit, oracle-checkable definition: the canonical labeling is
+# the vertex relabeling that MINIMIZES the border-order adjacency bitstring
+# (cell (i,j) at position j*j+i if i<j, i*i+i if i==j, i*i+i+1+j if i>j),
+# with ties broken by the lexicographically smallest labeling vector.
+# Computed exactly by branch-and-bound over labelings with prefix pruning —
+# the border order makes each new position append a contiguous bit block,
+# so a prefix that already exceeds the incumbent prunes the whole subtree.
+#
+# Like the reference's BLISS scope this is a small-graph driver kernel
+# (worst case exponential; highly symmetric graphs tie massively), guarded
+# by a loud node budget.  Multi-edges collapse (BLISS also requires simple
+# graphs); self-loops are carried in the diagonal bits.
+
+
+def _canon_search(edges: pa.Table, n: int, directed: bool,
+                  node_budget: int = 5_000_000):
+    """(blocks tuple, labeling ndarray, n_optimal) for the minimum
+    border-order code.  n_optimal == |Aut(G)| (optimal labelings form
+    a coset of the automorphism group).
+
+    Pruning invariant: ``tight`` means the path's blocks equal the
+    incumbent's prefix exactly, so comparing the next block against
+    ``best[k]`` is meaningful (greater prunes, equal stays tight,
+    smaller clears tight).  Once a path diverges smaller, every leaf
+    below it beats the incumbent, so no comparisons apply until the
+    first such leaf replaces ``best`` — after which this node's path
+    IS the incumbent prefix again (depth-first order guarantees any
+    replacement during a node's loop passed through its path), which
+    ``best['gen']`` detects for the remaining candidates."""
+    out, _inn = _adj(edges, n, directed)
+    adj = [np.zeros(n, dtype=bool) for _ in range(n)]
+    for u in range(n):
+        for v in out[u]:
+            adj[u][v] = True
+
+    perm: list[int] = []           # position k -> vertex
+    used = np.zeros(n, dtype=bool)
+    cur: list[int] = []            # per-level bit blocks (ints)
+    best: dict[str, Any] = {
+        "blocks": None, "labeling": None, "count": 0, "gen": 0,
+    }
+    nodes = [0]
+
+    def leaf(tight: bool):
+        lab = np.empty(n, dtype=np.int64)
+        for pos, v in enumerate(perm):
+            lab[v] = pos
+        if tight and best["blocks"] is not None:
+            # full code identical to the incumbent: an automorphism
+            best["count"] += 1
+            if lab.tolist() < best["labeling"].tolist():
+                best["labeling"] = lab
+        else:
+            # first leaf, or strictly smaller at the first divergence
+            best["blocks"] = tuple(cur)
+            best["labeling"] = lab
+            best["count"] = 1
+            best["gen"] += 1
+
+    def rec(k: int, tight: bool):
+        nodes[0] += 1
+        if nodes[0] > node_budget:
+            raise RuntimeError(
+                f"canonical_permutation: node budget {node_budget} "
+                f"exceeded (n={n}; highly symmetric input?) — this is "
+                "a small-graph driver kernel, like the reference's "
+                "BLISS scope")
+        if k == n:
+            leaf(tight)
+            return
+        gen_in = best["gen"]
+        for v in range(n):
+            if used[v]:
+                continue
+            block = 0
+            for i in range(k):
+                block = (block << 1) | bool(adj[perm[i]][v])
+            block = (block << 1) | bool(adj[v][v])
+            for j in range(k):
+                block = (block << 1) | bool(adj[v][perm[j]])
+            eff_tight = tight or best["gen"] > gen_in
+            if eff_tight:
+                bb = best["blocks"]
+                if block > bb[k]:
+                    continue
+                child_tight = block == bb[k]
+            else:
+                child_tight = False
+            perm.append(v)
+            used[v] = True
+            cur.append(block)
+            rec(k + 1, child_tight)
+            perm.pop()
+            used[v] = False
+            cur.pop()
+
+    rec(0, False)
+    return best["blocks"], best["labeling"], best["count"]
+
+
+def canonical_permutation(
+    edges: pa.Table, n: int, directed: bool = True,
+    node_budget: int = 5_000_000,
+) -> np.ndarray:
+    """labeling[v] = canonical new id of old vertex v
+    (igraph_canonical_permutation, src/topology.c:2695-2762; BLISS
+    stand-in — see _canon_search for the pinned canonical-form
+    definition)."""
+    _, lab, _ = _canon_search(edges, n, directed, node_budget)
+    return lab
+
+
+def canonical_form(
+    edges: pa.Table, n: int, directed: bool = True,
+    node_budget: int = 5_000_000,
+) -> tuple:
+    """The canonical border-order block tuple — equal across graphs
+    iff they are isomorphic (same n / directedness assumed)."""
+    blocks, _, _ = _canon_search(edges, n, directed, node_budget)
+    return blocks
+
+
+def isomorphic_bliss(
+    edges1: pa.Table, n1: int, edges2: pa.Table, n2: int,
+    directed: bool = True, node_budget: int = 5_000_000,
+) -> tuple[bool, np.ndarray | None]:
+    """(isomorphic?, mapping g1->g2 or None) via canonical-form
+    comparison (igraph_isomorphic_bliss, src/topology.c:2817-2906:
+    canonize both, compare, compose the labelings)."""
+    if n1 != n2:
+        return False, None
+    if n1 == 0:
+        return True, np.empty(0, dtype=np.int64)
+    b1, l1, _ = _canon_search(edges1, n1, directed, node_budget)
+    b2, l2, _ = _canon_search(edges2, n2, directed, node_budget)
+    if b1 != b2:
+        return False, None
+    # map12[v] = vertex of g2 at g1-canonical position l1[v]
+    pos2 = np.empty(n2, dtype=np.int64)
+    pos2[l2] = np.arange(n2)
+    return True, pos2[l1]
+
+
+def automorphism_group_order(
+    edges: pa.Table, n: int, directed: bool = True,
+    node_budget: int = 5_000_000,
+) -> int:
+    """|Aut(G)| (igraph_automorphisms, src/topology.c — BLISS group
+    counting): the optimal labelings of the canonical search form a
+    coset of Aut(G), so their count is the group order.  Exponential
+    for highly symmetric graphs (the budget guard raises loudly);
+    cross-checked against VF2 enumeration in tests."""
+    _, _, cnt = _canon_search(edges, n, directed, node_budget)
+    return cnt
