@@ -448,8 +448,8 @@ def minhash_lsh_pairs(
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "jaccard_est": pa.array([], pa.float64())})
-        sa = np.stack(t["sig_a"].to_pandas().to_numpy())
-        sb = np.stack(t["sig_b"].to_pandas().to_numpy())
+        sa = _unpack_rows(t["sig_a"], len(t), np.int64)
+        sb = _unpack_rows(t["sig_b"], len(t), np.int64)
         est = (sa == sb).mean(axis=1)
         keep = est >= thr
         return pa.table(
@@ -463,8 +463,36 @@ def minhash_lsh_pairs(
     return to_dataset([_apply.remote(verify, r) for r in j2])
 
 
+def _pack_rows(mat: np.ndarray) -> pa.Array:
+    """Pack a (n, k) fixed-width matrix into a zero-copy var-binary
+    Arrow column (uniform offsets + one data buffer).  Arrow's join
+    kernel accepts binary payloads but rejects list<> ones — packing
+    keeps the signature-attach joins on the vectorized Arrow path
+    instead of hash_join's pandas fallback."""
+    mat = np.ascontiguousarray(mat)
+    n = mat.shape[0]
+    row_bytes = int(mat.dtype.itemsize * (mat.shape[1] if mat.ndim == 2 else 0))
+    offsets = (np.arange(n + 1, dtype=np.int32) * row_bytes)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
+    )
+
+
+def _unpack_rows(col: pa.ChunkedArray, n_rows: int, dtype) -> np.ndarray:
+    return np.frombuffer(
+        b"".join(col.to_pylist()), dtype=dtype
+    ).reshape(n_rows, -1)
+
+
 def _sig_named(t: pa.Table, id_name: str, sig_name: str) -> pa.Table:
-    return pa.table({id_name: t["doc_id"], sig_name: t["sig"]})
+    if len(t) == 0:
+        return pa.table({
+            id_name: pa.array([], pa.int64()),
+            sig_name: pa.array([], pa.binary()),
+        })
+    sig = np.stack(t["sig"].to_pandas().to_numpy()).astype(np.int64)
+    return pa.table({id_name: t["doc_id"], sig_name: _pack_rows(sig)})
 
 
 def dedup_clusters(pairs: Dataset, P: int = 4) -> Dataset:
@@ -699,12 +727,14 @@ def embedding_near_dup_pairs(
 
     @ray.remote
     def vec_named(t: pa.Table, id_name: str, vec_name: str) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({
+                id_name: pa.array([], pa.int64()),
+                vec_name: pa.array([], pa.binary()),
+            })
         v = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        return pa.table(
-            {id_name: t[id_col], vec_name: pa.array(v.tolist(),
-                                                    pa.list_(pa.float64()))}
-        )
+        return pa.table({id_name: t[id_col], vec_name: _pack_rows(v)})
 
     j1 = hash_join(
         cand, [vec_named.remote(r, "a", "vec_a") for r in refs],
@@ -720,8 +750,8 @@ def embedding_near_dup_pairs(
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        va = np.stack(t["vec_a"].to_pandas().to_numpy())
-        vb = np.stack(t["vec_b"].to_pandas().to_numpy())
+        va = _unpack_rows(t["vec_a"], len(t), np.float64)
+        vb = _unpack_rows(t["vec_b"], len(t), np.float64)
         cos = (va * vb).sum(axis=1)
         keep = cos >= threshold
         a = t["a"].to_numpy()[keep]
