@@ -1808,6 +1808,47 @@ def q_canonical_permutation(sf_dir: str):
     })
 
 
+def q_power_law_fit(sf_dir: str):
+    """Continuous power-law fit (igraph_power_law_fit,
+    src/other.c:325; CSN linear scan) of the out-degree distribution
+    of the distinct-arc lineitem graph.  Distributed path: the fit
+    consumes only a groupby-count degree histogram.  Oracle: full SQL
+    replay of the linear scan — suffix sums for alpha, a uniques
+    cross join for the KS statistic, plfit's piecewise Kolmogorov
+    p-value — quantized half-up at 1e-6 on both sides."""
+    import math as _math
+
+    import ray
+
+    from xdata_igraph_ray.exchange import block_refs, distinct, groupby_agg
+    from xdata_igraph_ray.graph.plfit import power_law_fit
+
+    refs = block_refs(_li_edges(sf_dir))
+    uniq = distinct(refs, ["src", "dst"], P=8, as_refs=True)
+
+    @ray.remote
+    def drop_loops(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.not_equal(t["src"], t["dst"]))
+
+    degs = groupby_agg(
+        [drop_loops.remote(r) for r in uniq], ["src"],
+        [(None, "count", "deg")], P=8,
+    )
+    r = power_law_fit(degs, col="deg", force_continuous=True, P=8)
+
+    def q6(x: float) -> float:
+        return _math.floor(x * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame({
+        "alpha": [q6(r["alpha"])],
+        "xmin": [q6(r["xmin"])],
+        "ks_d": [q6(r["D"])],
+        "p_value": [q6(r["p"])],
+        "loglik": [q6(r["L"])],
+        "n_tail": [np.int64(r["n_tail"])],
+    })
+
+
 def q_all_simple_paths(sf_dir: str):
     """All simple paths 0 -> {8, 9} on the sparse 10-vertex derived
     digraph (igraph_get_all_simple_paths, src/paths.c:60); one row
@@ -2709,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_communities_li": q_compare_communities,
         "automorphisms_li": q_automorphisms,
         "canonical_permutation_li": q_canonical_permutation,
+        "power_law_fit_li": q_power_law_fit,
         "all_simple_paths_li": q_all_simple_paths,
         "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
@@ -4834,6 +4876,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.range::BIGINT AS vid,
                    list_extract(best.l, v.range + 1)::BIGINT AS rank
             FROM best, range(0, 6) v
+            """,
+        # continuous CSN power-law fit of the distinct-arc out-degree
+        # distribution: suffix sums give alpha = 1 + m/logsum per
+        # candidate xmin, a uniques cross join replays the KS scan
+        # (first/last-occurrence deviation bounds), plfit's piecewise
+        # Kolmogorov Q gives p; half-up 1e-6 quantization both sides
+        "power_law_fit_li": f"""
+            WITH arcs AS (
+              SELECT DISTINCT l_orderkey % {NV} AS src,
+                              l_partkey % {NV} AS dst
+              FROM lineitem
+              WHERE l_orderkey % {NV} <> l_partkey % {NV}
+            ),
+            deg AS (
+              SELECT src, count(*)::DOUBLE AS dv FROM arcs GROUP BY src
+            ),
+            vals AS (
+              SELECT dv AS v, count(*)::DOUBLE AS c FROM deg GROUP BY dv
+            ),
+            sfx AS (
+              SELECT v, c,
+                sum(c) OVER (ORDER BY v DESC) AS m,
+                sum(c * ln(v)) OVER (ORDER BY v DESC) AS slog,
+                coalesce(sum(c) OVER (
+                  ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS cumlt
+              FROM vals
+            ),
+            cand AS (
+              SELECT v AS xmin, m, slog - m * ln(v) AS logsum,
+                     cumlt AS cum0
+              FROM sfx
+              WHERE v < (SELECT max(v) FROM vals)
+                AND slog - m * ln(v) > 0
+            ),
+            kd AS (
+              SELECT cand.xmin, cand.m, cand.logsum,
+                     1.0 + cand.m / cand.logsum AS alpha,
+                     max(greatest(
+                       abs(1 - pow(cand.xmin / s.v,
+                                   cand.m / cand.logsum)
+                           - (s.cumlt - cand.cum0) / cand.m),
+                       abs(1 - pow(cand.xmin / s.v,
+                                   cand.m / cand.logsum)
+                           - (s.cumlt - cand.cum0 + s.c - 1) / cand.m)
+                     )) AS D
+              FROM cand JOIN sfx s ON s.v >= cand.xmin
+              GROUP BY cand.xmin, cand.m, cand.logsum, cand.cum0
+            ),
+            best AS (SELECT * FROM kd ORDER BY D, xmin LIMIT 1),
+            bz AS (SELECT *, D * sqrt(m + 1) AS z FROM best),
+            pv AS (
+              SELECT *,
+                CASE
+                  WHEN z < 0.2 THEN 1.0
+                  WHEN z < 0.755 THEN 1 - 2.50662827 * (
+                    exp(-1.2337005501361697 / (z * z))
+                    + exp(-11.103304951225528 / (z * z))
+                    + exp(-30.842513753404244 / (z * z))) / z
+                  WHEN z < 6.8116 THEN 2 * (
+                    exp(-2 * z * z)
+                    - CASE WHEN floor(3.0 / z + 0.5) >= 2
+                           THEN exp(-8 * z * z) ELSE 0 END
+                    + CASE WHEN floor(3.0 / z + 0.5) >= 3
+                           THEN exp(-18 * z * z) ELSE 0 END
+                    - CASE WHEN floor(3.0 / z + 0.5) >= 4
+                           THEN exp(-32 * z * z) ELSE 0 END)
+                  ELSE 0.0
+                END AS p
+              FROM bz
+            )
+            SELECT floor(alpha * 1e6 + 0.5) / 1e6 AS alpha,
+                   floor(xmin * 1e6 + 0.5) / 1e6 AS xmin,
+                   floor(D * 1e6 + 0.5) / 1e6 AS ks_d,
+                   floor(p * 1e6 + 0.5) / 1e6 AS p_value,
+                   floor((-alpha * logsum
+                          + m * ln((alpha - 1) / xmin)) * 1e6
+                         + 0.5) / 1e6 AS loglik,
+                   m::BIGINT AS n_tail
+            FROM pv
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

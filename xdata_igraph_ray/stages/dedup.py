@@ -472,6 +472,10 @@ def _pack_rows(mat: np.ndarray) -> pa.Array:
     mat = np.ascontiguousarray(mat)
     n = mat.shape[0]
     row_bytes = int(mat.dtype.itemsize * (mat.shape[1] if mat.ndim == 2 else 0))
+    if (n + 1) * row_bytes >= (1 << 31):  # int32 offset space
+        raise ValueError(
+            f"_pack_rows: block of {n} x {row_bytes}B rows exceeds the "
+            "2 GiB var-binary offset space — shrink the block size")
     offsets = (np.arange(n + 1, dtype=np.int32) * row_bytes)
     return pa.Array.from_buffers(
         pa.binary(), n,
