@@ -510,3 +510,170 @@ def is_graphical_degree_sequence(out_degrees, in_degrees=None) -> bool:
         if lhs > rhs:
             return False
     return True
+
+
+# -- xdata latent-position samplers + RDPG / correlated games ----------------
+# (ref src/dotproduct.c, src/games.c:3867-4116 — the generators paired
+# with the ASE/LSE spectral embedding in the xdata workflow.  RNG
+# divergence is pinned like every generator here: seeded numpy streams
+# replace igraph's RNG; all distributional semantics mirrored.)
+
+
+def sample_sphere_surface(dim: int, n: int, radius: float = 1.0,
+                          positive: bool = False,
+                          seed: int = 42) -> np.ndarray:
+    """(n, dim) points uniform on the sphere surface
+    (igraph_sample_sphere_surface, src/dotproduct.c:131-173: normal
+    deviates normalized to ``radius``; ``positive`` folds into the
+    positive orthant)."""
+    if dim < 2:
+        raise ValueError("sphere must be at least two dimensional")
+    if radius <= 0:
+        raise ValueError("sphere radius must be positive")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    v *= radius / np.linalg.norm(v, axis=1, keepdims=True)
+    return np.abs(v) if positive else v
+
+
+def sample_sphere_volume(dim: int, n: int, radius: float = 1.0,
+                         positive: bool = False,
+                         seed: int = 42) -> np.ndarray:
+    """(n, dim) points uniform in the ball
+    (igraph_sample_sphere_volume, src/dotproduct.c:199-221: surface
+    sample scaled by U^(1/dim))."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    v *= radius / np.linalg.norm(v, axis=1, keepdims=True)
+    if positive:
+        v = np.abs(v)
+    u = rng.random((n, 1)) ** (1.0 / dim)
+    return v * u
+
+
+def sample_dirichlet(n: int, alpha, seed: int = 42) -> np.ndarray:
+    """(n, len(alpha)) Dirichlet samples (igraph_sample_dirichlet,
+    src/dotproduct.c:244-276)."""
+    alpha = np.asarray(alpha, dtype=np.float64)
+    if len(alpha) < 2:
+        raise ValueError("Dirichlet parameter vector too short")
+    if alpha.min() <= 0:
+        raise ValueError("Dirichlet concentration parameters must be "
+                         "positive")
+    rng = np.random.default_rng(seed)
+    return rng.dirichlet(alpha, size=n)
+
+
+def dot_product_game(vecs: np.ndarray, directed: bool = True,
+                     seed: int = 42, block: int = 2048) -> pa.Table:
+    """Random dot-product graph (igraph_dot_product_game,
+    src/dotproduct.c:59-106): P(i->j) = <vec_i, vec_j>; negative dot
+    products never add an edge, dot products > 1 always do (the
+    reference warns once for each; we do too).  ``vecs`` is (n, dim)
+    row-per-vertex.  Pair evaluation is blocked numpy matmul —
+    O(n^2 dim) like the reference, vectorized."""
+    import logging
+
+    vecs = np.asarray(vecs, dtype=np.float64)
+    n = vecs.shape[0]
+    rng = np.random.default_rng(seed)
+    log = logging.getLogger(__name__)
+    warned_neg = warned_big = False
+    src_l, dst_l = [], []
+    for i0 in range(0, n, block):
+        hi = min(i0 + block, n)
+        P = vecs[i0:hi] @ vecs.T          # (blk, n)
+        if not warned_neg and (P < 0).any():
+            warned_neg = True
+            log.warning("Negative connection probability in "
+                        "dot-product graph")
+        if not warned_big and (P > 1).any():
+            warned_big = True
+            log.warning("Greater than 1 connection probability in "
+                        "dot-product graph")
+        U = rng.random(P.shape)
+        hit = U < P                        # P>1 always hits, P<0 never
+        ii, jj = np.nonzero(hit)
+        ii = ii + i0
+        keep = ii != jj if directed else ii < jj
+        src_l.append(ii[keep])
+        dst_l.append(jj[keep])
+    return _table(np.concatenate(src_l) if src_l else [],
+                  np.concatenate(dst_l) if dst_l else [])
+
+
+def correlated_game(edges: pa.Table, n: int, corr: float, p: float,
+                    directed: bool = True, seed: int = 42,
+                    permutation=None) -> pa.Table:
+    """Correlated G(n,p) companion of an existing graph
+    (igraph_correlated_game, src/games.c:3889): keep each edge of the
+    input with probability q = p + corr*(1-p), add each non-adjacent
+    pair with probability (1-q)*p/(1-p), so the result has marginal
+    density p and indicator correlation ``corr`` with the input.
+    The reference realizes the same Bernoulli process with geometric
+    skips; we draw per-edge uniforms and rejection-sample the
+    additions — identical distribution, different RNG stream (pinned
+    divergence).  ``permutation`` relabels the output vertices."""
+    if not -1 <= corr <= 1:
+        raise ValueError("correlation must be in [-1,1]")
+    if not 0 < p < 1:
+        raise ValueError("edge probability must be in (0,1)")
+    rng = np.random.default_rng(seed)
+    src = edges["src"].to_numpy().astype(np.int64)
+    dst = edges["dst"].to_numpy().astype(np.int64)
+    if corr == 0:
+        out = erdos_renyi_gnp(n, p, directed=directed, seed=seed)
+        src2, dst2 = (out["src"].to_numpy().copy(),
+                      out["dst"].to_numpy().copy())
+    elif corr == 1:
+        src2, dst2 = src.copy(), dst.copy()
+    else:
+        q = p + corr * (1 - p)
+        p_del = 1 - q
+        p_add = (1 - q) * (p / (1 - p))
+        keep = rng.random(len(src)) >= p_del
+        if directed:
+            existing = set(zip(src.tolist(), dst.tolist()))
+            total_missing = n * (n - 1) - len(existing)
+        else:
+            existing = set(
+                zip(np.minimum(src, dst).tolist(),
+                    np.maximum(src, dst).tolist())
+            )
+            total_missing = n * (n - 1) // 2 - len(existing)
+        n_add = rng.binomial(total_missing, p_add) if p_add > 0 else 0
+        add_pairs: set = set()
+        while len(add_pairs) < n_add:
+            k = n_add - len(add_pairs)
+            a = rng.integers(0, n, 2 * k + 8)
+            b = rng.integers(0, n, 2 * k + 8)
+            for x, y in zip(a.tolist(), b.tolist()):
+                if x == y:
+                    continue
+                key = (x, y) if directed else (min(x, y), max(x, y))
+                if key in existing or key in add_pairs:
+                    continue
+                add_pairs.add(key)
+                if len(add_pairs) == n_add:
+                    break
+        aa = np.array([a for a, _ in sorted(add_pairs)], dtype=np.int64)
+        bb = np.array([b for _, b in sorted(add_pairs)], dtype=np.int64)
+        src2 = np.concatenate([src[keep], aa])
+        dst2 = np.concatenate([dst[keep], bb])
+    if permutation is not None:
+        perm = np.asarray(permutation, dtype=np.int64)
+        if len(perm) != n:
+            raise ValueError("invalid permutation length")
+        src2, dst2 = perm[src2], perm[dst2]
+    return _table(src2, dst2)
+
+
+def correlated_pair_game(n: int, corr: float, p: float,
+                         directed: bool = True, seed: int = 42,
+                         permutation=None) -> tuple[pa.Table, pa.Table]:
+    """(g1, g2) correlated G(n,p) pair (igraph_correlated_pair_game,
+    src/games.c:4103-4116: one G(n,p) draw + correlated_game)."""
+    g1 = erdos_renyi_gnp(n, p, directed=directed, seed=seed)
+    g2 = correlated_game(g1, n, corr, p, directed=directed,
+                         seed=seed + 1, permutation=permutation)
+    return g1, g2
