@@ -1849,6 +1849,26 @@ def q_power_law_fit(sf_dir: str):
     })
 
 
+def q_get_incidence(sf_dir: str):
+    """Sparse COO incidence export of a derived bipartite table
+    (igraph_get_incidence, src/bipartite.c — dense there, sparse COO
+    here by design); oracle is the equivalent GROUP BY count."""
+    from xdata_igraph_ray.graph.bipartite import get_incidence
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["l_orderkey"].to_numpy() % 50,
+                "dst": 50 + t["l_partkey"].to_numpy() % 40,
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return get_incidence(ds, n1=50, P=8).to_pandas()
+
+
 def q_all_simple_paths(sf_dir: str):
     """All simple paths 0 -> {8, 9} on the sparse 10-vertex derived
     digraph (igraph_get_all_simple_paths, src/paths.c:60); one row
@@ -2751,6 +2771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "automorphisms_li": q_automorphisms,
         "canonical_permutation_li": q_canonical_permutation,
         "power_law_fit_li": q_power_law_fit,
+        "get_incidence_li": q_get_incidence,
         "all_simple_paths_li": q_all_simple_paths,
         "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
@@ -4957,6 +4978,14 @@ def oracle_sql() -> dict[str, str]:
                          + 0.5) / 1e6 AS loglik,
                    m::BIGINT AS n_tail
             FROM pv
+            """,
+        # sparse COO incidence of the derived 50 x 40 bipartite table
+        "get_incidence_li": """
+            SELECT l_orderkey % 50 AS row,
+                   l_partkey % 40 AS col,
+                   count(*) AS count
+            FROM lineitem
+            GROUP BY 1, 2
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

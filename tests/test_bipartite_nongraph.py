@@ -1,0 +1,186 @@
+"""Bipartite constructors/conversions (igraph_bipartite.h,
+src/bipartite.c), matching predicates (src/matching.c),
+subcomponent, and the igraph_nongraph.h utilities."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xdata_igraph_ray.graph.bipartite import (
+    bipartite_game_gnm,
+    bipartite_game_gnp,
+    full_bipartite,
+    get_incidence,
+    incidence,
+    is_matching,
+    is_maximal_matching,
+)
+from xdata_igraph_ray.graph.nongraph import (
+    convex_hull,
+    fisher_yates_shuffle,
+    random_sample,
+    running_mean,
+)
+
+
+def _pairs(t):
+    return set(zip(t["src"].to_numpy().tolist(),
+                   t["dst"].to_numpy().tolist()))
+
+
+def test_full_bipartite():
+    t = full_bipartite(2, 3)
+    assert _pairs(t) == {(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4)}
+    t_in = full_bipartite(2, 2, directed=True, mode="in")
+    assert _pairs(t_in) == {(2, 0), (3, 0), (2, 1), (3, 1)}
+    t_all = full_bipartite(2, 2, directed=True, mode="all")
+    assert len(t_all) == 8
+
+
+def test_bipartite_games():
+    t = bipartite_game_gnp(40, 60, 0.15, seed=1)
+    s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+    assert (s < 40).all() and (d >= 40).all() and (d < 100).all()
+    assert abs(len(t) / (40 * 60) - 0.15) < 0.03
+    assert len(_pairs(t)) == len(t)
+    # gnp degenerate probabilities
+    assert len(bipartite_game_gnp(5, 5, 0.0, seed=2)) == 0
+    assert len(bipartite_game_gnp(5, 5, 1.0, seed=3)) == 25
+    t2 = bipartite_game_gnm(10, 10, 37, seed=4)
+    assert len(t2) == 37 and len(_pairs(t2)) == 37
+    s2, d2 = t2["src"].to_numpy(), t2["dst"].to_numpy()
+    assert (s2 < 10).all() and (d2 >= 10).all()
+    with pytest.raises(ValueError, match="too many"):
+        bipartite_game_gnm(3, 3, 10)
+
+
+def test_incidence_roundtrip(ray_session):
+    import ray.data as rd
+
+    mat = np.array([[1, 0, 2], [0, 3, 0]])
+    t = incidence(mat, multiple=True)
+    # entry (0,2)=2 -> two parallel 0->4 edges; (1,1)=3 -> three 1->3
+    src = t["src"].to_numpy().tolist()
+    dst = t["dst"].to_numpy().tolist()
+    assert sorted(zip(src, dst)) == [(0, 2), (0, 4), (0, 4),
+                                     (1, 3), (1, 3), (1, 3)]
+    t1 = incidence(mat, multiple=False)
+    assert sorted(_pairs(t1)) == [(0, 2), (0, 4), (1, 3)]
+    # sparse COO export reproduces the counts
+    coo = get_incidence(rd.from_arrow(t), n1=2, P=2)
+    got = {(int(r), int(c)): int(k) for r, c, k in
+           zip(coo["row"].to_numpy(), coo["col"].to_numpy(),
+               coo["count"].to_numpy())}
+    assert got == {(0, 0): 1, (0, 2): 2, (1, 1): 3}
+    with pytest.raises(ValueError, match="first-type"):
+        get_incidence(rd.from_arrow(pa.table({
+            "src": np.array([5], np.int64),
+            "dst": np.array([0], np.int64)})), n1=2, P=2)
+
+
+def test_projection_size(ray_session):
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.bipartite import bipartite_projection_size
+
+    # two first-type sharing one dst; two second-type sharing a src
+    t = pa.table({"src": np.array([0, 1, 0], np.int64),
+                  "dst": np.array([10, 10, 11], np.int64)})
+    sz = bipartite_projection_size(rd.from_arrow(t), P=2)
+    assert sz["ecount1"] == 1          # (0,1) share dst 10
+    assert sz["ecount2"] == 1          # (10,11) share src 0
+    assert sz["vcount1"] == 2 and sz["vcount2"] == 2
+
+
+def test_matching_predicates():
+    e = pa.table({"src": np.array([0, 1, 2], np.int64),
+                  "dst": np.array([3, 4, 3], np.int64)})
+    types = np.array([0, 0, 0, 1, 1])
+    good = np.array([3, 4, -1, 0, 1])
+    assert is_matching(e, 5, good, types=types)
+    assert is_maximal_matching(e, 5, good, types=types)
+    # non-maximal: 2-3 edge available
+    partial = np.array([-1, 4, -1, -1, 1])
+    assert is_matching(e, 5, partial, types=types)
+    assert not is_maximal_matching(e, 5, partial, types=types)
+    # asymmetric
+    assert not is_matching(e, 5, np.array([3, -1, -1, -1, -1]),
+                           types=types)
+    # pair is not an edge
+    assert not is_matching(e, 5, np.array([4, -1, -1, -1, 0]),
+                           types=types)
+    # same-type partners rejected
+    assert not is_matching(
+        pa.table({"src": np.array([0], np.int64),
+                  "dst": np.array([1], np.int64)}),
+        2, np.array([1, 0]), types=np.array([0, 0]))
+
+
+def test_subcomponent(ray_session):
+    import ray
+
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import subcomponent
+
+    # 0->1->2, 3->1, isolated 4
+    t = pa.table({"src": np.array([0, 1, 3], np.int64),
+                  "dst": np.array([1, 2, 1], np.int64)})
+    eng = GraphEngine.from_edges(ray.data.from_arrow(t), n=5, P=2)
+    try:
+        assert subcomponent(eng, 0, "out").tolist() == [0, 1, 2]
+        assert subcomponent(eng, 2, "in").tolist() == [0, 1, 2, 3]
+        assert subcomponent(eng, 1, "all").tolist() == [0, 1, 2, 3]
+        assert subcomponent(eng, 4, "all").tolist() == [4]
+    finally:
+        eng.shutdown()
+
+
+def test_running_mean_and_sampling():
+    assert running_mean([1, 2, 3, 4], 2).tolist() == [1.5, 2.5, 3.5]
+    assert running_mean([5.0], 1).tolist() == [5.0]
+    with pytest.raises(ValueError, match="longer"):
+        running_mean([1.0], 2)
+    s = random_sample(10, 30, 8, seed=5)
+    assert len(s) == 8 and len(set(s.tolist())) == 8
+    assert (s >= 10).all() and (s <= 30).all()
+    assert (np.diff(s) > 0).all()
+    with pytest.raises(ValueError, match="exceeds"):
+        random_sample(0, 3, 10)
+    arr = np.arange(50)
+    sh = fisher_yates_shuffle(arr, seed=6)
+    assert sorted(sh.tolist()) == arr.tolist()
+    assert sh.tolist() != arr.tolist()
+
+
+def test_convex_hull():
+    # square + interior point
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1]])
+    hull = convex_hull(pts)
+    assert set(hull.tolist()) == {0, 1, 2, 3}
+    # counterclockwise orientation: positive signed area
+    hp = pts[hull]
+    area = 0.0
+    for i in range(len(hp)):
+        x1, y1 = hp[i]
+        x2, y2 = hp[(i + 1) % len(hp)]
+        area += x1 * y2 - x2 * y1
+    assert area > 0
+    # random clouds: every point inside or on the hull polygon
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        pts = rng.random((40, 2))
+        hull = pts[convex_hull(pts)]
+        k = len(hull)
+        for q in pts:
+            inside = all(
+                (hull[(i + 1) % k][0] - hull[i][0])
+                * (q[1] - hull[i][1])
+                - (hull[(i + 1) % k][1] - hull[i][1])
+                * (q[0] - hull[i][0]) >= -1e-9
+                for i in range(k)
+            )
+            assert inside
+    assert convex_hull(np.empty((0, 2))).tolist() == []
+    assert len(convex_hull(np.array([[1.0, 2.0]]))) == 1

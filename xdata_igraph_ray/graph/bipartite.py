@@ -1,0 +1,230 @@
+"""Bipartite constructors / conversions / predicates — the rest of
+the reference's igraph_bipartite.h surface (src/bipartite.c).  The
+detection (flow.bipartite_types), one-mode projection
+(vertex_similarity.bipartite_projection) and maximum matching
+(flow.bipartite_matching) already live in their algorithm modules;
+this module holds the constructors and the incidence conversions.
+
+Vertex convention (the reference's): the bipartite graph has
+n1 + n2 vertices, ids 0..n1-1 are the first type (types[v] = 0),
+n1..n1+n2-1 the second (types[v] = 1).
+
+The incidence EXPORT is sparse COO (row, col, count) instead of the
+reference's dense matrix (src/bipartite.c:igraph_get_incidence) — a
+web-scale bipartite table must never be densified; pinned divergence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .generators import _table
+
+__all__ = [
+    "full_bipartite",
+    "bipartite_game_gnp",
+    "bipartite_game_gnm",
+    "incidence",
+    "get_incidence",
+    "bipartite_projection_size",
+    "is_matching",
+    "is_maximal_matching",
+]
+
+
+def full_bipartite(n1: int, n2: int, directed: bool = False,
+                   mode: str = "all") -> pa.Table:
+    """Complete bipartite graph (igraph_full_bipartite,
+    src/bipartite.c): every (first, second) pair.  ``mode`` (directed
+    only): 'out' first->second, 'in' second->first, 'all' both."""
+    a = np.repeat(np.arange(n1, dtype=np.int64), n2)
+    b = np.tile(np.arange(n1, n1 + n2, dtype=np.int64), n1)
+    if not directed or mode == "out":
+        return _table(a, b)
+    if mode == "in":
+        return _table(b, a)
+    return _table(np.concatenate([a, b]), np.concatenate([b, a]))
+
+
+def _pairs_from_index(idx: np.ndarray, n1: int, n2: int):
+    return idx // n2, n1 + idx % n2
+
+
+def bipartite_game_gnp(n1: int, n2: int, p: float,
+                       directed: bool = False, mode: str = "out",
+                       seed: int = 42) -> pa.Table:
+    """Bipartite G(n1,n2,p) (igraph_bipartite_game_gnp,
+    src/bipartite.c): each of the n1*n2 pairs independently with
+    probability p — geometric skips over the linearized grid, the
+    same sampling the plain gnp generator uses."""
+    if not 0 <= p <= 1:
+        raise ValueError("invalid connection probability")
+    rng = np.random.default_rng(seed)
+    sides = ["out", "in"] if (directed and mode == "all") else [mode]
+    srcs, dsts = [], []
+    for s_i, m in enumerate(sides):
+        total = n1 * n2
+        idx = []
+        pos = -1
+        if p > 0:
+            while True:
+                pos += rng.geometric(p)
+                if pos >= total:
+                    break
+                idx.append(pos)
+        idx = np.asarray(idx, dtype=np.int64)
+        a, b = _pairs_from_index(idx, n1, n2)
+        if m == "in" and directed:
+            a, b = b, a
+        srcs.append(a)
+        dsts.append(b)
+    return _table(np.concatenate(srcs) if srcs else [],
+                  np.concatenate(dsts) if dsts else [])
+
+
+def bipartite_game_gnm(n1: int, n2: int, m: int,
+                       directed: bool = False, mode: str = "out",
+                       seed: int = 42) -> pa.Table:
+    """Bipartite G(n1,n2,m): m distinct pairs uniformly
+    (igraph_bipartite_game_gnm, src/bipartite.c)."""
+    total = n1 * n2
+    if m > total:
+        raise ValueError("too many edges requested")
+    rng = np.random.default_rng(seed)
+    picked: set = set()
+    while len(picked) < m:
+        k = m - len(picked)
+        for x in rng.integers(0, total, 2 * k + 8).tolist():
+            picked.add(x)
+            if len(picked) == m:
+                break
+    idx = np.fromiter(sorted(picked), dtype=np.int64, count=m)
+    a, b = _pairs_from_index(idx, n1, n2)
+    if directed and mode == "in":
+        a, b = b, a
+    return _table(a, b)
+
+
+def incidence(mat: np.ndarray, directed: bool = False,
+              mode: str = "out", multiple: bool = False) -> pa.Table:
+    """Graph from an n1 x n2 incidence matrix (igraph_incidence,
+    src/bipartite.c): entry (i, j) connects first-type i with
+    second-type n1+j; with ``multiple`` the entry's integer value
+    gives that many parallel edges, otherwise any nonzero gives
+    one."""
+    mat = np.asarray(mat)
+    n1 = mat.shape[0]
+    ii, jj = np.nonzero(mat)
+    if multiple:
+        reps = np.rint(mat[ii, jj]).astype(np.int64)
+        ii = np.repeat(ii, reps)
+        jj = np.repeat(jj, reps)
+    a = ii.astype(np.int64)
+    b = (jj + n1).astype(np.int64)
+    if not directed or mode == "out":
+        return _table(a, b)
+    if mode == "in":
+        return _table(b, a)
+    return _table(np.concatenate([a, b]), np.concatenate([b, a]))
+
+
+def get_incidence(edges, n1: int, P: int = 8) -> pa.Table:
+    """Sparse COO incidence (row, col, count) of a bipartite edge
+    table whose src vertices are the first type 0..n1-1
+    (igraph_get_incidence, src/bipartite.c — dense there; sparse
+    here by design).  Distributed: one groupby-count exchange."""
+    from ..exchange import block_refs, groupby_agg
+
+    refs = edges if isinstance(edges, list) else block_refs(edges)
+    counts = groupby_agg(refs, ["src", "dst"],
+                         [(None, "count", "count")], P=P)
+    t = counts.to_pandas()
+    row = t["src"].to_numpy().astype(np.int64)
+    col = t["dst"].to_numpy().astype(np.int64) - n1
+    if (row >= n1).any() or (col < 0).any():
+        raise ValueError(
+            "get_incidence: edges must run first-type (src < n1) -> "
+            "second-type (dst >= n1)")
+    order = np.lexsort((col, row))
+    return pa.table({
+        "row": row[order], "col": col[order],
+        "count": t["count"].to_numpy().astype(np.int64)[order],
+    })
+
+
+def bipartite_projection_size(edges, P: int = 8,
+                              max_group: int | None = None) -> dict:
+    """(vcount1, ecount1, vcount2, ecount2) of the two one-mode
+    projections without materializing their weights
+    (igraph_bipartite_projection_size, src/bipartite.c).  Uses the
+    same sparse pair machinery as the projection itself; pass
+    ``max_group`` to cap hub fan-out (counts become lower bounds,
+    logged by the pair expander)."""
+    from .vertex_similarity import bipartite_projection
+
+    out: dict = {}
+    for which, (vk, ek) in (("first", ("vcount1", "ecount1")),
+                            ("second", ("vcount2", "ecount2"))):
+        proj = bipartite_projection(edges, which=which, P=P,
+                                    max_group=max_group)
+        t = proj.to_pandas()
+        verts = set(t["u"].tolist()) | set(t["w"].tolist())
+        out[vk] = len(verts)
+        out[ek] = len(t)
+    return out
+
+
+def _matching_pairs(matching: np.ndarray):
+    matching = np.asarray(matching, dtype=np.int64)
+    matched = np.nonzero(matching >= 0)[0]
+    return matching, matched
+
+
+def is_matching(edges: pa.Table, n: int, matching,
+                types=None) -> bool:
+    """igraph_is_matching (src/matching.c): matching[v] = partner or
+    -1; valid iff symmetric, every matched pair is an edge, and (with
+    ``types``) partners have different types."""
+    matching, matched = _matching_pairs(matching)
+    if len(matching) != n:
+        raise ValueError("matching length must equal vertex count")
+    if (matching >= n).any():
+        return False
+    for v in matched.tolist():
+        w = int(matching[v])
+        if matching[w] != v or w == v:
+            return False
+    if types is not None:
+        types = np.asarray(types)
+        for v in matched.tolist():
+            if types[v] == types[int(matching[v])]:
+                return False
+    s = edges["src"].to_numpy()
+    d = edges["dst"].to_numpy()
+    eset = set(zip(s.tolist(), d.tolist()))
+    eset |= {(b, a) for a, b in eset}
+    for v in matched.tolist():
+        w = int(matching[v])
+        if v < w and (v, w) not in eset:
+            return False
+    return True
+
+
+def is_maximal_matching(edges: pa.Table, n: int, matching,
+                        types=None) -> bool:
+    """igraph_is_maximal_matching: a valid matching with no edge
+    joining two unmatched vertices (of different types when given)."""
+    if not is_matching(edges, n, matching, types=types):
+        return False
+    matching = np.asarray(matching, dtype=np.int64)
+    s = edges["src"].to_numpy()
+    d = edges["dst"].to_numpy()
+    types = None if types is None else np.asarray(types)
+    for a, b in zip(s.tolist(), d.tolist()):
+        if a == b:
+            continue
+        if matching[a] < 0 and matching[b] < 0 and (
+                types is None or types[a] != types[b]):
+            return False
+    return True

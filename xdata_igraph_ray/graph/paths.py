@@ -706,3 +706,14 @@ def convergence_degree(
         "ins": ins.astype(np.int64), "outs": outs.astype(np.int64),
         "cd": cd,
     })
+
+
+def subcomponent(engine: GraphEngine, v: int,
+                 mode: str = "all") -> np.ndarray:
+    """Vertex ids reachable from/to ``v`` (igraph_subcomponent,
+    src/structural_properties.c: mode 'out' = reachable FROM v,
+    'in' = vertices that reach v, 'all' = weak component of v),
+    ascending — one BFS over the existing distributed frontier
+    machinery."""
+    d = sssp(engine, [int(v)], mode=mode)
+    return np.nonzero(d >= 0)[0].astype(np.int64)
