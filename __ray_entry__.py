@@ -2700,6 +2700,32 @@ def q_cliques_small(sf_dir: str):
     )
 
 
+def q_independence_number(sf_dir: str):
+    """Independence number + number of maximum independent sets of
+    the sparse 16-vertex derived graph (igraph_independence_number /
+    igraph_largest_independent_vertex_sets, src/cliques.c — cliques
+    of the complement); oracle enumerates all 2^16 subsets with
+    bit tests."""
+    from xdata_igraph_ray.graph.cliques import (
+        largest_independent_vertex_sets,
+    )
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok * 131 + pk * 17) % 1009 == 0
+        return pa.table({"src": ok[keep] % 16, "dst": pk[keep] % 16})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    sets_ = largest_independent_vertex_sets(ds, n=16)
+    return pd.DataFrame({
+        "alpha": [np.int64(len(sets_[0]) if sets_ else 0)],
+        "n_max_sets": [np.int64(len(sets_))],
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2772,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_permutation_li": q_canonical_permutation,
         "power_law_fit_li": q_power_law_fit,
         "get_incidence_li": q_get_incidence,
+        "independence_number_li": q_independence_number,
         "all_simple_paths_li": q_all_simple_paths,
         "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
@@ -4986,6 +5013,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM lineitem
             GROUP BY 1, 2
+            """,
+        # independence number: exhaustive 2^16 subset enumeration —
+        # a subset is independent iff no (non-loop) edge has both
+        # endpoints inside; alpha = max popcount, count ties
+        "independence_number_li": """
+            WITH arcs AS (
+              SELECT DISTINCT l_orderkey % 16 AS u, l_partkey % 16 AS v
+              FROM lineitem
+              WHERE (l_orderkey * 131 + l_partkey * 17) % 1009 = 0
+                AND l_orderkey % 16 <> l_partkey % 16
+            ),
+            indep AS (
+              SELECT m.range AS m, bit_count(m.range) AS k
+              FROM range(0, 65536) m
+              WHERE NOT EXISTS (
+                SELECT 1 FROM arcs a
+                WHERE (m.range >> a.u) & 1 = 1
+                  AND (m.range >> a.v) & 1 = 1)
+            ),
+            mx AS (SELECT max(k) AS alpha FROM indep)
+            SELECT mx.alpha::BIGINT AS alpha,
+                   (SELECT count(*) FROM indep WHERE k = mx.alpha)::BIGINT
+                     AS n_max_sets
+            FROM mx
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

@@ -52,3 +52,74 @@ def test_cliques_gnm_vs_networkx():
         }
         assert got == want, seed
         assert count_maximal_cliques(_ds(src, dst), P=3) == len(want)
+
+
+def test_all_cliques_and_largest(ray_session):
+    import ray.data as rd
+
+    import networkx as nx
+
+    from xdata_igraph_ray.graph.cliques import cliques, largest_cliques
+
+    rng = np.random.default_rng(21)
+    n = 12
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.45]
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    got = cliques(t, min_size=2, n=n)
+    g = nx.Graph(pairs)
+    g.add_nodes_from(range(n))
+    want = sorted(sorted(c) for c in nx.enumerate_all_cliques(g)
+                  if len(c) >= 2)
+    assert got == want
+    # min/max filters
+    got3 = cliques(t, min_size=3, max_size=3, n=n)
+    assert got3 == sorted(s for s in want if len(s) == 3)
+    # size-1 cliques: every vertex
+    assert [c for c in cliques(t, n=n) if len(c) == 1] == \
+        [[v] for v in range(n)]
+    # largest_cliques vs networkx
+    lg = largest_cliques(rd.from_arrow(t), P=2)
+    maxk = max(len(c) for c in nx.find_cliques(g))
+    want_lg = sorted(sorted(c) for c in nx.find_cliques(g)
+                     if len(c) == maxk)
+    assert lg == want_lg
+
+
+def test_independent_sets(ray_session):
+    import networkx as nx
+
+    from xdata_igraph_ray.graph.cliques import (
+        independence_number,
+        independent_vertex_sets,
+        largest_independent_vertex_sets,
+        maximal_independent_vertex_sets,
+    )
+
+    rng = np.random.default_rng(22)
+    n = 11
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.4]
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    g = nx.Graph(pairs)
+    g.add_nodes_from(range(n))
+    comp = nx.complement(g)
+    want_maximal = sorted(sorted(c) for c in nx.find_cliques(comp))
+    assert maximal_independent_vertex_sets(t, n=n) == want_maximal
+    alpha = max(len(c) for c in want_maximal)
+    assert independence_number(t, n=n) == alpha
+    assert largest_independent_vertex_sets(t, n=n) == \
+        [s for s in want_maximal if len(s) == alpha]
+    want_all = sorted(sorted(c) for c in nx.enumerate_all_cliques(comp)
+                      if len(c) >= 2)
+    assert independent_vertex_sets(t, min_size=2, n=n) == want_all
+    # every independent set really is independent
+    eset = set(pairs)
+    for s in want_all:
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                assert (s[i], s[j]) not in eset

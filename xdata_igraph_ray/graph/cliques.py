@@ -196,3 +196,125 @@ def clique_number(edges, P: int = DEFAULT_PARTITIONS) -> int:
         batch_format="pyarrow",
     )
     return int(sizes.max("n"))
+
+
+def largest_cliques(edges, P: int = DEFAULT_PARTITIONS) -> list[list[int]]:
+    """All maximum-size cliques (igraph_largest_cliques,
+    src/cliques.c) — filter of the distributed maximal-clique
+    enumeration."""
+    rows = [r["clique"] for r in
+            maximal_cliques(edges, P=P).take_all()]
+    if not rows:
+        return []
+    k = max(len(c) for c in rows)
+    return sorted([sorted(int(x) for x in c) for c in rows
+                   if len(c) == k])
+
+
+def _collapsed_adj(edges, n: int | None = None):
+    """(n, adjacency bool matrix) of the undirected simple support —
+    driver kernel helper for the exponential enumerations below
+    (the reference's igraph_cliques scope is equally exponential,
+    src/cliques.c)."""
+    import ray as _ray
+
+    from ..exchange import block_refs
+
+    if isinstance(edges, pa.Table):
+        refs = [edges]
+    elif isinstance(edges, list):
+        refs = edges
+    else:
+        refs = block_refs(edges)
+    tabs = _ray.get(list(refs)) if refs and not isinstance(
+        refs[0], pa.Table) else list(refs)
+    src = np.concatenate([t["src"].to_numpy() for t in tabs]) \
+        if tabs else np.empty(0, np.int64)
+    dst = np.concatenate([t["dst"].to_numpy() for t in tabs]) \
+        if tabs else np.empty(0, np.int64)
+    if n is None:
+        n = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    A = np.zeros((n, n), dtype=bool)
+    keep = src != dst
+    A[src[keep], dst[keep]] = True
+    A[dst[keep], src[keep]] = True
+    return n, A
+
+
+def cliques(edges, min_size: int = 1, max_size: int = 0,
+            n: int | None = None,
+            max_results: int = 1_000_000) -> list[list[int]]:
+    """ALL complete subgraphs with min_size <= size <= max_size
+    (igraph_cliques, src/cliques.c; max_size = 0 means unbounded),
+    as sorted vertex lists, lexicographic order.  Driver kernel by
+    ordered extension: a (k+1)-clique is a k-clique plus a higher-id
+    vertex adjacent to all members — each clique generated exactly
+    once.  ``max_results`` raises loudly (never truncates)."""
+    nn, A = _collapsed_adj(edges, n)
+    return _cliques_dense(A, min_size, max_size, max_results)
+
+
+def independent_vertex_sets(edges, min_size: int = 1, max_size: int = 0,
+                            n: int | None = None,
+                            max_results: int = 1_000_000):
+    """All independent vertex sets (igraph_independent_vertex_sets,
+    src/cliques.c — computed there and here as cliques of the
+    complement)."""
+    nn, A = _collapsed_adj(edges, n)
+    comp = ~A
+    np.fill_diagonal(comp, False)
+    return _cliques_dense(comp, min_size, max_size, max_results)
+
+
+def _cliques_dense(A: np.ndarray, min_size: int, max_size: int,
+                   max_results: int):
+    nn = A.shape[0]
+    out: list[list[int]] = []
+    if min_size <= 1:
+        out.extend([[v] for v in range(nn)])
+    level = [[v] for v in range(nn)]
+    k = 1
+    while level and (max_size <= 0 or k < max_size):
+        nxt: list[list[int]] = []
+        for c in level:
+            last = c[-1]
+            cand = np.nonzero(A[last, last + 1:])[0] + last + 1
+            for w in cand.tolist():
+                if all(A[u, w] for u in c[:-1]):
+                    nc = c + [w]
+                    nxt.append(nc)
+                    if len(nc) >= min_size:
+                        out.append(nc)
+                        if len(out) > max_results:
+                            raise RuntimeError(
+                                f"cliques: > {max_results} sets")
+        level = nxt
+        k += 1
+    return sorted(out)
+
+
+def maximal_independent_vertex_sets(edges, n: int | None = None):
+    """Bron-Kerbosch on the complement
+    (igraph_maximal_independent_vertex_sets, src/cliques.c)."""
+    nn, A = _collapsed_adj(edges, n)
+    comp = ~A
+    np.fill_diagonal(comp, False)
+    adj = {v: set(np.nonzero(comp[v])[0].tolist()) for v in range(nn)}
+    out: list = []
+    _bron_kerbosch(adj, [], set(range(nn)), set(), out)
+    return sorted(sorted(int(x) for x in c) for c in out)
+
+
+def largest_independent_vertex_sets(edges, n: int | None = None):
+    """igraph_largest_independent_vertex_sets."""
+    sets_ = maximal_independent_vertex_sets(edges, n)
+    if not sets_:
+        return []
+    k = max(len(s) for s in sets_)
+    return [s for s in sets_ if len(s) == k]
+
+
+def independence_number(edges, n: int | None = None) -> int:
+    """igraph_independence_number (src/cliques.c)."""
+    sets_ = maximal_independent_vertex_sets(edges, n)
+    return max((len(s) for s in sets_), default=0)
