@@ -95,20 +95,25 @@ def betweenness(
     engine: GraphEngine,
     sources=None,
     wave: int = 64,
+    cutoff: int | None = None,
 ) -> np.ndarray:
     """Vertex betweenness (Brandes, reference igraph_betweenness
     src/centrality.c:1569): multi-source batched BFS waves — forward
     sigma counting, then per-level backward dependency accumulation.
     ``sources=None`` runs every vertex (exact); a sampled source list
-    gives the igraph_betweenness_estimate-style approximation (scale
-    path: O(sources x E) total work).  Directed out-paths; run on the
-    simplified graph (multi-edges would multiply path counts)."""
+    gives a sampled approximation.  ``cutoff`` bounds the considered
+    path LENGTH — igraph_betweenness_estimate's exact semantics
+    (src/centrality.c:1792; None or negative = no bound).  Directed
+    out-paths; run on the simplified graph (multi-edges would
+    multiply path counts)."""
+    if cutoff is not None and cutoff < 0:
+        cutoff = None
     shards = engine.shards
     ray.get([s.set_state.remote(bc=(np.float64, 0.0)) for s in shards])
     if sources is None:
         sources = np.arange(engine.n)
     for ws in _ms_waves(engine, sources, wave):
-        maxlevel = _ms_forward(engine, ws)
+        maxlevel = _ms_forward(engine, ws, max_level=cutoff)
         for lev in range(maxlevel, 0, -1):
             outs = engine.scatter("ms_bwd_scatter", lev)
             ray.get([
@@ -124,6 +129,7 @@ def edge_betweenness(
     engine: GraphEngine,
     sources=None,
     wave: int = 64,
+    cutoff: int | None = None,
 ) -> "ray.data.Dataset":
     """(src, dst, eb) Dataset — igraph_edge_betweenness
     (src/centrality.c:2210), Brandes edge dependencies: after each
@@ -132,12 +138,14 @@ def edge_betweenness(
     remote sources' dist/sigma rows).  Per-wave transient is
     edges-per-shard x wave doubles — lower ``wave`` for huge graphs.
     Run on the simplified graph."""
+    if cutoff is not None and cutoff < 0:
+        cutoff = None
     shards = engine.shards
     ray.get([s.eb_reset.remote() for s in shards])
     if sources is None:
         sources = np.arange(engine.n)
     for ws in _ms_waves(engine, sources, wave):
-        maxlevel = _ms_forward(engine, ws)
+        maxlevel = _ms_forward(engine, ws, max_level=cutoff)
         for lev in range(maxlevel, 0, -1):
             outs = engine.scatter("ms_bwd_scatter", lev)
             ray.get([
@@ -189,6 +197,7 @@ def closeness(
     mode: str = "out",
     normalized: bool = False,
     wave: int = 64,
+    cutoff: int | None = None,
 ) -> np.ndarray:
     """Closeness centrality (reference igraph_closeness
     src/centrality.c:2473,2660): per source s,
@@ -198,9 +207,14 @@ def closeness(
     (src/centrality.c:2733-2736).  Returns one value per requested
     source (default: all vertices).  ``mode``: "out" follows
     out-edges, "in" in-edges, "all" the undirected view (all three
-    reference modes, src/centrality.c:2473)."""
+    reference modes, src/centrality.c:2473).  ``cutoff`` bounds the
+    considered path length (igraph_closeness_estimate,
+    src/centrality.c:2660: vertices beyond the cutoff count as
+    unreachable; None or negative = exact)."""
     if mode not in _MODE_DIR:
         raise ValueError(f"closeness: unknown mode {mode!r}")
+    if cutoff is not None and cutoff < 0:
+        cutoff = None
     direction = _MODE_DIR[mode]
     shards = engine.shards
     n = engine.n
@@ -209,7 +223,7 @@ def closeness(
     out = np.empty(len(np.asarray(sources)), dtype=np.float64)
     pos = 0
     for ws in _ms_waves(engine, sources, wave):
-        _ms_forward(engine, ws, direction=direction)
+        _ms_forward(engine, ws, direction=direction, max_level=cutoff)
         stats = ray.get([s.ms_closeness_stats.remote() for s in shards])
         reach = np.sum([st[0] for st in stats], axis=0)
         dsum = np.sum([st[1] for st in stats], axis=0)

@@ -465,3 +465,87 @@ def _project_sym(tbl: pa.Table) -> pa.Table:
         "dst": np.concatenate((dst, src)),
         "weight": np.concatenate((w, w)),
     })
+
+
+def edge_disjoint_paths(engine: GraphEngine, s: int, t: int) -> int:
+    """Maximum edge-disjoint s-t paths = unit-capacity max flow =
+    st edge connectivity (igraph_edge_disjoint_paths,
+    src/flow.c:2178-2200)."""
+    if s == t:
+        raise ValueError("not implemented for source == target")
+    return st_edge_connectivity(engine, s, t)
+
+
+def vertex_disjoint_paths(edges, n: int, s: int, t: int,
+                          P: int = 8) -> int:
+    """Maximum vertex-disjoint s-t paths
+    (igraph_vertex_disjoint_paths, src/flow.c:2228-2305): if s-t arcs
+    exist they are removed and 1 added to the connectivity of the
+    remainder — the reference's rule; simple-graph pinning."""
+    if s == t:
+        raise ValueError("not implemented for source == target")
+    refs = _refs_of(edges)
+
+    @ray.remote
+    def drop_st(tbl: pa.Table):
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.equal(tbl["src"], s), pc.equal(tbl["dst"], t))
+        return tbl.filter(pc.invert(m))
+
+    @ray.remote
+    def count_st(tbl: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(pc.and_(
+            pc.equal(tbl["src"], s), pc.equal(tbl["dst"], t)
+        ).cast(pa.int64())).as_py() or 0)
+
+    removed = sum(ray.get([count_st.remote(r) for r in refs]))
+    kept = [drop_st.remote(r) for r in refs]
+    base = st_vertex_connectivity(kept, n, s, t, P=P)
+    return base + (1 if removed else 0)
+
+
+def adhesion(edges, n: int, P: int = 8) -> int:
+    """Global edge connectivity (igraph_adhesion, src/flow.c)."""
+    return edge_connectivity(edges, n, P=P)
+
+
+def cohesion(edges, n: int, P: int = 8) -> int:
+    """Global vertex connectivity (igraph_cohesion, src/flow.c)."""
+    return vertex_connectivity(edges, n, P=P)
+
+
+def residual_graph(src, dst, capacity, flow) -> pa.Table:
+    """Residual graph of a flow (igraph_residual_graph,
+    src/st-cuts.c:106-173): one arc per input arc with
+    capacity - flow > 0.  NOTE the emitted capacity column is the
+    ORIGINAL capacity, exactly as the reference stores it (the
+    enumeration machinery only uses saturation binarily)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    capacity = np.asarray(capacity, dtype=np.float64)
+    flow = np.asarray(flow, dtype=np.float64)
+    keep = capacity - flow > 0
+    return pa.table({
+        "src": src[keep], "dst": dst[keep],
+        "capacity": capacity[keep],
+    })
+
+
+def reverse_residual_graph(src, dst, flow, capacity=None) -> pa.Table:
+    """Reverse residual graph (igraph_reverse_residual_graph,
+    src/st-cuts.c:175-240): arc (u,v) where flow > 0, arc (v,u)
+    where flow < capacity (unit capacities when None)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    flow = np.asarray(flow, dtype=np.float64)
+    cap = (np.ones(len(src)) if capacity is None
+           else np.asarray(capacity, dtype=np.float64))
+    f_pos = flow > 0
+    f_free = flow < cap
+    return pa.table({
+        "src": np.concatenate([src[f_pos], dst[f_free]]),
+        "dst": np.concatenate([dst[f_pos], src[f_free]]),
+    })

@@ -601,3 +601,56 @@ def unfold_tree(
                     v_ptr += 1
     tree = pa.table({"src": out_s, "dst": out_d})
     return tree, np.asarray(vertex_index, np.int64)
+
+
+def permute_vertices(edges, perm) -> "Dataset":
+    """Relabel vertices: new id of v = perm[v]
+    (igraph_permute_vertices, src/topology.c)."""
+    import ray as _ray
+
+    from ..exchange import block_refs as _brefs, to_dataset as _tods
+
+    perm = np.asarray(perm, dtype=np.int64)
+    pref = _ray.put(perm)
+
+    @_ray.remote
+    def relabel(p, t: pa.Table) -> pa.Table:
+        cols = dict(zip(t.column_names, t.columns))
+        cols["src"] = pa.array(p[t["src"].to_numpy()], pa.int64())
+        cols["dst"] = pa.array(p[t["dst"].to_numpy()], pa.int64())
+        return pa.table(cols)
+
+    refs = edges if isinstance(edges, list) else _brefs(edges)
+    return _tods([relabel.remote(pref, r) for r in refs])
+
+
+def sort_vertex_ids_by_degree(
+    edges, n: int, mode: str = "all", order: str = "desc",
+    P: int = 8,
+) -> np.ndarray:
+    """Vertex ids sorted by degree
+    (igraph_sort_vertex_ids_by_degree, src/centrality.c — ties by
+    ascending vid, the stable-sort rule).  ``mode``: out / in /
+    all."""
+    import ray as _ray
+
+    from ..exchange import block_refs as _brefs, groupby_agg
+
+    refs = edges if isinstance(edges, list) else _brefs(edges)
+
+    @_ray.remote
+    def pick(t: pa.Table) -> pa.Table:
+        if mode == "out":
+            v = t["src"].to_numpy()
+        elif mode == "in":
+            v = t["dst"].to_numpy()
+        else:
+            v = np.concatenate((t["src"].to_numpy(), t["dst"].to_numpy()))
+        return pa.table({"vid": v})
+
+    deg = groupby_agg([pick.remote(r) for r in refs], ["vid"],
+                      [(None, "count", "deg")], P=P).to_pandas()
+    full = np.zeros(n, dtype=np.int64)
+    full[deg["vid"].to_numpy()] = deg["deg"].to_numpy()
+    key = -full if order == "desc" else full
+    return np.lexsort((np.arange(n), key)).astype(np.int64)

@@ -102,3 +102,21 @@ def pagerank(
         "wall_s": wall,
         "edges_per_sec": engine.edge_count * iters / wall if wall > 0 else 0.0,
     }
+
+
+def personalized_pagerank_vs(
+    engine, vids, damping: float = 0.85, tol: float = 1e-6,
+    max_iter: int = 200, weighted: bool = False, **kw,
+) -> dict:
+    """Personalized PageRank with the reset distribution uniform over
+    a vertex SET (igraph_personalized_pagerank_vs,
+    src/centrality.c:1192-1230 — builds exactly this indicator reset
+    vector and delegates)."""
+    vids = np.atleast_1d(np.asarray(vids, dtype=np.int64))
+    if len(vids) == 0:
+        raise ValueError("empty reset vertex set")
+    reset = np.zeros(engine.n, dtype=np.float64)
+    reset[vids] = 1.0
+    return pagerank(engine, damping=damping, tol=tol,
+                    max_iter=max_iter, weighted=weighted,
+                    reset=reset, **kw)

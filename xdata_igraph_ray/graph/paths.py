@@ -717,3 +717,48 @@ def subcomponent(engine: GraphEngine, v: int,
     machinery."""
     d = sssp(engine, [int(v)], mode=mode)
     return np.nonzero(d >= 0)[0].astype(np.int64)
+
+
+def bfs(engine: GraphEngine, root: int, mode: str = "out") -> dict:
+    """BFS visitor outputs (igraph_bfs, src/structural_properties.c):
+    {"order" (visit order, reached vids), "rank" (visit index per
+    vid, -1 unreached), "parents" (BFS-tree parent, -1 for root /
+    unreached), "dist"}.  Pinned divergences from the reference's
+    adjacency-order queue: level-synchronous order sorted by
+    (dist, vid) within levels, min-vid parent rule — deterministic at
+    any shard count."""
+    directions = {"out": ("fwd",), "in": ("rev",), "all": ("fwd", "rev")}[mode]
+    shards = engine.shards
+    ray.get([
+        s.pbfs_init.remote(np.array([int(root)], dtype=np.int64))
+        for s in shards
+    ])
+    while True:
+        outs = engine.scatter("pbfs_scatter", directions)
+        stats = ray.get([
+            shards[q].pbfs_gather.remote(*engine.pieces(outs, q))
+            for q in range(engine.P)
+        ])
+        if sum(s["changed"] for s in stats) == 0:
+            break
+    dist = engine.state_arrays("dist")
+    dist = np.where(dist == INF, -1, dist).astype(np.int64)
+    reached = np.nonzero(dist >= 0)[0]
+    order = reached[np.lexsort((reached, dist[reached]))]
+    rank = np.full(engine.n, -1, dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    parents = np.full(engine.n, -1, dtype=np.int64)
+    others = order[order != root]
+    if len(others):
+        bounds = np.asarray(engine.bounds)
+        owner = np.searchsorted(bounds, others, side="right") - 1
+        futs, metas = [], []
+        for q in range(engine.P):
+            m = owner == q
+            if m.any():
+                futs.append(shards[q].parent_lookup.remote(others[m]))
+                metas.append(others[m])
+        for meta, pars in zip(metas, ray.get(futs)):
+            parents[meta] = pars
+    return {"order": order, "rank": rank, "parents": parents,
+            "dist": dist}

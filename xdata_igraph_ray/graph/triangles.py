@@ -458,3 +458,26 @@ def transitivity_barrat(
         return pa.table({"vid": t["vid"], "barrat": c})
 
     return to_dataset([final.remote(r) for r in joined])
+
+
+def transitivity_avglocal(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> float:
+    """Average local clustering coefficient over vertices with
+    degree >= 2 (igraph_transitivity_avglocal_undirected,
+    src/triangles.c — deg<2 vertices are excluded from the average).
+    Distributed mean over the per-vertex table."""
+    lt = transitivity_local(edges, n, P=P)
+
+    @ray.remote
+    def partial(t: pa.Table):
+        v = t["transitivity"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        return float(v[ok].sum()), int(ok.sum())
+
+    from ..exchange import block_refs as _brefs
+
+    parts = ray.get([partial.remote(r) for r in _brefs(lt)])
+    total = sum(p[0] for p in parts)
+    cnt = sum(p[1] for p in parts)
+    return total / cnt if cnt else float("nan")
