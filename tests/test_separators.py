@@ -254,3 +254,52 @@ def test_all_st_cuts_reference_examples():
             )
             g2.add_nodes_from(range(7))
             assert nx.has_path(g2, 0, 3)
+
+
+def test_all_st_mincuts_reference_fixtures():
+    """Exact match against the reference's own
+    examples/simple/igraph_all_st_mincuts.out (partition/cut sets,
+    order-insensitive)."""
+    from xdata_igraph_ray.graph.separators import all_st_mincuts
+
+    def run(arcs, n, s, t):
+        value, cuts = all_st_mincuts(arcs, n, s, t)
+        return value, {(frozenset(p), frozenset(c)) for p, c in cuts}
+
+    # case 1: path 0->4
+    v, got = run([(0, 1), (1, 2), (2, 3), (3, 4)], 5, 0, 4)
+    assert v == 1
+    assert got == {
+        (frozenset({0}), frozenset({0})),
+        (frozenset({0, 1}), frozenset({1})),
+        (frozenset({0, 1, 2}), frozenset({2})),
+        (frozenset({0, 1, 2, 3}), frozenset({3})),
+    }
+    # case 2: diamond + tail, t=5
+    arcs = [(0, 1), (1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    v, got = run(arcs, 6, 0, 5)
+    assert v == 1
+    assert got == {
+        (frozenset({0}), frozenset({0})),
+        (frozenset({0, 1, 2, 3, 4}), frozenset({5})),
+    }
+    # case 3: same graph, t=4 (only one min cut)
+    v, got = run(arcs, 6, 0, 4)
+    assert v == 1
+    assert got == {(frozenset({0}), frozenset({0}))}
+    # case 4: wide parallel middle, value 2
+    arcs = [(0, 1), (0, 2), (1, 3), (2, 3),
+            (1, 4), (4, 2), (1, 5), (5, 2), (1, 6), (6, 2),
+            (1, 7), (7, 2), (1, 8), (8, 2)]
+    v, got = run(arcs, 9, 0, 3)
+    assert v == 2
+    assert got == {
+        (frozenset({0}), frozenset({0, 1})),
+        (frozenset({0, 2}), frozenset({0, 3})),
+        (frozenset({0, 1, 2, 4, 5, 6, 7, 8}), frozenset({2, 3})),
+    }
+    # weighted: capacities change the min cut
+    v, cuts = all_st_mincuts([(0, 1), (1, 2)], 3, 0, 2,
+                             capacity=[5.0, 1.0])
+    assert v == 1.0
+    assert [(sorted(p), c) for p, c in cuts] == [([0, 1], [1])]

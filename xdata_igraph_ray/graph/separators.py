@@ -188,39 +188,29 @@ def _maxflow_ek(nv, arcs, caps, s, t):
     return value, cap, frm, to, head
 
 
-def _all_min_vertex_cuts(adj, s, t, extra: set,
-                         expect: int | None = None) -> list:
-    """All minimum-size vertex sets separating non-adjacent s from t —
-    Even-Tarjan reduction (in(v)=v, out(v)=v+n; internal arc cap 1,
-    edge arcs cap n) + Picard-Queyranne: minimum cuts are exactly the
-    residual-successor-closed SCC sets containing out(s), excluding
-    in(t) (ref igraph_all_st_mincuts, src/st-cuts.c).  ``extra`` holds
-    (u,v) pairs added by the minimum_size_separators loop (step 8)."""
-    n = len(adj)
-    arcs, caps = [], []
-    for v in range(n):
-        arcs.append((v, v + n))  # in -> out, the arc id == vertex id
-        caps.append(1.0)
-    pairs = {(u, v) for u in range(n) for v in adj[u]}
-    pairs |= extra | {(b, a) for a, b in extra}
-    for u, v in sorted(pairs):
-        arcs.append((u + n, v))
-        caps.append(float(n))
-    nv = 2 * n
-    value, cap, frm, to, head = _maxflow_ek(nv, arcs, caps, s + n, t)
-    if expect is not None and int(value) != expect:
-        return []  # reference: only enumerate when |phi| == k
+def _pq_s_sides(nv, cap, frm, to, s_node, t_node, active=None):
+    """Picard-Queyranne enumeration shared by the vertex- and
+    edge-cut APIs: given residual capacities after a max flow,
+    condense the residual graph's SCCs and enumerate every
+    successor-closed SCC set containing s_node's SCC and avoiding
+    everything that reaches t_node's SCC (ref igraph_all_st_mincuts,
+    src/st-cuts.c).  Returns one boolean S-side membership list per
+    minimum cut (deduplicated).  ``active`` (per-node bool)
+    restricts BRANCHING to SCCs touched by positive flow, the
+    reference's VE1 rule (src/st-cuts.c igraph_all_st_mincuts) —
+    inactive free SCCs are pinned out of S so off-path vertices never
+    multiply partitions; forced (closure) members are kept either
+    way."""
+    from collections import deque as _deque
 
-    # residual graph: arc a usable if cap[a] > 0
     radj = [[] for _ in range(nv)]
     for a in range(len(cap)):
         if cap[a] > 0:
             radj[frm[a]].append(to[a])
-    # SCC condensation (iterative Tarjan)
     index = [-1] * nv
     low = [0] * nv
     scc = [-1] * nv
-    stack: list[int] = []
+    stack = []
     on = [False] * nv
     cnt = 0
     nscc = 0
@@ -259,15 +249,13 @@ def _all_min_vertex_cuts(adj, s, t, extra: set,
             if work:
                 p = work[-1][0]
                 low[p] = min(low[p], low[x])
-    # condensed successor lists
     succ = [set() for _ in range(nscc)]
     for a in range(len(cap)):
         if cap[a] > 0 and scc[frm[a]] != scc[to[a]]:
             succ[scc[frm[a]]].add(scc[to[a]])
-    s_scc, t_scc = scc[s + n], scc[t]
-    # closure of s_scc is mandatory; anything reaching t_scc forbidden
+    s_scc, t_scc = scc[s_node], scc[t_node]
     mand = set()
-    q = deque([s_scc])
+    q = _deque([s_scc])
     while q:
         x = q.popleft()
         if x in mand:
@@ -284,27 +272,24 @@ def _all_min_vertex_cuts(adj, s, t, extra: set,
                 changed = True
     assert not (mand & reach_t), "not a max flow?"
     free = [c for c in range(nscc) if c not in mand and c not in reach_t]
-    cuts: list[tuple[int, ...]] = []
-    nodes_by_scc: dict[int, list[int]] = {}
+    nodes_by_scc = {}
     for x in range(nv):
         nodes_by_scc.setdefault(scc[x], []).append(x)
+    sides = []
 
-    def emit(S_sccs: set):
+    def emit(S_sccs):
         inS = [False] * nv
         for c in S_sccs:
             for x in nodes_by_scc.get(c, ()):
                 inS[x] = True
-        sep = tuple(
-            v for v in range(n) if inS[v] and not inS[v + n]
-        )
-        cuts.append(sep)
+        sides.append(inS)
 
-    # enumerate successor-closed subsets of the free sub-DAG, visiting
-    # sinks first so "closed" is a local check on direct successors
-    # (a free scc's successors are free or mandatory — one reaching t
-    # would itself reach t)
+    # topological order of the free sub-DAG, sinks first, then
+    # successor closures: including an SCC includes its closure (the
+    # Provan-Shier grow step), which may pull in inactive SCCs even
+    # though only active ones are branched on
     free_set = set(free)
-    placed: list[int] = []
+    placed = []
     remaining = set(free)
     while remaining:
         for c in sorted(remaining):
@@ -314,18 +299,72 @@ def _all_min_vertex_cuts(adj, s, t, extra: set,
                 break
         else:  # pragma: no cover - condensation is acyclic
             raise AssertionError("cycle in condensation")
-    free = placed
+    closure = {}
+    for c in placed:  # sinks first, so successors are already done
+        cl = {c}
+        for x in succ[c]:
+            if x in free_set:
+                cl |= closure[x]
+        closure[c] = frozenset(cl)
+    if active is not None:
+        scc_active = [False] * nscc
+        for x in range(nv):
+            if active[x]:
+                scc_active[scc[x]] = True
+        branch = [c for c in placed if scc_active[c]]
+    else:
+        branch = placed
 
-    def rec(i: int, chosen: set):
-        if i == len(free):
+    def rec(i, chosen):
+        if i == len(branch):
             emit(mand | chosen)
             return
-        c = free[i]
+        c = branch[i]
         rec(i + 1, chosen)
-        if all(x in chosen or x in mand for x in succ[c]):
-            rec(i + 1, chosen | {c})
+        if c not in chosen:
+            rec(i + 1, chosen | closure[c])
+        # c already pulled in by an earlier closure: no new branch
 
     rec(0, set())
+    seen = set()
+    out = []
+    for m in sides:
+        k = tuple(m)
+        if k not in seen:
+            seen.add(k)
+            out.append(m)
+    return out
+
+
+def _all_min_vertex_cuts(adj, s, t, extra: set,
+                         expect: int | None = None) -> list:
+    """All minimum-size vertex sets separating non-adjacent s from t —
+    Even-Tarjan reduction (in(v)=v, out(v)=v+n; internal arc cap 1,
+    edge arcs cap n) + Picard-Queyranne: minimum cuts are exactly the
+    residual-successor-closed SCC sets containing out(s), excluding
+    in(t) (ref igraph_all_st_mincuts, src/st-cuts.c).  ``extra`` holds
+    (u,v) pairs added by the minimum_size_separators loop (step 8)."""
+    n = len(adj)
+    arcs, caps = [], []
+    for v in range(n):
+        arcs.append((v, v + n))  # in -> out, the arc id == vertex id
+        caps.append(1.0)
+    pairs = {(u, v) for u in range(n) for v in adj[u]}
+    pairs |= extra | {(b, a) for a, b in extra}
+    for u, v in sorted(pairs):
+        arcs.append((u + n, v))
+        caps.append(float(n))
+    nv = 2 * n
+    value, cap, frm, to, head = _maxflow_ek(nv, arcs, caps, s + n, t)
+    if expect is not None and int(value) != expect:
+        return []  # reference: only enumerate when |phi| == k
+
+    sides = _pq_s_sides(nv, cap, frm, to, s + n, t)
+    cuts: list[tuple[int, ...]] = []
+    for inS in sides:
+        cuts.append(tuple(
+            v for v in range(n) if inS[v] and not inS[v + n]
+        ))
     seen = set()
     out = []
     for c in cuts:
@@ -604,3 +643,32 @@ def cohesive_blocks(
             tree.append((p, resptr))
         resptr += 1
     return blocks, cohesion, parents, tree
+
+
+def all_st_mincuts(arcs, n: int, s: int, t: int, capacity=None):
+    """All MINIMUM (s,t) edge cuts of a directed capacitated graph
+    (igraph_all_st_mincuts, src/st-cuts.c: max flow, then
+    Picard-Queyranne closed-set enumeration over the residual SCC
+    condensation).  Returns (value, [(partition1 vid list, cut edge-id
+    list)] ) with edge ids indexing the input ``arcs`` order —
+    verified against the reference's own igraph_all_st_mincuts.out.
+    Small-graph driver kernel like the other cut enumerations."""
+    arcs = [(int(a), int(b)) for a, b in arcs]
+    caps = ([1.0] * len(arcs) if capacity is None
+            else [float(c) for c in capacity])
+    value, cap, frm, to, _head = _maxflow_ek(n, arcs, caps, s, t)
+    # active vertices = endpoints of arcs carrying positive flow
+    # (the reference's VE1 set, src/st-cuts.c)
+    active = [False] * n
+    for i, (u, v) in enumerate(arcs):
+        if caps[i] - cap[2 * i] > 0:
+            active[u] = True
+            active[v] = True
+    sides = _pq_s_sides(n, cap, frm, to, s, t, active=active)
+    out = []
+    for inS in sides:
+        part = [v for v in range(n) if inS[v]]
+        cut = [i for i, (u, v) in enumerate(arcs)
+               if inS[u] and not inS[v]]
+        out.append((part, cut))
+    return value, out
