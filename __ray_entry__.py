@@ -2726,6 +2726,26 @@ def q_independence_number(sf_dir: str):
     })
 
 
+def q_motifs_no(sf_dir: str):
+    """Exact total connected induced 3-subgraph count via ESU
+    (igraph_motifs_randesu_no, src/motifs.c:336) on the sparse
+    16-vertex derived graph; oracle enumerates all C(16,3) triples in
+    SQL (connected iff >= 2 of the 3 pair edges exist)."""
+    from xdata_igraph_ray.graph.motifs import motifs_randesu_no
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        keep = (ok * 131 + pk * 17) % 1009 == 0
+        return pa.table({"src": ok[keep] % 16, "dst": pk[keep] % 16})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    cnt = motifs_randesu_no(ds, 16, size=3, P=4)
+    return pd.DataFrame({"n_connected_triples": [np.int64(cnt)]})
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2799,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_law_fit_li": q_power_law_fit,
         "get_incidence_li": q_get_incidence,
         "independence_number_li": q_independence_number,
+        "motifs_no_li": q_motifs_no,
         "all_simple_paths_li": q_all_simple_paths,
         "convergence_degree_li": q_convergence_degree,
         "centralization_betweenness_li": q_centralization_betweenness,
@@ -5037,6 +5058,26 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM indep WHERE k = mx.alpha)::BIGINT
                      AS n_max_sets
             FROM mx
+            """,
+        # connected-triple count: a 3-set is connected iff at least
+        # two of its three vertex pairs are (undirected) edges
+        "motifs_no_li": """
+            WITH und AS (
+              SELECT DISTINCT least(l_orderkey % 16, l_partkey % 16) AS a,
+                     greatest(l_orderkey % 16, l_partkey % 16) AS b
+              FROM lineitem
+              WHERE (l_orderkey * 131 + l_partkey * 17) % 1009 = 0
+                AND l_orderkey % 16 <> l_partkey % 16
+            )
+            SELECT count(*)::BIGINT AS n_connected_triples
+            FROM range(0, 16) x, range(0, 16) y, range(0, 16) z
+            WHERE x.range < y.range AND y.range < z.range
+              AND ((EXISTS (SELECT 1 FROM und WHERE a = x.range
+                              AND b = y.range)::INT
+                  + EXISTS (SELECT 1 FROM und WHERE a = x.range
+                              AND b = z.range)::INT
+                  + EXISTS (SELECT 1 FROM und WHERE a = y.range
+                              AND b = z.range)::INT) >= 2)
             """,
         # community-comparison metrics between the degree-rank
         # partition and vid%7: confusion matrix by GROUP BY, entropy /

@@ -74,3 +74,65 @@ def test_motifs3_undirected():
     got = motifs.motifs_3_undirected(_ds(src, dst), n=4, P=2)
     # triangle {0,1,2}; open wedges: {0,2,3}, {1,2,3}
     assert got == {"path": 2, "triangle": 1}
+
+
+def test_esu_no_and_estimate(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.motifs import (
+        motifs_3_undirected,
+        motifs_4_undirected,
+        motifs_randesu_estimate,
+        motifs_randesu_no,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 14
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.3]
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    ds = rd.from_arrow(t)
+    eset = set(pairs)
+
+    def brute(k):
+        cnt = 0
+        for sub in itertools.combinations(range(n), k):
+            sg = [(a, b) for a, b in eset if a in sub and b in sub]
+            # connectivity check
+            seen = {sub[0]}
+            frontier = [sub[0]]
+            adj = {}
+            for a, b in sg:
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            while frontier:
+                x = frontier.pop()
+                for y in adj.get(x, []):
+                    if y not in seen:
+                        seen.add(y)
+                        frontier.append(y)
+            if len(seen) == k:
+                cnt += 1
+        return cnt
+
+    for k in (3, 4):
+        assert motifs_randesu_no(ds, n, size=k, P=2) == brute(k), k
+    # consistency with the census totals
+    m3 = motifs_3_undirected(ds, n, P=2)
+    assert motifs_randesu_no(ds, n, size=3, P=2) == \
+        m3["path"] + m3["triangle"]
+    m4 = motifs_4_undirected(ds, n, P=2)
+    assert motifs_randesu_no(ds, n, size=4, P=2) == \
+        sum(m4.values())
+    # full sample reproduces the exact count
+    est_full = motifs_randesu_estimate(ds, n, size=3,
+                                       sample=np.arange(n), P=2)
+    assert est_full == brute(3)
+    # half sample is within a loose band of the truth
+    est = motifs_randesu_estimate(ds, n, size=3, sample_size=7,
+                                  seed=5, P=2)
+    assert 0.4 * brute(3) < est < 2.5 * brute(3)

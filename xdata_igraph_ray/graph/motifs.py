@@ -487,3 +487,94 @@ def _m4_apex_pairs(tbl: pa.Table) -> pa.Table:
         return pa.table({"x": ei, "y": ei})
     key = tbl["ea"].to_numpy() * (1 << 31) + tbl["eb"].to_numpy()
     return _m4_wedge_expand(key, tbl["apex"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# ESU enumeration — igraph_motifs_randesu_no / _estimate
+# (src/motifs.c:336-520: each connected induced subgraph is generated
+# exactly once, rooted at its minimum vertex, extension candidates
+# restricted to ids > root).
+
+
+def _esu_count(adj: list, size: int, roots, rng=None,
+               cut_prob=None) -> int:
+    """Count connected induced ``size``-subgraphs whose minimum vertex
+    is in ``roots`` (ESU, the reference's kernel).  ``cut_prob`` is
+    the per-level skip probability vector (RAND-ESU); with a seeded
+    ``rng`` the sampling is deterministic — pinned RNG divergence
+    from the reference's RNG stream, same distribution."""
+    count = 0
+    cp = cut_prob if cut_prob is not None else [0.0] * size
+
+    def keep(level: int) -> bool:
+        p = cp[level]
+        if p == 0:
+            return True
+        return rng.random() >= p
+
+    for v in sorted(roots):
+        ext0 = {u for u in adj[v] if u > v}
+
+        def extend(vs: set, ext: set, level: int):
+            nonlocal count
+            if level == size - 1:
+                for _u in ext:
+                    if keep(level):
+                        count += 1
+                return
+            ext = set(ext)
+            while ext:
+                w = ext.pop()
+                if not keep(level):
+                    continue
+                # exclusive neighborhood of w wrt vs
+                nbh = set().union(*(adj[x] for x in vs)) | vs
+                ext2 = ext | {u for u in adj[w]
+                              if u > v and u not in nbh and u != w}
+                extend(vs | {w}, ext2, level + 1)
+
+        if size == 1:
+            if keep(0):
+                count += 1
+            continue
+        extend({v}, ext0, 1)
+    return count
+
+
+def motifs_randesu_no(edges, n: int, size: int = 3,
+                      P: int = DEFAULT_PARTITIONS) -> int:
+    """Total number of connected induced ``size``-subgraphs
+    (igraph_motifs_randesu_no, src/motifs.c:336 — exact ESU count).
+    Driver kernel over the collapsed undirected support (one
+    distributed distinct pass)."""
+    from .separators import collapse_support
+
+    adj = collapse_support(edges, n, P=P)
+    return _esu_count(adj, size, range(n))
+
+
+def motifs_randesu_estimate(
+    edges, n: int, size: int = 3, sample_size: int | None = None,
+    sample=None, seed: int = 42, cut_prob=None,
+    P: int = DEFAULT_PARTITIONS,
+) -> float:
+    """Estimated total connected induced ``size``-subgraph count from
+    a vertex sample (igraph_motifs_randesu_estimate,
+    src/motifs.c:420-520): count subgraphs ROOTED (minimum vertex) at
+    sampled vertices, scale by n / sample_size.  ``sample`` overrides
+    ``sample_size``; seeded numpy sampling replaces the reference's
+    RNG (pinned divergence)."""
+    from .separators import collapse_support
+
+    rng = np.random.default_rng(seed)
+    if sample is None:
+        if sample_size is None:
+            raise ValueError("need sample_size or sample")
+        sample = np.sort(rng.choice(n, size=sample_size, replace=False))
+    else:
+        sample = np.asarray(sample, dtype=np.int64)
+        sample_size = len(sample)
+    adj = collapse_support(edges, n, P=P)
+    cnt = _esu_count(adj, size, sample.tolist(), rng=rng,
+                     cut_prob=cut_prob)
+    return cnt * (n / sample_size)
