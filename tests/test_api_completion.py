@@ -186,3 +186,39 @@ def test_personalized_vs_and_bfs(ray_session):
         assert (r_all["dist"] >= 0).all()
     finally:
         eng.shutdown()
+
+
+def test_johnson_distances(ray_session):
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import shortest_paths_johnson
+
+    # weighted digraph with a negative edge, no negative cycle
+    arcs = [(0, 1, 2.0), (1, 2, -1.0), (0, 2, 3.0), (2, 3, 2.0),
+            (3, 1, 1.0), (1, 3, 4.0)]
+    n = 4
+    t = pa.table({
+        "src": np.array([a for a, _, _ in arcs], np.int64),
+        "dst": np.array([b for _, b, _ in arcs], np.int64),
+        "weight": np.array([w for _, _, w in arcs], np.float64),
+    })
+    eng = GraphEngine.from_edges(rd.from_arrow(t), n=n, P=2,
+                                 weighted=True)
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    for a, b, w in arcs:
+        g.add_edge(a, b, weight=w)
+    try:
+        D = shortest_paths_johnson(eng)
+        want = dict(nx.johnson(g, weight="weight"))
+        for s in range(n):
+            for v in range(n):
+                if v in want[s]:
+                    wd = nx.path_weight(g, want[s][v], "weight")
+                    assert D[s, v] == pytest.approx(wd, abs=1e-12), (s, v)
+                else:
+                    assert np.isinf(D[s, v]), (s, v)
+        # subset of sources
+        D2 = shortest_paths_johnson(eng, sources=[2, 0])
+        assert np.allclose(D2[0], D[2]) and np.allclose(D2[1], D[0])
+    finally:
+        eng.shutdown()

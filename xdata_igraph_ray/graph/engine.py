@@ -1976,6 +1976,11 @@ class GraphShard:
             pos, 1.0 / np.where(pos, self.wms_dist, 1.0), 0.0
         ).sum(axis=0)
 
+    def wms_dist_block(self):
+        """(lo, dist block copy) — rows are this shard's vertices,
+        columns the wave's sources."""
+        return self.lo, self.wms_dist.copy()
+
     def wms_free(self):
         for a in ("wms_dist", "wms_changed", "wbc_sigma", "wbc_ssent",
                   "wbc_delta", "wbc_psum", "wbc_psent", "wbc_acc"):

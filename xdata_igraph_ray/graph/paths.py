@@ -762,3 +762,44 @@ def bfs(engine: GraphEngine, root: int, mode: str = "out") -> dict:
             parents[meta] = pars
     return {"order": order, "rank": rank, "parents": parents,
             "dist": dist}
+
+
+def distances_weighted(
+    engine: GraphEngine, sources=None, wave: int = 64,
+) -> np.ndarray:
+    """(len(sources), n) weighted distance matrix (inf = unreachable)
+    via Bellman-Ford supersteps — igraph_shortest_paths_dijkstra /
+    _bellman_ford / _johnson collapse to the same fixed point here
+    (src/structural_properties.c:4174,5158,5274: Johnson's
+    reweighting exists only to make Dijkstra safe under negative
+    weights; the BF supersteps handle them directly, and a negative
+    cycle raises).  Wave-batched: per-shard transient is
+    shard_size x wave doubles."""
+    from .centrality import _ms_waves, _wms_run
+
+    shards = engine.shards
+    n = engine.n
+    if sources is None:
+        sources = np.arange(n)
+    sources = np.asarray(sources, dtype=np.int64)
+    out = np.full((len(sources), n), np.inf)
+    pos = 0
+    for ws in _ms_waves(engine, sources, wave):
+        _wms_run(engine, ws)
+        for lo, block in ray.get(
+                [s.wms_dist_block.remote() for s in shards]):
+            out[pos:pos + len(ws), lo:lo + block.shape[0]] = block.T
+        pos += len(ws)
+    ray.get([s.wms_free.remote() for s in shards])
+    return out
+
+
+def shortest_paths_johnson(
+    engine: GraphEngine, sources=None, wave: int = 64,
+) -> np.ndarray:
+    """igraph_shortest_paths_johnson (src/structural_properties.c:5274):
+    all-pairs (or sources x all) weighted distances with negative
+    weights allowed, negative cycles detected.  Alias of
+    :func:`distances_weighted` — see its docstring for why the
+    reweighting step vanishes in the superstep formulation."""
+    return distances_weighted(engine, sources=sources, wave=wave)
