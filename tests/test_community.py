@@ -4,6 +4,7 @@ recovery + modularity quality vs networkx's Louvain."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -132,3 +133,39 @@ def test_compare_communities_vs_naive():
         )
         got12, got21 = split_join_distance(a, b)
         assert (got12, got21) == (d12, d21)
+
+
+def test_dendrogram_helpers():
+    from xdata_igraph_ray.graph.community import (
+        community_to_membership,
+        eb_get_merges,
+        reindex_membership,
+    )
+
+    # 4 vertices, merges: (0,1)->4, (2,3)->5, (4,5)->6
+    merges = np.array([[0, 1], [2, 3], [4, 5]])
+    m, cs = community_to_membership(merges, 4, steps=2)
+    # after two steps: {0,1} and {2,3}; reverse-discovery numbering:
+    # row 1 (2,3) found first -> community 0; row 0 (0,1) -> 1
+    assert m.tolist() == [1, 1, 0, 0]
+    assert cs.tolist() == [2, 2]
+    m3, cs3 = community_to_membership(merges, 4, steps=3)
+    assert m3.tolist() == [0, 0, 0, 0] and cs3.tolist() == [4]
+    m0, cs0 = community_to_membership(merges, 4, steps=0)
+    assert m0.tolist() == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="steps"):
+        community_to_membership(merges, 4, steps=5)
+
+    new, n2o = reindex_membership(np.array([7, 3, 7, 9, 3]))
+    assert new.tolist() == [1, 0, 1, 2, 0]
+    assert n2o.tolist() == [3, 7, 9]
+
+    # path 0-1-2-3; removal order: middle edge first
+    removal = [(1, 2), (0, 1), (2, 3)]
+    mg, br = eb_get_merges(removal, 4)
+    # reverse: (2,3) merge -> row0, (0,1) -> row1, (1,2) joins 4&5
+    assert mg.tolist() == [[2, 3], [0, 1], [5, 4]]
+    assert br.tolist() == [3, 2, 1]
+    # membership from these merges at 2 communities
+    mm, _ = community_to_membership(mg, 4, steps=2)
+    assert mm[0] == mm[1] and mm[2] == mm[3] and mm[0] != mm[2]

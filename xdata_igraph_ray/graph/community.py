@@ -1038,3 +1038,92 @@ def compare_communities(
         expected = f1 * f2 + (1.0 - f1) * (1.0 - f2)
         return (rand - expected) / (1.0 - expected)
     raise ValueError(f"unknown method {method!r}")
+
+
+# -- dendrogram / membership helpers -----------------------------------------
+
+
+def community_to_membership(merges, nodes: int, steps: int):
+    """(membership, csize) after ``steps`` rows of a merge matrix
+    (igraph_community_to_membership, src/community.c:60-135 —
+    mirrored exactly: components numbered by reverse merge-row
+    discovery, then singletons in vertex order)."""
+    merges = np.asarray(merges, dtype=np.int64).reshape(-1, 2)
+    if steps > len(merges):
+        raise ValueError("steps too big or merges matrix too short")
+    membership = np.zeros(nodes, dtype=np.int64)
+    csize = np.zeros(nodes - steps, dtype=np.int64)
+    tmp = np.zeros(steps, dtype=np.int64)
+    found = 0
+    for i in range(steps - 1, -1, -1):
+        c1, c2 = int(merges[i, 0]), int(merges[i, 1])
+        if tmp[i] == 0:
+            found += 1
+            tmp[i] = found
+        for c in (c1, c2):
+            if c < nodes:
+                cid = tmp[i] - 1
+                membership[c] = cid + 1
+                csize[cid] += 1
+            else:
+                tmp[c - nodes] = tmp[i]
+    for v in range(nodes):
+        t = membership[v]
+        if t != 0:
+            membership[v] = t - 1
+        else:
+            csize[found] += 1
+            membership[v] = found
+            found += 1
+    return membership, csize
+
+
+def reindex_membership(membership):
+    """(new membership 0..k-1, new_to_old) — new ids assigned by
+    ASCENDING old community id (igraph_reindex_membership,
+    src/community.c:1008)."""
+    membership = np.asarray(membership, dtype=np.int64)
+    if len(membership) == 0:
+        return membership.copy(), np.empty(0, dtype=np.int64)
+    new_to_old = np.unique(membership)
+    remap = {int(o): i for i, o in enumerate(new_to_old)}
+    return (np.array([remap[int(m)] for m in membership],
+                     dtype=np.int64), new_to_old)
+
+
+def eb_get_merges(edges_removed, n: int, n_components: int = 1):
+    """(merges matrix, bridges) from an edge-betweenness REMOVAL
+    order, processed in reverse as agglomerations
+    (igraph_community_eb_get_merges, src/community.c:140-210 —
+    pointer-chase union with merge ids n+step; bridges are the
+    1-based removal indices that merged two components).
+    ``edges_removed``: (u, v) pairs in removal order."""
+    ptr = np.zeros(2 * n - 1, dtype=np.int64)
+    merges = []
+    bridges = []
+    midx = 0
+    for i in range(len(edges_removed) - 1, -1, -1):
+        u, v = edges_removed[i]
+
+        def find(x: int) -> int:
+            idx = x + 1
+            while ptr[idx - 1] != 0:
+                idx = ptr[idx - 1]
+            return idx - 1
+
+        c1, c2 = find(int(u)), find(int(v))
+        if c1 != c2:
+            merges.append((c1, c2))
+            bridges.append(i + 1)
+            ptr[c1] = n + midx + 1
+            ptr[c2] = n + midx + 1
+            ptr[int(u)] = n + midx + 1
+            ptr[int(v)] = n + midx + 1
+            midx += 1
+    want = n - n_components
+    if midx != want:
+        raise ValueError(
+            f"eb_get_merges: removal order produced {midx} merges, "
+            f"expected {want} for {n_components} component(s)")
+    return (np.asarray(merges, dtype=np.int64).reshape(-1, 2),
+            np.asarray(bridges, dtype=np.int64))
