@@ -184,3 +184,40 @@ def test_convex_hull():
             assert inside
     assert convex_hull(np.empty((0, 2))).tolist() == []
     assert len(convex_hull(np.array([[1.0, 2.0]]))) == 1
+
+
+def test_projection_size_isolated_and_gnm_all(ray_session):
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.bipartite import (
+        bipartite_game_gnm,
+        bipartite_projection_size,
+    )
+
+    # no shared neighbors at all: vcounts still count the vertices
+    t = pa.table({"src": np.array([0, 1], np.int64),
+                  "dst": np.array([10, 11], np.int64)})
+    sz = bipartite_projection_size(rd.from_arrow(t), P=2)
+    assert sz == {"vcount1": 2, "ecount1": 0,
+                  "vcount2": 2, "ecount2": 0}
+    # directed mode='all' gnm samples both orientations
+    t2 = bipartite_game_gnm(2, 2, 8, directed=True, mode="all", seed=9)
+    s2, d2 = t2["src"].to_numpy(), t2["dst"].to_numpy()
+    fwd = ((s2 < 2) & (d2 >= 2)).sum()
+    rev = ((s2 >= 2) & (d2 < 2)).sum()
+    assert fwd == 4 and rev == 4
+    with pytest.raises(ValueError, match="too many"):
+        bipartite_game_gnm(2, 2, 9, directed=True, mode="all")
+
+
+def test_plfit_review_edges():
+    from xdata_igraph_ray.graph.plfit import power_law_fit
+
+    # discrete: 3 distinct values, smallest multiplicity 1 -> clear
+    # error instead of a NoneType crash
+    with pytest.raises(ValueError, match="no candidate"):
+        power_law_fit(np.array([1.0, 2.0, 3.0]))
+    # continuous fixed xmin = 0 -> clear validation error
+    with pytest.raises(ValueError, match="greater than zero"):
+        power_law_fit(np.array([0.5, 1.0, 2.0, 3.0]), xmin=0.0,
+                      force_continuous=True)

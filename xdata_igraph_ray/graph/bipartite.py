@@ -87,19 +87,22 @@ def bipartite_game_gnm(n1: int, n2: int, m: int,
                        directed: bool = False, mode: str = "out",
                        seed: int = 42) -> pa.Table:
     """Bipartite G(n1,n2,m): m distinct pairs uniformly
-    (igraph_bipartite_game_gnm, src/bipartite.c)."""
-    total = n1 * n2
+    (igraph_bipartite_game_gnm, src/bipartite.c).  Directed
+    mode='all' samples over BOTH orientations (2*n1*n2 slots), like
+    the reference."""
+    from .nongraph import random_sample
+
+    both = directed and mode == "all"
+    total = n1 * n2 * (2 if both else 1)
     if m > total:
         raise ValueError("too many edges requested")
-    rng = np.random.default_rng(seed)
-    picked: set = set()
-    while len(picked) < m:
-        k = m - len(picked)
-        for x in rng.integers(0, total, 2 * k + 8).tolist():
-            picked.add(x)
-            if len(picked) == m:
-                break
-    idx = np.fromiter(sorted(picked), dtype=np.int64, count=m)
+    idx = random_sample(0, total - 1, m, seed=seed)
+    if both:
+        rev = idx >= n1 * n2
+        idx = np.where(rev, idx - n1 * n2, idx)
+        a, b = _pairs_from_index(idx, n1, n2)
+        a, b = np.where(rev, b, a), np.where(rev, a, b)
+        return _table(a, b)
     a, b = _pairs_from_index(idx, n1, n2)
     if directed and mode == "in":
         a, b = b, a
@@ -157,21 +160,33 @@ def bipartite_projection_size(edges, P: int = 8,
                               max_group: int | None = None) -> dict:
     """(vcount1, ecount1, vcount2, ecount2) of the two one-mode
     projections without materializing their weights
-    (igraph_bipartite_projection_size, src/bipartite.c).  Uses the
-    same sparse pair machinery as the projection itself; pass
-    ``max_group`` to cap hub fan-out (counts become lower bounds,
-    logged by the pair expander)."""
+    (igraph_bipartite_projection_size, src/bipartite.c).  vcount =
+    distinct vertices of that type IN THE EDGE TABLE (the reference
+    counts every typed vertex including fully isolated ones, which an
+    edge table cannot see — pinned divergence); ecount = the
+    projection's pair count, computed distributed (the projection is
+    never pulled to the driver).  ``max_group`` caps hub fan-out
+    (counts become lower bounds, logged by the pair expander)."""
+    import ray as _ray
+
+    from ..exchange import block_refs as _brefs, distinct
     from .vertex_similarity import bipartite_projection
 
+    refs = edges if isinstance(edges, list) else _brefs(edges)
+
+    @_ray.remote
+    def side(t: pa.Table, col: str) -> pa.Table:
+        return pa.table({"vid": t[col]})
+
     out: dict = {}
-    for which, (vk, ek) in (("first", ("vcount1", "ecount1")),
-                            ("second", ("vcount2", "ecount2"))):
+    for which, col, vk, ek in (("first", "src", "vcount1", "ecount1"),
+                               ("second", "dst", "vcount2", "ecount2")):
+        uniq = distinct([side.remote(r, col) for r in refs],
+                        ["vid"], P=P)
+        out[vk] = int(uniq.count())
         proj = bipartite_projection(edges, which=which, P=P,
                                     max_group=max_group)
-        t = proj.to_pandas()
-        verts = set(t["u"].tolist()) | set(t["w"].tolist())
-        out[vk] = len(verts)
-        out[ek] = len(t)
+        out[ek] = int(proj.count())
     return out
 
 

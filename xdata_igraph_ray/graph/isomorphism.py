@@ -399,7 +399,15 @@ def isomorphic_bliss(
 ) -> tuple[bool, np.ndarray | None]:
     """(isomorphic?, mapping g1->g2 or None) via canonical-form
     comparison (igraph_isomorphic_bliss, src/topology.c:2817-2906:
-    canonize both, compare, compose the labelings)."""
+    canonize both, compare, compose the labelings).
+
+    Multi-edges COLLAPSE before canonization (BLISS itself only
+    supports simple graphs — the reference errors on multigraphs;
+    here the simple supports are compared instead).  NOTE this
+    differs from :func:`isomorphic` (VF2), whose edge-list-length
+    fast path makes it multigraph-pessimistic: on inputs with
+    duplicate rows the two functions answer different questions —
+    simplify first if that matters."""
     if n1 != n2:
         return False, None
     if n1 == 0:

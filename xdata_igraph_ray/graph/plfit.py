@@ -236,9 +236,12 @@ def _tail_views(vals, counts, i):
 
 def _fit_continuous(vals, counts, n_total, xmin, fsc_on) -> dict:
     U = len(vals)
-    logv = np.log(vals)
     if xmin >= 0:
         # plfit_estimate_alpha_continuous (plfit.c:221-265)
+        if xmin <= 0:
+            raise ValueError(
+                "power_law_fit: fixed xmin must be greater than zero "
+                "for the continuous fit (plfit XMIN_CHECK_ZERO)")
         keep = vals >= xmin
         if not keep.any():
             raise ValueError("no data point was larger than xmin")
@@ -259,6 +262,7 @@ def _fit_continuous(vals, counts, n_total, xmin, fsc_on) -> dict:
     if U < 2:
         raise ValueError(
             "power_law_fit: need >= 2 distinct values to scan xmin")
+    logv = np.log(vals)
     suffix_m = np.cumsum(counts[::-1])[::-1]
     suffix_clogv = np.cumsum((counts * logv)[::-1])[::-1]
 
@@ -324,7 +328,6 @@ def _fit_continuous(vals, counts, n_total, xmin, fsc_on) -> dict:
 
 def _fit_discrete(vals, counts, n_total, xmin, fsc_on) -> dict:
     U = len(vals)
-    logv = np.log(vals)
     if xmin >= 0:
         # plfit_estimate_alpha_discrete (plfit.c:658-706)
         if xmin < 1:
@@ -349,6 +352,7 @@ def _fit_discrete(vals, counts, n_total, xmin, fsc_on) -> dict:
             "power_law_fit: need >= 3 distinct values for the "
             "discrete xmin scan (plfit returns uninitialized results "
             "here; we raise instead)")
+    logv = np.log(vals)
     # candidate xmins: plfit.c:738-760 — px walks group starts while
     # strictly before end_xmin, which is the LAST element of the
     # (U-3)rd distinct group after the two walk-backs; so group i is
@@ -371,6 +375,11 @@ def _fit_discrete(vals, counts, n_total, xmin, fsc_on) -> dict:
         if best is None or D < best["D"]:
             best = {"alpha": alpha, "xmin": cand_xmin, "D": D,
                     "m": m, "logsum": logsum}
+    if best is None:
+        raise ValueError(
+            "power_law_fit: discrete xmin scan produced no candidate "
+            "(the three largest distinct values leave nothing to scan "
+            "— need more distinct mass below them)")
     alpha = _fsc(best["alpha"], best["m"]) if fsc_on else best["alpha"]
     L = (-alpha * best["logsum"]
          - best["m"] * math.log(float(_hzeta(alpha, best["xmin"]))))
