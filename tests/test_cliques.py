@@ -123,3 +123,54 @@ def test_independent_sets(ray_session):
         for i in range(len(s)):
             for j in range(i + 1, len(s)):
                 assert (s[i], s[j]) not in eset
+
+
+def test_maximal_cliques_subset_and_neighborhood(ray_session):
+    import ray
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.cliques import maximal_cliques
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.paths import (
+        get_shortest_path,
+        neighborhood,
+        neighborhood_size,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 12
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.4]
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    ds = rd.from_arrow(t)
+    all_cl = {tuple(sorted(c["clique"]))
+              for c in maximal_cliques(ds, P=2).take_all()}
+    # union over singleton-rooted runs == full enumeration;
+    # each clique appears under exactly one root
+    seen = []
+    for v in range(n):
+        for c in maximal_cliques(ds, P=2, roots={v}).take_all():
+            seen.append(tuple(sorted(c["clique"])))
+    assert sorted(seen) == sorted(all_cl)
+
+    eng = GraphEngine.from_edges(ds, n=n, P=2)
+    try:
+        import networkx as nx
+
+        g = nx.Graph(pairs)
+        g.add_nodes_from(range(n))
+        nb = neighborhood(eng, [0, 5], order=2)
+        for seed, got in zip((0, 5), nb):
+            want = sorted(nx.single_source_shortest_path_length(
+                g, seed, cutoff=2))
+            assert got.tolist() == want, seed
+        sizes = neighborhood_size(eng, [0, 5], order=2)
+        assert sizes.tolist() == [len(x) for x in nb]
+        p = get_shortest_path(eng, 0, 5)
+        if p:
+            assert p[0] == 0 and p[-1] == 5
+            assert len(p) - 1 == nx.shortest_path_length(g, 0, 5)
+    finally:
+        eng.shutdown()

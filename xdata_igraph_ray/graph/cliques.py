@@ -54,11 +54,17 @@ def maximal_cliques(
     edges: Dataset | list,
     P: int = DEFAULT_PARTITIONS,
     min_size: int = 1,
+    roots=None,
 ) -> Dataset:
     """Dataset of (clique: list<int64>) rows — every maximal clique
     exactly once (isolated vertices are NOT emitted; igraph's
     convention of size>=1 cliques over vertices with edges is matched
-    by min_size=1 plus caller-side isolated handling)."""
+    by min_size=1 plus caller-side isolated handling).  ``roots``
+    restricts enumeration to cliques whose minimum-rank member is in
+    the set — the igraph_maximal_cliques_subset behavior
+    (src/maximal_cliques.c:389, which roots its search at the subset
+    the same way; with roots=all this is exactly the full
+    enumeration)."""
     und = undirected_support(edges, P=P)
 
     # ranks from support degrees
@@ -152,12 +158,16 @@ def maximal_cliques(
              "fwd": np.zeros(len(t), np.int8)}
         )
 
+    root_set = None if roots is None else {int(r) for r in roots}
+
     def run_bk(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = t.to_pandas()
         cliques = []
         for v, g in df.groupby("v", sort=False):
+            if root_set is not None and int(v) not in root_set:
+                continue
             nbr_rows_ = g[g["q"] < 0]
             fwd = set(nbr_rows_.loc[nbr_rows_["fwd"] == 1, "p"])
             bwd = set(nbr_rows_.loc[nbr_rows_["fwd"] == 0, "p"])

@@ -803,3 +803,27 @@ def shortest_paths_johnson(
     :func:`distances_weighted` — see its docstring for why the
     reweighting step vanishes in the superstep formulation."""
     return distances_weighted(engine, sources=sources, wave=wave)
+
+
+def neighborhood(
+    engine: GraphEngine, vids, order: int = 1, mode: str = "all",
+) -> list[np.ndarray]:
+    """Vertex ids within ``order`` hops of each seed, seed included,
+    ascending (igraph_neighborhood,
+    src/structural_properties.c:2934) — one bounded distributed BFS
+    per seed, like neighborhood_size."""
+    out = []
+    for v in vids:
+        d = sssp(engine, [int(v)], mode=mode, max_depth=order)
+        out.append(np.nonzero((d >= 0) & (d <= order))[0]
+                   .astype(np.int64))
+    return out
+
+
+def get_shortest_path(
+    engine: GraphEngine, source: int, target: int, mode: str = "out",
+) -> list[int]:
+    """One shortest path source -> target ([] if unreachable) —
+    igraph_get_shortest_path (src/structural_properties.c:1240, the
+    single-target convenience wrapper)."""
+    return get_shortest_paths(engine, source, [target], mode=mode)[0]
