@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import networkx as nx
 import numpy as np
+import pytest
 import pyarrow as pa
 import ray.data as rd
 
@@ -302,3 +303,98 @@ def test_degree_sequence_checks():
             continue
         assert is_graphical_degree_sequence(o, i_) == \
             brute_directed(o, i_), (o, i_)
+
+
+def test_deterministic_constructors():
+    import networkx as nx
+
+    from xdata_igraph_ray.graph.generators import (
+        adjacency,
+        connect_neighborhood,
+        de_bruijn,
+        extended_chordal_ring,
+        full_citation,
+        kautz,
+        lcf,
+        weighted_adjacency,
+    )
+
+    # adjacency modes
+    M = np.array([[1, 2, 0], [0, 0, 3], [1, 0, 0]])
+    t = adjacency(M, mode="directed")
+    assert sorted(zip(t["src"].to_numpy().tolist(),
+                      t["dst"].to_numpy().tolist())) == \
+        [(0, 0), (0, 1), (0, 1), (1, 2), (1, 2), (1, 2), (2, 0)]
+    t_max = adjacency(M, mode="max")
+    assert sorted(zip(t_max["src"].to_numpy().tolist(),
+                      t_max["dst"].to_numpy().tolist())) == \
+        [(0, 0), (0, 1), (0, 1), (0, 2), (1, 2), (1, 2), (1, 2)]
+    t_min = adjacency(M, mode="min")
+    assert len(t_min) == 1  # only the diagonal entry survives min
+    t_up = adjacency(M, mode="upper")
+    assert (t_up["src"].to_numpy() <= t_up["dst"].to_numpy()).all()
+    # weighted: plus halves the diagonal
+    W = np.array([[2.0, 1.0], [3.0, 0.0]])
+    tw = weighted_adjacency(W, mode="plus")
+    got = {(int(a), int(b)): w for a, b, w in
+           zip(tw["src"].to_numpy(), tw["dst"].to_numpy(),
+               tw["weight"].to_numpy())}
+    assert got == {(0, 0): 2.0, (0, 1): 4.0}
+    assert len(weighted_adjacency(W, mode="plus", loops=False)) == 1
+
+    # full citation: i cites every j < i
+    fc = full_citation(4)
+    assert sorted(zip(fc["src"].to_numpy().tolist(),
+                      fc["dst"].to_numpy().tolist())) == \
+        [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2)]
+
+    # extended chordal ring: ring + forward chords, no wraparound
+    ecr = extended_chordal_ring(6, np.array([[2], [3]]))
+    pairs = set(zip(ecr["src"].to_numpy().tolist(),
+                    ecr["dst"].to_numpy().tolist()))
+    assert (0, 1) in pairs and (0, 5) in pairs          # ring
+    assert (0, 2) in pairs and (3, 5) in pairs          # +2 chords
+    assert (5, 7) not in pairs                          # no wrap
+    with pytest.raises(ValueError, match="divide"):
+        extended_chordal_ring(7, np.array([[2, 3]]))
+
+    # connect_neighborhood on a path: order 2 adds the two-hop pairs
+    path = pa.table({"src": np.array([0, 1, 2], np.int64),
+                     "dst": np.array([1, 2, 3], np.int64)})
+    cn = connect_neighborhood(path, 4, order=2, mode="all")
+    ps = set(zip(cn["src"].to_numpy().tolist(),
+                 cn["dst"].to_numpy().tolist()))
+    assert {(0, 2), (1, 3), (2, 0), (3, 1)} <= ps
+
+    # de Bruijn B(2,3): 8 vertices, out-degree 2, arcs i -> 2i%8 + j
+    db = de_bruijn(2, 3)
+    assert len(db) == 16
+    s, d = db["src"].to_numpy(), db["dst"].to_numpy()
+    for i in range(8):
+        outs = sorted(d[s == i].tolist())
+        assert outs == [(2 * i) % 8, (2 * i) % 8 + 1]
+    assert len(de_bruijn(2, 0)) == 2      # loops on single vertex
+    assert len(de_bruijn(0, 3)) == 0
+
+    # Kautz K(2,1): 6 vertices, out-degree 2, isomorphic to the
+    # line digraph of K3 doubled; every arc's string overlap holds
+    kz = kautz(2, 1)
+    s, d = kz["src"].to_numpy(), kz["dst"].to_numpy()
+    assert len(set(s.tolist()) | set(d.tolist())) == 6
+    assert len(kz) == 12
+    counts = np.bincount(s, minlength=6)
+    assert (counts == 2).all()
+    # no vertex links to itself (consecutive-symbol rule)
+    assert (s != d).all()
+
+    # LCF: Petersen graph = LCF [2, -2]^5 on the 5-prism? classic:
+    # Desargues [5, -5, 9, -9]^5; use networkx.LCF_graph as oracle
+    for n, sh, rep in ((10, [5], 10), (8, [3, -3], 4),
+                       (14, [5, -5], 7)):
+        ours = lcf(n, sh, rep)
+        g = nx.LCF_graph(n, sh, rep)
+        want = {(min(a, b), max(a, b)) for a, b in g.edges()}
+        got = {(min(int(a), int(b)), max(int(a), int(b)))
+               for a, b in zip(ours["src"].to_numpy(),
+                               ours["dst"].to_numpy())}
+        assert got == want, (n, sh, rep)

@@ -677,3 +677,253 @@ def correlated_pair_game(n: int, corr: float, p: float,
     g2 = correlated_game(g1, n, corr, p, directed=directed,
                          seed=seed + 1, permutation=permutation)
     return g1, g2
+
+
+# -- deterministic constructors (src/structure_generators.c) -----------------
+
+
+def adjacency(mat, mode: str = "directed") -> pa.Table:
+    """Graph from a dense adjacency matrix (igraph_adjacency,
+    src/structure_generators.c:264): entry = edge MULTIPLICITY.
+    Modes: directed / max (= undirected) / min / plus / upper /
+    lower — plus uses the full matrix as undirected multiplicities
+    (A_ij + A_ji between distinct i,j; A_ii loops), exactly this
+    fork's dispatch (ADJ_PLUS -> the directed collector,
+    :295-297)."""
+    mat = np.asarray(mat)
+    n = mat.shape[0]
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError("non-square matrix")
+    M = np.rint(mat).astype(np.int64)
+    src_l, dst_l = [], []
+
+    def emit(i, j, k):
+        src_l.extend([i] * k)
+        dst_l.extend([j] * k)
+
+    if mode in ("directed", "plus"):
+        for i in range(n):
+            for j in range(n):
+                emit(i, j, int(M[i, j]))
+    elif mode in ("max", "undirected"):
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, int(max(M[i, j], M[j, i])))
+    elif mode == "min":
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, int(min(M[i, j], M[j, i])))
+    elif mode == "upper":
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, int(M[i, j]))
+    elif mode == "lower":
+        for i in range(n):
+            for j in range(i + 1):
+                emit(i, j, int(M[i, j]))
+    else:
+        raise ValueError(f"unknown adjacency mode {mode!r}")
+    return _table(src_l, dst_l)
+
+
+def weighted_adjacency(mat, mode: str = "directed",
+                       loops: bool = True) -> pa.Table:
+    """(src, dst, weight) from a weighted adjacency matrix
+    (igraph_weighted_adjacency, src/structure_generators.c:333-530):
+    one edge per nonzero combined entry; ``plus`` sums both halves
+    and HALVES the diagonal; ``loops=False`` drops the diagonal."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n = mat.shape[0]
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError("non-square matrix")
+    src_l, dst_l, w_l = [], [], []
+
+    def emit(i, j, w):
+        if w == 0.0 or (i == j and not loops):
+            return
+        src_l.append(i)
+        dst_l.append(j)
+        w_l.append(w)
+
+    if mode == "directed":
+        for i in range(n):
+            for j in range(n):
+                emit(i, j, mat[i, j])
+    elif mode in ("max", "undirected"):
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, max(mat[i, j], mat[j, i]))
+    elif mode == "min":
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, min(mat[i, j], mat[j, i]))
+    elif mode == "plus":
+        for i in range(n):
+            for j in range(i, n):
+                w = mat[i, j] + mat[j, i]
+                emit(i, j, w / 2 if i == j else w)
+    elif mode == "upper":
+        for i in range(n):
+            for j in range(i, n):
+                emit(i, j, mat[i, j])
+    elif mode == "lower":
+        for i in range(n):
+            for j in range(i + 1):
+                emit(i, j, mat[i, j])
+    else:
+        raise ValueError(f"unknown adjacency mode {mode!r}")
+    return pa.table({
+        "src": np.asarray(src_l, np.int64),
+        "dst": np.asarray(dst_l, np.int64),
+        "weight": np.asarray(w_l, np.float64),
+    })
+
+
+def full_citation(n: int) -> pa.Table:
+    """Every vertex cites all lower-id vertices: edges (i, j) for
+    j < i (igraph_full_citation,
+    src/structure_generators.c:1077)."""
+    i = np.repeat(np.arange(n, dtype=np.int64),
+                  np.arange(n, dtype=np.int64))
+    j = np.concatenate([np.arange(k, dtype=np.int64)
+                        for k in range(n)]) if n else np.empty(0, np.int64)
+    return _table(i, j)
+
+
+def extended_chordal_ring(nodes: int, W) -> pa.Table:
+    """Ring 0-1-...-(n-1)-0 plus chords i -> i+W[j, i%period] when
+    the target stays < n (igraph_extended_chordal_ring,
+    src/structure_generators.c:1187 — NOTE the reference adds a
+    chord only when i+offset < nodes, no wraparound; mirrored)."""
+    W = np.asarray(W, dtype=np.int64).reshape(len(np.asarray(W)), -1)
+    period = W.shape[1]
+    if nodes < 3:
+        raise ValueError("at least 3 nodes needed")
+    if nodes % period != 0:
+        raise ValueError("period must divide the number of nodes")
+    src_l = list(range(nodes - 1)) + [0]
+    dst_l = list(range(1, nodes)) + [nodes - 1]
+    mpos = 0
+    for i in range(nodes):
+        for j in range(W.shape[0]):
+            off = int(W[j, mpos])
+            if i + off < nodes:
+                src_l.append(i)
+                dst_l.append(i + off)
+        mpos = (mpos + 1) % period
+    return _table(src_l, dst_l)
+
+
+def connect_neighborhood(edges: pa.Table, n: int, order: int = 2,
+                         mode: str = "all") -> pa.Table:
+    """Add an edge to every vertex within ``order`` hops
+    (igraph_connect_neighborhood, src/structural_generators.c:1267;
+    undirected inputs force mode='all').  Output: original arcs plus
+    one (v, u) arc per newly reachable u at hops 2..order —
+    deduplicated per source like the reference's 'added' marker."""
+    from collections import deque as _dq
+
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    out_adj: list[list[int]] = [[] for _ in range(n)]
+    in_adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        out_adj[a].append(b)
+        in_adj[b].append(a)
+    nbrs = {"out": lambda v: out_adj[v], "in": lambda v: in_adj[v],
+            "all": lambda v: out_adj[v] + in_adj[v]}[mode]
+    new_s, new_d = [], []
+    for v in range(n):
+        dist = {v: 0}
+        q = _dq([v])
+        while q:
+            x = q.popleft()
+            if dist[x] >= order:
+                continue
+            for y in nbrs(x):
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+                    if dist[y] >= 2:
+                        new_s.append(v)
+                        new_d.append(y)
+    return _table(np.concatenate([src, np.asarray(new_s, np.int64)]),
+                  np.concatenate([dst, np.asarray(new_d, np.int64)]))
+
+
+def de_bruijn(m: int, n: int) -> pa.Table:
+    """De Bruijn graph B(m, n): m^n vertices (strings of length n
+    over m symbols), arcs i -> (i*m) % m^n + j (igraph_de_bruijn,
+    src/structure_generators.c:1400).  n=0 -> one vertex with m
+    loops; m=0 -> empty."""
+    if m < 0 or n < 0:
+        raise ValueError("m and n must be non-negative")
+    if m == 0:
+        return _table([], [])
+    if n == 0:
+        return _table([0] * m, [0] * m)
+    nv = m ** n
+    i = np.repeat(np.arange(nv, dtype=np.int64), m)
+    basis = (np.arange(nv, dtype=np.int64) * m) % nv
+    j = np.repeat(basis, m) + np.tile(np.arange(m, dtype=np.int64), nv)
+    return _table(i, j)
+
+
+def kautz(m: int, n: int) -> pa.Table:
+    """Kautz graph K(m, n): (m+1)*m^n vertices = length-(n+1)
+    strings over m+1 symbols with no equal consecutive symbols; arc
+    u -> v iff v's prefix is u's suffix (igraph_kautz,
+    src/structure_generators.c:1477).  Vertex ids = lexicographic
+    rank among valid strings, matching the reference's index
+    tables."""
+    if m < 0 or n < 0:
+        raise ValueError("m and n must be non-negative")
+    if m == 0:
+        return _table([], [])
+    if n == 0:
+        return full(m + 1, directed=True)
+    import itertools
+
+    valid = []
+    for s in itertools.product(range(m + 1), repeat=n + 1):
+        if all(s[i] != s[i + 1] for i in range(n)):
+            valid.append(s)
+    index = {s: i for i, s in enumerate(valid)}  # lexicographic
+    src_l, dst_l = [], []
+    for s in valid:
+        for c in range(m + 1):
+            if c != s[-1]:
+                src_l.append(index[s])
+                dst_l.append(index[s[1:] + (c,)])
+    return _table(src_l, dst_l)
+
+
+def lcf(n: int, shifts, repeats: int) -> pa.Table:
+    """Graph from LCF notation (igraph_lcf_vector,
+    src/structure_generators.c:1616): ring of n vertices plus chords
+    (i, (n + i + shifts[i % k]) % n) taken while i walks 0,1,2,...
+    keeping only from < to, until n + k*repeats/2 edges exist —
+    mirrored exactly, including the from<to skip rule."""
+    shifts = [int(s) for s in np.atleast_1d(np.asarray(shifts))]
+    k = len(shifts)
+    if repeats < 0:
+        raise ValueError("number of repeats must be positive")
+    target = n + k * repeats // 2
+    src_l = list(range(n))
+    dst_l = list(range(1, n)) + [0]
+    dst_l[-1] = 0
+    sptr = 0
+    guard = 4 * max(1, n) * max(1, k) * max(1, repeats) + 16
+    while len(src_l) < target:
+        sh = shifts[sptr % k]
+        frm = sptr % n
+        to = (n + sptr + sh) % n
+        if frm < to:
+            src_l.append(frm)
+            dst_l.append(to)
+        sptr += 1
+        if sptr > guard:
+            raise ValueError(
+                "lcf: shift pattern never reaches the target edge "
+                "count (invalid LCF notation?)")
+    return _table(src_l, dst_l)
