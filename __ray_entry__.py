@@ -1062,6 +1062,21 @@ def q_louvain(sf_dir: str):
     return df[["vid", "comm"]]
 
 
+def q_spinglass(sf_dir: str):
+    """Spinglass communities (Reichardt-Bornholdt Potts annealing,
+    seeded deterministic heat bath) on a planted ring of 4 cliques of
+    8 — exact recovery is the SQL-checkable invariant."""
+    from xdata_igraph_ray.exchange import block_refs
+    from xdata_igraph_ray.graph.community import spinglass
+
+    r = spinglass(block_refs(_ring_cliques_ds(4, 8)), n=32,
+                  spins=10, seed=1, P=4)
+    return pd.DataFrame({
+        "vid": np.arange(32, dtype=np.int64),
+        "comm": r["membership"].astype(np.int64),
+    })
+
+
 def q_leading_eigenvector(sf_dir: str):
     """Newman leading-eigenvector communities (spectral splits of the
     modularity matrix) on a planted ring of 4 cliques of 8 — exact
@@ -2829,6 +2844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scg_coarse_li": q_scg_coarse,
         "cohesive_blocks_li": q_cohesive_blocks,
         "louvain_li": q_louvain,
+        "spinglass_li": q_spinglass,
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
         "girvan_newman_li": q_girvan_newman,
@@ -4670,6 +4686,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle emits the planted partition; hash equality
         # certifies exact recovery (sizes probed exact per algorithm)
         "louvain_li": _planted_sql(10, 10),
+        "spinglass_li": _planted_sql(4, 8),
         "leading_eigenvector_li": _planted_sql(4, 8),
         "fastgreedy_li": _planted_sql(8, 8),
         "girvan_newman_li": _planted_sql(5, 5),

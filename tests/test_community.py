@@ -169,3 +169,36 @@ def test_dendrogram_helpers():
     # membership from these merges at 2 communities
     mm, _ = community_to_membership(mg, 4, steps=2)
     assert mm[0] == mm[1] and mm[2] == mm[3] and mm[0] != mm[2]
+
+
+def test_spinglass(ray_session):
+    import ray
+
+    from xdata_igraph_ray.graph.community import spinglass
+
+    # planted ring of 5 cliques of 6: exact recovery + determinism
+    pairs = []
+    k, m = 5, 6
+    for c in range(k):
+        base = c * m
+        pairs += [(base + i, base + j)
+                  for i in range(m) for j in range(i + 1, m)]
+        pairs.append((base, ((c + 1) % k) * m))
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    n = k * m
+    r = spinglass([ray.put(t)], n, spins=8, seed=3, P=2)
+    mem = r["membership"]
+    assert mem.tolist() == (np.arange(n) // m).tolist()
+    assert r["modularity"] > 0.6
+    r2 = spinglass([ray.put(t)], n, spins=8, seed=3, P=2)
+    assert (r2["membership"] == mem).all()
+    # spins cap: never more communities than spins
+    r3 = spinglass([ray.put(t)], n, spins=3, seed=4, P=2)
+    assert len(set(r3["membership"].tolist())) <= 3
+    # empty graph
+    r0 = spinglass([ray.put(pa.table({
+        "src": np.array([], np.int64),
+        "dst": np.array([], np.int64)}))], 4, P=2)
+    assert r0["membership"].tolist() == [0, 0, 0, 0]

@@ -1127,3 +1127,98 @@ def eb_get_merges(edges_removed, n: int, n_components: int = 1):
             f"expected {want} for {n_components} component(s)")
     return (np.asarray(merges, dtype=np.int64).reshape(-1, 2),
             np.asarray(bridges, dtype=np.int64))
+
+
+# -- spinglass (Reichardt-Bornholdt Potts annealing) -------------------------
+
+
+def spinglass(
+    edges, n: int, spins: int = 25, gamma: float = 1.0,
+    starttemp: float = 1.0, stoptemp: float = 0.01,
+    coolfact: float = 0.99, sweeps: int = 50, seed: int = 42,
+    P: int = 8,
+) -> dict:
+    """Reichardt-Bornholdt spinglass community detection
+    (igraph_community_spinglass, src/clustertool.cpp:188-352 +
+    src/pottsmodel_2.cpp:765-900, the 'config' / Newman-modularity
+    update rule): sequential heat-bath sweeps over a Potts model with
+    ``spins`` states, energy difference for moving v from spin r to s
+
+        dE = w(v, r) - w(v, s) + gamma * (d_v / 2m)
+                         * (D_s - (D_r - d_v))
+
+    (w(v, x) = weight to neighbors in spin x, D_x = total degree in
+    spin x — pottsmodel_2.cpp:846-848), annealed from ``starttemp``
+    by ``coolfact`` per round until ``stoptemp`` or <1% acceptance.
+    PINNED DIVERGENCES: seeded numpy RNG replaces igraph's stream
+    (results are deterministic per seed, unlike the reference), and
+    the starting temperature is ``starttemp`` directly instead of
+    FindStartTemp's acceptance probe.  Driver small-graph kernel like
+    the reference's own sequential implementation.
+
+    Returns {"membership" (renumbered by first appearance),
+    "modularity", "temperature", "runs"}."""
+    from .separators import collapse_support
+
+    adj_sets = collapse_support(edges, n, P=P)
+    adj = [np.fromiter(sorted(s), dtype=np.int64, count=len(s))
+           for s in adj_sets]
+    deg = np.array([len(a) for a in adj], dtype=np.float64)
+    two_m = float(deg.sum())
+    if two_m == 0:
+        return {"membership": np.zeros(n, dtype=np.int64),
+                "modularity": 0.0, "temperature": stoptemp, "runs": 0}
+    rng = np.random.default_rng(seed)
+    q = int(spins)
+    sigma = rng.integers(0, q, size=n)
+    color_field = np.bincount(sigma, weights=deg, minlength=q)
+
+    kT = float(starttemp)
+    runs = 0
+    acc_target = (1.0 - 1.0 / q) * 0.01
+    while kT / stoptemp > 1.0:
+        runs += 1
+        kT *= coolfact
+        beta = 1.0 / kT
+        accepted = 0
+        total = 0
+        for _ in range(sweeps):
+            order = rng.integers(0, n, size=n)  # the reference draws
+            # a random vertex per step, not a permutation
+            for v in order.tolist():
+                old = int(sigma[v])
+                nbr_w = np.bincount(sigma[adj[v]], minlength=q) \
+                    .astype(np.float64)
+                h = color_field - (color_field[old] - deg[v])
+                w = nbr_w[old] - nbr_w + gamma * (deg[v] / two_m) * h
+                w[old] = 0.0
+                w -= w.min()
+                p = np.exp(-beta * w)
+                new = int(rng.choice(q, p=p / p.sum()))
+                total += 1
+                if new != old:
+                    accepted += 1
+                    sigma[v] = new
+                    color_field[old] -= deg[v]
+                    color_field[new] += deg[v]
+        if total and accepted / total < acc_target:
+            break
+
+    # renumber by first appearance in vertex order (engine precedent)
+    remap: dict[int, int] = {}
+    membership = np.empty(n, dtype=np.int64)
+    for v in range(n):
+        s = int(sigma[v])
+        if s not in remap:
+            remap[s] = len(remap)
+        membership[v] = remap[s]
+    # modularity of the result on the collapsed support
+    mod = 0.0
+    for v in range(n):
+        mod += (membership[adj[v]] == membership[v]).sum()
+    mod /= two_m
+    for c in range(len(remap)):
+        dc = float(deg[membership == c].sum())
+        mod -= (dc / two_m) ** 2
+    return {"membership": membership, "modularity": float(mod),
+            "temperature": kT, "runs": runs}
