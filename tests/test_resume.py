@@ -130,3 +130,57 @@ def test_checkpoint_inspection(tmp_path):
     lin = ck.read_lineage(root, "pagerank")
     assert lin["algo"] == "pagerank" and lin["damping"] == 0.85
     eng.shutdown()
+
+
+def test_lpa_resume_equals_uninterrupted(tmp_path):
+    from xdata_igraph_ray.graph.lpa import label_propagation
+
+    src, dst = gnm_edges(300, 1200, seed=9)
+    tbl = pa.table({"src": src, "dst": dst})
+    ck = str(tmp_path / "ck")
+    e1 = GraphEngine.from_edges(tbl, n=300, P=3)
+    label_propagation(e1, mode="all", max_iter=3, ckpt_root=ck,
+                      ckpt_every=1, renumber=False)
+    assert GraphEngine.latest_checkpoint(ck, "lpa") is not None
+    e2 = GraphEngine.from_edges(tbl, n=300, P=3)
+    r = label_propagation(e2, mode="all", ckpt_root=ck, resume=True,
+                          renumber=False)
+    assert r["resumed_from"] is not None
+    want_eng = GraphEngine.from_edges(tbl, n=300, P=3)
+    label_propagation(want_eng, mode="all", renumber=False)
+    assert (e2.state_arrays("label")
+            == want_eng.state_arrays("label")).all()
+    # checkpoint layout matches the commit protocol
+    last = GraphEngine.latest_checkpoint(ck, "lpa")
+    d = os.path.join(ck, "lpa", f"iter={last}")
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    lineage = json.load(open(os.path.join(d, "lineage.json")))
+    assert lineage["algo"] == "lpa"
+    for e in (e1, e2, want_eng):
+        e.shutdown()
+
+
+def test_scc_resume_equals_uninterrupted(tmp_path):
+    from xdata_igraph_ray.graph.components import scc
+
+    src, dst = gnm_edges(300, 700, seed=11)
+    tbl = pa.table({"src": src, "dst": dst})
+    ck = str(tmp_path / "ck")
+    e1 = GraphEngine.from_edges(tbl, n=300, P=3)
+    # run a couple of peel rounds only, checkpointing each
+    try:
+        scc(e1, max_rounds=2, ckpt_root=ck, ckpt_every=1,
+            renumber=False)
+    except RuntimeError:
+        pass  # stopped mid-algorithm by design
+    assert GraphEngine.latest_checkpoint(ck, "scc") is not None
+    e2 = GraphEngine.from_edges(tbl, n=300, P=3)
+    r = scc(e2, ckpt_root=ck, resume=True, renumber=True)
+    assert r["resumed_from"] is not None
+    want_eng = GraphEngine.from_edges(tbl, n=300, P=3)
+    want = scc(want_eng, renumber=True)
+    assert (e2.state_arrays("scc")
+            == want_eng.state_arrays("scc")).all()
+    assert r["components"] == want["components"]
+    for e in (e1, e2, want_eng):
+        e.shutdown()

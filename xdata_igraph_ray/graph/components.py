@@ -95,15 +95,42 @@ def _sparse_round(engine, scatter, gather, *scatter_args) -> int:
 
 
 def scc(
-    engine: GraphEngine, max_rounds: int = 10_000, renumber: bool = True
+    engine: GraphEngine, max_rounds: int = 10_000, renumber: bool = True,
+    ckpt_root: str | None = None, ckpt_every: int = 1,
+    resume: bool = False,
 ) -> dict:
-    """FW-BW-Trim coloring SCC; labels in state ``scc``."""
+    """FW-BW-Trim coloring SCC; labels in state ``scc``.  Checkpoints
+    the assignment array between peel rounds (pagerank/wcc pattern):
+    ``scc`` is the only durable state — per-round coloring is rebuilt
+    from scratch each round, so resuming from the labels alone
+    continues exactly."""
     P, shards = engine.P, engine.shards
     ray.get([s.scc_init.remote() for s in shards])
+    start_round = 0
+    if resume and ckpt_root:
+        last = GraphEngine.latest_checkpoint(ckpt_root, "scc")
+        if last is not None:
+            engine.restore(ckpt_root, "scc", last, ["scc"])
+            start_round = last
+    lineage = {"algo": "scc", "n": engine.n, "edges": engine.edge_count}
     t0 = time.time()
-    rounds = 0
+    rounds = start_round
     while True:
-        unassigned = sum(ray.get([s.scc_unassigned.remote() for s in shards]))
+        t_rnd = time.time()
+        per_shard_un = ray.get(
+            [s.scc_unassigned.remote() for s in shards])
+        unassigned = sum(per_shard_un)
+        if ckpt_root and rounds > start_round \
+                and (rounds % ckpt_every == 0 or unassigned == 0):
+            rows = [
+                {"part": q, "iter": rounds, "msgs": 0, "bytes": 0,
+                 "wall_s": time.time() - t_rnd,
+                 "delta": float(per_shard_un[q])}
+                for q in range(P)
+            ]
+            engine.checkpoint(
+                ckpt_root, "scc", rounds, ["scc"], rows, lineage
+            )
         if unassigned == 0:
             break
         rounds += 1
@@ -132,7 +159,8 @@ def scc(
         ray.get([s.scc_assign.remote() for s in shards])
     ncomp = engine.renumber_labels("scc") if renumber else None
     return {
-        "rounds": rounds,
+        "rounds": rounds - start_round,
         "components": ncomp,
         "wall_s": time.time() - t0,
+        "resumed_from": start_round if start_round else None,
     }

@@ -35,22 +35,46 @@ def label_propagation(
     max_iter: int = 500,
     sync_iters: int = 30,
     renumber: bool = True,
+    ckpt_root: str | None = None,
+    ckpt_every: int = 10,
+    resume: bool = False,
 ) -> dict:
     """Labels land in shard state ``label``; export with
-    ``engine.state_dataset(["label"])``."""
+    ``engine.state_dataset(["label"])``.  Checkpoint/resume follows
+    the pagerank/wcc pattern: ``label`` is saved per partition with
+    lineage + metrics and a _SUCCESS marker; on resume the caches
+    rebuild from a full republish (sync LPA is memoryless given the
+    labels, so the trajectory continues exactly — the red/black
+    phase is preserved via the restored iteration number)."""
     P, shards = engine.P, engine.shards
     init_ref = ray.put(initial) if initial is not None else None
     fixed_ref = ray.put(fixed) if fixed is not None else None
-    ray.get([
-        s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
-        for s in shards
-    ])
+    start_iter = 0
+    restored = False
+    if resume and ckpt_root:
+        last = GraphEngine.latest_checkpoint(ckpt_root, "lpa")
+        if last is not None:
+            ray.get([
+                s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
+                for s in shards
+            ])
+            engine.restore(ckpt_root, "lpa", last, ["label"])
+            start_iter = last + 1
+            restored = True
+    if not restored:
+        ray.get([
+            s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
+            for s in shards
+        ])
+    lineage = {"algo": "lpa", "mode": mode, "weighted": bool(weighted),
+               "n": engine.n, "edges": engine.edge_count}
     t0 = time.time()
-    it = 0
+    it = start_iter
     while it < max_iter:
         # past sync_iters, damp oscillations with hash-subsampled
         # rounds; every 4th round is full and decides convergence
         full = it < sync_iters or it % 4 == 3
+        t_it = time.time()
         outs = engine.scatter("lpa2_scatter")
         stats = ray.get([
             shards[q].lpa2_gather.remote(
@@ -59,8 +83,19 @@ def label_propagation(
         ])
         changed = sum(s["changed"] for s in stats)
         pending = sum(s.get("pending", 0) for s in stats)
+        done = changed == 0 and pending == 0 and full
+        if ckpt_root and (it % ckpt_every == 0 or done):
+            rows = [
+                {"part": q, "iter": it, "msgs": 0, "bytes": 0,
+                 "wall_s": time.time() - t_it,
+                 "delta": float(stats[q]["changed"])}
+                for q in range(P)
+            ]
+            engine.checkpoint(
+                ckpt_root, "lpa", it, ["label"], rows, lineage
+            )
         it += 1
-        if changed == 0 and pending == 0 and full:
+        if done:
             break
 
     if renumber:
@@ -70,7 +105,8 @@ def label_propagation(
     else:
         ncomm = None
     return {
-        "iterations": it,
+        "iterations": it - start_iter,
         "communities": ncomm,
         "wall_s": time.time() - t0,
+        "resumed_from": start_iter - 1 if restored else None,
     }
