@@ -185,12 +185,16 @@ def main(argv=None) -> dict:
     elif args.algo == "scc":
         from ..graph.components import scc
 
-        info = scc(eng)
+        info = scc(eng, ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
+                   resume=args.resume)
         out_ds = eng.state_dataset(["scc"])
     elif args.algo == "lpa":
         from ..graph.lpa import label_propagation
 
-        info = label_propagation(eng)
+        info = label_propagation(
+            eng, ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
+            resume=args.resume,
+        )
         out_ds = eng.state_dataset(["label"])
     elif args.algo == "coreness":
         from ..graph.cores import coreness
