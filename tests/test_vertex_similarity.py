@@ -161,3 +161,55 @@ def test_bipartite_projection():
                     k = (members[i], members[j])
                     exp[k] = exp.get(k, 0) + 1
         assert {k: int(v) for k, v in got.items()} == exp
+
+
+def test_similarity_pairs_and_neighborhood_ecount(ray_session):
+    import networkx as nx
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.scan import local_scan_neighborhood_ecount
+    from xdata_igraph_ray.graph.vertex_similarity import (
+        similarity_dice_pairs,
+        similarity_jaccard_es,
+        similarity_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(51)
+    n = 20
+    arcs = [(int(a), int(b)) for a, b in
+            zip(rng.integers(0, n, 80), rng.integers(0, n, 80))
+            if a != b]
+    arcs = sorted(set(arcs))
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    ds = rd.from_arrow(t)
+    out_nbrs = {v: {b for a, b in arcs if a == v} for v in range(n)}
+    pairs = [(0, 1), (2, 3), (4, 4), (5, 19)]
+    got = similarity_jaccard_pairs(ds, pairs, mode="out", P=2)
+    for i, (a, b) in enumerate(pairs):
+        u = out_nbrs[a] | out_nbrs[b]
+        want = len(out_nbrs[a] & out_nbrs[b]) / len(u) if u else 0.0
+        assert got[i] == want, (a, b)
+    # loops rule: self added to the neighborhood
+    got_l = similarity_jaccard_pairs(ds, [(0, 1)], mode="out",
+                                     loops=True, P=2)
+    sa = out_nbrs[0] | {0}
+    sb = out_nbrs[1] | {1}
+    assert got_l[0] == len(sa & sb) / len(sa | sb)
+    # dice identity: d = 2j/(1+j)
+    j = similarity_jaccard_pairs(ds, pairs, mode="all", P=2)
+    d = similarity_dice_pairs(ds, pairs, mode="all", P=2)
+    assert np.allclose(d, 2 * j / (1 + j))
+    # es variant == pairs on the edge list itself
+    es = arcs[:5]
+    assert np.allclose(similarity_jaccard_es(ds, es, mode="out", P=2),
+                       similarity_jaccard_pairs(ds, es, mode="out",
+                                                P=2))
+
+    # neighborhood ecount vs brute-force induced arc count
+    hoods = [[0, 1, 2, 3], [4, 5], list(range(10)), []]
+    got_e = local_scan_neighborhood_ecount(ds, hoods, P=2)
+    for i, nb in enumerate(hoods):
+        s = set(nb)
+        want = sum(1 for a, b in arcs if a in s and b in s)
+        assert got_e[i] == want, nb

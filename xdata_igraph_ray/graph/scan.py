@@ -256,3 +256,52 @@ def local_scan_1_ecount_approximate(
     out = np.full(engine.n, np.nan)
     out[sources] = vals
     return out
+
+
+def local_scan_neighborhood_ecount(
+    edges, neighborhoods, weighted: bool = False,
+    P: int = 8,
+) -> np.ndarray:
+    """Induced edge count (or weight sum) per CALLER-SUPPLIED
+    neighborhood list (igraph_local_scan_neighborhood_ecount,
+    src/scan.c): for each vertex-id list, the number of arcs with
+    both endpoints inside.  One distributed filtered pass brings back
+    only arcs touching any neighborhood member; the per-neighborhood
+    count is a driver bitset probe — neighborhood lists are
+    selector-sized in the reference API too."""
+    import ray as _ray
+
+    refs = _refs(edges)
+    all_vids = sorted({int(v) for nb in neighborhoods for v in nb})
+    vref = _ray.put(np.asarray(all_vids, dtype=np.int64))
+
+    @_ray.remote
+    def inside(vs, t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        m = np.isin(src, vs) & np.isin(dst, vs)
+        cols = {"src": src[m], "dst": dst[m]}
+        if weighted and "weight" in t.column_names:
+            cols["weight"] = t["weight"].to_numpy()[m]
+        return pa.table(cols)
+
+    tabs = _ray.get([inside.remote(vref, r) for r in refs])
+    src = np.concatenate([t["src"].to_numpy() for t in tabs]) \
+        if tabs else np.empty(0, np.int64)
+    dst = np.concatenate([t["dst"].to_numpy() for t in tabs]) \
+        if tabs else np.empty(0, np.int64)
+    if weighted:
+        w = np.concatenate([
+            t["weight"].to_numpy() if "weight" in t.column_names
+            else np.ones(len(t)) for t in tabs
+        ]) if tabs else np.empty(0)
+    else:
+        w = np.ones(len(src))
+    out = np.zeros(len(neighborhoods), dtype=np.float64)
+    for i, nb in enumerate(neighborhoods):
+        s = set(int(v) for v in nb)
+        m = np.fromiter(((a in s and b in s)
+                         for a, b in zip(src.tolist(), dst.tolist())),
+                        dtype=bool, count=len(src))
+        out[i] = w[m].sum()
+    return out

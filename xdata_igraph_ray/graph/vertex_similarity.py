@@ -338,3 +338,98 @@ def bipartite_projection(
         lambda lens: np.ones(len(lens)), max_group, "weight", P,
     )
     return out
+
+
+def _pair_neighbor_sets(edges, vids: set, mode: str, P: int):
+    """Driver neighbor sets for a selector-sized vid set: one
+    distributed filtered pass (broadcast vid set, only incident rows
+    come back)."""
+    import ray as _ray
+
+    refs = _refs(edges)
+    vref = _ray.put(np.fromiter(sorted(vids), dtype=np.int64,
+                                count=len(vids)))
+
+    @_ray.remote
+    def incident(vs, t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        rows = []
+        if mode in ("out", "all"):
+            m = np.isin(src, vs)
+            rows.append((src[m], dst[m]))
+        if mode in ("in", "all"):
+            m = np.isin(dst, vs)
+            rows.append((dst[m], src[m]))
+        return pa.table({
+            "vid": np.concatenate([r[0] for r in rows]),
+            "nbr": np.concatenate([r[1] for r in rows]),
+        })
+
+    out: dict[int, set] = {v: set() for v in vids}
+    for t in _ray.get([incident.remote(vref, r) for r in refs]):
+        for v, u in zip(t["vid"].to_numpy().tolist(),
+                        t["nbr"].to_numpy().tolist()):
+            out[v].add(u)
+    return out
+
+
+def similarity_jaccard_pairs(
+    edges, pairs, mode: str = "out", loops: bool = False,
+    P: int = DEFAULT_PARTITIONS,
+) -> np.ndarray:
+    """Jaccard similarity for an EXPLICIT pair list
+    (igraph_similarity_jaccard_pairs, src/cocitation.c — the
+    selector-sized API: |pairs| values, not the sparse all-pairs
+    table).  ``loops`` adds each vertex to its own neighborhood, the
+    reference's rule; empty unions give 0."""
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    vids = set(pairs[:, 0].tolist()) | set(pairs[:, 1].tolist())
+    nbrs = _pair_neighbor_sets(edges, vids, mode, P)
+    if loops:
+        for v in vids:
+            nbrs[v] = nbrs[v] | {v}
+    out = np.empty(len(pairs), dtype=np.float64)
+    for i, (a, b) in enumerate(pairs.tolist()):
+        sa, sb = nbrs[a], nbrs[b]
+        union = len(sa | sb)
+        out[i] = len(sa & sb) / union if union else 0.0
+    return out
+
+
+def similarity_dice_pairs(
+    edges, pairs, mode: str = "out", loops: bool = False,
+    P: int = DEFAULT_PARTITIONS,
+) -> np.ndarray:
+    """Dice similarity for an explicit pair list
+    (igraph_similarity_dice_pairs: 2|A&B| / (|A|+|B|); 0 when both
+    neighborhoods are empty)."""
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    vids = set(pairs[:, 0].tolist()) | set(pairs[:, 1].tolist())
+    nbrs = _pair_neighbor_sets(edges, vids, mode, P)
+    if loops:
+        for v in vids:
+            nbrs[v] = nbrs[v] | {v}
+    out = np.empty(len(pairs), dtype=np.float64)
+    for i, (a, b) in enumerate(pairs.tolist()):
+        sa, sb = nbrs[a], nbrs[b]
+        tot = len(sa) + len(sb)
+        out[i] = 2.0 * len(sa & sb) / tot if tot else 0.0
+    return out
+
+
+def similarity_jaccard_es(edges, es_pairs, mode: str = "out",
+                          loops: bool = False,
+                          P: int = DEFAULT_PARTITIONS) -> np.ndarray:
+    """igraph_similarity_jaccard_es: similarity of each edge's
+    endpoint pair — alias of the pairs API over an edge list."""
+    return similarity_jaccard_pairs(edges, es_pairs, mode=mode,
+                                    loops=loops, P=P)
+
+
+def similarity_dice_es(edges, es_pairs, mode: str = "out",
+                       loops: bool = False,
+                       P: int = DEFAULT_PARTITIONS) -> np.ndarray:
+    """igraph_similarity_dice_es."""
+    return similarity_dice_pairs(edges, es_pairs, mode=mode,
+                                 loops=loops, P=P)
