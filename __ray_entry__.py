@@ -317,7 +317,8 @@ def q_lpa(sf_dir: str):
     from xdata_igraph_ray.graph.lpa import label_propagation
 
     eng = _engine(sf_dir)
-    label_propagation(eng, mode="in", max_iter=16, sync_iters=99)
+    label_propagation(eng, mode="in", max_iter=16, sync_iters=99,
+                      plateau_patience=None)
     lab = eng.state_arrays("label")
     eng.shutdown()
     return pd.DataFrame({"vid": np.arange(NV), "label": _renumber(lab)})
@@ -2605,7 +2606,8 @@ def q_lpa_sync(sf_dir: str):
     from xdata_igraph_ray.graph.lpa import label_propagation
 
     eng = _engine(sf_dir)
-    label_propagation(eng, mode="in", max_iter=8, sync_iters=99)
+    label_propagation(eng, mode="in", max_iter=8, sync_iters=99,
+                      plateau_patience=None)
     lab = eng.state_arrays("label")
     eng.shutdown()
     return pd.DataFrame(

@@ -38,6 +38,7 @@ def label_propagation(
     ckpt_root: str | None = None,
     ckpt_every: int = 10,
     resume: bool = False,
+    plateau_patience: int | None = 2,
 ) -> dict:
     """Labels land in shard state ``label``; export with
     ``engine.state_dataset(["label"])``.  Checkpoint/resume follows
@@ -70,10 +71,20 @@ def label_propagation(
                "n": engine.n, "edges": engine.edge_count}
     t0 = time.time()
     it = start_iter
+    # plateau detection: consecutive full rounds whose change count
+    # stops shrinking indicate a synchronous oscillation (profiled:
+    # a flat 177k-vertex 2-cycle burned 26 full rounds on the bench
+    # graph before the fixed sync_iters cutover); after
+    # ``plateau_patience`` such rounds, damping starts early.
+    # None disables — the replay oracles pin all-full supersteps.
+    damped_on = False
+    plateau_hits = 0
+    prev_full_changed: int | None = None
     while it < max_iter:
-        # past sync_iters, damp oscillations with hash-subsampled
-        # rounds; every 4th round is full and decides convergence
-        full = it < sync_iters or it % 4 == 3
+        # past sync_iters (or once a plateau is detected), damp
+        # oscillations with hash-subsampled rounds; every 4th round
+        # is full and decides convergence
+        full = (not damped_on and it < sync_iters) or it % 4 == 3
         t_it = time.time()
         outs = engine.scatter("lpa2_scatter")
         stats = ray.get([
@@ -83,6 +94,15 @@ def label_propagation(
         ])
         changed = sum(s["changed"] for s in stats)
         pending = sum(s.get("pending", 0) for s in stats)
+        if full and plateau_patience is not None and not damped_on:
+            if (prev_full_changed is not None and changed > 0
+                    and changed >= 0.95 * prev_full_changed):
+                plateau_hits += 1
+                if plateau_hits >= plateau_patience:
+                    damped_on = True
+            else:
+                plateau_hits = 0
+            prev_full_changed = changed
         done = changed == 0 and pending == 0 and full
         if ckpt_root and (it % ckpt_every == 0 or done):
             rows = [
