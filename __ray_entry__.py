@@ -2763,6 +2763,79 @@ def q_motifs_no(sf_dir: str):
     return pd.DataFrame({"n_connected_triples": [np.int64(cnt)]})
 
 
+def _layout_n(sf_dir: str) -> int:
+    """Vertex count for the layout queries = documents row count
+    (metadata-only read; the oracle derives the same n via
+    COUNT(*))."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def q_layout_circle(sf_dir: str):
+    """Unit-circle layout (igraph_layout_circle, src/layout.c:149)
+    over n = |documents| vertices, run through the DISTRIBUTED
+    formula path (ray.data.range -> map_batches); cos/sin quantized
+    half-up at 1e-6 and compared to the same closed form in SQL."""
+    from xdata_igraph_ray.graph.layout import layout_dataset
+
+    n = _layout_n(sf_dir)
+    df = layout_dataset("circle", n).to_pandas()
+    return pd.DataFrame({
+        "vid": df["vid"].to_numpy().astype(np.int64),
+        "xq": np.floor(df["x"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+        "yq": np.floor(df["y"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+    }).sort_values("vid").reset_index(drop=True)
+
+
+def q_layout_star(sf_dir: str):
+    """Star layout centered at vertex 11 (igraph_layout_star,
+    src/layout.c:192): the center consumes no angle step, satellites
+    take 2*pi/(n-1) steps in vid order; distributed formula path."""
+    from xdata_igraph_ray.graph.layout import layout_dataset
+
+    n = _layout_n(sf_dir)
+    df = layout_dataset("star", n, center=11).to_pandas()
+    return pd.DataFrame({
+        "vid": df["vid"].to_numpy().astype(np.int64),
+        "xq": np.floor(df["x"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+        "yq": np.floor(df["y"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+    }).sort_values("vid").reset_index(drop=True)
+
+
+def q_layout_grid(sf_dir: str):
+    """Row-major grid layout, width 37 (igraph_layout_grid,
+    src/layout.c:293) — exact integer-valued doubles, distributed
+    formula path."""
+    from xdata_igraph_ray.graph.layout import layout_dataset
+
+    n = _layout_n(sf_dir)
+    df = layout_dataset("grid", n, width=37).to_pandas()
+    return pd.DataFrame({
+        "vid": df["vid"].to_numpy().astype(np.int64),
+        "x": df["x"].to_numpy().astype(np.float64),
+        "y": df["y"].to_numpy().astype(np.float64),
+    }).sort_values("vid").reset_index(drop=True)
+
+
+def q_layout_sphere(sf_dir: str):
+    """Saff-Kuijlaars sphere spiral (igraph_layout_sphere,
+    src/layout.c:246).  The phi recurrence is a positive prefix sum,
+    so the SQL oracle replays it with a window SUM + fmod; both sides
+    quantize half-up at 1e-4 (window-sum association differs from
+    cumsum at the 1e-12 level)."""
+    from xdata_igraph_ray.graph.layout import layout_sphere
+
+    n = _layout_n(sf_dir)
+    res = layout_sphere(n)
+    return pd.DataFrame({
+        "vid": np.arange(n, dtype=np.int64),
+        "xq": np.floor(res[:, 0] * 1e4 + 0.5).astype(np.int64),
+        "yq": np.floor(res[:, 1] * 1e4 + 0.5).astype(np.int64),
+        "zq": np.floor(res[:, 2] * 1e4 + 0.5).astype(np.int64),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2835,6 +2908,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_permutation_li": q_canonical_permutation,
         "power_law_fit_li": q_power_law_fit,
         "get_incidence_li": q_get_incidence,
+        "layout_circle_docs": q_layout_circle,
+        "layout_star_docs": q_layout_star,
+        "layout_grid_docs": q_layout_grid,
+        "layout_sphere_docs": q_layout_sphere,
         "independence_number_li": q_independence_number,
         "motifs_no_li": q_motifs_no,
         "all_simple_paths_li": q_all_simple_paths,
@@ -5053,6 +5130,81 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count
             FROM lineitem
             GROUP BY 1, 2
+            """,
+        # closed-form layout oracles (src/layout.c:149,192,293,246):
+        # the same per-vertex formulas in SQL, n = |documents|;
+        # operation order mirrors the numpy kernels exactly so the
+        # half-up quantization agrees bit-for-bit
+        "layout_circle_docs": """
+            WITH ids AS (
+              SELECT row_number() OVER () - 1 AS vid,
+                     count(*) OVER ()::BIGINT AS n
+              FROM documents)
+            SELECT vid::BIGINT AS vid,
+              CAST(floor(cos(2*pi()/n*vid)*1e6+0.5) AS BIGINT) AS xq,
+              CAST(floor(sin(2*pi()/n*vid)*1e6+0.5) AS BIGINT) AS yq
+            FROM ids
+            """,
+        "layout_star_docs": """
+            WITH ids AS (
+              SELECT row_number() OVER () - 1 AS vid,
+                     count(*) OVER ()::BIGINT AS n
+              FROM documents)
+            SELECT vid::BIGINT AS vid,
+              CASE WHEN vid = 11 THEN 0 ELSE
+                CAST(floor(cos(2*pi()/(n-1)
+                  *(vid - (CASE WHEN vid > 11 THEN 1 ELSE 0 END))
+                  )*1e6+0.5) AS BIGINT) END AS xq,
+              CASE WHEN vid = 11 THEN 0 ELSE
+                CAST(floor(sin(2*pi()/(n-1)
+                  *(vid - (CASE WHEN vid > 11 THEN 1 ELSE 0 END))
+                  )*1e6+0.5) AS BIGINT) END AS yq
+            FROM ids
+            """,
+        "layout_grid_docs": """
+            WITH ids AS (
+              SELECT row_number() OVER () - 1 AS vid FROM documents)
+            SELECT vid::BIGINT AS vid,
+                   (vid % 37)::DOUBLE AS x,
+                   (vid // 37)::DOUBLE AS y
+            FROM ids
+            """,
+        # Saff-Kuijlaars spiral: theta = acos(h), phi = running sum of
+        # 3.6/sqrt(n(1-h^2)) mod 2pi (positive steps, so the window
+        # sum equals the reference's stepwise fmod up to association
+        # noise — hence the coarser 1e-4 quantization)
+        "layout_sphere_docs": """
+            WITH ids AS (
+              SELECT row_number() OVER () - 1 AS vid,
+                     count(*) OVER ()::BIGINT AS n
+              FROM documents),
+            base AS (
+              SELECT vid, n,
+                CASE WHEN vid = 0 THEN pi()
+                     WHEN vid = n-1 THEN 0.0
+                     ELSE acos(-1.0 + 2.0*vid/(n-1))
+                END AS theta,
+                CASE WHEN vid = 0 OR vid = n-1 THEN 0.0
+                     ELSE 3.6/sqrt(n*(1.0
+                       - (-1.0 + 2.0*vid/(n-1))
+                       * (-1.0 + 2.0*vid/(n-1))))
+                END AS step
+              FROM ids
+            ),
+            ph AS (
+              SELECT vid, theta,
+                CASE WHEN vid = 0 OR vid = n-1 THEN 0.0
+                     ELSE fmod(SUM(step) OVER (ORDER BY vid
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       2*pi())
+                END AS phi
+              FROM base
+            )
+            SELECT vid::BIGINT AS vid,
+              CAST(floor(cos(phi)*sin(theta)*1e4+0.5) AS BIGINT) AS xq,
+              CAST(floor(sin(phi)*sin(theta)*1e4+0.5) AS BIGINT) AS yq,
+              CAST(floor(cos(theta)*1e4+0.5) AS BIGINT) AS zq
+            FROM ph
             """,
         # independence number: exhaustive 2^16 subset enumeration —
         # a subset is independent iff no (non-loop) edge has both
