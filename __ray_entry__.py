@@ -2763,6 +2763,41 @@ def q_motifs_no(sf_dir: str):
     return pd.DataFrame({"n_connected_triples": [np.int64(cnt)]})
 
 
+def q_sir(sf_dir: str):
+    """SIR epidemics (igraph_sir, src/sir.c:107): 32 seeded Gillespie
+    runs over the simplified undirected 200-vertex lineitem graph,
+    fanned out as Ray tasks against one broadcast CSR.  RNG
+    simulation — rows-only check (like random_walks_li); every
+    structural invariant (S+I+R=n, monotone times, single-transition
+    events, termination) is pytest-gated in test_epidemics.py."""
+    from xdata_igraph_ray.graph.epidemics import sir
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy() % 200
+        pk = t["l_partkey"].to_numpy() % 200
+        keep = ok != pk
+        lo = np.minimum(ok[keep], pk[keep])
+        hi = np.maximum(ok[keep], pk[keep])
+        return pa.table({"src": lo, "dst": hi})
+
+    und = (
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_partkey"])
+        .map_batches(mk, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    t = sir((und["src"].to_numpy(), und["dst"].to_numpy()), 200,
+            beta=0.02, gamma=0.4, no_sim=32, seed=7).to_pandas()
+    g = t.groupby("sim")
+    return pd.DataFrame({
+        "sim": np.asarray(sorted(t["sim"].unique()), np.int64),
+        "events": (g.size() - 1).to_numpy().astype(np.int64),
+        "final_r": g["no_r"].last().to_numpy().astype(np.int64),
+        "tq": np.floor(g["t"].last().to_numpy() * 1e6 + 0.5).astype(np.int64),
+    })
+
+
 def _layout_n(sf_dir: str) -> int:
     """Vertex count for the layout queries = documents row count
     (metadata-only read; the oracle derives the same n via
@@ -2908,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_permutation_li": q_canonical_permutation,
         "power_law_fit_li": q_power_law_fit,
         "get_incidence_li": q_get_incidence,
+        "sir_li": q_sir,
         "layout_circle_docs": q_layout_circle,
         "layout_star_docs": q_layout_star,
         "layout_grid_docs": q_layout_grid,
