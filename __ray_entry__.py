@@ -2871,6 +2871,42 @@ def q_layout_sphere(sf_dir: str):
     })
 
 
+def q_sugiyama(sf_dir: str):
+    """Sugiyama layered layout (igraph_layout_sugiyama,
+    src/sugiyama.c:244) on a sparse derived DAG (edges oriented
+    src < dst, multiplicity kept).  The SQL-checkable projection is
+    the layer structure: auto-layering on a DAG is the longest path
+    from any source (the reference's own non-GLPK configuration),
+    and each edge instance spanning k layers creates k-1 dummy bend
+    vertices, one per intermediate layer.  Emits per layer
+    (n_real, n_dummy); the x coordinates are pytest-verified
+    invariants (tests/test_sugiyama.py)."""
+    from xdata_igraph_ray.graph.layout import layout_sugiyama
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        s = ok % NV
+        d = pk % NV
+        keep = ((ok * 13 + pk) % 31 == 0) & (s < d)
+        return pa.table({"src": s[keep], "dst": d[keep]})
+
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(mk, batch_format="pyarrow")
+    coords = layout_sugiyama(ds, NV, vgap=1.0)
+    lay = np.round(coords[:, 1]).astype(np.int64)
+    real, dummy = lay[:NV], lay[NV:]
+    layers = np.unique(real)
+    n_real = np.bincount(real)[layers]
+    n_dummy = np.bincount(dummy, minlength=int(layers.max()) + 1)[layers]
+    return pd.DataFrame({
+        "layer": layers.astype(np.int64),
+        "n_real": n_real.astype(np.int64),
+        "n_dummy": n_dummy.astype(np.int64),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2948,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_star_docs": q_layout_star,
         "layout_grid_docs": q_layout_grid,
         "layout_sphere_docs": q_layout_sphere,
+        "sugiyama_layers_li": q_sugiyama,
         "independence_number_li": q_independence_number,
         "motifs_no_li": q_motifs_no,
         "all_simple_paths_li": q_all_simple_paths,
@@ -4643,6 +4680,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT x AS vid, CAST(max(l) AS BIGINT) AS layer FROM lay GROUP BY x
             ORDER BY vid
+            """,
+        # sugiyama layer structure: auto-layering on a DAG = longest
+        # path from any source; each edge INSTANCE spanning k layers
+        # contributes one dummy vertex per intermediate layer
+        "sugiyama_layers_li": f"""
+            WITH RECURSIVE de AS (
+              SELECT l_orderkey % {NV} AS src,
+                     l_partkey % {NV} AS dst FROM lineitem
+              WHERE (l_orderkey * 13 + l_partkey) % 31 = 0
+                AND l_orderkey % {NV} < l_partkey % {NV}
+            ),
+            dd AS (SELECT DISTINCT src, dst FROM de),
+            v AS {_LI_V},
+            lay(x, l) AS (
+              SELECT vid, 0 FROM v
+              UNION
+              SELECT dd.dst, lay.l + 1 FROM lay JOIN dd ON dd.src = lay.x
+            ),
+            vl AS (SELECT x AS vid, max(l) AS layer FROM lay GROUP BY x),
+            dums AS (
+              SELECT unnest(range(a.layer + 1, b.layer)) AS layer
+              FROM de
+              JOIN vl a ON a.vid = de.src
+              JOIN vl b ON b.vid = de.dst
+            ),
+            dh AS (SELECT layer, count(*) AS n FROM dums GROUP BY layer)
+            SELECT CAST(vl.layer AS BIGINT) AS layer,
+                   CAST(count(*) AS BIGINT) AS n_real,
+                   CAST(coalesce(max(dh.n), 0) AS BIGINT) AS n_dummy
+            FROM vl LEFT JOIN dh ON dh.layer = vl.layer
+            GROUP BY vl.layer ORDER BY layer
             """,
         "unigram_logprob_docs": """
             WITH toks AS (

@@ -24,7 +24,11 @@ distribution, reproducible at any partition count, but coordinates
 differ from the C stream's.  KK, MDS, RT, circle/star/grid/sphere
 are RNG-free in the reference and exactly replicated.
 
-Excluded (see README): DrL, Sugiyama, graphopt, GEM, Davidson-Harel,
+Sugiyama (src/sugiyama.c:244) IS implemented: Eades-ordering /
+BFS layering, dummy-vertex subdivision, barycenter sweeps, and
+Brandes-Kopf horizontal placement — see layout_sugiyama below.
+
+Excluded (see README): DrL, graphopt, GEM, Davidson-Harel,
 LGL, merge_dla — visualization-tuning heuristics with no data-
 processing semantics; layout_springs is unimplemented in the
 reference itself (layout.c:370 IGRAPH_UNIMPLEMENTED).
@@ -1020,3 +1024,543 @@ def layout_bipartite(edges, n: int, types, hgap: float = 1.0,
         if not moved and it > 0:
             break
     return np.stack([x, y], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Sugiyama layered layout (igraph_layout_sugiyama, src/sugiyama.c:244)
+# ---------------------------------------------------------------------------
+
+def _eades_order(n, src, dst, weights=None):
+    """Eades-Lin-Smyth greedy ordering (igraph_i_feedback_arc_set_eades,
+    src/feedback_arc_set.c:191): drain sources, drain sinks, else remove
+    the vertex maximizing out-strength - in-strength.  Weighted variant
+    per the reference (strengths decremented per removed incident arc).
+
+    Pinned tie rule (same pin as graph/fas.py): sources/sinks pop
+    smallest-id-first and the max-diff pick breaks strength ties on the
+    smallest id, instead of the reference's FIFO queue sequencing — the
+    removal RULES are identical, so this is an Eades ordering."""
+    import heapq
+
+    keep = src != dst
+    s, d = src[keep], dst[keep]
+    w = (np.ones(len(s)) if weights is None
+         else np.asarray(weights, dtype=np.float64)[keep])
+    indeg = np.bincount(d, minlength=n).astype(np.int64)
+    outdeg = np.bincount(s, minlength=n).astype(np.int64)
+    instr = np.bincount(d, weights=w, minlength=n)
+    outstr = np.bincount(s, weights=w, minlength=n)
+
+    o = np.argsort(s, kind="stable")
+    out_nbr, out_w = d[o], w[o]
+    out_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(s, minlength=n), out=out_ptr[1:])
+    o = np.argsort(d, kind="stable")
+    in_nbr, in_w = s[o], w[o]
+    in_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(d, minlength=n), out=in_ptr[1:])
+
+    removed = np.zeros(n, dtype=bool)
+    ordv = np.zeros(n, dtype=np.int64)
+    npos, nneg = 0, 0
+    # isolated vertices take the first positions in id order
+    # (feedback_arc_set.c:229-235)
+    iso = np.flatnonzero((indeg == 0) & (outdeg == 0))
+    for v in iso.tolist():
+        ordv[v] = npos
+        npos += 1
+        removed[v] = True
+    left = n - len(iso)
+    sources = [v for v in np.flatnonzero((indeg == 0) & ~removed).tolist()]
+    sinks = [v for v in np.flatnonzero(
+        (outdeg == 0) & (indeg > 0)).tolist()]
+    heapq.heapify(sources)
+    heapq.heapify(sinks)
+
+    def _drop_out(v):
+        """v removed: decrement in-degrees of v's successors."""
+        new_src = []
+        for j in range(out_ptr[v], out_ptr[v + 1]):
+            k = out_nbr[j]
+            if removed[k] or indeg[k] <= 0:
+                continue
+            indeg[k] -= 1
+            instr[k] -= out_w[j]
+            if indeg[k] == 0:
+                new_src.append(int(k))
+        return new_src
+
+    def _drop_in(v):
+        new_snk = []
+        for j in range(in_ptr[v], in_ptr[v + 1]):
+            k = in_nbr[j]
+            if removed[k] or outdeg[k] <= 0:
+                continue
+            outdeg[k] -= 1
+            outstr[k] -= in_w[j]
+            if outdeg[k] == 0 and indeg[k] > 0:
+                new_snk.append(int(k))
+        return new_snk
+
+    while left > 0:
+        while sources:  # (1) drain sources
+            v = heapq.heappop(sources)
+            if removed[v] or indeg[v] != 0:
+                continue
+            ordv[v] = npos
+            npos += 1
+            removed[v] = True
+            left -= 1
+            for k in _drop_out(v):
+                heapq.heappush(sources, k)
+        while sinks:  # (2) drain sinks (cannot create new sources)
+            v = heapq.heappop(sinks)
+            if removed[v] or outdeg[v] != 0:
+                continue
+            ordv[v] = n - 1 - nneg
+            nneg += 1
+            removed[v] = True
+            left -= 1
+            for k in _drop_in(v):
+                heapq.heappush(sinks, k)
+        if left <= 0:
+            break
+        # (3) no sources or sinks left: break one cycle
+        cand = np.flatnonzero(~removed)
+        diff = outstr[cand] - instr[cand]
+        v = int(cand[np.argmax(diff)])  # argmax = first max: min id
+        ordv[v] = npos
+        npos += 1
+        removed[v] = True
+        left -= 1
+        for k in _drop_out(v):
+            heapq.heappush(sources, k)
+        for k in _drop_in(v):
+            heapq.heappush(sinks, k)
+    return ordv
+
+
+def _sugiyama_layers_directed(n, src, dst, weights=None):
+    """Layering for directed graphs without a priori layers: Eades
+    ordering, then longest-path relaxation over the forward arcs
+    (feedback_arc_set.c:384-407).  This is the reference's own non-GLPK
+    build configuration (sugiyama.c:688-694); the GLPK network-simplex
+    compaction for n<=1000 needs an LP solver this container lacks."""
+    ordv = _eades_order(n, src, dst, weights)
+    layers = np.zeros(n, dtype=np.int64)
+    o = np.argsort(src, kind="stable")
+    nbr = dst[o]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=ptr[1:])
+    for v in np.argsort(ordv, kind="stable").tolist():
+        lv = layers[v] + 1
+        for j in range(ptr[v], ptr[v + 1]):
+            w = nbr[j]
+            if w == v or ordv[v] > ordv[w]:
+                continue
+            if layers[w] < lv:
+                layers[w] = lv
+    return layers
+
+
+def _sugiyama_layers_undirected(n, src, dst, weights=None):
+    """Layering for undirected graphs: BFS distance, roots tried in
+    descending strength order (igraph_i_feedback_arc_set_undirected,
+    feedback_arc_set.c:151-177).  Pinned: strength ties and neighbor
+    visit order are ascending vertex id (the reference's qsort is
+    unstable and its adjacency order is an implementation detail)."""
+    from collections import deque
+
+    keep = src != dst
+    s, d = src[keep], dst[keep]
+    w = (np.ones(len(s)) if weights is None
+         else np.asarray(weights, dtype=np.float64)[keep])
+    strength = (np.bincount(s, weights=w, minlength=n)
+                + np.bincount(d, weights=w, minlength=n))
+    order = np.lexsort((np.arange(n), -strength))
+    both_s = np.concatenate([s, d])
+    both_d = np.concatenate([d, s])
+    o = np.lexsort((both_d, both_s))
+    nbr = both_d[o]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(both_s, minlength=n), out=ptr[1:])
+    layers = np.full(n, -1, dtype=np.int64)
+    for root in order.tolist():
+        if layers[root] >= 0:
+            continue
+        layers[root] = 0
+        q = deque([root])
+        while q:
+            v = q.popleft()
+            for j in range(ptr[v], ptr[v + 1]):
+                k = nbr[j]
+                if layers[k] < 0:
+                    layers[k] = layers[v] + 1
+                    q.append(k)
+    return layers
+
+
+def _bk_place(n_sub, e_src, e_dst, layer_of, layer_lists, x_order,
+              n_real, hgap):
+    """Brandes-Kopf horizontal coordinate assignment
+    (igraph_i_layout_sugiyama_place_nodes_horizontally, sugiyama.c:
+    vertical_alignment + horizontal_compaction + median-of-4).
+
+    ``x_order`` is the within-layer position from the barycenter
+    phase; returns final x coordinates.  Divergence from the
+    reference, documented: the reference's type-1-conflict scan
+    (sugiyama.c "Find all type 1 conflicts") indexes
+    ``IGRAPH_FROM(graph, j)`` with a per-layer neighbor counter used
+    as a GLOBAL edge id, so it tests an arbitrary prefix of the edge
+    list instead of the layer's own edges; here the conflicts are
+    computed for the actual edges between each layer pair (the
+    behavior the Brandes-Kopf paper, LNCS 2265:31-44, specifies)."""
+    m = len(e_src)
+    x = x_order.astype(np.float64)
+
+    # --- type 1 conflicts: non-inner segments crossing inner ones ---
+    ignored_pairs: set = set()
+    if m:
+        is_dummy_s = e_src >= n_real
+        is_dummy_d = e_dst >= n_real
+        inner = is_dummy_s & is_dummy_d
+        esl = layer_of[e_src]
+        for lay in np.unique(esl).tolist():
+            sel = np.flatnonzero(esl == lay)
+            if not len(sel):
+                continue
+            inn = sel[inner[sel]]
+            if not len(inn):
+                continue
+            out = sel[~inner[sel]]
+            if not len(out):
+                continue
+            pu, pv = x[e_src[out]], x[e_dst[out]]
+            for e in inn.tolist():
+                iu, iv = x[e_src[e]], x[e_dst[e]]
+                cross = np.where(pu <= iu, pv >= iv, pv <= iv)
+                for k in out[cross].tolist():
+                    ignored_pairs.add((int(e_src[k]), int(e_dst[k])))
+
+    # --- vertex_to_the_left from the final layer lists ---
+    left = np.arange(n_sub, dtype=np.int64)
+    for members in layer_lists:
+        for j in range(1, len(members)):
+            left[members[j]] = members[j - 1]
+
+    # neighbor lists (with multiplicity) per direction
+    up_nbr: list = [[] for _ in range(n_sub)]
+    dn_nbr: list = [[] for _ in range(n_sub)]
+    for u, v in zip(e_src.tolist(), e_dst.tolist()):
+        dn_nbr[u].append(v)
+        up_nbr[v].append(u)
+
+    def vertical_alignment(reverse, align_right):
+        nbrs = dn_nbr if reverse else up_nbr
+        roots = np.arange(n_sub, dtype=np.int64)
+        align = np.arange(n_sub, dtype=np.int64)
+        lsel = (range(len(layer_lists) - 2, -1, -1) if reverse
+                else range(1, len(layer_lists)))
+        for li in lsel:
+            members = layer_lists[li]
+            r = math.inf if align_right else -math.inf
+            it = reversed(members) if align_right else iter(members)
+            for v in it:
+                if align[v] != v:
+                    continue
+                neis = nbrs[v]
+                nn = len(neis)
+                if nn == 0:
+                    continue
+                if nn == 1:
+                    medians = (neis[0],)
+                else:
+                    xs = np.array([x[u] for u in neis])
+                    inds = np.argsort(xs, kind="stable")
+                    if nn % 2 == 1:
+                        medians = (neis[inds[nn // 2]],)
+                    elif align_right:
+                        medians = (neis[inds[nn // 2]],
+                                   neis[inds[nn // 2 - 1]])
+                    else:
+                        medians = (neis[inds[nn // 2 - 1]],
+                                   neis[inds[nn // 2]])
+                for mv in medians:
+                    if align[v] != v:
+                        continue
+                    pair = (mv, v) if not reverse else (v, mv)
+                    if pair in ignored_pairs:
+                        continue
+                    pos = x[mv]
+                    if (align_right and r > pos) or \
+                            (not align_right and r < pos):
+                        align[mv] = v
+                        roots[v] = roots[mv]
+                        align[v] = roots[mv]
+                        r = pos
+        return roots, align
+
+    def compaction(roots, align):
+        sinks = np.arange(n_sub, dtype=np.int64)
+        shifts = np.full(n_sub, np.inf)
+        xs = np.full(n_sub, -1.0)
+
+        def place_block(v0):
+            # iterative version of sugiyama.c's recursive place_block
+            stack = [(v0, v0, True)]
+            while stack:
+                v, w, entering = stack.pop()
+                if entering:
+                    if xs[v] >= 0:
+                        continue
+                    xs[v] = 0.0
+                    w = v
+                # walk the block from w
+                while True:
+                    u = left[w]
+                    if u != w:
+                        u = roots[u]
+                        if xs[u] < 0:
+                            # recurse into u's block, then resume at w
+                            stack.append((v, w, False))
+                            stack.append((u, u, True))
+                            break
+                        u_sink = sinks[u]
+                        v_sink = sinks[v]
+                        if v_sink == v:
+                            sinks[v] = v_sink = u_sink
+                        if v_sink != u_sink:
+                            cand = xs[v] - xs[u] - hgap
+                            if shifts[u_sink] > cand:
+                                shifts[u_sink] = cand
+                        elif xs[v] < xs[u] + hgap:
+                            xs[v] = xs[u] + hgap
+                    w = align[w]
+                    if w == v:
+                        break
+
+        for i in range(n_sub):
+            if roots[i] == i:
+                place_block(i)
+        out = xs[roots].copy()
+        sh = shifts[sinks[roots]]
+        out[np.isfinite(sh)] += sh[np.isfinite(sh)]
+        return out
+
+    xs4 = []
+    for i in range(4):
+        roots, align = vertical_alignment(bool(i // 2), bool(i % 2))
+        xs4.append(compaction(roots, align))
+
+    mins = np.array([v.min() for v in xs4])
+    maxs = np.array([v.max() for v in xs4])
+    j = int(np.argmin(maxs - mins))
+    for i in range(4):
+        if i == j:
+            continue
+        xs4[i] += (mins[j] - mins[i]) if i % 2 == 0 else (maxs[j] - maxs[i])
+    q = np.sort(np.stack(xs4, axis=0), axis=0)
+    return (q[1] + q[2]) / 2.0
+
+
+def layout_sugiyama(edges, n: int, layers=None, hgap: float = 1.0,
+                    vgap: float = 1.0, maxiter: int = 100, weights=None,
+                    directed: bool = True, return_extended: bool = False):
+    """Sugiyama layered layout (igraph_layout_sugiyama,
+    src/sugiyama.c:244): (1) layer assignment (given, or Eades
+    feedback-arc ordering + longest path for directed / strength-
+    ordered BFS for undirected), (2) per weak component: dummy
+    vertices so every edge spans exactly one layer downward,
+    (3) barycenter crossing-minimization sweeps (maxiter), (4)
+    Brandes-Kopf horizontal coordinates, components offset left to
+    right by hgap.
+
+    Returns an ``(n + n_dummy, 2)`` float64 array — first ``n`` rows
+    are the real vertices, the rest the dummy bend points, same
+    contract as the reference's ``res``.  With
+    ``return_extended=True`` also returns the extended edge table
+    ``(m, 2)`` int64 and the map from extended edges to original edge
+    ids, mirroring ``extd_graph`` / ``extd_to_orig_eids``.
+
+    Pinned divergences (documented): GLPK layer compaction is
+    replaced by the reference's own non-GLPK fallback; within-layer
+    sort ties are stable (reference qsort is unstable); incident-edge
+    visit order is (neighbor id, edge id) ascending; the type-1
+    conflict scan fixes the reference's per-layer/global edge-id
+    confusion (see _bk_place)."""
+    src, dst = _edges_np(edges)
+    wvec = None if weights is None else np.asarray(weights, np.float64)
+
+    if layers is not None:
+        layers_own = np.asarray(layers, dtype=np.float64)
+        if len(layers_own) != n:
+            raise ValueError("layer vector too short or too long")
+    elif directed:
+        layers_own = _sugiyama_layers_directed(n, src, dst, wvec) \
+            .astype(np.float64)
+    else:
+        layers_own = _sugiyama_layers_undirected(n, src, dst, wvec) \
+            .astype(np.float64)
+
+    # normalize: eliminate empty layers, remember original spacing
+    if n > 0:
+        uniq = np.unique(layers_own)
+        dense = np.searchsorted(uniq, layers_own).astype(np.int64)
+        layer_to_y = uniq * vgap
+    else:
+        dense = np.zeros(0, np.int64)
+        layer_to_y = np.zeros(0)
+
+    membership = _components_np(n, src, dst)
+
+    # out-edge CSR with original edge ids, visit order (nbr, eid)
+    m_all = len(src)
+    eids = np.arange(m_all, dtype=np.int64)
+    if directed:
+        o = np.lexsort((eids, dst, src))
+        inc_from, inc_to, inc_eid = src[o], dst[o], eids[o]
+    else:
+        inc_from = np.concatenate([src, dst])
+        inc_to = np.concatenate([dst, src])
+        both_eid = np.concatenate([eids, eids])
+        keep = inc_to >= inc_from  # visit each edge once (nei < i skip)
+        inc_from, inc_to = inc_from[keep], inc_to[keep]
+        inc_eid = both_eid[keep]
+        o = np.lexsort((inc_eid, inc_to, inc_from))
+        inc_from, inc_to, inc_eid = inc_from[o], inc_to[o], inc_eid[o]
+    ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(inc_from, minlength=n), out=ptr[1:])
+
+    res_x = np.zeros(n)
+    res_y = np.zeros(n)
+    dummy_x: list = []
+    dummy_y: list = []
+    extd_edges: list = []
+    extd_orig: list = []
+    n_dummies_global = 0
+    dx = 0.0
+
+    for comp in np.unique(membership).tolist():
+        nodes = np.flatnonzero(membership == comp)
+        comp_size = len(nodes)
+        old2new = {int(v): i for i, v in enumerate(nodes.tolist())}
+        new_layers = [int(dense[v]) for v in nodes.tolist()]
+        e_src_l: list = []
+        e_dst_l: list = []
+        next_new = comp_size
+
+        for i in nodes.tolist():
+            for j in range(ptr[i], ptr[i + 1]):
+                nei = int(inc_to[j])
+                eid = int(inc_eid[j])
+                li, ln = int(dense[i]), int(dense[nei])
+                if li == ln:
+                    if return_extended:
+                        extd_edges.append((i, nei))
+                        extd_orig.append(eid)
+                    continue
+                if li > ln:  # upward: flip and subdivide
+                    lo, hi, head, tail = ln, li, nei, i
+                else:
+                    lo, hi, head, tail = li, ln, i, nei
+                prev = old2new[head]
+                for lay in range(lo + 1, hi):
+                    new_layers.append(lay)
+                    n_dummies_global += 1
+                    e_src_l.append(prev)
+                    e_dst_l.append(next_new)
+                    prev = next_new
+                    next_new += 1
+                e_src_l.append(prev)
+                e_dst_l.append(old2new[tail])
+                if return_extended:
+                    span = hi - lo
+                    gids = [n + n_dummies_global - span + 1 + k
+                            for k in range(span - 1)]
+                    if li > ln:
+                        path = [i] + gids[::-1] + [nei]
+                    else:
+                        path = [i] + gids + [nei]
+                    for a, b in zip(path, path[1:]):
+                        extd_edges.append((a, b))
+                        extd_orig.append(eid)
+
+        n_sub = next_new
+        e_src = np.array(e_src_l, dtype=np.int64)
+        e_dst = np.array(e_dst_l, dtype=np.int64)
+        layer_of = np.array(new_layers, dtype=np.int64)
+
+        # layer member lists (new ids ascending = creation order)
+        n_layers = int(layer_of.max()) + 1 if n_sub else 0
+        layer_lists: list = [[] for _ in range(n_layers)]
+        for v in range(n_sub):
+            layer_lists[layer_of[v]].append(v)
+
+        # first-seen ordering
+        x = np.zeros(n_sub, dtype=np.float64)
+        for members in layer_lists:
+            for pos, v in enumerate(members):
+                x[v] = pos
+
+        up_nbr: list = [[] for _ in range(n_sub)]
+        dn_nbr: list = [[] for _ in range(n_sub)]
+        for u, v in zip(e_src.tolist(), e_dst.tolist()):
+            dn_nbr[u].append(v)
+            up_nbr[v].append(u)
+
+        # barycenter sweeps (order_nodes_horizontally)
+        changed, it = True, 0
+        while changed and it < maxiter:
+            changed = False
+            for li in range(1, n_layers):  # down, upper barycenters
+                members = layer_lists[li]
+                if not members:
+                    continue
+                b = np.array([np.mean(x[up_nbr[v]]) if up_nbr[v]
+                              else x[v] for v in members])
+                order = np.argsort(b, kind="stable")
+                new_members = [members[k] for k in order.tolist()]
+                for pos, v in enumerate(new_members):
+                    x[v] = pos
+                if new_members != members:
+                    layer_lists[li] = new_members
+                    changed = True
+            for li in range(n_layers - 2, -1, -1):  # up, lower bary
+                members = layer_lists[li]
+                if not members:
+                    continue
+                b = np.array([np.mean(x[dn_nbr[v]]) if dn_nbr[v]
+                              else x[v] for v in members])
+                order = np.argsort(b, kind="stable")
+                new_members = [members[k] for k in order.tolist()]
+                for pos, v in enumerate(new_members):
+                    x[v] = pos
+                if new_members != members:
+                    layer_lists[li] = new_members
+                    changed = True
+            it += 1
+
+        fx = _bk_place(n_sub, e_src, e_dst, layer_of, layer_lists,
+                       x, comp_size, hgap)
+
+        dx2 = dx
+        for new_id, old in enumerate(nodes.tolist()):
+            res_x[old] = fx[new_id] + dx
+            res_y[old] = layer_to_y[layer_of[new_id]]
+            dx2 = max(dx2, res_x[old])
+        for k in range(comp_size, n_sub):
+            gx = fx[k] + dx
+            dummy_x.append(gx)
+            dummy_y.append(layer_to_y[layer_of[k]])
+            dx2 = max(dx2, gx)
+        dx = dx2 + hgap
+
+    coords = np.stack([
+        np.concatenate([res_x, np.array(dummy_x)]),
+        np.concatenate([res_y, np.array(dummy_y)]),
+    ], axis=1)
+    if not return_extended:
+        return coords
+    ee = (np.array(extd_edges, dtype=np.int64).reshape(-1, 2)
+          if extd_edges else np.zeros((0, 2), np.int64))
+    return coords, ee, np.array(extd_orig, dtype=np.int64)
