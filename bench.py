@@ -301,6 +301,13 @@ def scaling():
         iters = r_hi["pagerank_iterations"]
     t_lo, t_hi = min(lo_walls), min(hi_walls)
     eff = (t_lo / t_hi) / (hi / lo)
+    # Per-round PAIRED efficiencies: each round's legs run back-to-back
+    # on the same machine state, so the pair ratio cancels slow host
+    # drift that the cross-round min-of-column pairing cannot (observed
+    # 2026-08-18: a recovering host gave per-leg minima from different
+    # rounds and a meaningless headline ratio).
+    eff_rounds = [round((a / b) / (hi / lo), 3)
+                  for a, b in zip(lo_walls, hi_walls)]
     print(json.dumps({
         "metric": f"pagerank_web scaling N={lo} -> 4N={hi} cpus "
                   f"(best of {rounds} interleaved rounds per leg)",
@@ -310,6 +317,7 @@ def scaling():
         "edges_per_sec_8": lo_eps,
         "edges_per_sec_32": hi_eps,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_paired_rounds": eff_rounds,
         "edges": edges,
         "iterations": iters,
     }))
