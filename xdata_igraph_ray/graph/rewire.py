@@ -192,3 +192,152 @@ def rewire(edges, rounds: int = 4, trials_factor: int = 4,
     else:
         raise RuntimeError("rewire: could not restore simplicity")
     return to_dataset(refs)
+
+
+# ---------------------------------------------------------------------------
+# Constant-probability endpoint rewiring (igraph_rewire_edges,
+# src/games.c:2827)
+# ---------------------------------------------------------------------------
+
+def _unif01(seed: int, stream: int, ids: np.ndarray) -> np.ndarray:
+    k = np.uint64((seed * 0x2545F491 + stream * 0x9E3779B9) % (1 << 64))
+    z = _mix(ids.astype(np.uint64) * np.uint64(0x100000001B3) + k)
+    return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+@ray.remote
+def _rewire_endpoints(tbl: pa.Table, off: int, n: int, prob: float,
+                      loops: bool, seed: int) -> pa.Table:
+    """Rewire each endpoint with probability ``prob`` to a uniform
+    vertex.  Mirrors the reference's sequential endpoint walk: src
+    endpoints are redrawn against the ORIGINAL dst, dst endpoints
+    against the (possibly already rewired) src — positions 2i, 2i+1
+    in games.c:2861-2872; the loops=False draw uses the same
+    [0, n-2] + collision->n-1 trick."""
+    src = tbl["src"].to_numpy().astype(np.int64).copy()
+    dst = tbl["dst"].to_numpy().astype(np.int64).copy()
+    eid = np.arange(off, off + len(src), dtype=np.uint64)
+
+    def draw(stream: int, other: np.ndarray, m: np.ndarray) -> np.ndarray:
+        if loops:
+            return (_unif01(seed, stream, eid[m]) * n).astype(np.int64)
+        r = (_unif01(seed, stream, eid[m]) * (n - 1)).astype(np.int64)
+        return np.where(r == other[m], n - 1, r)
+
+    m = _unif01(seed, 0, eid) < prob
+    src[m] = draw(1, dst, m)
+    m = _unif01(seed, 2, eid) < prob
+    dst[m] = draw(3, src, m)
+    cols = {"src": src, "dst": dst}
+    for name in tbl.column_names:
+        if name not in ("src", "dst"):
+            cols[name] = tbl[name]
+    return pa.table(cols)
+
+
+@ray.remote
+def _redraw_dups(seed: int, rnd: int, n: int, loops: bool,
+                 *parts: pa.Table) -> pa.Table:
+    """Surplus copies of a duplicate edge get their dst redrawn with a
+    fresh counter stream (multiple=False repair round)."""
+    t = pa.concat_tables(list(parts))
+    if len(t) == 0:
+        return t
+    src = t["src"].to_numpy().astype(np.int64).copy()
+    dst = t["dst"].to_numpy().astype(np.int64).copy()
+    order = np.lexsort((dst, src))
+    s2, d2 = src[order], dst[order]
+    first = np.ones(len(s2), dtype=bool)
+    first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
+    surplus = order[~first]
+    if len(surplus):
+        key = (src[surplus].astype(np.uint64) * np.uint64(1_000_003)
+               + dst[surplus].astype(np.uint64)
+               + np.uint64(rnd * 40503 + 7)
+               + np.arange(len(surplus), dtype=np.uint64))
+        if loops:
+            nd = (_unif01(seed, 4 + rnd, key) * n).astype(np.int64)
+        else:
+            nd = (_unif01(seed, 4 + rnd, key) * (n - 1)).astype(np.int64)
+            nd = np.where(nd == src[surplus], n - 1, nd)
+        dst[surplus] = nd
+    return pa.table({"src": src, "dst": dst})
+
+
+def rewire_edges(edges, n: int, prob: float, loops: bool = False,
+                 multiple: bool = True, seed: int = 42, P: int = 8):
+    """igraph_rewire_edges (src/games.c:2827): every endpoint of every
+    edge is rewired with constant probability ``prob`` to a uniformly
+    random vertex.  Distributed map over edge blocks; the per-endpoint
+    Bernoulli draws replace the reference's equivalent
+    geometric-skip walk over the endpoint sequence (games.c:2858).
+
+    Like the reference, ``loops=False`` constrains only the NEW
+    draws: rewiring never creates a loop, but a pre-existing loop
+    edge survives unless one of its endpoints happens to be rewired.
+
+    Pinned divergences (like ``rewire``): the RNG is a seeded
+    counter-hash keyed by (seed, global edge index, endpoint), so the
+    output is a pure function of (input block layout, seed, prob) at
+    any parallelism; ``multiple=False`` enforces simplicity by
+    redrawing the dst of surplus duplicate copies in up to 16
+    co-locating repair rounds (the reference's stub-list resampling
+    draws a different sequence with the same support) — input must be
+    simple for the no-multiple contract, same as the reference.
+    """
+    if not 0.0 <= prob <= 1.0:
+        raise ValueError(
+            "Rewiring probability should be between zero and one")
+    refs = edges if isinstance(edges, list) else (
+        [ray.put(edges)] if isinstance(edges, pa.Table) else block_refs(edges)
+    )
+    if prob == 0:
+        return to_dataset(refs)
+    lens = ray.get([_blk_len.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    refs = [
+        _rewire_endpoints.remote(r, int(o), n, prob, loops, seed)
+        for r, o in zip(refs, offs)
+    ]
+    if multiple:
+        return to_dataset(refs)
+    for rnd in range(16):
+        routed = [
+            _route_by_edge.options(num_returns=P if P > 1 else 1).remote(
+                r, P
+            )
+            for r in refs
+        ]
+        routed = [[x] if P == 1 else x for x in routed]
+        buckets = [[rt[q] for rt in routed] for q in range(P)]
+        # duplicates co-locate under edge routing, so per-bucket
+        # surplus counts are exact global counts
+        dups = sum(ray.get(
+            [_surplus_count.remote(*b) for b in buckets]))
+        if dups == 0:
+            return to_dataset(refs)
+        refs = [
+            _redraw_dups.remote(seed, rnd, n, loops, *b) for b in buckets
+        ]
+    raise RuntimeError(
+        "rewire_edges: could not reach a multi-edge-free graph in 16 "
+        "repair rounds (graph too dense for multiple=False?)")
+
+
+@ray.remote
+def _blk_len(tbl: pa.Table) -> int:
+    return len(tbl)
+
+
+@ray.remote
+def _surplus_count(*parts: pa.Table) -> int:
+    """Number of surplus duplicate copies (multi-edge defects only —
+    loops are legal for rewire_edges when loops=True and impossible
+    when loops=False, so they never count here)."""
+    t = pa.concat_tables(list(parts))
+    if len(t) == 0:
+        return 0
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    pairs = set(zip(src.tolist(), dst.tolist()))
+    return len(src) - len(pairs)
