@@ -150,7 +150,10 @@ def main():
 
     # -- pagerank / wcc / lpa on the big web graph -------------------------
     path = _edges_parquet(BENCH_V)
-    edges = _read_pq(path)
+    # one read block per engine shard: Ray's default splits a cached
+    # 33 MB file into ~200 tiny blocks whose routing/ingest overhead
+    # dominated build_graph (measured 56 s -> 2.8 s on the read step)
+    edges = _read_pq(path, override_num_blocks=P)
     # warm the OS page cache with a REAL data pass (parquet count()
     # reads only metadata), so timed runs measure compute+shuffle
     with open(path, "rb") as f:
@@ -189,7 +192,8 @@ def main():
     tri_path = _edges_parquet(TRI_V)
     with _Timed(queries, steal, "triangles_web"):
         total, _ = triangles(
-            _read_pq(tri_path), n=TRI_V, P=P, per_vertex=False
+            _read_pq(tri_path, override_num_blocks=P), n=TRI_V, P=P,
+            per_vertex=False
         )
     extras["triangles_total"] = total
 
