@@ -28,9 +28,34 @@ __all__ = [
     "incidence",
     "get_incidence",
     "bipartite_projection_size",
+    "create_bipartite",
     "is_matching",
     "is_maximal_matching",
 ]
+
+
+def create_bipartite(types, edges, directed: bool = False) -> pa.Table:
+    """Validated bipartite edge table (igraph_create_bipartite,
+    src/bipartite.c:452): every edge must connect the two type
+    classes; vertex ids must lie in [0, len(types)).  Returns the
+    (src, dst) table; the types vector is the caller's vertex
+    attribute, same as the reference's separation of graph and
+    types."""
+    types = np.asarray(types).astype(bool)
+    n = len(types)
+    e = np.asarray(list(edges) if not isinstance(edges, np.ndarray)
+                   else edges, dtype=np.int64)
+    if e.ndim == 1:
+        if len(e) % 2:
+            raise ValueError("Invalid (odd) edges vector")
+        e = e.reshape(-1, 2)
+    if len(e):
+        if e.min() < 0 or e.max() >= n:
+            raise ValueError("Invalid vertex id")
+        if (types[e[:, 0]] == types[e[:, 1]]).any():
+            raise ValueError("Invalid edges, not a bipartite graph")
+    return _table(e[:, 0] if len(e) else np.empty(0, np.int64),
+                  e[:, 1] if len(e) else np.empty(0, np.int64))
 
 
 def full_bipartite(n1: int, n2: int, directed: bool = False,

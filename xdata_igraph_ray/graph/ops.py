@@ -36,7 +36,11 @@ def _apply(fn, tbl):
 
 
 def _refs(ds):
-    return ds if isinstance(ds, list) else block_refs(ds)
+    if isinstance(ds, list):
+        return ds
+    if isinstance(ds, pa.Table):
+        return [ray.put(ds)]
+    return block_refs(ds)
 
 
 def edge_union(g1, g2, P: int = DEFAULT_PARTITIONS) -> Dataset:
@@ -654,3 +658,78 @@ def sort_vertex_ids_by_degree(
     full[deg["vid"].to_numpy()] = deg["deg"].to_numpy()
     key = -full if order == "desc" else full
     return np.lexsort((np.arange(n), key)).astype(np.int64)
+
+
+def edge_union_many(graphs, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges present in ANY of the graphs (igraph_union_many,
+    src/operators.c:233 — the sorted-merge over N edge lists is one
+    distinct over the concatenated refs here)."""
+    refs: list = []
+    for g in graphs:
+        refs.extend(_refs(g))
+    return distinct(refs, ["src", "dst"], P=P)
+
+
+def edge_intersection_many(graphs, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """Edges present in ALL graphs (igraph_intersection_many,
+    src/operators.c:537): a fold of semi-joins, smallest-first would
+    be the scale order but the reference keeps input order — kept."""
+    graphs = list(graphs)
+    if not graphs:
+        raise ValueError("edge_intersection_many needs >= 1 graph")
+    acc = distinct(_refs(graphs[0]), ["src", "dst"], P=P, as_refs=True)
+    for g in graphs[1:]:
+        b = distinct(_refs(g), ["src", "dst"], P=P, as_refs=True)
+        acc = block_refs(
+            hash_join(acc, b, keys=["src", "dst"], how="left semi", P=P)
+        )
+    return to_dataset(acc)
+
+
+def disjoint_union_many(graphs, ns, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """N-ary disjoint union (igraph_disjoint_union_many,
+    src/operators.c:137): graph k's ids shift by sum(ns[:k])."""
+    graphs = list(graphs)
+    ns = list(ns)
+    if len(graphs) != len(ns):
+        raise ValueError("need one vertex count per graph")
+    out: list = []
+    off = 0
+    for g, n in zip(graphs, ns):
+        shift = np.int64(off)
+
+        def _sh(t: pa.Table, shift=shift) -> pa.Table:
+            cols = {
+                "src": pc.add(t["src"], shift),
+                "dst": pc.add(t["dst"], shift),
+            }
+            for c in t.column_names:
+                if c not in ("src", "dst"):
+                    cols[c] = t[c]
+            return pa.table(cols)
+
+        out.extend(_apply.remote(_sh, r) for r in _refs(g))
+        off += int(n)
+    return to_dataset(out)
+
+
+def neighborhood_graphs(
+    edges, n: int, vids, order: int = 1, mode: str = "out",
+    relabel: bool = False, P: int = DEFAULT_PARTITIONS,
+) -> list[Dataset]:
+    """Induced subgraph of each seed's <=order-hop neighborhood
+    (igraph_neighborhood_graphs, src/structural_properties.c:3016) —
+    one bounded BFS + broadcast semi-join per seed, like the
+    reference's per-vertex loop."""
+    from .engine import GraphEngine
+    from .paths import neighborhood
+
+    refs = _refs(edges)
+    eng = GraphEngine.from_edges(refs, n=n, P=P)
+    try:
+        hoods = neighborhood(eng, vids, order=order, mode=mode)
+    finally:
+        eng.shutdown()
+    return [
+        induced_subgraph(refs, h, P=P, relabel=relabel) for h in hoods
+    ]
