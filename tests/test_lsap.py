@@ -102,3 +102,22 @@ def test_rewire_edges_no_multiple(ray_session):
 def test_rewire_edges_validates_prob(ray_session):
     with pytest.raises(ValueError):
         rewire_edges(_ring_edges(4), 4, 1.5)
+
+
+def test_rewire_edges_no_multiple_p_invariant(ray_session):
+    # regression: the repair redraw must not depend on bucket layout
+    t = _ring_edges(30)
+    import pandas as pd
+    outs = []
+    for P in (1, 2, 8):
+        o = rewire_edges(t, 30, 0.9, loops=False, multiple=False,
+                         seed=5, P=P).to_pandas()
+        outs.append(sorted(zip(o.src, o.dst)))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_create_bipartite_rejects_wide_rows():
+    import numpy as np
+    from xdata_igraph_ray.graph.bipartite import create_bipartite
+    with pytest.raises(ValueError):
+        create_bipartite([0, 1], np.array([[0, 1, 7]]))

@@ -172,3 +172,36 @@ def test_scale_smoke_powerlaw():
     coords = layout_sugiyama((s.astype(np.int64), d.astype(np.int64)), n)
     assert coords.shape[0] >= n
     assert np.isfinite(coords).all()
+
+
+def test_components_never_overlap_random():
+    # regression: BK x-coords can be negative; components must still
+    # be offset disjointly with >= hgap between them
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        na = int(rng.integers(2, 15))
+        nb = int(rng.integers(2, 15))
+        ea = rng.integers(0, na, (max(1, na), 2))
+        eb = rng.integers(0, nb, (max(1, nb), 2)) + na
+        s = np.concatenate([ea[:, 0], eb[:, 0]]).astype(np.int64)
+        d = np.concatenate([ea[:, 1], eb[:, 1]]).astype(np.int64)
+        coords = layout_sugiyama((s, d), na + nb, hgap=1.0)
+        lab = np.zeros(na + nb, dtype=bool)
+        lab[na:] = True
+        # components as actually computed (per weak connectivity)
+        xa = coords[:na, 0]
+        xb = coords[na:nb + na, 0]
+        assert xb.min() >= xa.max() + 1.0 - 1e-9, trial
+        lay = _layer_lookup(coords, len(coords))  # real + dummy rows
+        for l in np.unique(lay):
+            xs = np.sort(coords[lay == l, 0])
+            if len(xs) > 1:
+                assert np.min(np.diff(xs)) >= 1.0 - 1e-9, (trial, l)
+
+
+def test_undirected_self_loop_extended_once():
+    s, d = _edges([(0, 0), (0, 1)])
+    coords, ee, em = layout_sugiyama((s, d), 2, directed=False,
+                                     return_extended=True)
+    assert ee.tolist().count([0, 0]) == 1
+    assert len(ee) == 2 and len(em) == 2

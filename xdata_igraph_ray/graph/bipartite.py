@@ -40,7 +40,9 @@ def create_bipartite(types, edges, directed: bool = False) -> pa.Table:
     classes; vertex ids must lie in [0, len(types)).  Returns the
     (src, dst) table; the types vector is the caller's vertex
     attribute, same as the reference's separation of graph and
-    types."""
+    types.  ``directed`` is accepted for signature parity — an edge
+    TABLE carries no directedness flag; interpretation is the
+    caller's, as everywhere in this package."""
     types = np.asarray(types).astype(bool)
     n = len(types)
     e = np.asarray(list(edges) if not isinstance(edges, np.ndarray)
@@ -49,6 +51,8 @@ def create_bipartite(types, edges, directed: bool = False) -> pa.Table:
         if len(e) % 2:
             raise ValueError("Invalid (odd) edges vector")
         e = e.reshape(-1, 2)
+    elif e.ndim != 2 or (len(e) and e.shape[1] != 2):
+        raise ValueError("edges must be (src, dst) pairs")
     if len(e):
         if e.min() < 0 or e.max() >= n:
             raise ValueError("Invalid vertex id")

@@ -1423,7 +1423,10 @@ def layout_sugiyama(edges, n: int, layers=None, hgap: float = 1.0,
         inc_from = np.concatenate([src, dst])
         inc_to = np.concatenate([dst, src])
         both_eid = np.concatenate([eids, eids])
-        keep = inc_to >= inc_from  # visit each edge once (nei < i skip)
+        # visit each edge once (nei < i skip); a self-loop appears
+        # identically in both halves, so keep only its first copy
+        is_first_half = np.arange(2 * m_all) < m_all
+        keep = (inc_to > inc_from) | ((inc_to == inc_from) & is_first_half)
         inc_from, inc_to = inc_from[keep], inc_to[keep]
         inc_eid = both_eid[keep]
         o = np.lexsort((inc_eid, inc_to, inc_from))
@@ -1542,6 +1545,9 @@ def layout_sugiyama(edges, n: int, layers=None, hgap: float = 1.0,
 
         fx = _bk_place(n_sub, e_src, e_dst, layer_of, layer_lists,
                        x, comp_size, hgap)
+        # normalize so this component starts at dx (BK's median-of-4
+        # can go negative; without this, components could overlap)
+        fx = fx - fx.min()
 
         dx2 = dx
         for new_id, old in enumerate(nodes.tolist()):

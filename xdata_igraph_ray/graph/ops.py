@@ -680,9 +680,8 @@ def edge_intersection_many(graphs, P: int = DEFAULT_PARTITIONS) -> Dataset:
     acc = distinct(_refs(graphs[0]), ["src", "dst"], P=P, as_refs=True)
     for g in graphs[1:]:
         b = distinct(_refs(g), ["src", "dst"], P=P, as_refs=True)
-        acc = block_refs(
-            hash_join(acc, b, keys=["src", "dst"], how="left semi", P=P)
-        )
+        acc = hash_join(acc, b, keys=["src", "dst"], how="left semi",
+                        P=P, as_refs=True)
     return to_dataset(acc)
 
 

@@ -251,10 +251,17 @@ def _redraw_dups(seed: int, rnd: int, n: int, loops: bool,
     first[1:] = (s2[1:] != s2[:-1]) | (d2[1:] != d2[:-1])
     surplus = order[~first]
     if len(surplus):
+        # duplicate rank within the (src,dst) group: routing co-locates
+        # ALL copies of a pair in one bucket, so the rank — and hence
+        # the redraw key — is independent of P and block layout
+        gstart = np.flatnonzero(first)
+        glen = np.diff(np.concatenate((gstart, [len(s2)])))
+        rank_sorted = np.arange(len(s2)) - np.repeat(gstart, glen)
+        rank = rank_sorted[~first].astype(np.uint64)
         key = (src[surplus].astype(np.uint64) * np.uint64(1_000_003)
                + dst[surplus].astype(np.uint64)
                + np.uint64(rnd * 40503 + 7)
-               + np.arange(len(surplus), dtype=np.uint64))
+               + rank * np.uint64(0x9E3779B9))
         if loops:
             nd = (_unif01(seed, 4 + rnd, key) * n).astype(np.int64)
         else:
@@ -282,8 +289,13 @@ def rewire_edges(edges, n: int, prob: float, loops: bool = False,
     any parallelism; ``multiple=False`` enforces simplicity by
     redrawing the dst of surplus duplicate copies in up to 16
     co-locating repair rounds (the reference's stub-list resampling
-    draws a different sequence with the same support) — input must be
-    simple for the no-multiple contract, same as the reference.
+    draws a different sequence with the same support), keyed by the
+    copy's rank within its duplicate group so the repair is also
+    parallelism-invariant — input must be simple for the no-multiple
+    contract, same as the reference.  NOTE: the ``multiple=False``
+    path returns (src, dst) only; extra columns survive only the
+    ``multiple=True`` path (a rewired edge has no canonical attribute
+    owner once copies collide).
     """
     if not 0.0 <= prob <= 1.0:
         raise ValueError(
@@ -301,7 +313,7 @@ def rewire_edges(edges, n: int, prob: float, loops: bool = False,
     ]
     if multiple:
         return to_dataset(refs)
-    for rnd in range(16):
+    for rnd in range(17):
         routed = [
             _route_by_edge.options(num_returns=P if P > 1 else 1).remote(
                 r, P
@@ -316,6 +328,8 @@ def rewire_edges(edges, n: int, prob: float, loops: bool = False,
             [_surplus_count.remote(*b) for b in buckets]))
         if dups == 0:
             return to_dataset(refs)
+        if rnd == 16:  # 16 redraw rounds done and still not simple
+            break
         refs = [
             _redraw_dups.remote(seed, rnd, n, loops, *b) for b in buckets
         ]
