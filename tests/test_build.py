@@ -86,3 +86,25 @@ def test_degrees():
     assert list(out["vid"]) == [0, 1, 2, 3, 4]
     assert list(out["out_deg"]) == [2, 1, 0, 3, 0]
     assert list(out["in_deg"]) == [2, 2, 1, 1, 0]
+
+
+def test_from_edges_bundles_many_tiny_blocks(ray_session):
+    # the driver-side coalesce path: len(refs) > 2P triggers bundling
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    rng = np.random.default_rng(0)
+    refs, total = [], 0
+    for i in range(40):  # 40 blocks >> 2*P
+        k = int(rng.integers(1, 50))
+        refs.append(_ray.put(pa.table({
+            "src": rng.integers(0, 100, k),
+            "dst": rng.integers(0, 100, k),
+        })))
+        total += k
+    eng = GraphEngine.from_edges(refs, n=100, P=4)
+    assert eng.edge_count == total
+    eng.shutdown()
