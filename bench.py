@@ -125,10 +125,25 @@ def _layered_flow_parquet() -> str:
     return path
 
 
+def _sqrt_probe() -> float:
+    """Single-core speed probe (BASELINE.md §5/§6): 10M math.sqrt
+    iterations.  ~0.7-0.9 s on a healthy instance class, 1.3-2.2 s on
+    the slow/throttled classes — printed in the JSON so every bench
+    artifact carries its own host attribution."""
+    import math
+
+    t0 = time.time()
+    x = 0.0
+    for i in range(10_000_000):
+        x += math.sqrt(i)
+    return round(time.time() - t0, 3)
+
+
 def main():
     import ray
     import ray.data as rd
 
+    probe_before = _sqrt_probe()
     ray.init(
         address="local", num_cpus=NCPU, include_dashboard=False,
         logging_level="ERROR",
@@ -174,7 +189,7 @@ def main():
             "metric": "pagerank_web_wall_sec (1e-6 tol, power-law web graph)",
             "value": queries["pagerank_web"], "unit": "sec",
             "queries": queries, "steal_pct": steal, "sf": SF_DIR,
-            "num_cpus": NCPU, **extras,
+            "num_cpus": NCPU, "sqrt_probe_s": probe_before, **extras,
         }
         print(json.dumps(out))
         eng.shutdown()
@@ -256,6 +271,8 @@ def main():
         "steal_pct": steal,
         "sf": SF_DIR,
         "num_cpus": NCPU,
+        "sqrt_probe_s": probe_before,
+        "sqrt_probe_after_s": _sqrt_probe(),
         **extras,
     }
     print(json.dumps(out))
@@ -291,6 +308,7 @@ def scaling():
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     lo_walls, hi_walls = [], []
     lo_steal, hi_steal = [], []
+    lo_probe, hi_probe = [], []
     lo_eps = hi_eps = 0
     edges = iters = None
     for _ in range(rounds):
@@ -299,6 +317,8 @@ def scaling():
         hi_walls.append(r_hi["queries"]["pagerank_web"])
         lo_steal.append(r_lo["steal_pct"].get("pagerank_web", 0.0))
         hi_steal.append(r_hi["steal_pct"].get("pagerank_web", 0.0))
+        lo_probe.append(r_lo.get("sqrt_probe_s"))
+        hi_probe.append(r_hi.get("sqrt_probe_s"))
         lo_eps = max(lo_eps, r_lo["pagerank_edges_per_sec"])
         hi_eps = max(hi_eps, r_hi["pagerank_edges_per_sec"])
         edges = r_hi["edges"]
@@ -318,6 +338,7 @@ def scaling():
         "sec_8": t_lo, "sec_32": t_hi,
         "sec_8_rounds": lo_walls, "sec_32_rounds": hi_walls,
         "steal_pct_8_rounds": lo_steal, "steal_pct_32_rounds": hi_steal,
+        "sqrt_probe_8_rounds": lo_probe, "sqrt_probe_32_rounds": hi_probe,
         "edges_per_sec_8": lo_eps,
         "edges_per_sec_32": hi_eps,
         "scaling_efficiency": round(eff, 3),
