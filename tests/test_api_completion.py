@@ -222,3 +222,23 @@ def test_johnson_distances(ray_session):
         assert np.allclose(D2[0], D[2]) and np.allclose(D2[1], D[0])
     finally:
         eng.shutdown()
+
+
+def test_get_eid_family():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from xdata_igraph_ray.graph import ops
+
+    t = pa.table({"src": np.array([0, 1, 1, 2, 1], np.int64),
+                  "dst": np.array([1, 2, 2, 0, 0], np.int64)})
+    assert ops.get_eid(t, 1, 2) == 1          # smallest parallel id
+    assert ops.get_eid(t, 2, 1, error=False) == -1
+    assert ops.get_eid(t, 2, 1, directed=False) == 1
+    assert ops.get_eids(t, [(0, 1), (1, 2), (2, 0)]).tolist() == [0, 1, 3]
+    assert ops.get_eids_multi(t, [(1, 2), (1, 2)]).tolist() == [1, 2]
+    with pytest.raises(ValueError):
+        ops.get_eids_multi(t, [(1, 2), (1, 2), (1, 2)])
+    with pytest.raises(ValueError):
+        ops.get_eid(t, 2, 1)
+    assert ops.get_eids_path(t, [0, 1, 2, 0]).tolist() == [0, 1, 3]

@@ -732,3 +732,88 @@ def neighborhood_graphs(
     return [
         induced_subgraph(refs, h, P=P, relabel=relabel) for h in hoods
     ]
+
+
+def _edge_arrays(edges) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(edges, pa.Table):
+        return edges["src"].to_numpy(), edges["dst"].to_numpy()
+    tbl = pa.concat_tables(
+        [b for b in edges.iter_batches(batch_format="pyarrow")]
+    )
+    return tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+
+def get_eid(edges, frm: int, to: int, directed: bool = True,
+            error: bool = True) -> int:
+    """igraph_get_eid (src/type_indexededgelist.c:1137): the edge id
+    (= row index, the engine's edge-id convention) of (frm, to).
+    Directed graphs with ``directed=False`` also try (to, frm).  With
+    parallel edges the SMALLEST id is returned (pinned; the reference
+    returns whichever its sorted index lands on).  -1 / ValueError
+    when absent."""
+    out = get_eids(edges, [(frm, to)], directed=directed, error=error)
+    return int(out[0])
+
+
+def get_eids(edges, pairs, directed: bool = True,
+             error: bool = True) -> np.ndarray:
+    """igraph_get_eids / _pairs (src/type_indexededgelist.c:1338):
+    vectorized endpoint->edge-id lookup; one lexsort + searchsorted,
+    no per-pair scan."""
+    s, d = _edge_arrays(edges)
+    q = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    if not directed:
+        lo = np.minimum(s, d); hi = np.maximum(s, d)
+        s, d = lo, hi
+        qlo = np.minimum(q[:, 0], q[:, 1]); qhi = np.maximum(q[:, 0], q[:, 1])
+        q = np.stack([qlo, qhi], axis=1)
+    order = np.lexsort((np.arange(len(s)), d, s))  # ties -> smallest eid
+    ss, dd = s[order], d[order]
+    left = np.searchsorted(ss * (1 << 32) + dd, q[:, 0] * (1 << 32) + q[:, 1],
+                           side="left")
+    eids = np.full(len(q), -1, dtype=np.int64)
+    ok = (left < len(ss))
+    ok[ok] &= (ss[left[ok]] == q[ok, 0]) & (dd[left[ok]] == q[ok, 1])
+    eids[ok] = order[left[ok]]
+    if error and (eids < 0).any():
+        missing = q[eids < 0][:3].tolist()
+        raise ValueError(f"no such edge(s): {missing}")
+    return eids
+
+
+def get_eids_multi(edges, pairs, directed: bool = True,
+                   error: bool = True) -> np.ndarray:
+    """igraph_get_eids_multi (src/type_indexededgelist.c:1604):
+    repeated identical query pairs consume DISTINCT parallel edge
+    ids, in ascending-id order; runs out -> -1 / error."""
+    s, d = _edge_arrays(edges)
+    q = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    if not directed:
+        s, d = np.minimum(s, d), np.maximum(s, d)
+        q = np.stack([np.minimum(q[:, 0], q[:, 1]),
+                      np.maximum(q[:, 0], q[:, 1])], axis=1)
+    from collections import defaultdict
+    by_pair: dict[tuple[int, int], list[int]] = defaultdict(list)
+    order = np.lexsort((np.arange(len(s)), d, s))
+    for e in order:
+        by_pair[(int(s[e]), int(d[e]))].append(int(e))
+    used: dict[tuple[int, int], int] = defaultdict(int)
+    eids = np.full(len(q), -1, dtype=np.int64)
+    for i, (a, b) in enumerate(map(tuple, q.tolist())):
+        lst = by_pair.get((a, b), ())
+        k = used[(a, b)]
+        if k < len(lst):
+            eids[i] = lst[k]
+            used[(a, b)] += 1
+    if error and (eids < 0).any():
+        raise ValueError("not enough parallel edges for repeated pairs")
+    return eids
+
+
+def get_eids_path(edges, path, directed: bool = True,
+                  error: bool = True) -> np.ndarray:
+    """igraph_get_eids over consecutive path vertices
+    (src/type_indexededgelist.c:1295 _path variant)."""
+    path = np.asarray(path, dtype=np.int64)
+    pairs = np.stack([path[:-1], path[1:]], axis=1)
+    return get_eids(edges, pairs, directed=directed, error=error)
