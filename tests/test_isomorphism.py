@@ -313,3 +313,68 @@ def test_canonical_node_budget_guard():
     })
     with _pytest.raises(RuntimeError, match="node budget"):
         canonical_permutation(full, 9, directed=False, node_budget=1000)
+
+
+def test_lad_domains_restrict_matches():
+    import numpy as np
+    from xdata_igraph_ray.graph.isomorphism import subisomorphic_lad
+    # triangle pattern into K4
+    pat = _tbl([0, 1, 2], [1, 2, 0])
+    tgt = _tbl([0, 0, 0, 1, 1, 2], [1, 2, 3, 2, 3, 3])
+    ok, m = subisomorphic_lad(pat, 3, tgt, 4)
+    assert ok and len(set(m.tolist())) == 3
+    # domain pinning vertex 0 of the pattern to target vertex 3
+    ok, m = subisomorphic_lad(pat, 3, tgt, 4, domains=[[3], [0, 1, 2, 3],
+                                                       [0, 1, 2, 3]])
+    assert ok and m[0] == 3
+    # empty effective domain -> no match
+    ok, m = subisomorphic_lad(pat, 3, tgt, 4, domains=[[], [0], [1]])
+    assert not ok and m is None
+
+
+def test_lad_induced_semantics():
+    from xdata_igraph_ray.graph.isomorphism import subisomorphic_lad
+    # path 0-1-2 induced into a triangle: impossible (extra edge)
+    path = _tbl([0, 1], [1, 2])
+    tri = _tbl([0, 1, 2], [1, 2, 0])
+    ok, _ = subisomorphic_lad(path, 3, tri, 3, induced=True)
+    assert not ok
+    ok, _ = subisomorphic_lad(path, 3, tri, 3, induced=False)
+    assert ok
+    # induced path in a 4-cycle exists
+    c4 = _tbl([0, 1, 2, 3], [1, 2, 3, 0])
+    ok, m = subisomorphic_lad(path, 3, c4, 4, induced=True)
+    assert ok
+
+
+def test_lad_all_maps_count():
+    from xdata_igraph_ray.graph.isomorphism import subisomorphic_lad
+    # triangle into K4: 4 choose 3 triangles x 3! orientations = 24
+    pat = _tbl([0, 1, 2], [1, 2, 0])
+    tgt = _tbl([0, 0, 0, 1, 1, 2], [1, 2, 3, 2, 3, 3])
+    ok, maps = subisomorphic_lad(pat, 3, tgt, 4, all_maps=True)
+    assert ok and len(maps) == 24
+    seen = {tuple(m.tolist()) for m in maps}
+    assert len(seen) == 24
+
+
+def test_lad_agrees_with_vf2_random():
+    import numpy as np
+    from xdata_igraph_ray.graph.isomorphism import (subisomorphic,
+                                                    subisomorphic_lad)
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        # random undirected pattern/target as symmetric tables
+        def rnd(n, m):
+            s = rng.integers(0, n, m)
+            d = rng.integers(0, n, m)
+            keep = s != d
+            pairs = sorted({(min(a, b), max(a, b))
+                            for a, b in zip(s[keep], d[keep])})
+            return _tbl([p[0] for p in pairs] + [p[1] for p in pairs],
+                      [p[1] for p in pairs] + [p[0] for p in pairs])
+        pat = rnd(4, 5)
+        tgt = rnd(7, 14)
+        want = subisomorphic(pat, 4, tgt, 7, directed=True)
+        got, _ = subisomorphic_lad(pat, 4, tgt, 7)
+        assert got == want, trial

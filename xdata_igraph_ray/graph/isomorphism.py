@@ -433,3 +433,101 @@ def automorphism_group_order(
     cross-checked against VF2 enumeration in tests."""
     _, _, cnt = _canon_search(edges, n, directed, node_budget)
     return cnt
+
+
+def subisomorphic_lad(
+    pattern: pa.Table, np_: int, target: pa.Table, nt: int,
+    domains: list | None = None, induced: bool = False,
+    all_maps: bool = False, map_limit: int | None = None,
+):
+    """igraph_subisomorphic_lad (src/lad.c:1466, Solnon's LAD):
+    domain-constrained subgraph isomorphism on simple UNDIRECTED
+    graphs.  ``domains[u]`` (optional) lists the allowed target
+    vertices for pattern vertex u — the feature VF2 lacks; ``induced``
+    requires pattern non-edges to map to target non-edges.
+
+    Returns ``(iso, map)`` or, with ``all_maps``, ``(iso, maps)``
+    where maps is a list of per-pattern-vertex target arrays.
+
+    Pinned divergence: candidate domains are pruned to a fixpoint of
+    NEIGHBORHOOD arc consistency (every candidate must keep a
+    candidate in each pattern-neighbor's domain) + forward checking,
+    instead of LAD's all-different matching filter — identical
+    answers, different pruning power (the matching filter only
+    affects speed, src/lad.c:992-1100)."""
+    # undirected simple adjacency as python sets
+    def und(edges, n):
+        s = edges["src"].to_numpy()
+        d = edges["dst"].to_numpy()
+        adj = [set() for _ in range(n)]
+        for u, v in zip(s.tolist(), d.tolist()):
+            if u == v:
+                continue
+            adj[u].add(v)
+            adj[v].add(u)
+        return adj
+
+    padj = und(pattern, np_)
+    tadj = und(target, nt)
+    pdeg = [len(a) for a in padj]
+    tdeg = [len(a) for a in tadj]
+
+    dom = []
+    for u in range(np_):
+        cand = set(int(x) for x in domains[u]) if domains is not None \
+            else set(range(nt))
+        dom.append({t for t in cand if 0 <= t < nt and tdeg[t] >= pdeg[u]})
+
+    # arc-consistency fixpoint (igraph_i_lad_updateDomains semantics)
+    changed = True
+    while changed:
+        changed = False
+        for u in range(np_):
+            bad = [t for t in dom[u]
+                   if any(not (tadj[t] & dom[v]) for v in padj[u])]
+            if bad:
+                dom[u] -= set(bad)
+                changed = True
+        if any(not d for d in dom):
+            return (False, []) if all_maps else (False, None)
+
+    order = sorted(range(np_), key=lambda u: (len(dom[u]), -pdeg[u]))
+    assign = np.full(np_, -1, dtype=np.int64)
+    used = set()
+    sols: list[np.ndarray] = []
+
+    def feasible(u: int, t: int) -> bool:
+        for v in padj[u]:
+            m = assign[v]
+            if m >= 0 and m not in tadj[t]:
+                return False
+        if induced:
+            for v in range(np_):
+                m = assign[v]
+                if m < 0 or v == u or v in padj[u]:
+                    continue
+                if m in tadj[t]:
+                    return False
+        return True
+
+    def rec(i: int) -> bool:
+        if i == np_:
+            sols.append(assign.copy())
+            return not all_maps or (map_limit is not None
+                                    and len(sols) >= map_limit)
+        u = order[i]
+        for t in sorted(dom[u]):
+            if t in used or not feasible(u, t):
+                continue
+            assign[u] = t
+            used.add(t)
+            if rec(i + 1):
+                return True
+            assign[u] = -1
+            used.discard(t)
+        return False
+
+    rec(0)
+    if all_maps:
+        return (len(sols) > 0, sols)
+    return (len(sols) > 0, sols[0] if sols else None)
