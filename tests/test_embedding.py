@@ -98,3 +98,33 @@ def test_dim_select_elbow():
     vals = np.array([9.8, 9.5, 9.1, 1.2, 1.1, 1.0, 0.9, 0.8])
     assert dim_select(vals) == 3
     assert dim_select(np.array([5.0, 0.1, 0.1, 0.1])) == 1
+
+
+def test_eigen_facade_selectors():
+    import numpy as np
+    from xdata_igraph_ray.graph.embedding import (eigen_adjacency,
+                                                  eigen_laplacian,
+                                                  eigen_matrix_symmetric)
+    from xdata_igraph_ray.graph.generators import ring
+
+    A = np.array([[2.0, 1.0], [1.0, -3.0]])
+    vals_lm, _ = eigen_matrix_symmetric(A, "lm", 1)
+    vals_la, _ = eigen_matrix_symmetric(A, "la", 1)
+    vals_sa, _ = eigen_matrix_symmetric(A, "sa", 1)
+    assert abs(vals_lm[0]) >= abs(vals_la[0])
+    assert vals_la[0] > 0 > vals_sa[0]
+    vals_be, _ = eigen_matrix_symmetric(A, "be", 2)
+    assert set(np.round(vals_be, 9)) == set(
+        np.round(np.linalg.eigvalsh(A), 9))
+
+    # C6 adjacency: top eigenvalue 2 with constant eigenvector
+    edges = ring(6, directed=False)
+    vals, vecs = eigen_adjacency(edges, 6, "la", 1)
+    assert np.isclose(vals[0], 2.0)
+    assert np.allclose(np.abs(vecs[:, 0]), np.abs(vecs[0, 0]))
+
+    # Laplacian: smallest eigenvalue 0; normalized spectrum in [0, 2]
+    vals, _ = eigen_laplacian(edges, 6, "sa", 1)
+    assert np.isclose(vals[0], 0.0, atol=1e-9)
+    vals, _ = eigen_laplacian(edges, 6, "all", 6, normalized=True)
+    assert vals.min() >= -1e-9 and vals.max() <= 2.0 + 1e-9

@@ -31,6 +31,16 @@ from ray.data import Dataset
 from .engine import GraphEngine
 
 
+def _edge_cols(edges):
+    """(src, dst) numpy columns from a pyarrow Table or Dataset."""
+    import pyarrow as pa
+
+    if isinstance(edges, pa.Table):
+        return edges["src"].to_numpy(), edges["dst"].to_numpy()
+    tbl = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    return tbl["src"].to_numpy(), tbl["dst"].to_numpy()
+
+
 def _spectral(
     engine: GraphEngine,
     d: int,
@@ -129,3 +139,71 @@ def dim_select(values: np.ndarray) -> int:
         if ll > best_ll:
             best_ll, best_d = ll, q
     return best_d
+
+
+def _select_eigen(vals: np.ndarray, vecs: np.ndarray, which: str,
+                  howmany: int):
+    """igraph_eigen_which_t position selector (igraph_eigen.h:50-62):
+    LM/SM by |lambda|, LA/SA by algebraic value, BE = both ends, ALL,
+    INTERVAL [vl, vu), SELECT il..iu (1-based in ascending order)."""
+    order_alg = np.argsort(vals, kind="stable")          # ascending
+    if which == "lm":
+        idx = np.argsort(-np.abs(vals), kind="stable")[:howmany]
+    elif which == "sm":
+        idx = np.argsort(np.abs(vals), kind="stable")[:howmany]
+    elif which == "la":
+        idx = order_alg[::-1][:howmany]
+    elif which == "sa":
+        idx = order_alg[:howmany]
+    elif which == "be":
+        lo = (howmany + 1) // 2
+        hi = howmany - lo
+        idx = np.concatenate([order_alg[:lo],
+                              order_alg[::-1][:hi]])
+    elif which == "all":
+        idx = order_alg[::-1]
+    else:
+        raise ValueError(f"unsupported which: {which}")
+    return vals[idx], vecs[:, idx]
+
+
+def eigen_matrix_symmetric(A, which: str = "lm", howmany: int = 1):
+    """igraph_eigen_matrix_symmetric (src/eigen.c / igraph_eigen.h:74)
+    — dense symmetric eigenpairs with the reference's which-position
+    selectors.  numpy.linalg.eigh replaces LAPACK/ARPACK (same
+    answers; the algorithm enum is a performance switch only)."""
+    A = np.asarray(A, np.float64)
+    vals, vecs = np.linalg.eigh(A)
+    return _select_eigen(vals, vecs, which, howmany)
+
+
+def eigen_adjacency(edges, n: int, which: str = "lm", howmany: int = 1,
+                    weights=None):
+    """igraph_eigen_adjacency (igraph_eigen.h:96): eigenpairs of the
+    (symmetrized) adjacency matrix."""
+    src, dst = _edge_cols(edges)
+    A = np.zeros((n, n))
+    w = np.ones(len(src)) if weights is None else np.asarray(weights)
+    np.add.at(A, (src, dst), w)
+    np.add.at(A, (dst, src), w)
+    # collapse double-counted loops: diagonal got 2w per loop
+    A[np.diag_indices(n)] /= 2.0
+    return eigen_matrix_symmetric(A, which, howmany)
+
+
+def eigen_laplacian(edges, n: int, which: str = "lm", howmany: int = 1,
+                    normalized: bool = False):
+    """igraph_eigen_laplacian (igraph_eigen.h:106): eigenpairs of the
+    (optionally symmetric-normalized) graph Laplacian."""
+    src, dst = _edge_cols(edges)
+    A = np.zeros((n, n))
+    np.add.at(A, (src, dst), 1.0)
+    np.add.at(A, (dst, src), 1.0)
+    A[np.diag_indices(n)] = 0.0
+    deg = A.sum(axis=1)
+    L = np.diag(deg) - A
+    if normalized:
+        with np.errstate(divide="ignore"):
+            dinv = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
+        L = L * dinv[:, None] * dinv[None, :]
+    return eigen_matrix_symmetric(L, which, howmany)
