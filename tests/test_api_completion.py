@@ -242,3 +242,23 @@ def test_get_eid_family():
     with pytest.raises(ValueError):
         ops.get_eid(t, 2, 1)
     assert ops.get_eids_path(t, [0, 1, 2, 0]).tolist() == [0, 1, 3]
+
+
+def test_mutation_wrappers():
+    import numpy as np
+    import pyarrow as pa
+    from xdata_igraph_ray.graph import ops
+
+    t = pa.table({"src": np.array([0, 1, 2, 3], np.int64),
+                  "dst": np.array([1, 2, 3, 0], np.int64)})
+    out, idx = ops.delete_vertices(t, 4, [1])
+    # ring minus vertex 1: edges 2-3 and 3-0 survive, renumbered
+    assert idx.tolist() == [1, 0, 2, 3]
+    assert sorted(zip(out["src"].to_numpy(), out["dst"].to_numpy())) \
+        == [(1, 2), (2, 0)]
+    t2 = ops.delete_edges(t, [0, 2])
+    assert t2.num_rows == 2
+    assert t2["src"].to_numpy().tolist() == [1, 3]
+    t3 = ops.add_edges(t, [0], [2])
+    assert t3.num_rows == 5
+    assert (int(t3["src"][4].as_py()), int(t3["dst"][4].as_py())) == (0, 2)

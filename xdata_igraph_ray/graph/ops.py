@@ -817,3 +817,57 @@ def get_eids_path(edges, path, directed: bool = True,
     path = np.asarray(path, dtype=np.int64)
     pairs = np.stack([path[:-1], path[1:]], axis=1)
     return get_eids(edges, pairs, directed=directed, error=error)
+
+
+def delete_vertices(edges, n: int, vids) -> tuple[pa.Table, np.ndarray]:
+    """igraph_delete_vertices(_idx) (src/type_indexededgelist.c:416):
+    drop the given vertices and every incident edge; survivors are
+    renumbered downward preserving order.  Returns (edges, idx) where
+    idx[old] = new id + 1 and 0 marks a deleted vertex — the
+    reference's recoding convention."""
+    kill = np.zeros(n, dtype=bool)
+    kill[np.asarray(list(vids), dtype=np.int64)] = True
+    idx = np.zeros(n, dtype=np.int64)
+    idx[~kill] = np.arange(1, int((~kill).sum()) + 1)
+    if isinstance(edges, pa.Table):
+        tbl = edges
+    else:
+        tbl = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    s = tbl["src"].to_numpy()
+    d = tbl["dst"].to_numpy()
+    keep = ~(kill[s] | kill[d])
+    out = tbl.filter(pa.array(keep))
+    cols = {"src": idx[out["src"].to_numpy()] - 1,
+            "dst": idx[out["dst"].to_numpy()] - 1}
+    for c in out.column_names:
+        if c not in ("src", "dst"):
+            cols[c] = out[c]
+    return pa.table(cols), idx
+
+
+def delete_edges(edges, eids) -> pa.Table:
+    """igraph_delete_edges (src/type_indexededgelist.c:258): drop the
+    given edge ids (= row indices); remaining edges keep their
+    relative order (their ids shift down, like the reference's
+    rebuild)."""
+    if isinstance(edges, pa.Table):
+        tbl = edges
+    else:
+        tbl = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
+    keep = np.ones(tbl.num_rows, dtype=bool)
+    keep[np.asarray(list(eids), dtype=np.int64)] = False
+    return tbl.filter(pa.array(keep))
+
+
+def add_edges(edges, new_src, new_dst) -> pa.Table:
+    """igraph_add_edges (src/type_indexededgelist.c:258): append rows;
+    new edges get the next ids (row order)."""
+    if isinstance(edges, pa.Table):
+        tbl = edges.select(["src", "dst"])
+    else:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+        ).select(["src", "dst"])
+    extra = pa.table({"src": np.asarray(new_src, np.int64),
+                      "dst": np.asarray(new_dst, np.int64)})
+    return pa.concat_tables([tbl, extra])
