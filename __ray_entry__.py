@@ -2911,6 +2911,48 @@ def q_sugiyama(sf_dir: str):
 # driver surface
 
 
+def q_linegraph_degree(sf_dir: str):
+    """linegraph over the distinct li edge set, aggregated to
+    per-line-vertex (= edge id) out-degree so the driver compare
+    stays small; edge ids = (src, dst) rank over distinct edges."""
+    from xdata_igraph_ray.graph.ops import linegraph
+
+    lg = linegraph(_li_edges(sf_dir), P=8).to_pandas()
+    out = (lg.groupby("src").size().rename("ldeg").reset_index()
+           .rename(columns={"src": "eid"}))
+    out["eid"] = out["eid"].astype(np.int64)
+    out["ldeg"] = out["ldeg"].astype(np.int64)
+    return out.sort_values("eid").reset_index(drop=True)
+
+
+def q_contract_vertices(sf_dir: str):
+    from xdata_igraph_ray.graph.ops import contract_vertices
+
+    mapping = np.arange(NV, dtype=np.int64) % 97
+    out = contract_vertices(_li_edges(sf_dir), mapping,
+                            simplify_result=True, P=8).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_neighborhood_size(sf_dir: str):
+    from xdata_igraph_ray.graph.paths import neighborhood_size
+
+    eng = _engine(sf_dir)
+    seeds = list(range(50))
+    ns = neighborhood_size(eng, seeds, order=2, mode="out")
+    eng.shutdown()
+    return pd.DataFrame({"vid": np.asarray(seeds, np.int64),
+                         "nsize": ns.astype(np.int64)})
+
+
+def q_motifs3(sf_dir: str):
+    from xdata_igraph_ray.graph.motifs import motifs_3_undirected
+
+    m = motifs_3_undirected(_li_edges(sf_dir), NV, P=8)
+    return pd.DataFrame({"path": [np.int64(m["path"])],
+                         "triangle": [np.int64(m["triangle"])]})
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages -> extract -> graph ->
     pagerank -> scores."""
@@ -3051,6 +3093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topo_layers_li": q_topo_layers,
         "mst_li": q_mst,
         "cliques_small_li": q_cliques_small,
+        "linegraph_degree_li": q_linegraph_degree,
+        "contract_vertices_li": q_contract_vertices,
+        "neighborhood_size_li": q_neighborhood_size,
+        "motifs3_li": q_motifs3,
     }
 
 
@@ -6015,5 +6061,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT size, count(*) AS cnt FROM sized
             WHERE size >= 2 GROUP BY size ORDER BY size
+            """,
+        "linegraph_degree_li": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM {_LI_E} t),
+            r AS (SELECT src, dst,
+                         ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS eid
+                  FROM e)
+            SELECT a.eid AS eid, count(*) AS ldeg
+            FROM r a JOIN r b ON a.dst = b.src
+            GROUP BY a.eid ORDER BY a.eid
+            """,
+        "contract_vertices_li": f"""
+            SELECT DISTINCT src % 97 AS src, dst % 97 AS dst
+            FROM {_LI_E} t WHERE (src % 97) <> (dst % 97)
+            ORDER BY src, dst
+            """,
+        "neighborhood_size_li": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM {_LI_E} t),
+            seeds AS (SELECT range AS vid FROM range(0, 50)),
+            n0 AS (SELECT vid, vid AS w FROM seeds),
+            n1 AS (SELECT s.vid, e.dst AS w FROM seeds s
+                   JOIN e ON e.src = s.vid),
+            n2 AS (SELECT n1.vid, e.dst AS w FROM n1
+                   JOIN e ON e.src = n1.w),
+            allw AS (SELECT * FROM n0 UNION SELECT * FROM n1
+                     UNION SELECT * FROM n2)
+            SELECT vid, count(*) AS nsize FROM allw
+            GROUP BY vid ORDER BY vid
+            """,
+        "motifs3_li": f"""
+            WITH sup AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM {_LI_E} t WHERE src <> dst
+            ),
+            deg AS (
+              SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM sup UNION ALL SELECT b AS v FROM sup
+              ) GROUP BY v
+            ),
+            tri AS (
+              SELECT count(*) AS t FROM sup e1
+              JOIN sup e2 ON e1.b = e2.a
+              JOIN sup e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT
+              CAST((SELECT sum(d * (d - 1) / 2) FROM deg)
+                   - 3 * (SELECT t FROM tri) AS BIGINT) AS path,
+              CAST((SELECT t FROM tri) AS BIGINT) AS triangle
             """,
     }

@@ -136,3 +136,19 @@ def test_esu_no_and_estimate(ray_session):
     est = motifs_randesu_estimate(ds, n, size=3, sample_size=7,
                                   seed=5, P=2)
     assert 0.4 * brute(3) < est < 2.5 * brute(3)
+
+
+def test_motifs3_mutual_pair_path_is_open():
+    """Regression: a 201 triad (two mutual dyads, one null pair) is a
+    support PATH, not a triangle (src/motifs.c classification by
+    null-dyad count)."""
+    from xdata_igraph_ray.graph.motifs import motifs_3_undirected
+    # A<->B, B<->C: exactly one 201 triple, zero triangles
+    edges = [[0, 1, 1, 2], [1, 0, 2, 1]]
+    import pyarrow as pa
+    import numpy as np
+    import ray.data as rd
+    t = rd.from_arrow(pa.table({"src": np.array(edges[0], np.int64),
+                                "dst": np.array(edges[1], np.int64)}))
+    m = motifs_3_undirected(t, 3, P=2)
+    assert m == {"path": 1, "triangle": 0}

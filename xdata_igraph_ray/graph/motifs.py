@@ -217,10 +217,12 @@ def motifs_3_undirected(
     Derived from the triad census: every directed class maps to an
     undirected support shape by its null-pair count."""
     census = triad_census(edges, n, P=P)
+    # closed = all three support pairs present (zero null dyads);
+    # 201 (two mutual dyads + one NULL dyad) is a support PATH
     closed = sum(census[k] for k in ("030T", "030C", "120D", "120U",
-                                     "120C", "210", "300", "201"))
+                                     "120C", "210", "300"))
     open_ = sum(census[k] for k in ("021D", "021U", "021C", "111D",
-                                    "111U"))
+                                    "111U", "201"))
     return {"path": open_, "triangle": closed}
 
 
