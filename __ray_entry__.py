@@ -2953,6 +2953,45 @@ def q_motifs3(sf_dir: str):
                          "triangle": [np.int64(m["triangle"])]})
 
 
+def q_graph_scalars(sf_dir: str):
+    """density + maxdegree in one deterministic row."""
+    from xdata_igraph_ray.graph.metrics import maxdegree
+    from xdata_igraph_ray.graph.ops import density
+
+    e = _li_edges(sf_dir)
+    dens = density(e, n=NV, directed=True, loops=False)
+    mx_out = maxdegree(_li_edges(sf_dir), mode="out")
+    mx_in = maxdegree(_li_edges(sf_dir), mode="in")
+    return pd.DataFrame({"density": [np.round(np.float64(dens), 9)],
+                         "max_out": [np.int64(mx_out)],
+                         "max_in": [np.int64(mx_in)]})
+
+
+def q_is_mutual(sf_dir: str):
+    from xdata_igraph_ray.graph.metrics import is_mutual
+
+    df = is_mutual(_li_edges(sf_dir), P=8).to_pandas()
+    df["mutual"] = df["mutual"].astype(np.int64)
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def q_to_undirected(sf_dir: str):
+    from xdata_igraph_ray.graph.ops import to_undirected
+
+    return to_undirected(_li_edges(sf_dir), P=8)
+
+
+def q_compose(sf_dir: str):
+    """compose(li-graph, reversed li-graph): (a, c) with a->b, b<-c."""
+    from xdata_igraph_ray.graph.ops import compose, reverse
+
+    g1 = _li_edges(sf_dir)
+    g2 = reverse(_li_edges(sf_dir))
+    out = compose(g1, g2, P=8).to_pandas()
+    return (out.drop_duplicates().sort_values(list(out.columns))
+            .reset_index(drop=True))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages -> extract -> graph ->
     pagerank -> scores."""
@@ -3097,6 +3136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contract_vertices_li": q_contract_vertices,
         "neighborhood_size_li": q_neighborhood_size,
         "motifs3_li": q_motifs3,
+        "graph_scalars_li": q_graph_scalars,
+        "is_mutual_li": q_is_mutual,
+        "to_undirected_li": q_to_undirected,
+        "compose_li": q_compose,
     }
 
 
@@ -6108,5 +6151,36 @@ def oracle_sql() -> dict[str, str]:
               CAST((SELECT sum(d * (d - 1) / 2) FROM deg)
                    - 3 * (SELECT t FROM tri) AS BIGINT) AS path,
               CAST((SELECT t FROM tri) AS BIGINT) AS triangle
+            """,
+        "graph_scalars_li": f"""
+            WITH e AS (SELECT * FROM {_LI_E} t),
+            ne AS (SELECT count(*) AS m FROM e)
+            SELECT
+              round(CAST((SELECT m FROM ne) AS DOUBLE)
+                    / ({NV}::DOUBLE * ({NV} - 1)), 9) AS density,
+              CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM e
+                    GROUP BY src)) AS BIGINT) AS max_out,
+              CAST((SELECT max(c) FROM (SELECT count(*) AS c FROM e
+                    GROUP BY dst)) AS BIGINT) AS max_in
+            """,
+        "is_mutual_li": f"""
+            WITH e AS (SELECT DISTINCT src, dst FROM {_LI_E} t)
+            SELECT a.src, a.dst,
+                   CAST(CASE WHEN b.src IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS mutual
+            FROM e a LEFT JOIN e b
+              ON a.src = b.dst AND a.dst = b.src
+            ORDER BY a.src, a.dst
+            """,
+        "to_undirected_li": f"""
+            SELECT DISTINCT least(src, dst) AS src,
+                   greatest(src, dst) AS dst
+            FROM {_LI_E} t ORDER BY src, dst
+            """,
+        "compose_li": f"""
+            WITH e AS (SELECT * FROM {_LI_E} t)
+            SELECT DISTINCT a.src AS src, b.src AS dst
+            FROM e a JOIN e b ON a.dst = b.dst
+            ORDER BY src, dst
             """,
     }
