@@ -1999,6 +1999,12 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3, P=4)
 
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    from xdata_igraph_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=(1, 2), k=5, P=4)
+
+
 def q_knn(sf_dir: str):
     from xdata_igraph_ray.stages.similarity import knn_brute
 
@@ -3098,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": q_quality_docs,
         "langid_docs": q_langid_docs,
         "minhash_pairs_docs": q_minhash_pairs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
         "simhash_pairs_docs": q_simhash_pairs,
         "knn_embeddings": q_knn,
         "knn_ivf_embeddings": q_knn_ivf,
@@ -4257,6 +4264,39 @@ def oracle_sql() -> dict[str, str]:
             """,
         "lang_histogram_docs": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # exact n-gram Jaccard join: distinct 5-char shingles of the
+        # whitespace-collapsed lowercased text; threshold is the exact
+        # rational 1/2 tested in INTEGER arithmetic on both sides so
+        # the cut is bit-reproducible (ray side: stages/dedup.py
+        # ngram_jaccard_pairs, frequency-ordered prefix filter)
+        "ngram_jaccard_docs": """
+            WITH n AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents
+            ), padded AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) < 5
+                          THEN t || repeat(' ', 5 - length(t))
+                          ELSE t END AS t
+              FROM n
+            ), sh AS (
+              SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INT), 5) AS s
+              FROM padded, UNNEST(range(1, greatest(length(t) - 4, 1) + 1)) AS u(i)
+            ), cnt AS (
+              SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(i AS DOUBLE) / (ca.c + cb.c - i) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = inter.a
+            JOIN cnt cb ON cb.doc_id = inter.b
+            WHERE 2 * i >= (ca.c + cb.c - i)
+            """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 4) AS total

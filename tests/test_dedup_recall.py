@@ -104,3 +104,83 @@ def test_dedup_exact_payload_stays_put():
     )
     assert list(out["doc_id"]) == list(want)
     assert list(out["payload"]) == [f"p{i}" for i in want]
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard join (prefix-filter all-pairs)
+
+
+def _word_salad_docs(n=120, seed=11, n_dups=15):
+    """Seeded word-salad docs + planted near-dups (a few words edited)
+    so the >=0.5-Jaccard truth set is non-trivial at several sizes."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon".split()
+    )
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(30, 60)))
+        for _ in range(n)
+    ]
+    for d in range(n_dups):
+        src = int(rng.integers(0, n))
+        words = texts[src].split()
+        for _ in range(int(rng.integers(0, 3))):
+            words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+        texts.append(" ".join(words))
+    return pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+
+
+def _brute_jaccard(df, p, q, k=5):
+    sets = {
+        r.doc_id: set(np.unique(dedup._char_shingles(r.text, k)).tolist())
+        for r in df.itertuples()
+    }
+    ids = sorted(sets)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if q * inter >= p * union:
+                rows.append((a, b, inter / union))
+    return sorted(rows)
+
+
+def test_ngram_jaccard_pairs_exact_vs_brute():
+    df = _word_salad_docs()
+    docs = rd.from_pandas(df)
+    for p, q in ((1, 2), (4, 5)):
+        got = (
+            dedup.ngram_jaccard_pairs(docs, threshold=(p, q), P=4)
+            .to_pandas()
+            .sort_values(["a", "b"])
+        )
+        want = _brute_jaccard(df, p, q)
+        assert len(want) > 0  # fixture plants matches at both cuts
+        assert sorted(map(tuple, got.to_numpy().tolist())) == want
+
+
+def test_ngram_jaccard_pairs_empty_and_validation():
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["aaaa bbbb", "cccc dddd"]})
+    )
+    out = dedup.ngram_jaccard_pairs(docs, threshold=(9, 10), P=2)
+    # schema survives even with zero rows (to_pandas drops columns on
+    # an all-empty Dataset — a Ray quirk, so assert on the schema)
+    assert out.schema().names == ["a", "b", "jaccard"]
+    assert out.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(docs, threshold=(3, 2))
+
+
+def test_ngram_jaccard_identical_docs():
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [7, 9, 11], "text": ["same text here"] * 2 + ["other"]}
+        )
+    )
+    out = dedup.ngram_jaccard_pairs(docs, threshold=(1, 1), P=2).to_pandas()
+    assert out.to_numpy().tolist() == [[7, 9, 1.0]]

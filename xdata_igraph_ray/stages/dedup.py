@@ -661,6 +661,269 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _attach_sets(pair_refs, set_refs, side: str, P: int, pair_fields):
+    """One tagged exchange: pairs keyed by ``side`` (a or b) land in
+    the same partition as their document's shingle set; the reduce
+    looks the set up with a searchsorted over the partition's doc ids
+    and appends it as ``set_<side>`` / ``c_<side>``.  List payloads are
+    sliced straight out of the Arrow offsets/values buffers — no
+    to_pylist of the whole partition.  ``pair_fields`` is the incoming
+    pair schema as (name, type) tuples — exchange drops 0-row pieces,
+    so a set-only partition must rebuild the pair columns itself."""
+    out_fields = list(pair_fields) + [
+        (f"c_{side}", pa.int64()),
+        (f"set_{side}", pa.list_(pa.int64())),
+    ]
+
+    @ray.remote
+    def tag_pair(t: pa.Table) -> pa.Table:
+        return t.append_column("_j", t[side])
+
+    @ray.remote
+    def tag_set(t: pa.Table) -> pa.Table:
+        return pa.table({"_j": t["doc_id"], "_c": t["c"], "_set": t["sset"]})
+
+    tagged = [tag_pair.remote(r) for r in pair_refs] + [
+        tag_set.remote(r) for r in set_refs
+    ]
+
+    def attach(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {n: pa.array([], ty) for n, ty in out_fields}
+        )
+        names = t.column_names
+        if "a" not in names:  # set-only partition: no candidates here
+            return empty
+        if "_c" not in names:
+            if len(t) == 0:
+                return empty
+            raise ValueError(
+                f"ngram_jaccard_pairs: partition has {len(t)} candidate "
+                "rows but no shingle sets"
+            )
+        is_pair = t["_c"].is_null().to_numpy(zero_copy_only=False)
+        pairs = t.filter(pa.array(is_pair))
+        sets = t.filter(pa.array(~is_pair))
+        pj = pairs["_j"].to_numpy()
+        if len(pj) == 0:
+            return empty
+        sj = sets["_j"].to_numpy()
+        so = np.argsort(sj, kind="stable")
+        sj = sj[so]
+        sc = sets["_c"].to_numpy()[so]
+        lst = sets["_set"].combine_chunks()
+        offs = lst.offsets.to_numpy()
+        vals = lst.values.to_numpy()
+        pos = np.searchsorted(sj, pj)
+        if (pos >= len(sj)).any() or (sj[np.minimum(pos, len(sj) - 1)] != pj).any():
+            raise ValueError("ngram_jaccard_pairs: candidate doc lost its set")
+        ridx = so[pos]
+        sets_out = [vals[offs[i]:offs[i + 1]] for i in ridx]
+        cols = {n: pairs[n] for n, _ in pair_fields}
+        cols[f"c_{side}"] = pa.array(sc[pos], pa.int64())
+        cols[f"set_{side}"] = pa.array(sets_out, pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    return exchange(tagged, ["_j"], P, reduce_fn=attach, as_refs=True)
+
+
+def ngram_jaccard_pairs(
+    documents: Dataset,
+    threshold: tuple[int, int] = (1, 2),
+    k: int = 5,
+    P: int = DEFAULT_PARTITIONS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard join: (a, b, jaccard) for every
+    doc pair with J(A, B) >= p/q over distinct k-char shingles of the
+    whitespace-collapsed lowercased text.
+
+    Unlike the MinHash/SimHash pipelines (probabilistic recall), this
+    is the published frequency-ordered prefix-filter design (Bayardo
+    et al., "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et
+    al., PPJoin): order every doc's shingles by ascending GLOBAL
+    frequency (ties by value) and index only the first
+    ``c - ceil(theta*c) + 1`` of them — two docs with J >= theta MUST
+    share a prefix shingle, so candidate generation over the prefix
+    postings is lossless while hot shingles (which sort last) almost
+    never enter a prefix.  Candidates are then verified exactly
+    against the full shingle sets.
+
+    The threshold is a rational p/q and the keep test is integer
+    (``q*i >= p*(cA+cB-i)``) so the cut is bit-exact and
+    oracle-reproducible.  Stages (all two-round hash exchanges, the
+    posting table crosses the wire twice, candidates shrink after):
+
+      1. per-block: per-doc distinct shingle hashes (rolling 64-bit
+         polynomial, same normalization as MinHash) -> postings
+         (shingle, doc) + packed per-doc sorted sets
+      2. exchange by shingle -> global frequency attached per posting
+      3. exchange by doc    -> frequency-ordered prefix postings
+      4. exchange by shingle -> candidate pairs (a < b), distinct
+      5. two tagged exchanges attach both docs' sets -> exact
+         intersection, integer-threshold filter, jaccard as float64
+
+    Hash collisions (64-bit) can in principle perturb a set size; at
+    ~2^-64 per shingle pair this is below float noise.  No caps, no
+    sampling: output is exact, so a pathological corpus where one
+    shingle stays in millions of prefixes will generate those
+    candidates (that requires millions of near-identical short docs —
+    run ``dedup_exact`` first, as any production pipeline does)."""
+    p_num, p_den = int(threshold[0]), int(threshold[1])
+    if not (0 < p_num <= p_den):
+        raise ValueError(f"threshold must be a fraction in (0,1]: {threshold}")
+    refs = block_refs(documents)
+
+    @ray.remote(num_returns=2)
+    def shingle_block(t):
+        from ..exchange import _coerce_arrow
+
+        t = _coerce_arrow(t)
+        ids = t[id_col].to_numpy()
+        sets = [
+            np.sort(np.unique(_char_shingles(x, k)).view(np.int64))
+            for x in t[text_col].to_pylist()
+        ]
+        lens = np.array([len(s) for s in sets], np.int64)
+        flat = (
+            np.concatenate(sets) if sets else np.empty(0, np.int64)
+        )
+        postings = pa.table(
+            {
+                "shingle": pa.array(flat, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, lens) if len(ids) else ids, pa.int64()
+                ),
+            }
+        )
+        setst = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "c": pa.array(lens, pa.int64()),
+                "sset": pa.array(list(sets), pa.list_(pa.int64())),
+            }
+        )
+        return postings, setst
+
+    outs = [shingle_block.options(num_returns=2).remote(r) for r in refs]
+    post_refs = [o[0] for o in outs]
+    set_refs = [o[1] for o in outs]
+
+    def attach_freq(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy()
+        uniq, inv, counts = np.unique(sh, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "shingle": t["shingle"],
+                "doc_id": t["doc_id"],
+                "freq": pa.array(counts[inv], pa.int64()),
+            }
+        )
+
+    pf = exchange(post_refs, ["shingle"], P, reduce_fn=attach_freq, as_refs=True)
+
+    def prefix(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy()
+        sh = t["shingle"].to_numpy()
+        fr = t["freq"].to_numpy()
+        o = np.lexsort((sh, fr, d))
+        d, sh = d[o], sh[o]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) if len(d) else np.empty(0, np.int64)
+        lens = np.diff(np.r_[starts, len(d)]) if len(d) else np.empty(0, np.int64)
+        pl = np.clip(lens - (p_num * lens + p_den - 1) // p_den + 1, 1, lens)
+        pos = np.arange(len(d)) - np.repeat(starts, lens)
+        keep = pos < np.repeat(pl, lens)
+        return pa.table(
+            {
+                "shingle": pa.array(sh[keep], pa.int64()),
+                "doc_id": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    pref = exchange(pf, ["doc_id"], P, reduce_fn=prefix, as_refs=True)
+
+    def cand(t: pa.Table) -> pa.Table:
+        sh = t["shingle"].to_numpy()
+        d = t["doc_id"].to_numpy()
+        o = np.lexsort((d, sh))
+        sh, d = sh[o], d[o]
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]]) if len(sh) else np.empty(0, np.int64)
+        glens = np.diff(np.r_[starts, len(sh)]) if len(sh) else np.empty(0, np.int64)
+        a_l, b_l = [], []
+        for s0, m in zip(starts, glens):
+            if m < 2:
+                continue
+            ii, jj = _bucket_pair_indices(int(m))
+            a_l.append(d[s0 + ii])
+            b_l.append(d[s0 + jj])
+        if not a_l:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        if len(b) and int(b.max()) < (1 << 32) and int(a.min()) >= 0:
+            packed = np.unique(
+                a.astype(np.uint64) << np.uint64(32) | b.astype(np.uint64)
+            )
+            a = (packed >> np.uint64(32)).astype(np.int64)
+            b = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:  # >32-bit ids: dedupe via lexsort instead of packing
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            a, b = a[keep], b[keep]
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    cand_refs = exchange(pref, ["shingle"], P, reduce_fn=cand, as_refs=True)
+    pair_refs = distinct(cand_refs, ["a", "b"], P, as_refs=True)
+
+    base_fields = [("a", pa.int64()), ("b", pa.int64())]
+    with_a = _attach_sets(pair_refs, set_refs, "a", P, base_fields)
+    with_b = _attach_sets(
+        with_a, set_refs, "b", P,
+        base_fields + [("c_a", pa.int64()), ("set_a", pa.list_(pa.int64()))],
+    )
+
+    @ray.remote
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        ca = t["c_a"].to_numpy()
+        cb = t["c_b"].to_numpy()
+        la, lb = t["set_a"].combine_chunks(), t["set_b"].combine_chunks()
+        oa, va = la.offsets.to_numpy(), la.values.to_numpy()
+        ob, vb = lb.offsets.to_numpy(), lb.values.to_numpy()
+        inter = np.array(
+            [
+                len(
+                    np.intersect1d(
+                        va[oa[i]:oa[i + 1]], vb[ob[i]:ob[i + 1]],
+                        assume_unique=True,
+                    )
+                )
+                for i in range(len(a))
+            ],
+            dtype=np.int64,
+        )
+        union = ca + cb - inter
+        keep = p_den * inter >= p_num * union
+        jac = inter[keep].astype(np.float64) / union[keep].astype(np.float64)
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return to_dataset([verify.remote(r) for r in with_b])
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
