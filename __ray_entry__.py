@@ -685,6 +685,33 @@ def q_scan1_them(sf_dir: str):
     return local_scan_1_ecount_them(_li_edges(sf_dir), them, n=NV, P=8)
 
 
+def q_scan2_them(sf_dir: str):
+    """THEM (partkey->suppkey) arcs inside closed US (orderkey->
+    partkey) 2-out-neighborhoods, on the 200-vertex id space —
+    igraph_local_scan_k_ecount_them via co-partitioned twin engines."""
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.scan import local_scan_k_ecount_them
+
+    us = _engine_200(sf_dir)
+    them_edges = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"src": t["l_partkey"].to_numpy() % NV2,
+             "dst": t["l_suppkey"].to_numpy() % NV2}
+        ),
+        batch_format="pyarrow",
+    )
+    them = GraphEngine.from_edges(
+        them_edges, n=NV2, P=us.P, bounds=us.bounds
+    )
+    vals = local_scan_k_ecount_them(us, them, k=2, wave=100)
+    them.shutdown()
+    return pd.DataFrame(
+        {"vid": np.arange(NV2), "scan2_them": vals.astype(np.int64)}
+    )
+
+
 def q_coreness(sf_dir: str):
     from xdata_igraph_ray.graph.cores import coreness
 
@@ -3036,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_paths_li": q_shortest_paths,
         "scan0_li": q_scan0,
         "scan2_li": q_scan2,
+        "scan2_them_li": q_scan2_them,
         "scan1_them_li": q_scan1_them,
         "personalized_pagerank_li": q_ppr,
         "pseudo_diameter_li": q_pseudo_diameter,
@@ -3413,6 +3441,31 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (
               SELECT ra.s AS vid, count(*) AS c
               FROM e
+              JOIN reach ra ON ra.t = e.src
+              JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
+              GROUP BY ra.s
+            ) cnt USING (vid)
+            """,
+        "scan2_them_li": f"""
+            WITH us AS (SELECT l_orderkey % {NV2} AS src,
+                               l_partkey % {NV2} AS dst FROM lineitem),
+            them AS (SELECT l_partkey % {NV2} AS src,
+                            l_suppkey % {NV2} AS dst FROM lineitem),
+            de AS (SELECT DISTINCT src, dst FROM us),
+            n1 AS (SELECT DISTINCT src AS s, dst AS t FROM de),
+            reach AS (
+              SELECT vid AS s, vid AS t
+              FROM (SELECT range AS vid FROM range(0, {NV2}))
+              UNION
+              SELECT s, t FROM n1
+              UNION
+              SELECT n1.s, de.dst FROM n1 JOIN de ON de.src = n1.t
+            )
+            SELECT v.vid, coalesce(cnt.c, 0) AS scan2_them
+            FROM (SELECT range AS vid FROM range(0, {NV2})) v
+            LEFT JOIN (
+              SELECT ra.s AS vid, count(*) AS c
+              FROM them e
               JOIN reach ra ON ra.t = e.src
               JOIN reach rb ON rb.s = ra.s AND rb.t = e.dst
               GROUP BY ra.s

@@ -134,3 +134,54 @@ def test_girth_cases():
         want = nx.girth(g)
         got = girth(_ds(s, d), n=40, P=2, wave=16)
         assert got == want, (seed, got, want)
+
+
+def test_scan_k_them_matches_brute():
+    """Cross-engine THEM scan-k: co-partitioned engines, masks from
+    US, edge counting in THEM (igraph_local_scan_k_ecount_them,
+    src/scan.c:831)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    us_s = rng.integers(0, n, 300)
+    us_d = rng.integers(0, n, 300)
+    th_s = rng.integers(0, n, 250)
+    th_d = rng.integers(0, n, 250)
+    us = GraphEngine.from_edges(
+        pa.table({"src": us_s, "dst": us_d}), n=n, P=4
+    )
+    them = GraphEngine.from_edges(
+        pa.table({"src": th_s, "dst": th_d}), n=n, P=4, bounds=us.bounds
+    )
+    adj = [[] for _ in range(n)]
+    for s, d in zip(us_s, us_d):
+        adj[s].append(d)
+    for k in (1, 2, 3):
+        got = scan.local_scan_k_ecount_them(us, them, k=k, wave=32)
+        want = np.zeros(n)
+        for v in range(n):
+            dist = {v}
+            frontier = [v]
+            for _ in range(k):
+                nxt = [
+                    w for u in frontier for w in adj[u] if w not in dist
+                ]
+                dist.update(nxt)
+                frontier = nxt
+            want[v] = sum(
+                1 for s, d in zip(th_s, th_d) if s in dist and d in dist
+            )
+        assert np.array_equal(got, want)
+    us.shutdown()
+    them.shutdown()
+
+
+def test_scan_k_them_requires_copartition():
+    t = pa.table({"src": np.array([0, 1]), "dst": np.array([1, 2])})
+    us = GraphEngine.from_edges(t, n=3, P=2)
+    other = GraphEngine.from_edges(t, n=3, P=1)
+    with pytest.raises(ValueError):
+        scan.local_scan_k_ecount_them(us, other, 2)
+    with pytest.raises(ValueError):
+        them = GraphEngine.from_edges(t, n=3, P=2, bounds=us.bounds)
+        scan.local_scan_k_ecount_them(us, them, 0)
+    us.shutdown()

@@ -71,3 +71,32 @@ def test_hsbm_bad_rho_raises():
 
     with pytest.raises(ValueError):
         generators.hsbm(2, 10, [0.7, 0.7], [[0.5, 0.5], [0.5, 0.5]], 0.1)
+
+
+def test_hsbm_list_structure():
+    t = generators.hsbm_list(
+        [30, 20], [[0.5, 0.5], [1.0]],
+        [[[0.9, 0.1], [0.1, 0.9]], [[0.8]]], 0.01, seed=7,
+    )
+    s = t["src"].to_numpy()
+    d = t["dst"].to_numpy()
+    pairs = set(zip(s.tolist(), d.tolist()))
+    assert all((b, a) in pairs for a, b in pairs)  # symmetric
+    assert s.max() < 50
+    within0 = sum(1 for a, b in pairs if a < 30 and b < 30)
+    across = sum(1 for a, b in pairs if (a < 30) != (b < 30))
+    assert within0 > 10 * max(across, 1)  # planted density ordering
+
+
+def test_hsbm_list_validation():
+    import pytest as _pytest
+
+    good_C = [[[1.0]]]
+    with _pytest.raises(ValueError):
+        generators.hsbm_list([], [], [], 0.1)
+    with _pytest.raises(ValueError):
+        generators.hsbm_list([5], [[0.7, 0.7]], [[[0.5, 0.5], [0.5, 0.5]]], 0.1)
+    with _pytest.raises(ValueError):
+        generators.hsbm_list([5], [[1.0]], good_C, 1.5)
+    with _pytest.raises(ValueError):
+        generators.hsbm_list([5], [[1.0]], [[[0.2, 0.1], [0.1, 0.2]]], 0.1)

@@ -2344,6 +2344,20 @@ class GraphShard:
     def ms_free(self):
         self.ms_dist = self.ms_sigma = self.ms_delta = None
 
+    def ms_get_dist(self):
+        """This shard's multi-source BFS distance matrix (size x S)."""
+        return self.ms_dist
+
+    def ms_set_dist(self, dist):
+        """Inject a FOREIGN distance matrix (same vid range, another
+        engine's BFS) so mask kernels (ms_mask_scatter/ms_mask_count)
+        count THIS graph's edges against neighborhoods computed on
+        another graph — the scan_k THEM statistics.  Requires the two
+        engines to share bounds (build the second with
+        ``from_edges(..., bounds=first.bounds)``)."""
+        self.ms_dist = np.asarray(dist)
+        self.ms_sigma = np.zeros(self.ms_dist.shape, dtype=np.float64)
+
     # -- block subspace iteration (spectral embedding, reference
     #    xdata src/embedding.c:807 ASE / :998 LSE: top-d eigenpairs of
     #    the (optionally degree-normalized) adjacency via distributed
@@ -3170,6 +3184,7 @@ class GraphEngine:
         P: int = DEFAULT_SHARDS,
         weighted: bool = False,
         per_dest_refs: bool | None = None,
+        bounds=None,
     ) -> "GraphEngine":
         if isinstance(edges, pa.Table):
             refs = [ray.put(edges)]
@@ -3197,7 +3212,18 @@ class GraphEngine:
                 _concat_blocks.remote(*[refs[i] for i in g])
                 for g in groups if len(g)
             ]
-        bounds = plan_bounds(refs, n, P)
+        if bounds is not None:
+            # caller-pinned vid ranges: co-partition this engine with
+            # another one over the same vertex set (scan_k THEM, twin-
+            # graph statistics) so per-shard state transfers 1:1
+            bounds = np.asarray(bounds, dtype=np.int64)
+            if len(bounds) != P + 1 or int(bounds[-1]) < n:
+                raise ValueError(
+                    f"from_edges: bounds must have P+1={P + 1} entries "
+                    f"covering [0, {n}); got {bounds!r}"
+                )
+        else:
+            bounds = plan_bounds(refs, n, P)
         shards = [
             GraphShard.remote(p, bounds, n, weighted) for p in range(P)
         ]

@@ -436,6 +436,52 @@ def hsbm(n_clusters: int, m: int, rho, C, p_out: float,
     return _table(np.concatenate((a, b)), np.concatenate((b, a)))
 
 
+def hsbm_list(mlist, rholist, Clist, p_out: float,
+              seed: int = 42) -> pa.Table:
+    """General hierarchical SBM (igraph_hsbm_list_game,
+    src/sbm.c:417): per-cluster sizes ``mlist`` with per-cluster block
+    proportions ``rholist[i]`` and Bernoulli block matrices
+    ``Clist[i]``; vertices in different clusters connect with
+    Bernoulli(``p_out``).  Undirected, both arcs emitted (sbm
+    conventions above); reference validation mirrored (rho sums to 1,
+    C symmetric in [0,1], m >= 1)."""
+    rng = np.random.default_rng(seed)
+    mlist = np.asarray(mlist, np.int64)
+    if len(mlist) == 0 or len(rholist) != len(mlist) or len(Clist) != len(mlist):
+        raise ValueError("hsbm_list: mlist/rholist/Clist lengths differ")
+    if (mlist < 1).any():
+        raise ValueError("hsbm_list: every m must be positive")
+    if not (0.0 <= p_out <= 1.0):
+        raise ValueError("hsbm_list: p_out must be a probability")
+    blocks = []
+    for m, rho, C in zip(mlist, rholist, Clist):
+        rho = np.asarray(rho, np.float64)
+        C = np.asarray(C, np.float64)
+        if abs(float(rho.sum()) - 1.0) > 1e-7:
+            raise ValueError("hsbm_list: each rho must sum to 1")
+        if C.shape != (len(rho), len(rho)) or not np.allclose(C, C.T):
+            raise ValueError("hsbm_list: C must be symmetric, rho-sized")
+        if C.min() < 0 or C.max() > 1:
+            raise ValueError("hsbm_list: C entries must be in [0, 1]")
+        sizes = np.round(rho * m).astype(np.int64)
+        sizes[-1] = m - sizes[:-1].sum()
+        if (sizes < 0).any() or sizes.sum() != m:
+            raise ValueError("hsbm_list: rho does not partition m")
+        blocks.append(np.repeat(np.arange(len(sizes)), sizes))
+    n = int(mlist.sum())
+    cluster = np.repeat(np.arange(len(mlist)), mlist)
+    block = np.concatenate(blocks)
+    iu, ju = np.triu_indices(n, k=1)
+    p = np.full(len(iu), float(p_out))
+    for ci, C in enumerate(Clist):
+        C = np.asarray(C, np.float64)
+        same = (cluster[iu] == ci) & (cluster[ju] == ci)
+        p[same] = C[block[iu[same]], block[ju[same]]]
+    keep = rng.random(len(iu)) < p
+    a, b = iu[keep], ju[keep]
+    return _table(np.concatenate((a, b)), np.concatenate((b, a)))
+
+
 def atlas(number: int) -> pa.Table:
     """Graph number ``number`` from Read & Wilson's *An Atlas of
     Graphs* (igraph_atlas, src/atlas.c:62).  The reference's embedded

@@ -241,6 +241,60 @@ def local_scan_k_ecount(
     return out
 
 
+def local_scan_k_ecount_them(
+    us: "GraphEngine", them: "GraphEngine", k: int,
+    sources=None, wave: int = 64,
+) -> np.ndarray:
+    """scan_k THEM statistics (igraph_local_scan_k_ecount_them,
+    src/scan.c:831): for each vertex v, the number of THEM arcs with
+    both endpoints inside v's closed k-OUT-neighborhood in US (same
+    out-mode restriction as :func:`local_scan_k_ecount`; the reference
+    k=0/k=1 fast paths are `local_scan_0_them` /
+    `local_scan_1_ecount_them` — this general kernel agrees with them
+    for loop-free inputs).
+
+    Both engines must be co-partitioned — build THEM with
+    ``GraphEngine.from_edges(..., n=us.n, P=us.P, bounds=us.bounds)``
+    — so each US shard's BFS distance matrix transfers 1:1 into the
+    matching THEM shard (an object-store ref pass, never via the
+    driver), where the mask scatter/count runs over THEM's edges."""
+    from .centrality import _ms_forward, _ms_waves
+
+    if us.n != them.n or us.P != them.P or not np.array_equal(
+        np.asarray(us.bounds), np.asarray(them.bounds)
+    ):
+        raise ValueError(
+            "scan_k_them: engines must be co-partitioned — build THEM "
+            "with from_edges(..., n=us.n, P=us.P, bounds=us.bounds)"
+        )
+    if k < 1:
+        raise ValueError("scan_k_them: k must be >= 1 (k=0 is scan_0_them)")
+    if sources is None:
+        sources = np.arange(us.n)
+    sources = np.asarray(sources)
+    out = np.empty(len(sources), dtype=np.float64)
+    pos = 0
+    for ws in _ms_waves(us, sources, wave):
+        _ms_forward(us, ws, max_level=k)
+        drefs = [s.ms_get_dist.remote() for s in us.shards]
+        ray.get([
+            t.ms_set_dist.remote(d)
+            for t, d in zip(them.shards, drefs)
+        ])
+        outs = them.scatter("ms_mask_scatter", k)
+        counts = ray.get([
+            them.shards[q].ms_mask_count.remote(
+                k, *them.pieces(outs, q)
+            )
+            for q in range(them.P)
+        ])
+        out[pos:pos + len(ws)] = np.sum(counts, axis=0)
+        pos += len(ws)
+    ray.get([s.ms_free.remote() for s in us.shards])
+    ray.get([s.ms_free.remote() for s in them.shards])
+    return out
+
+
 def local_scan_1_ecount_approximate(
     engine: GraphEngine, sample: int, seed: int = 42, wave: int = 64,
 ) -> np.ndarray:
