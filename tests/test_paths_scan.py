@@ -185,3 +185,30 @@ def test_scan_k_them_requires_copartition():
         them = GraphEngine.from_edges(t, n=3, P=2, bounds=us.bounds)
         scan.local_scan_k_ecount_them(us, them, 0)
     us.shutdown()
+
+
+def test_scan1_eigen_approximation():
+    """Formula replication + convergence: with nearly the full
+    spectrum the eigen formula approaches deg + triangles = exact
+    scan_1 on a simple undirected graph."""
+    rng = np.random.default_rng(9)
+    n = 24
+    iu = np.triu_indices(n, k=1)
+    keep = rng.random(len(iu[0])) < 0.25
+    a, b = iu[0][keep], iu[1][keep]
+    # undirected single-arc convention (same as eigen_adjacency)
+    t = pa.table({"src": a.astype(np.int64), "dst": b.astype(np.int64)})
+    got = scan.local_scan_1_ecount_approximate_eigen(t, n, noevals=n - 1)
+    # independent exact formula: deg + per-vertex triangle count
+    A = np.zeros((n, n))
+    A[a, b] = 1.0
+    A[b, a] = 1.0
+    exact = A.sum(1) + 0.5 * np.diag(A @ A @ A)
+    # one eigenvalue missing -> error bounded by 0.5*|lambda_min|^3
+    vals = np.linalg.eigvalsh(A)
+    bound = 0.5 * float(np.min(np.abs(vals))) ** 3 + 1e-9
+    assert np.max(np.abs(got - exact)) <= bound
+    with pytest.raises(ValueError):
+        scan.local_scan_1_ecount_approximate_eigen(t, n, noevals=0)
+    with pytest.raises(ValueError):
+        scan.local_scan_1_ecount_approximate_eigen(t, n, noevals=n)

@@ -312,6 +312,35 @@ def local_scan_1_ecount_approximate(
     return out
 
 
+def local_scan_1_ecount_approximate_eigen(
+    edges, n: int, noevals: int,
+) -> np.ndarray:
+    """Eigen-approximated scan_1
+    (igraph_local_scan_1_ecount_approximate_eigen, src/scan.c:453 via
+    :401): ``res_i = deg(i) + 0.5 * sum_j lambda_j^3 * v_ij^2`` over
+    the ``noevals`` largest-magnitude adjacency eigenpairs — for a
+    simple undirected graph the full spectrum makes the sum
+    ``0.5*(A^3)_ii = triangles(i)``, so res converges to the exact
+    scan_1.  Input follows :func:`..embedding.eigen_adjacency`'s
+    convention — an UNDIRECTED single-arc edge list (the reference's
+    own undirected representation); the degree term counts loops
+    twice (IGRAPH_ALL + IGRAPH_LOOPS, as the reference does)."""
+    from .embedding import _edge_cols, eigen_adjacency
+
+    if noevals <= 0:
+        raise ValueError("noevals must be positive")
+    if noevals >= n:
+        raise ValueError("noevals must be < n (reference rule)")
+    src, dst = _edge_cols(edges)
+    if len(src) == 0:
+        return np.zeros(n)
+    deg = (
+        np.bincount(src, minlength=n) + np.bincount(dst, minlength=n)
+    ).astype(np.float64)
+    vals, vecs = eigen_adjacency(edges, n, which="lm", howmany=noevals)
+    return deg + 0.5 * ((vals ** 3)[None, :] * vecs ** 2).sum(axis=1)
+
+
 def local_scan_neighborhood_ecount(
     edges, neighborhoods, weighted: bool = False,
     P: int = 8,
