@@ -195,6 +195,23 @@ def count_maximal_cliques(edges, P: int = DEFAULT_PARTITIONS) -> int:
     return int(maximal_cliques(edges, P=P).count())
 
 
+def maximal_cliques_file(edges, path: str,
+                         P: int = DEFAULT_PARTITIONS) -> int:
+    """Stream every maximal clique to ``path`` as one
+    whitespace-separated line of vertex ids
+    (igraph_maximal_cliques_file, src/maximal_cliques.c:435 — same
+    line format).  Streams batch-by-batch; returns the clique
+    count."""
+    ds = maximal_cliques(edges, P=P)
+    cnt = 0
+    with open(path, "w") as fh:
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            for clique in batch["clique"].to_pylist():
+                fh.write(" ".join(str(v) for v in clique) + "\n")
+                cnt += 1
+    return cnt
+
+
 def clique_number(edges, P: int = DEFAULT_PARTITIONS) -> int:
     """Size of the largest clique (igraph_clique_number,
     src/cliques.c)."""

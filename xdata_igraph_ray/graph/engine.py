@@ -532,6 +532,62 @@ class GraphShard:
         self.state[prev_key] = x.copy()
         return delta
 
+    # -- deprecated 0.5-era power-method PageRank
+    #    (igraph_pagerank_old, src/structural_properties.c:1364-1540:
+    #    leaky dangling mass — zero out-degrees clamped to 1; the
+    #    ``old`` flag reproduces the pre-0.5 unnormalized additive
+    #    (1-d) form) ---------------------------------------------------------
+
+    def prold_init(self, damping: float, old: bool):
+        # out-degree EXCLUDING self-loops (the reference passes
+        # loops=0 to igraph_degree) while the gather keeps loop
+        # contributions (the IN-adjlist includes them).
+        deg = self.out_deg.astype(np.float64).copy()
+        if len(self.fw_dst):
+            src_g = np.repeat(
+                np.arange(self.size, dtype=np.int64) + self.lo,
+                np.diff(self.fw_indptr),
+            )
+            loop_src = src_g[self.fw_dst == src_g]
+            if len(loop_src):
+                deg -= np.bincount(loop_src - self.lo, minlength=self.size)
+        deg[deg == 0] = 1.0
+        self.meta["prold_denom"] = deg
+        self.meta["prold_damping"] = damping
+        self.meta["prold_old"] = old
+        self.state["prold"] = np.full(self.size, 1.0 - damping)
+
+    def prold_scatter(self):
+        v = (self.state["prold"] / self.meta["prold_denom"])[
+            self.fw_src_by_dst
+        ]
+        return self._split_dense_sum(self.fw_dst_sorted, self.fw_seg, v)
+
+    def prold_gather(self, *sender_outs) -> float:
+        acc = np.zeros(self.size)
+        for out in sender_outs:
+            c = self._piece(out)
+            if isinstance(c, tuple):
+                ids, sums = c
+                if len(ids):
+                    acc[ids - self.lo] += sums
+            else:
+                acc += c
+        d = self.meta["prold_damping"]
+        new = d * acc + (
+            (1.0 - d) if self.meta["prold_old"] else (1.0 - d) / self.n
+        )
+        self.state["prold_new"] = new
+        return float(new.sum())
+
+    def prold_commit(self, total: float) -> float:
+        new = self.state.pop("prold_new")
+        if not self.meta["prold_old"]:
+            new = new / total
+        linf = float(np.abs(new - self.state["prold"]).max(initial=0.0))
+        self.state["prold"] = new
+        return linf
+
     # -- leading-eigenvector community splits (Newman spectral,
     #    igraph_community_leading_eigenvector src/community.c ARPACK
     #    arm; power iteration on the SHIFTED restricted modularity

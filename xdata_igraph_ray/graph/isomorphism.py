@@ -264,6 +264,77 @@ def count_isomorphisms(
     return len(get_isomorphisms(edges1, n1, edges2, n2, directed))
 
 
+def get_subisomorphisms(
+    pattern: pa.Table, np_: int, target: pa.Table, nt: int,
+    directed: bool = True, induced: bool = False,
+    limit: int | None = None,
+) -> list[np.ndarray]:
+    """All pattern -> target subgraph-isomorphism mappings
+    (igraph_get_subisomorphisms_vf2, src/topology.c:2521-2661).
+    Default monomorphism semantics like :func:`subisomorphic`;
+    ``induced=True`` requires exact induced match.  ``limit`` bounds
+    enumeration on highly symmetric targets."""
+    if np_ > nt:
+        return []
+    outp, inp = _adj(pattern, np_, directed)
+    outt, int_ = _adj(target, nt, directed)
+    degp = np.array([len(outp[v]) + len(inp[v]) for v in range(np_)])
+    order = np.argsort(-degp, kind="stable")
+    core1 = np.full(np_, -1, dtype=np.int64)
+    used = np.zeros(nt, dtype=bool)
+    found: list[np.ndarray] = []
+
+    def feasible(a: int, b: int) -> bool:
+        if len(outp[a]) > len(outt[b]) or len(inp[a]) > len(int_[b]):
+            return False
+        for x in outp[a]:
+            m = core1[x]
+            if m >= 0 and m not in outt[b]:
+                return False
+        for x in inp[a]:
+            m = core1[x]
+            if m >= 0 and m not in int_[b]:
+                return False
+        if induced:
+            for c in range(np_):
+                m = core1[c]
+                if m < 0 or c == a:
+                    continue
+                if (m in outt[b]) != (c in outp[a]):
+                    return False
+                if (m in int_[b]) != (c in inp[a]):
+                    return False
+        return True
+
+    def rec(i: int) -> bool:
+        if i == np_:
+            found.append(core1.copy())
+            return limit is not None and len(found) >= limit
+        a = int(order[i])
+        for b in range(nt):
+            if not used[b] and feasible(a, b):
+                core1[a] = b
+                used[b] = True
+                stop = rec(i + 1)
+                core1[a] = -1
+                used[b] = False
+                if stop:
+                    return True
+        return False
+
+    rec(0)
+    return found
+
+
+def count_subisomorphisms(
+    pattern: pa.Table, np_: int, target: pa.Table, nt: int,
+    directed: bool = True, induced: bool = False,
+) -> int:
+    """igraph_count_subisomorphisms_vf2 (src/topology.c:2441)."""
+    return len(get_subisomorphisms(pattern, np_, target, nt,
+                                   directed=directed, induced=induced))
+
+
 # -- canonical labeling (BLISS replacement) ----------------------------------
 #
 # The reference wraps the BLISS library for igraph_canonical_permutation /

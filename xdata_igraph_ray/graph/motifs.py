@@ -499,13 +499,16 @@ def _m4_apex_pairs(tbl: pa.Table) -> pa.Table:
 
 
 def _esu_count(adj: list, size: int, roots, rng=None,
-               cut_prob=None) -> int:
+               cut_prob=None, callback=None) -> int:
     """Count connected induced ``size``-subgraphs whose minimum vertex
     is in ``roots`` (ESU, the reference's kernel).  ``cut_prob`` is
     the per-level skip probability vector (RAND-ESU); with a seeded
     ``rng`` the sampling is deterministic — pinned RNG divergence
-    from the reference's RNG stream, same distribution."""
+    from the reference's RNG stream, same distribution.  ``callback``
+    (igraph_motifs_randesu_callback) receives each found subgraph's
+    sorted vertex list; a truthy return stops the whole search."""
     count = 0
+    stop = False
     cp = cut_prob if cut_prob is not None else [0.0] * size
 
     def keep(level: int) -> bool:
@@ -514,18 +517,27 @@ def _esu_count(adj: list, size: int, roots, rng=None,
             return True
         return rng.random() >= p
 
+    def emit(vs) -> None:
+        nonlocal count, stop
+        count += 1
+        if callback is not None and callback(sorted(vs)):
+            stop = True
+
     for v in sorted(roots):
+        if stop:
+            break
         ext0 = {u for u in adj[v] if u > v}
 
         def extend(vs: set, ext: set, level: int):
-            nonlocal count
             if level == size - 1:
                 for _u in ext:
+                    if stop:
+                        return
                     if keep(level):
-                        count += 1
+                        emit(vs | {_u})
                 return
             ext = set(ext)
-            while ext:
+            while ext and not stop:
                 w = ext.pop()
                 if not keep(level):
                     continue
@@ -537,7 +549,7 @@ def _esu_count(adj: list, size: int, roots, rng=None,
 
         if size == 1:
             if keep(0):
-                count += 1
+                emit({v})
             continue
         extend({v}, ext0, 1)
     return count
@@ -553,6 +565,23 @@ def motifs_randesu_no(edges, n: int, size: int = 3,
 
     adj = collapse_support(edges, n, P=P)
     return _esu_count(adj, size, range(n))
+
+
+def motifs_randesu_callback(edges, n: int, callback, size: int = 3,
+                            cut_prob=None, seed: int = 42,
+                            P: int = DEFAULT_PARTITIONS) -> int:
+    """Invoke ``callback(vertex_list)`` for every connected induced
+    ``size``-subgraph (igraph_motifs_randesu_callback,
+    src/motifs.c:200-334); a truthy return stops the search, like the
+    reference's nonzero-callback-return contract.  Returns the number
+    of subgraphs visited.  ``cut_prob`` samples RAND-ESU style with a
+    seeded generator (pinned RNG divergence)."""
+    from .separators import collapse_support
+
+    adj = collapse_support(edges, n, P=P)
+    rng = np.random.default_rng(seed) if cut_prob is not None else None
+    return _esu_count(adj, size, range(n), rng=rng, cut_prob=cut_prob,
+                      callback=callback)
 
 
 def motifs_randesu_estimate(

@@ -120,3 +120,51 @@ def personalized_pagerank_vs(
     return pagerank(engine, damping=damping, tol=tol,
                     max_iter=max_iter, weighted=weighted,
                     reset=reset, **kw)
+
+
+def pagerank_old(
+    engine: GraphEngine,
+    niter: int = 1000,
+    eps: float = 0.001,
+    damping: float = 0.85,
+    old: bool = False,
+) -> dict:
+    """The deprecated 0.5-era power method (igraph_pagerank_old,
+    src/structural_properties.c:1364-1540), kept for API parity:
+
+        new[v] = d * sum_{u->v} p[u]/outdeg'[u] + (1-d)/n
+
+    with outdeg' = out-degree EXCLUDING loops, zeros clamped to 1 —
+    dangling mass LEAKS (the documented deprecation reason); each
+    iteration renormalizes by the global sum.  ``old=True`` restores
+    the even older additive (1-d) form with no normalization.  Stops
+    when the Linf delta drops below ``eps`` or after ``niter``
+    iterations, exactly the reference's loop condition.  Directed
+    semantics; for the reference's undirected mode build the engine on
+    the symmetrized edge table (both arcs kept, as igraph's ALL-mode
+    adjacency enumerates).
+
+    Scores land in shard state ``prold`` — export with
+    ``engine.state_dataset(["prold"], rename={"prold": "score"})``.
+    """
+    if niter <= 0:
+        raise ValueError("Invalid iteration count")
+    if eps <= 0:
+        raise ValueError("Invalid epsilon value")
+    if not 0 < damping < 1:
+        raise ValueError("Invalid damping factor")
+    P, shards = engine.P, engine.shards
+    ray.get([s.prold_init.remote(damping, old) for s in shards])
+    it, maxdiff = 0, float("inf")
+    t0 = time.time()
+    while it < niter and maxdiff >= eps:
+        outs = engine.scatter("prold_scatter")
+        sums = ray.get([
+            shards[q].prold_gather.remote(*engine.pieces(outs, q))
+            for q in range(P)
+        ])
+        maxdiff = max(ray.get([
+            s.prold_commit.remote(sum(sums)) for s in shards
+        ]))
+        it += 1
+    return {"iterations": it, "linf": maxdiff, "wall_s": time.time() - t0}
