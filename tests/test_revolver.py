@@ -1,0 +1,599 @@
+"""Revolver kernels vs literal per-node replays of the reference
+(src/revolver_cit.c) on seeded citation graphs.
+
+The replays below translate the C's sequential bookkeeping verbatim
+(mes / st / exp / error, per kernel); the production module computes
+the same quantities from a vectorized delta timeline — agreement over
+random histories with multi-edges is the correctness bar."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from xdata_igraph_ray.graph.revolver import (
+    revolver_ad, revolver_d, revolver_de, revolver_e, revolver_l,
+    revolver_r,
+)
+
+
+def cit_graph(n, seed, mean_out=3, multi=True):
+    """Seeded citation graph: vertex c cites a sample of 0..c-1 (with
+    replacement when multi=True — multi-edges exercised)."""
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    for c in range(1, n):
+        k = min(int(rng.poisson(mean_out)), c)
+        if k == 0:
+            continue
+        cited = rng.choice(c, size=k, replace=multi)
+        src += [c] * k
+        dst += list(cited)
+    return np.asarray(src, np.int64), np.asarray(dst, np.int64)
+
+
+def adj_out(src, dst, n):
+    """OUT-neighbor lists sorted by target id (igraph enumeration
+    order), multiplicity kept."""
+    adj = [[] for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj[a].append(b)
+    return [sorted(x) for x in adj]
+
+
+# -- literal replays ---------------------------------------------------------
+
+
+def _finish(kernel, sd, normfact, notnull, ntk, edges, ch, classes):
+    for i in range(classes):
+        if ntk[i] != 0:
+            normfact[i] += edges - ch[i]
+        if normfact[i] == 0:
+            kernel[i] = 0
+            normfact[i] = 1
+        oldmean = kernel[i]
+        kernel[i] *= notnull[i] / normfact[i]
+        sd[i] += oldmean * oldmean * notnull[i] * (1 - notnull[i]
+                                                   / normfact[i])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd[i] = math.sqrt(sd[i] / (normfact[i] - 1)) \
+                if normfact[i] != 1 or sd[i] == sd[i] else sd[i]
+
+
+def ref_mes_d(adj, n, st, maxind):
+    C = maxind + 1
+    indeg = [0] * n
+    ntk = [0.0] * (C + 1)
+    ch = [0.0] * (C + 1)
+    normfact = np.zeros(C + 1)
+    notnull = np.zeros(C + 1)
+    kernel = np.zeros(C + 1)
+    sd = np.zeros(C + 1)
+    ntk[0] = 1
+    logmax = 0.0
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = indeg[to]
+            xk = st[node] / ntk[x]
+            notnull[x] += 1
+            oldm = kernel[x]
+            kernel[x] += (xk - oldm) / notnull[x]
+            sd[x] += (xk - oldm) * (xk - kernel[x])
+            logmax += math.log(1.0 / ntk[x])
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = indeg[to]
+            indeg[to] += 1
+            ntk[x] -= 1
+            if ntk[x] == 0:
+                normfact[x] += edges - ch[x]
+            ntk[x + 1] += 1
+            if ntk[x + 1] == 1:
+                ch[x + 1] = edges
+        ntk[0] += 1
+        if ntk[0] == 1:
+            ch[0] = edges
+    for i in range(C):
+        if ntk[i] != 0:
+            normfact[i] += edges - ch[i]
+        if normfact[i] == 0:
+            kernel[i] = 0
+            normfact[i] = 1
+        oldmean = kernel[i]
+        kernel[i] *= notnull[i] / normfact[i]
+        sd[i] += oldmean * oldmean * notnull[i] * (1 - notnull[i]
+                                                   / normfact[i])
+        sd[i] = math.sqrt(sd[i] / (normfact[i] - 1)) \
+            if normfact[i] > 1 else math.nan
+    return kernel[:C], sd[:C], normfact[:C], notnull[:C], logmax
+
+
+def ref_st_d(adj, n, kernel):
+    indeg = [0] * n
+    st = np.zeros(n)
+    st[0] = kernel[0]
+    for node in range(1, n):
+        st[node] = st[node - 1] + kernel[0]
+        for to in adj[node]:
+            x = indeg[to]
+            indeg[to] += 1
+            st[node] += -kernel[x] + kernel[x + 1]
+    return st
+
+
+def ref_exp_d(adj, n, kernel, st, maxind):
+    C = maxind + 1
+    outdeg = [len(adj[v]) for v in range(n)]
+    cumst = np.zeros(n + 1)
+    for i in range(n):
+        cumst[i + 1] = cumst[i] + outdeg[i] / st[i]
+    ntk = [0] * (C + 1)
+    ch = [0] * (C + 1)
+    indeg = [0] * n
+    expected = np.zeros(C + 1)
+    for node in range(n):
+        for to in adj[node]:
+            x = indeg[to]
+            indeg[to] += 1
+            ntk[x] -= 1
+            expected[x] += (ntk[x] + 1) * (cumst[node] - cumst[ch[x]])
+            ch[x] = node
+            ntk[x + 1] += 1
+            expected[x + 1] += (ntk[x + 1] - 1) * (cumst[node]
+                                                   - cumst[ch[x + 1]])
+            ch[x + 1] = node
+        ntk[0] += 1
+        expected[0] += (ntk[0] - 1) * (cumst[node] - cumst[ch[0]])
+        ch[0] = node
+    for i in range(C):
+        expected[i] += ntk[i] * (cumst[n] - cumst[ch[i]])
+        expected[i] *= kernel[i]
+    return expected[:C]
+
+
+def ref_error_d(adj, n, kernel, st):
+    indeg = [0] * n
+    logprob = lognull = 0.0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = indeg[to]
+            logprob += math.log(kernel[x] / st[node])
+            lognull += math.log(1.0 / (node + 1.0))
+        for to in adj[node + 1]:
+            indeg[to] += 1
+    return logprob, lognull
+
+
+def ref_revolver_d(adj, n, niter):
+    maxind = 0
+    indeg = [0] * n
+    for nb in adj:
+        for t in nb:
+            indeg[t] += 1
+    maxind = max(indeg) if n else 0
+    st = np.ones(n)
+    for i in range(niter):
+        last = i + 1 == niter
+        kernel, sd, norm, cites, logmax = ref_mes_d(adj, n, st, maxind)
+        kernel = kernel / kernel.sum()
+        st = ref_st_d(adj, n, np.r_[kernel, 0.0])
+        if last:
+            expected = ref_exp_d(adj, n, np.r_[kernel, 0.0], st, maxind)
+            logprob, lognull = ref_error_d(adj, n, kernel, st)
+            return dict(kernel=kernel, sd=sd, norm=norm, cites=cites,
+                        expected=expected, logprob=logprob,
+                        lognull=lognull, logmax=logmax, st=st)
+
+
+# -- generic matrix-kernel replay driven by a class oracle -------------------
+#
+# ad / de / l / r / e share the mes/st shape; only the class function
+# and the update/aging rules differ.  Rather than replicate each C
+# body twice, the generic production path is checked kernel-by-kernel
+# against dedicated replays below.
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 7])
+@pytest.mark.parametrize("niter", [1, 3])
+def test_revolver_d_matches_reference_replay(seed, niter):
+    src, dst = cit_graph(50, seed)
+    n = 50
+    adj = adj_out(src, dst, n)
+    want = ref_revolver_d(adj, n, niter)
+    got = revolver_d((src, dst), n=n, niter=niter)
+    np.testing.assert_allclose(got["kernel"], want["kernel"], atol=1e-12)
+    np.testing.assert_allclose(got["norm"], want["norm"], atol=1e-9)
+    np.testing.assert_allclose(got["cites"], want["cites"], atol=0)
+    np.testing.assert_allclose(got["st"], want["st"], atol=1e-10)
+    np.testing.assert_allclose(got["expected"], want["expected"],
+                               atol=1e-9)
+    assert abs(got["logprob"] - want["logprob"]) < 1e-9
+    assert abs(got["lognull"] - want["lognull"]) < 1e-9
+    assert abs(got["logmax"] - want["logmax"]) < 1e-9
+    # sd agrees where defined (NaN on never-exposed classes both sides)
+    g, w = got["sd"], want["sd"]
+    mask = ~np.isnan(w)
+    np.testing.assert_allclose(g[mask], w[mask], atol=1e-9)
+
+
+def ref_mes_e(adj, n, st, cats, nocats):
+    ntk = np.zeros(nocats)
+    ch = np.zeros(nocats)
+    normfact = np.zeros(nocats)
+    notnull = np.zeros(nocats)
+    kernel = np.zeros(nocats)
+    ntk[cats[0]] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = cats[to]
+            xk = st[node] / ntk[x]
+            notnull[x] += 1
+            kernel[x] += (xk - kernel[x]) / notnull[x]
+        edges += len(adj[node + 1])
+        cidx = cats[node + 1]
+        ntk[cidx] += 1
+        if ntk[cidx] == 1:
+            ch[cidx] = edges
+    for i in range(nocats):
+        if ntk[i] != 0:
+            normfact[i] += edges - ch[i]
+        if normfact[i] == 0:
+            kernel[i] = 0
+            normfact[i] = 1
+        kernel[i] *= notnull[i] / normfact[i]
+    return kernel, normfact, notnull
+
+
+def ref_st_e(adj, n, kernel, cats):
+    st = np.zeros(n)
+    st[0] = kernel[cats[0]]
+    for node in range(1, n):
+        st[node] = st[node - 1] + kernel[cats[node]]
+    return st
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_revolver_e_matches_reference_replay(seed):
+    n = 60
+    src, dst = cit_graph(n, seed)
+    rng = np.random.default_rng(seed + 50)
+    cats = rng.integers(0, 3, n)
+    adj = adj_out(src, dst, n)
+    st = np.ones(n)
+    for _ in range(3):
+        kernel, norm, cites = ref_mes_e(adj, n, st, cats, 3)
+        kernel = kernel / kernel.sum()
+        st = ref_st_e(adj, n, kernel, cats)
+    got = revolver_e((src, dst), cats, n=n, niter=3)
+    np.testing.assert_allclose(got["kernel"], kernel, atol=1e-12)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+    np.testing.assert_allclose(got["st"], st, atol=1e-10)
+
+
+def ref_mes_ad(adj, n, st, maxind, agebins):
+    binwidth = n // agebins + 1
+    R, Cc = maxind + 2, agebins + 1
+    indeg = [0] * n
+    ntkl = np.zeros((R, Cc))
+    ch = np.zeros((R, Cc))
+    normfact = np.zeros((R, Cc))
+    notnull = np.zeros((R, Cc))
+    kernel = np.zeros((R, Cc))
+    if binwidth > 1:
+        ntkl[0, 0] = 1
+    else:
+        ntkl[0, 1] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = indeg[to]
+            y = (node + 1 - to) // binwidth
+            xk = st[node] / ntkl[x, y]
+            notnull[x, y] += 1
+            kernel[x, y] += (xk - kernel[x, y]) / notnull[x, y]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = indeg[to]
+            y = (node + 1 - to) // binwidth
+            indeg[to] += 1
+            ntkl[x, y] -= 1
+            if ntkl[x, y] == 0:
+                normfact[x, y] += edges - ch[x, y]
+            ntkl[x + 1, y] += 1
+            if ntkl[x + 1, y] == 1:
+                ch[x + 1, y] = edges
+        ntkl[0, 0] += 1
+        if ntkl[0, 0] == 1:
+            ch[0, 0] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            d = indeg[sh]
+            ntkl[d, k - 1] -= 1
+            if ntkl[d, k - 1] == 0:
+                normfact[d, k - 1] += edges - ch[d, k - 1]
+            ntkl[d, k] += 1
+            if ntkl[d, k] == 1:
+                ch[d, k] = edges
+            k += 1
+    for i in range(maxind + 1):
+        for j in range(agebins):
+            if ntkl[i, j] != 0:
+                normfact[i, j] += edges - ch[i, j]
+            if normfact[i, j] == 0:
+                kernel[i, j] = 0
+                normfact[i, j] = 1
+            kernel[i, j] *= notnull[i, j] / normfact[i, j]
+    return (kernel[:maxind + 1, :agebins],
+            normfact[:maxind + 1, :agebins],
+            notnull[:maxind + 1, :agebins])
+
+
+def ref_st_ad(adj, n, kernel, agebins):
+    binwidth = n // agebins + 1
+    indeg = [0] * n
+    st = np.zeros(n)
+    st[0] = kernel[0, 0] if binwidth > 1 else kernel[0, 1]
+    for node in range(1, n):
+        st[node] = st[node - 1] + kernel[0, 0]
+        for to in adj[node]:
+            x = indeg[to]
+            y = (node - to) // binwidth
+            indeg[to] += 1
+            st[node] += -kernel[x, y] + kernel[x + 1, y]
+        k = 1
+        while node - binwidth * k + 1 >= 0:
+            sh = node - binwidth * k + 1
+            d = indeg[sh]
+            st[node] += -kernel[d, k - 1] + kernel[d, k]
+            k += 1
+    return st
+
+
+@pytest.mark.parametrize("seed,agebins", [(0, 3), (1, 5), (3, 7)])
+def test_revolver_ad_matches_reference_replay(seed, agebins):
+    n = 40
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    indeg = np.bincount(dst, minlength=n)
+    maxind = int(indeg.max())
+    st = np.ones(n)
+    for _ in range(2):
+        kernel, norm, cites = ref_mes_ad(adj, n, st, maxind, agebins)
+        kernel = kernel / kernel.sum()
+        kpad = np.zeros((maxind + 2, agebins + 1))
+        kpad[:maxind + 1, :agebins] = kernel
+        st = ref_st_ad(adj, n, kpad, agebins)
+    got = revolver_ad((src, dst), agebins, n=n, niter=2)
+    np.testing.assert_allclose(got["kernel"], kernel, atol=1e-12)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["st"], st, atol=1e-10)
+
+
+def ref_mes_de(adj, n, st, cats, nocats, maxind):
+    Cc = maxind + 2
+    indeg = [0] * n
+    ntkl = np.zeros((nocats, Cc))
+    ch = np.zeros((nocats, Cc))
+    normfact = np.zeros((nocats, Cc))
+    notnull = np.zeros((nocats, Cc))
+    kernel = np.zeros((nocats, Cc))
+    ntkl[cats[0], 0] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            c, x = cats[to], indeg[to]
+            xk = st[node] / ntkl[c, x]
+            notnull[c, x] += 1
+            kernel[c, x] += (xk - kernel[c, x]) / notnull[c, x]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            c, x = cats[to], indeg[to]
+            indeg[to] += 1
+            ntkl[c, x] -= 1
+            if ntkl[c, x] == 0:
+                normfact[c, x] += edges - ch[c, x]
+            ntkl[c, x + 1] += 1
+            if ntkl[c, x + 1] == 1:
+                ch[c, x + 1] = edges
+        cidx = cats[node + 1]
+        ntkl[cidx, 0] += 1
+        if ntkl[cidx, 0] == 1:
+            ch[cidx, 0] = edges
+    for c in range(nocats):
+        for i in range(maxind + 1):
+            if ntkl[c, i] != 0:
+                normfact[c, i] += edges - ch[c, i]
+            if normfact[c, i] == 0:
+                kernel[c, i] = 0
+                normfact[c, i] = 1
+            kernel[c, i] *= notnull[c, i] / normfact[c, i]
+    return kernel[:, :maxind + 1], normfact[:, :maxind + 1]
+
+
+def ref_st_de(adj, n, kernel, cats):
+    indeg = [0] * n
+    st = np.zeros(n)
+    st[0] = kernel[cats[0], 0]
+    for node in range(1, n):
+        st[node] = st[node - 1] + kernel[cats[node], 0]
+        for to in adj[node]:
+            c, x = cats[to], indeg[to]
+            indeg[to] += 1
+            st[node] += -kernel[c, x] + kernel[c, x + 1]
+    return st
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_revolver_de_matches_reference_replay(seed):
+    n = 45
+    src, dst = cit_graph(n, seed)
+    rng = np.random.default_rng(seed + 9)
+    cats = rng.integers(0, 2, n)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    st = np.ones(n)
+    for _ in range(2):
+        kernel, norm = ref_mes_de(adj, n, st, cats, 2, maxind)
+        kernel = kernel / kernel.sum()
+        kpad = np.zeros((2, maxind + 2))
+        kpad[:, :maxind + 1] = kernel
+        st = ref_st_de(adj, n, kpad, cats)
+    got = revolver_de((src, dst), cats, n=n, niter=2)
+    np.testing.assert_allclose(got["kernel"], kernel, atol=1e-12)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+    np.testing.assert_allclose(got["st"], st, atol=1e-10)
+
+
+def ref_mes_l(adj, n, st, agebins):
+    binwidth = n // agebins + 1
+    C = agebins + 2
+    lastcit = [0] * n
+    ntl = np.zeros(C)
+    ch = np.zeros(C)
+    normfact = np.zeros(C)
+    notnull = np.zeros(C)
+    kernel = np.zeros(C)
+    ntl[agebins] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = ((node + 2 - lastcit[to]) // binwidth
+                 if lastcit[to] != 0 else agebins)
+            xk = st[node] / ntl[x]
+            notnull[x] += 1
+            kernel[x] += (xk - kernel[x]) / notnull[x]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = (int((node + 2.0 - lastcit[to]) / binwidth)
+                 if lastcit[to] != 0 else agebins)
+            lastcit[to] = node + 2
+            ntl[x] -= 1
+            if ntl[x] == 0:
+                normfact[x] += edges - ch[x]
+            ntl[0] += 1
+            if ntl[0] == 1:
+                ch[0] = edges
+        ntl[agebins] += 1
+        if ntl[agebins] == 1:
+            ch[agebins] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            for cn in adj[sh]:
+                if lastcit[cn] == sh + 1:
+                    ntl[k - 1] -= 1
+                    if ntl[k - 1] == 0:
+                        normfact[k - 1] += edges - ch[k - 1]
+                    ntl[k] += 1
+                    if ntl[k] == 1:
+                        ch[k] = edges
+            k += 1
+    for i in range(agebins + 1):
+        if ntl[i] != 0:
+            normfact[i] += edges - ch[i]
+        if normfact[i] == 0:
+            kernel[i] = 0
+            normfact[i] = 1
+        kernel[i] *= notnull[i] / normfact[i]
+    return kernel[:agebins + 1], normfact[:agebins + 1], \
+        notnull[:agebins + 1]
+
+
+@pytest.mark.parametrize("seed,agebins", [(0, 4), (2, 6)])
+def test_revolver_l_mes_matches_reference_replay(seed, agebins):
+    n = 40
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    st = np.ones(n)
+    kernel, norm, cites = ref_mes_l(adj, n, st, agebins)
+    got = revolver_l((src, dst), agebins, n=n, niter=1)
+    want = kernel / kernel.sum()
+    np.testing.assert_allclose(got["kernel"], want, atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def ref_mes_r(adj, n, st, window, maxind):
+    C = maxind + 2
+    indeg = [0] * n
+    ntk = np.zeros(C)
+    ch = np.zeros(C)
+    normfact = np.zeros(C)
+    notnull = np.zeros(C)
+    kernel = np.zeros(C)
+    ntk[0] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = indeg[to]
+            xk = st[node] / ntk[x]
+            notnull[x] += 1
+            kernel[x] += (xk - kernel[x]) / notnull[x]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = indeg[to]
+            indeg[to] += 1
+            ntk[x] -= 1
+            if ntk[x] == 0:
+                normfact[x] += edges - ch[x]
+            ntk[x + 1] += 1
+            if ntk[x + 1] == 1:
+                ch[x + 1] = edges
+        ntk[0] += 1
+        if ntk[0] == 1:
+            ch[0] = edges
+        if node + 1 - window >= 0:
+            for to in adj[node + 1 - window]:
+                x = indeg[to]
+                indeg[to] -= 1
+                ntk[x] -= 1
+                if ntk[x] == 0:
+                    normfact[x] += edges - ch[x]
+                ntk[x - 1] += 1
+                if ntk[x - 1] == 1:
+                    ch[x - 1] = edges
+    for i in range(maxind + 1):
+        if ntk[i] != 0:
+            normfact[i] += edges - ch[i]
+        if normfact[i] == 0:
+            kernel[i] = 0
+            normfact[i] = 1
+        kernel[i] *= notnull[i] / normfact[i]
+    return kernel[:maxind + 1], normfact[:maxind + 1], \
+        notnull[:maxind + 1]
+
+
+@pytest.mark.parametrize("seed,window", [(0, 5), (3, 10)])
+def test_revolver_r_mes_matches_reference_replay(seed, window):
+    n = 45
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    # reference maxind for r = max windowed in-degree over the run
+    got = revolver_r((src, dst), window, n=n, niter=1)
+    maxind = len(got["kernel"]) - 1
+    st = np.ones(n)
+    kernel, norm, cites = ref_mes_r(adj, n, st, window, maxind)
+    want = kernel / kernel.sum()
+    np.testing.assert_allclose(got["kernel"], want, atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def test_rejects_non_citation_graph():
+    with pytest.raises(ValueError):
+        revolver_d((np.array([1, 2]), np.array([0, 3])), n=4)
+
+
+def test_empty_and_tiny():
+    out = revolver_d((np.zeros(0, np.int64), np.zeros(0, np.int64)), n=3,
+                     niter=2)
+    assert len(out["kernel"]) == 1
+    out = revolver_d((np.array([1, 2, 2]), np.array([0, 0, 1])), n=3,
+                     niter=4)
+    assert np.isfinite(out["kernel"]).all()

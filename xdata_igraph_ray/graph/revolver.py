@@ -1,0 +1,632 @@
+"""Revolver: citation-evolution kernel measurement — the xdata fork's
+``igraph_revolver_*`` suite (src/revolver_cit.c, 6200 LoC;
+include/igraph_revolver.h).
+
+A *citation graph* has vertices in arrival-time order (vertex id ==
+arrival time); each new vertex ``c`` cites existing vertices.  The
+revolver machinery estimates the attachment kernel ``A(x)`` — the
+relative propensity of a vertex with property ``x`` (in-degree, age,
+category, citation lag, recent-citation count, or products of these)
+to receive the next citation — by replaying the evolution history:
+
+  * ``mes``  — measure the kernel from the event stream (running mean
+    of ``st[t]/ntk[x]`` over citation events, scaled by per-class
+    exposure; src/revolver_cit.c:115-253 for the in-degree case),
+  * ``st``   — per-step normalizing factor S(t) = sum over present
+    vertices of A(x(v)) (src/revolver_cit.c:258-310),
+  * ``exp``  — expected citations per class (kernel times the integral
+    of ntk[x] d(cumulative outdeg/S), src/revolver_cit.c:312-386),
+  * ``error``— log-likelihood of the history under the kernel vs the
+    uniform null (src/revolver_cit.c:389-445),
+
+iterated ``niter`` times from st == 1 (igraph_revolver_d and siblings,
+src/revolver_cit.c:38-113).  Everything is DETERMINISTIC — no RNG
+anywhere in the measurement path (unlike HRG/SIR).
+
+Design: the reference's per-node sequential scan is re-expressed as a
+**delta timeline**: every mutation of the reference's ``ntk``/``ntkl``
+class-count arrays becomes one ``(citing-node, class, ±1)`` record,
+generated VECTORIZED from the event table (per-target cumulative
+counts by segmented cumsum; age/lag crossings from closed-form
+schedules).  Class counts at estimate time, interval exposures
+(``normfact``, with the reference's exact ==1-open / ==0-close / final
+flush bookkeeping), and the expected-citation integral are per-class
+segment reductions over that stream — no Python loop over nodes.  The
+event extraction is one distributed-sortable pass over the edge list;
+the O(E + n·agebins) delta arrays are a driver kernel like the repo's
+other history-replay scopes (power_law_fit, HRG), behind a loud size
+guard with the time-sharded chaining path documented on it.
+
+Kernels (property of the CITED vertex):
+
+  d    in-degree                                  (revolver_cit.c:38)
+  e    static category                            (revolver_cit.c:1407)
+  ad   (in-degree, age-bin)                       (revolver_cit.c:478)
+  de   (category, in-degree)                      (revolver_cit.c:1726)
+  l    citation lag (binned; never-cited class)   (revolver_cit.c:2096)
+  r    recent citations inside a trailing window  (revolver_cit.c:3336)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MAX_DRIVER_DELTAS = 50_000_000
+_INF = np.iinfo(np.int64).max
+
+
+# ---------------------------------------------------------------------------
+# event extraction
+
+
+def _events(edges, n: int | None = None):
+    """Time-ordered citation events (cit, to), sorted by (cit, to,
+    input order) — igraph_neighbors' OUT enumeration order
+    (src/type_indexededgelist.c:741: (from,to)-sorted, edge-id ties).
+    Accepts a pyarrow Table, a Ray Dataset, or a (src, dst) tuple."""
+    if isinstance(edges, tuple):
+        cit = np.asarray(edges[0], np.int64)
+        to = np.asarray(edges[1], np.int64)
+    else:
+        if not isinstance(edges, pa.Table):
+            edges = pa.concat_tables(
+                list(edges.iter_batches(batch_format="pyarrow")))
+        cit = edges["src"].to_numpy().astype(np.int64)
+        to = edges["dst"].to_numpy().astype(np.int64)
+    if n is None:
+        n = int(max(cit.max(initial=-1), to.max(initial=-1))) + 1
+    order = np.lexsort((np.arange(len(cit)), to, cit))
+    cit, to = cit[order], to[order]
+    if len(cit) and np.any(to >= cit):
+        raise ValueError("not a citation graph: every edge must cite a "
+                         "strictly older vertex (dst < src)")
+    if len(cit) > MAX_DRIVER_DELTAS:
+        raise ValueError(
+            f"revolver history of {len(cit)} events exceeds the driver "
+            f"guard ({MAX_DRIVER_DELTAS}); shard the history by time "
+            "range and chain the class-count state between shards")
+    return cit, to, n
+
+
+def _prior_counts(cit, to):
+    """Per event (in (cit,to) order): in-degree of ``to`` counting
+    only earlier NODES' citations (estimate-time value) and counting
+    earlier events INCLUDING same-batch copies (update-time value)."""
+    m = len(to)
+    if m == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    order = np.argsort(to, kind="stable")  # keeps (cit, seq) order
+    ts = to[order]
+    starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+    lens = np.diff(np.r_[starts, m])
+    cum_sorted = np.arange(m) - np.repeat(starts, lens)
+    cum_all = np.empty(m, np.int64)
+    cum_all[order] = cum_sorted
+    grp = np.r_[True, (cit[1:] != cit[:-1]) | (to[1:] != to[:-1])]
+    gstarts = np.flatnonzero(grp)
+    within = np.arange(m) - np.repeat(gstarts, np.diff(np.r_[gstarts, m]))
+    return cum_all - within, cum_all
+
+
+def _per_target_keys(cit, to, n):
+    """Sorted composite keys to*(n+1)+cit for vectorized per-target
+    range counting (citation times per target)."""
+    key = to * np.int64(n + 1) + cit
+    return np.sort(key)
+
+
+def _count_cites_upto(keys_sorted, n, v, c):
+    """#citations of each v[i] with citing node <= c[i]."""
+    return (np.searchsorted(keys_sorted, v * np.int64(n + 1) + c,
+                            side="right")
+            - np.searchsorted(keys_sorted, v * np.int64(n + 1),
+                              side="left"))
+
+
+# ---------------------------------------------------------------------------
+# the delta timeline
+
+
+class _Spec:
+    """One kernel-measurement problem, fully materialized.
+
+    est_c / est_cls       citing node and flat class per citation
+                          event at estimate time (pre-batch state)
+    d_cd / d_cls / d_sg   delta stream in execution order; each delta
+                          is tagged with the citing node whose body
+                          performed it (cd == 0: vertex-0 pre-seed,
+                          E == 0 by construction)
+    nflat                 internal flat class count (includes the
+                          reference's over-allocation padding)
+    public(arr2d)         trims a (rows, nflat) stat to the kernel's
+                          public shape
+    """
+
+    def __init__(self, n, nflat, est_c, est_cls, d_cd, d_cls, d_sg,
+                 public):
+        self.n, self.nflat = n, nflat
+        self.est_c, self.est_cls = est_c, est_cls
+        self.d_cd, self.d_cls, self.d_sg = d_cd, d_cls, d_sg
+        self.public = public
+        if len(d_cd) > MAX_DRIVER_DELTAS:
+            raise ValueError("revolver delta stream exceeds the driver "
+                             "guard; shard the history by time range")
+        order = np.argsort(d_cls, kind="stable")  # keeps execution order
+        self._seg_cd = d_cd[order]
+        sg = d_sg[order]
+        self._seg_sg = sg
+        segcls = d_cls[order]
+        self._starts = np.searchsorted(segcls, np.arange(nflat + 1))
+        cum = np.cumsum(sg)
+        base = np.zeros(len(sg), dtype=np.int64)
+        s = self._starts[:-1]
+        nz = s[(s < len(sg))]
+        if len(sg):
+            seg_base = np.zeros(nflat, np.int64)
+            valid = self._starts[:-1] < self._starts[1:]
+            seg_base[valid] = np.where(
+                self._starts[:-1][valid] > 0,
+                cum[self._starts[:-1][valid] - 1], 0)
+            base = np.repeat(seg_base, np.diff(self._starts))
+        self._seg_cum = cum - base
+        del nz
+
+    def _segment(self, k):
+        s, e = self._starts[k], self._starts[k + 1]
+        return s, e
+
+    def ntk_at_estimates(self) -> np.ndarray:
+        """Class count at each estimate = pre-seed + all deltas from
+        bodies of citing nodes < c (strict: body b's deltas are
+        visible from body b+1 on)."""
+        out = np.zeros(len(self.est_c), np.float64)
+        for k in np.unique(self.est_cls):
+            s, e = self._segment(k)
+            mask = self.est_cls == k
+            pos = s + np.searchsorted(self._seg_cd[s:e], self.est_c[mask],
+                                      side="left")
+            vals = np.where(pos > s,
+                            self._seg_cum[np.maximum(pos - 1, s)], 0)
+            out[mask] = vals
+        return out
+
+    def normfact(self, ecum_rows: np.ndarray) -> np.ndarray:
+        """Per-class exposure in event-counter units, with the
+        reference's exact bookkeeping: ch set when a +1 makes the
+        count 1, exposure added when a -1 makes it 0, final flush when
+        the count ends nonzero (src/revolver_cit.c:199-243).
+        ``ecum_rows``: (n_ccat, n) cumulative counters by citing node;
+        returns (n_ccat, nflat)."""
+        ncc = ecum_rows.shape[0]
+        etot = ecum_rows[:, -1]
+        nf = np.zeros((ncc, self.nflat))
+        for k in range(self.nflat):
+            s, e = self._segment(k)
+            if s == e:
+                continue
+            cum = self._seg_cum[s:e]
+            sg = self._seg_sg[s:e]
+            cd = self._seg_cd[s:e]
+            flags = np.flatnonzero(((sg > 0) & (cum == 1))
+                                   | ((sg < 0) & (cum == 0)))
+            ch = np.zeros(ncc)
+            for i in flags:
+                if sg[i] > 0:
+                    ch = ecum_rows[:, cd[i]]
+                else:
+                    nf[:, k] += ecum_rows[:, cd[i]] - ch
+            if cum[-1] != 0:
+                nf[:, k] += etot - ch
+        return nf
+
+    def integral(self, mu: np.ndarray, mu_end: float) -> np.ndarray:
+        """Per-class ∫ count d(mu): the expected-citations integral
+        (igraph_revolver_exp_d's count-before-transition × span
+        accumulation, src/revolver_cit.c:341-376)."""
+        out = np.zeros(self.nflat)
+        for k in range(self.nflat):
+            s, e = self._segment(k)
+            if s == e:
+                continue
+            cum = self._seg_cum[s:e]
+            m = mu[self._seg_cd[s:e]]
+            prev = np.r_[0, cum[:-1]]
+            dm = np.diff(np.r_[0.0, m])
+            out[k] = float((prev * dm).sum()) + float(cum[-1]) * (
+                mu_end - m[-1])
+        return out
+
+    def st(self, kernel_flat: np.ndarray) -> np.ndarray:
+        """st[c] = sum of sign * K[class] over deltas with cd <= c —
+        the reference's st recurrence collapses to a cumsum over the
+        SAME delta stream (new-node term == the arrival delta,
+        citation/aging terms == their ±K pairs;
+        src/revolver_cit.c:258-310)."""
+        per_c = np.zeros(self.n)
+        np.add.at(per_c, self.d_cd, self.d_sg * kernel_flat[self.d_cls])
+        return np.cumsum(per_c)
+
+
+def _merge_exec(parts):
+    """Concatenate delta parts [(cd, cls, sg, phase), ...] and order
+    by (cd, phase, construction order) — the reference body's order:
+    citations 0, arrival 1, window-expiry 2, aging 3."""
+    cd = np.concatenate([np.asarray(p[0], np.int64) for p in parts])
+    cls = np.concatenate([np.asarray(p[1], np.int64) for p in parts])
+    sg = np.concatenate([np.asarray(p[2], np.int64) for p in parts])
+    ph = np.concatenate([np.full(len(p[0]), p[3], np.int8) for p in parts])
+    order = np.lexsort((np.arange(len(cd)), ph, cd))
+    return cd[order], cls[order], sg[order]
+
+
+def _interleave(a, b):
+    out = np.empty(2 * len(a), dtype=np.int64)
+    out[0::2] = a
+    out[1::2] = b
+    return out
+
+
+def _pm(m):
+    one = np.ones(m, np.int64)
+    return _interleave(-one, one)
+
+
+# ---------------------------------------------------------------------------
+# kernel spec builders
+
+
+def _spec_d(cit, to, n, maxind=None):
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    nflat = maxind + 2
+    prior, cum_all = _prior_counts(cit, to)
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2), _interleave(cum_all, cum_all + 1), _pm(m), 0),
+        (arr_c, np.zeros(n, np.int64), np.ones(n, np.int64), 1),
+    ])
+    return _Spec(n, nflat, cit, prior, cd, cls, sg,
+                 public=lambda a: a[..., :maxind + 1])
+
+
+def _spec_e(cit, to, n, cats):
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    arr_c = np.arange(n, dtype=np.int64)
+    cd, cls, sg = _merge_exec([
+        (arr_c, cats, np.ones(n, np.int64), 1),
+    ])
+    return _Spec(n, nocats, cit, cats[to], cd, cls, sg,
+                 public=lambda a: a)
+
+
+def _age_crossings(n, binwidth, kmax):
+    """All (v, k, c): vertex v crosses age bin k-1 -> k during the
+    body of citing node c = v + binwidth*k - 1 (1 <= c <= n-1,
+    1 <= k <= kmax) — the reference's aging loop with
+    shnode = c - binwidth*k + 1 (src/revolver_cit.c:666-678)."""
+    vs, ks, cs = [], [], []
+    for k in range(1, kmax + 1):
+        v0 = max(0, 2 - binwidth * k)
+        vmax = n - binwidth * k
+        if vmax < v0:
+            break
+        v = np.arange(v0, vmax + 1, dtype=np.int64)
+        vs.append(v)
+        ks.append(np.full(len(v), k, np.int64))
+        cs.append(v + binwidth * k - 1)
+    if not vs:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    return np.concatenate(vs), np.concatenate(ks), np.concatenate(cs)
+
+
+def _spec_ad(cit, to, n, agebins, maxind=None):
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    binwidth = n // agebins + 1
+    ncols = agebins + 1          # the reference's padded ntkl columns
+    nrows = maxind + 2
+    nflat = nrows * ncols
+
+    def flat(x, y):
+        return x * ncols + y
+
+    prior, cum_all = _prior_counts(cit, to)
+    age_est = (cit - to) // binwidth
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    arr_cls = np.full(n, flat(0, 0), np.int64)
+    if binwidth == 1:
+        arr_cls[0] = flat(0, 1)   # src/revolver_cit.c:610-614
+    keys = _per_target_keys(cit, to, n)
+    av, ak, ac = _age_crossings(n, binwidth, agebins)
+    adeg = _count_cites_upto(keys, n, av, ac)
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2),
+         _interleave(flat(cum_all, age_est), flat(cum_all + 1, age_est)),
+         _pm(m), 0),
+        (arr_c, arr_cls, np.ones(n, np.int64), 1),
+        (np.repeat(ac, 2),
+         _interleave(flat(adeg, ak - 1), flat(adeg, ak)),
+         _pm(len(ac)), 3),
+    ])
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nrows, ncols)[
+            ..., :maxind + 1, :agebins]
+
+    return _Spec(n, nflat, cit, flat(prior, age_est), cd, cls, sg,
+                 public=public)
+
+
+def _spec_de(cit, to, n, cats, maxind=None):
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    ncols = maxind + 2
+
+    def flat(cat, x):
+        return cat * ncols + x
+
+    prior, cum_all = _prior_counts(cit, to)
+    tc = cats[to]
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2),
+         _interleave(flat(tc, cum_all), flat(tc, cum_all + 1)),
+         _pm(m), 0),
+        (arr_c, flat(cats, np.zeros(n, np.int64)),
+         np.ones(n, np.int64), 1),
+    ])
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nocats, ncols)[..., :maxind + 1]
+
+    return _Spec(n, nocats * ncols, cit, flat(tc, prior), cd, cls, sg,
+                 public=public)
+
+
+def _spec_l(cit, to, n, agebins):
+    binwidth = n // agebins + 1
+    never = agebins
+    nflat = agebins + 2          # lag bins + never class + padding
+    m = len(cit)
+    # previous/next citation of the same target, two flavors:
+    #  - estimate-time previous: last citation from a STRICTLY earlier
+    #    node (the estimate loop reads lastcit before the batch)
+    #  - update-time previous: previous event incl. same-batch copies
+    #    (the update loop sets lastcit between copies)
+    order = np.argsort(to, kind="stable")
+    ts, cs = to[order], cit[order]
+    same_prev = np.r_[False, ts[1:] == ts[:-1]]
+    prev_any_s = np.full(m, -1, np.int64)
+    prev_any_s[same_prev] = cs[np.flatnonzero(same_prev) - 1]
+    # estimate-time previous: walk back past same-batch copies — the
+    # last cs strictly below cit
+    prev_node_s = np.full(m, -1, np.int64)
+    runs = np.flatnonzero(np.r_[True, (ts[1:] != ts[:-1])
+                                | (cs[1:] != cs[:-1])])
+    run_id = np.cumsum(np.r_[True, (ts[1:] != ts[:-1])
+                             | (cs[1:] != cs[:-1])]) - 1
+    run_prev = np.full(len(runs), -1, np.int64)
+    pv = runs - 1
+    ok = (pv >= 0) & (ts[runs] == ts[np.maximum(pv, 0)])
+    run_prev[ok] = cs[pv[ok]]
+    prev_node_s = run_prev[run_id]
+    nxt_node_s = np.full(m, _INF, np.int64)
+    run_next = np.full(len(runs), _INF, np.int64)
+    ends = np.r_[runs[1:], m] - 1
+    nv = ends + 1
+    okn = (nv < m) & (ts[np.minimum(nv, m - 1)] == ts[ends])
+    run_next[okn] = cs[nv[okn]]
+    nxt_node_s = run_next[run_id]
+
+    prev_any = np.empty(m, np.int64)
+    prev_node = np.empty(m, np.int64)
+    nxt_node = np.empty(m, np.int64)
+    prev_any[order] = prev_any_s
+    prev_node[order] = prev_node_s
+    nxt_node[order] = nxt_node_s
+
+    def lagbin(c_now, last):
+        return np.where(last < 0, never,
+                        (c_now + 1 - (last + 1)) // binwidth)
+
+    est_cls = np.minimum(lagbin(cit, prev_node), nflat - 1)
+    upd_old = np.minimum(lagbin(cit, prev_any), nflat - 1)
+    arr_c = np.arange(n, dtype=np.int64)
+    # lag crossings: after a citation from c0, the target crosses lag
+    # bin k-1 -> k at c = c0 + binwidth*k - 1 until re-cited by a
+    # LATER node (same-batch copies share lastcit, so each edge copy
+    # fires its own crossings — the reference rescans c0's neighbor
+    # list, multi-edges included, src/revolver_cit.c:2280-2299)
+    lg = []
+    for k in range(1, agebins + 1):
+        c = cit + binwidth * k - 1
+        live = (c <= n - 1) & (c < nxt_node)
+        nn = int(live.sum())
+        if nn == 0:
+            continue
+        lg.append((np.repeat(c[live], 2),
+                   _interleave(np.full(nn, k - 1, np.int64),
+                               np.full(nn, k, np.int64)),
+                   _pm(nn), 3))
+    parts = [
+        (np.repeat(cit, 2),
+         _interleave(upd_old, np.zeros(m, np.int64)), _pm(m), 0),
+        (arr_c, np.full(n, never, np.int64), np.ones(n, np.int64), 1),
+    ] + lg
+    cd, cls, sg = _merge_exec(parts)
+    return _Spec(n, nflat, cit, est_cls, cd, cls, sg,
+                 public=lambda a: a[..., :agebins + 1])
+
+
+def _spec_r(cit, to, n, window, maxind=None):
+    m = len(cit)
+    expire = cit + window
+    has_exp = expire <= n - 1
+    tv = np.concatenate((to, to[has_exp]))
+    tc = np.concatenate((cit, expire[has_exp]))
+    tp = np.concatenate((np.zeros(m, np.int8),
+                         np.full(int(has_exp.sum()), 2, np.int8)))
+    tsg = np.concatenate((np.ones(m, np.int64),
+                          -np.ones(int(has_exp.sum()), np.int64)))
+    seq = np.concatenate((np.arange(m), np.flatnonzero(has_exp)))
+    order = np.lexsort((seq, tp, tc, tv))
+    vv, sgs, ccs, pps = tv[order], tsg[order], tc[order], tp[order]
+    starts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+    run = np.cumsum(sgs)
+    base = np.repeat(np.where(starts > 0, run[np.maximum(starts - 1, 0)],
+                              0),
+                     np.diff(np.r_[starts, len(vv)]))
+    val_after = run - base
+    val_before = val_after - sgs
+    if maxind is None:
+        maxind = int(val_after.max(initial=0))
+    nflat = maxind + 2
+    old_cls = np.minimum(val_before, nflat - 1)
+    new_cls = np.minimum(val_after, nflat - 1)
+    # estimate classes: windowed in-degree of `to` strictly before the
+    # batch of c — citations with c-window <= c' < c
+    keys = _per_target_keys(cit, to, n)
+    est_cls = (_count_cites_upto(keys, n, to, cit - 1)
+               - _count_cites_upto(keys, n, to,
+                                   np.maximum(cit - window, 0) - 1))
+    est_cls = np.minimum(est_cls, nflat - 1)
+    arr_c = np.arange(n, dtype=np.int64)
+    all_cd = np.concatenate((np.repeat(ccs, 2), arr_c))
+    all_cls = np.concatenate((_interleave(old_cls, new_cls),
+                              np.zeros(n, np.int64)))
+    all_sg = np.concatenate((_pm(len(vv)), np.ones(n, np.int64)))
+    all_ph = np.concatenate((np.repeat(pps, 2), np.ones(n, np.int8)))
+    oo = np.lexsort((np.arange(len(all_cd)), all_ph, all_cd))
+    return _Spec(n, nflat, cit, est_cls,
+                 all_cd[oo], all_cls[oo], all_sg[oo],
+                 public=lambda a: a[..., :maxind + 1])
+
+
+# ---------------------------------------------------------------------------
+# measurement passes
+
+
+def _mes(spec, st, ecum, want_sd=False):
+    """kernel/sd/normfact/cites/logmax for one measure pass
+    (src/revolver_cit.c:115-253 shape, any kernel)."""
+    ntk = spec.ntk_at_estimates()
+    xk = st[spec.est_c - 1] / ntk
+    logmax = float(np.log(1.0 / ntk).sum())
+    notnull = np.bincount(spec.est_cls, minlength=spec.nflat).astype(float)
+    ssum = np.bincount(spec.est_cls, weights=xk, minlength=spec.nflat)
+    mean = np.divide(ssum, notnull, out=np.zeros(spec.nflat),
+                     where=notnull > 0)
+    nf = spec.normfact(ecum)[0]
+    zero = nf == 0
+    kernel = np.divide(ssum, nf, out=np.zeros(spec.nflat), where=~zero)
+    nf = np.where(zero, 1.0, nf)
+    sd = None
+    if want_sd:
+        dev = xk - mean[spec.est_cls]
+        m2 = np.bincount(spec.est_cls, weights=dev * dev,
+                         minlength=spec.nflat)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt((m2 + mean * mean * notnull
+                          * (1 - notnull / nf)) / (nf - 1))
+    return kernel, sd, nf, notnull, logmax
+
+
+def _expected(spec, kernel_flat, st, cit, n):
+    outdeg = np.bincount(cit, minlength=n)
+    cumst = np.zeros(n + 1)
+    cumst[1:] = np.cumsum(outdeg / st)
+    return spec.integral(cumst[:n], cumst[n]) * kernel_flat
+
+
+def _error(spec, kernel_flat, st):
+    with np.errstate(divide="ignore"):
+        logprob = float(np.log(
+            kernel_flat[spec.est_cls] / st[spec.est_c - 1]).sum())
+    lognull = float(np.log(1.0 / spec.est_c.astype(float)).sum())
+    return logprob, lognull
+
+
+def _driver(spec, cit, n, niter):
+    """igraph_revolver_X's iterate-measure-normalize-update loop
+    (src/revolver_cit.c:38-113)."""
+    ecum = np.cumsum(np.bincount(cit, minlength=n))[None, :].astype(float)
+    st = np.ones(n)
+    out = {}
+    for i in range(niter):
+        last = i + 1 == niter
+        kernel, sd, nf, cites, logmax = _mes(spec, st, ecum, want_sd=last)
+        ks = kernel.sum()
+        if ks > 0:
+            kernel = kernel / ks
+        st = spec.st(kernel)
+        if last:
+            expected = _expected(spec, kernel, st, cit, n)
+            logprob, lognull = _error(spec, kernel, st)
+            out = {
+                "kernel": spec.public(kernel),
+                "sd": spec.public(sd),
+                "norm": spec.public(nf),
+                "cites": spec.public(cites),
+                "expected": spec.public(expected),
+                "logprob": logprob,
+                "lognull": lognull,
+                "logmax": logmax,
+                "st": st,
+            }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def revolver_d(edges, n=None, niter: int = 5):
+    """igraph_revolver_d (src/revolver_cit.c:38): in-degree attachment
+    kernel.  Returns dict(kernel, sd, norm, cites, expected, logprob,
+    lognull, logmax, st)."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_d(cit, to, n), cit, n, niter)
+
+
+def revolver_e(edges, cats, n=None, niter: int = 5):
+    """igraph_revolver_e (src/revolver_cit.c:1407): static vertex
+    categories."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_e(cit, to, n, cats), cit, n, niter)
+
+
+def revolver_ad(edges, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_ad (src/revolver_cit.c:478): (in-degree,
+    age-bin) matrix kernel."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_ad(cit, to, n, agebins), cit, n, niter)
+
+
+def revolver_de(edges, cats, n=None, niter: int = 5):
+    """igraph_revolver_de (src/revolver_cit.c:1726): (category,
+    in-degree) matrix kernel."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_de(cit, to, n, cats), cit, n, niter)
+
+
+def revolver_l(edges, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_l (src/revolver_cit.c:2096): citation-lag
+    kernel; index ``agebins`` is the never-cited class."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_l(cit, to, n, agebins), cit, n, niter)
+
+
+def revolver_r(edges, window: int, n=None, niter: int = 5, maxind=None):
+    """igraph_revolver_r (src/revolver_cit.c:3336): recent-citations
+    (trailing-window in-degree) kernel."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_r(cit, to, n, window, maxind), cit, n, niter)
