@@ -597,3 +597,241 @@ def test_empty_and_tiny():
     out = revolver_d((np.array([1, 2, 2]), np.array([0, 0, 1])), n=3,
                      niter=4)
     assert np.isfinite(out["kernel"]).all()
+
+
+def ref_mes_dl(adj, n, st, maxind, agebins):
+    from xdata_igraph_ray.graph.revolver import revolver_dl  # noqa: F401
+    binwidth = n // agebins + 1
+    R, Cc = maxind + 2, agebins + 2
+    indeg = [0] * n
+    lastcit = [0] * n
+    ntkl = np.zeros((R, Cc))
+    ch = np.zeros((R, Cc))
+    normfact = np.zeros((R, Cc))
+    notnull = np.zeros((R, Cc))
+    kernel = np.zeros((R, Cc))
+    ntkl[0, agebins] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = indeg[to]
+            y = (int((node + 2.0 - lastcit[to]) / binwidth)
+                 if lastcit[to] != 0 else agebins)
+            xk = st[node] / ntkl[x, y]
+            notnull[x, y] += 1
+            kernel[x, y] += (xk - kernel[x, y]) / notnull[x, y]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = indeg[to]
+            y = (int((node + 2.0 - lastcit[to]) / binwidth)
+                 if lastcit[to] != 0 else agebins)
+            indeg[to] += 1
+            lastcit[to] = node + 2
+            ntkl[x, y] -= 1
+            if ntkl[x, y] == 0:
+                normfact[x, y] += edges - ch[x, y]
+            ntkl[x + 1, 0] += 1
+            if ntkl[x + 1, 0] == 1:
+                ch[x + 1, 0] = edges
+        ntkl[0, agebins] += 1
+        if ntkl[0, agebins] == 1:
+            ch[0, agebins] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            for cn in adj[sh]:
+                if lastcit[cn] == sh + 1:
+                    d = indeg[cn]
+                    ntkl[d, k - 1] -= 1
+                    if ntkl[d, k - 1] == 0:
+                        normfact[d, k - 1] += edges - ch[d, k - 1]
+                    ntkl[d, k] += 1
+                    if ntkl[d, k] == 1:
+                        ch[d, k] = edges
+            k += 1
+    for i in range(maxind + 1):
+        for j in range(agebins + 1):
+            if ntkl[i, j] != 0:
+                normfact[i, j] += edges - ch[i, j]
+            if normfact[i, j] == 0:
+                kernel[i, j] = 0
+                normfact[i, j] = 1
+            kernel[i, j] *= notnull[i, j] / normfact[i, j]
+    sl = np.s_[:maxind + 1, :agebins + 1]
+    return kernel[sl], normfact[sl], notnull[sl]
+
+
+@pytest.mark.parametrize("seed,agebins", [(0, 4), (5, 6)])
+def test_revolver_dl_mes_matches_reference_replay(seed, agebins):
+    from xdata_igraph_ray.graph.revolver import revolver_dl
+
+    n = 40
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    kernel, norm, cites = ref_mes_dl(adj, n, np.ones(n), maxind, agebins)
+    got = revolver_dl((src, dst), agebins, n=n, niter=1)
+    np.testing.assert_allclose(got["kernel"], kernel / kernel.sum(),
+                               atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def ref_mes_el(adj, n, st, cats, nocats, agebins):
+    binwidth = n // agebins + 1
+    Cc = agebins + 2
+    lastcit = [0] * n
+    ntkl = np.zeros((nocats, Cc))
+    ch = np.zeros((nocats, Cc))
+    normfact = np.zeros((nocats, Cc))
+    notnull = np.zeros((nocats, Cc))
+    kernel = np.zeros((nocats, Cc))
+    ntkl[cats[0], agebins] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            c = cats[to]
+            y = (int((node + 2.0 - lastcit[to]) / binwidth)
+                 if lastcit[to] != 0 else agebins)
+            xk = st[node] / ntkl[c, y]
+            notnull[c, y] += 1
+            kernel[c, y] += (xk - kernel[c, y]) / notnull[c, y]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            c = cats[to]
+            y = (int((node + 2.0 - lastcit[to]) / binwidth)
+                 if lastcit[to] != 0 else agebins)
+            lastcit[to] = node + 2
+            ntkl[c, y] -= 1
+            if ntkl[c, y] == 0:
+                normfact[c, y] += edges - ch[c, y]
+            ntkl[c, 0] += 1
+            if ntkl[c, 0] == 1:
+                ch[c, 0] = edges
+        c0 = cats[node + 1]
+        ntkl[c0, agebins] += 1
+        if ntkl[c0, agebins] == 1:
+            ch[c0, agebins] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            for cn in adj[sh]:
+                if lastcit[cn] == sh + 1:
+                    c = cats[cn]
+                    ntkl[c, k - 1] -= 1
+                    if ntkl[c, k - 1] == 0:
+                        normfact[c, k - 1] += edges - ch[c, k - 1]
+                    ntkl[c, k] += 1
+                    if ntkl[c, k] == 1:
+                        ch[c, k] = edges
+            k += 1
+    for c in range(nocats):
+        for j in range(agebins + 1):
+            if ntkl[c, j] != 0:
+                normfact[c, j] += edges - ch[c, j]
+            if normfact[c, j] == 0:
+                kernel[c, j] = 0
+                normfact[c, j] = 1
+            kernel[c, j] *= notnull[c, j] / normfact[c, j]
+    sl = np.s_[:, :agebins + 1]
+    return kernel[sl], normfact[sl], notnull[sl]
+
+
+@pytest.mark.parametrize("seed,agebins", [(1, 4), (6, 5)])
+def test_revolver_el_mes_matches_reference_replay(seed, agebins):
+    from xdata_igraph_ray.graph.revolver import revolver_el
+
+    n = 40
+    src, dst = cit_graph(n, seed)
+    rng = np.random.default_rng(seed + 3)
+    cats = rng.integers(0, 3, n)
+    adj = adj_out(src, dst, n)
+    kernel, norm, cites = ref_mes_el(adj, n, np.ones(n), cats, 3, agebins)
+    got = revolver_el((src, dst), cats, agebins, n=n, niter=1)
+    np.testing.assert_allclose(got["kernel"], kernel / kernel.sum(),
+                               atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def ref_mes_ar(adj, n, st, maxind, agebins, window):
+    binwidth = n // agebins + 1
+    R, Cc = agebins + 1, maxind + 2
+    indeg = [0] * n
+    ntk = np.zeros((R, Cc))
+    ch = np.zeros((R, Cc))
+    normfact = np.zeros((R, Cc))
+    notnull = np.zeros((R, Cc))
+    kernel = np.zeros((R, Cc))
+    ntk[0 if binwidth > 1 else 1, 0] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            x = (node + 1 - to) // binwidth
+            y = indeg[to]
+            xk = st[node] / ntk[x, y]
+            notnull[x, y] += 1
+            kernel[x, y] += (xk - kernel[x, y]) / notnull[x, y]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = (node + 1 - to) // binwidth
+            y = indeg[to]
+            indeg[to] += 1
+            ntk[x, y] -= 1
+            if ntk[x, y] == 0:
+                normfact[x, y] += edges - ch[x, y]
+            ntk[x, y + 1] += 1
+            if ntk[x, y + 1] == 1:
+                ch[x, y + 1] = edges
+        ntk[0, 0] += 1
+        if ntk[0, 0] == 1:
+            ch[0, 0] = edges
+        if node + 1 - window >= 0:
+            for to in adj[node + 1 - window]:
+                x = (node + 1 - to) // binwidth
+                y = indeg[to]
+                indeg[to] -= 1
+                ntk[x, y] -= 1
+                if ntk[x, y] == 0:
+                    normfact[x, y] += edges - ch[x, y]
+                ntk[x, y - 1] += 1
+                if ntk[x, y - 1] == 1:
+                    ch[x, y - 1] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            d = indeg[sh]
+            ntk[k - 1, d] -= 1
+            if ntk[k - 1, d] == 0:
+                normfact[k - 1, d] += edges - ch[k - 1, d]
+            ntk[k, d] += 1
+            if ntk[k, d] == 1:
+                ch[k, d] = edges
+            k += 1
+    for i in range(agebins):
+        for j in range(maxind + 1):
+            if ntk[i, j] != 0:
+                normfact[i, j] += edges - ch[i, j]
+            if normfact[i, j] == 0:
+                kernel[i, j] = 0
+                normfact[i, j] = 1
+            kernel[i, j] *= notnull[i, j] / normfact[i, j]
+    sl = np.s_[:agebins, :maxind + 1]
+    return kernel[sl], normfact[sl], notnull[sl]
+
+
+@pytest.mark.parametrize("seed,agebins,window", [(0, 4, 6), (2, 5, 12)])
+def test_revolver_ar_mes_matches_reference_replay(seed, agebins, window):
+    from xdata_igraph_ray.graph.revolver import revolver_ar
+
+    n = 40
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    kernel, norm, cites = ref_mes_ar(adj, n, np.ones(n), maxind, agebins,
+                                     window)
+    got = revolver_ar((src, dst), agebins, window, n=n, niter=1)
+    np.testing.assert_allclose(got["kernel"], kernel / kernel.sum(),
+                               atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)

@@ -397,42 +397,11 @@ def _spec_l(cit, to, n, agebins):
     never = agebins
     nflat = agebins + 2          # lag bins + never class + padding
     m = len(cit)
-    # previous/next citation of the same target, two flavors:
-    #  - estimate-time previous: last citation from a STRICTLY earlier
-    #    node (the estimate loop reads lastcit before the batch)
-    #  - update-time previous: previous event incl. same-batch copies
-    #    (the update loop sets lastcit between copies)
-    order = np.argsort(to, kind="stable")
-    ts, cs = to[order], cit[order]
-    same_prev = np.r_[False, ts[1:] == ts[:-1]]
-    prev_any_s = np.full(m, -1, np.int64)
-    prev_any_s[same_prev] = cs[np.flatnonzero(same_prev) - 1]
-    # estimate-time previous: walk back past same-batch copies — the
-    # last cs strictly below cit
-    prev_node_s = np.full(m, -1, np.int64)
-    runs = np.flatnonzero(np.r_[True, (ts[1:] != ts[:-1])
-                                | (cs[1:] != cs[:-1])])
-    run_id = np.cumsum(np.r_[True, (ts[1:] != ts[:-1])
-                             | (cs[1:] != cs[:-1])]) - 1
-    run_prev = np.full(len(runs), -1, np.int64)
-    pv = runs - 1
-    ok = (pv >= 0) & (ts[runs] == ts[np.maximum(pv, 0)])
-    run_prev[ok] = cs[pv[ok]]
-    prev_node_s = run_prev[run_id]
-    nxt_node_s = np.full(m, _INF, np.int64)
-    run_next = np.full(len(runs), _INF, np.int64)
-    ends = np.r_[runs[1:], m] - 1
-    nv = ends + 1
-    okn = (nv < m) & (ts[np.minimum(nv, m - 1)] == ts[ends])
-    run_next[okn] = cs[nv[okn]]
-    nxt_node_s = run_next[run_id]
-
-    prev_any = np.empty(m, np.int64)
-    prev_node = np.empty(m, np.int64)
-    nxt_node = np.empty(m, np.int64)
-    prev_any[order] = prev_any_s
-    prev_node[order] = prev_node_s
-    nxt_node[order] = nxt_node_s
+    # two lastcit flavors: estimate-time (strictly earlier node — the
+    # estimate loop reads lastcit before the batch) vs update-time
+    # (previous event incl. same-batch copies — the update loop sets
+    # lastcit between copies)
+    prev_node, prev_any, nxt_node = _lag_info(cit, to, n)
 
     def lagbin(c_now, last):
         return np.where(last < 0, never,
@@ -469,24 +438,8 @@ def _spec_l(cit, to, n, agebins):
 
 def _spec_r(cit, to, n, window, maxind=None):
     m = len(cit)
-    expire = cit + window
-    has_exp = expire <= n - 1
-    tv = np.concatenate((to, to[has_exp]))
-    tc = np.concatenate((cit, expire[has_exp]))
-    tp = np.concatenate((np.zeros(m, np.int8),
-                         np.full(int(has_exp.sum()), 2, np.int8)))
-    tsg = np.concatenate((np.ones(m, np.int64),
-                          -np.ones(int(has_exp.sum()), np.int64)))
-    seq = np.concatenate((np.arange(m), np.flatnonzero(has_exp)))
-    order = np.lexsort((seq, tp, tc, tv))
-    vv, sgs, ccs, pps = tv[order], tsg[order], tc[order], tp[order]
-    starts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
-    run = np.cumsum(sgs)
-    base = np.repeat(np.where(starts > 0, run[np.maximum(starts - 1, 0)],
-                              0),
-                     np.diff(np.r_[starts, len(vv)]))
-    val_after = run - base
-    val_before = val_after - sgs
+    vv, ccs, pps, sgs, val_before, val_after = _windowed_stream(
+        cit, to, n, window)
     if maxind is None:
         maxind = int(val_after.max(initial=0))
     nflat = maxind + 2
@@ -509,6 +462,232 @@ def _spec_r(cit, to, n, window, maxind=None):
     return _Spec(n, nflat, cit, est_cls,
                  all_cd[oo], all_cls[oo], all_sg[oo],
                  public=lambda a: a[..., :maxind + 1])
+
+
+def _lag_info(cit, to, n):
+    """Per event: previous citation of the same target from a
+    strictly earlier node (estimate-time lastcit), previous event
+    including same-batch copies (update-time lastcit), and the next
+    citation from a strictly later node (lag-crossing suppressor)."""
+    m = len(cit)
+    order = np.argsort(to, kind="stable")
+    ts, cs = to[order], cit[order]
+    same_prev = np.r_[False, ts[1:] == ts[:-1]]
+    prev_any_s = np.full(m, -1, np.int64)
+    prev_any_s[same_prev] = cs[np.flatnonzero(same_prev) - 1]
+    bounds = np.r_[True, (ts[1:] != ts[:-1]) | (cs[1:] != cs[:-1])]
+    runs = np.flatnonzero(bounds)
+    run_id = np.cumsum(bounds) - 1
+    run_prev = np.full(len(runs), -1, np.int64)
+    pv = runs - 1
+    ok = (pv >= 0) & (ts[runs] == ts[np.maximum(pv, 0)])
+    run_prev[ok] = cs[pv[ok]]
+    prev_node_s = run_prev[run_id]
+    run_next = np.full(len(runs), _INF, np.int64)
+    ends = np.r_[runs[1:], m] - 1
+    nv = ends + 1
+    okn = (nv < m) & (ts[np.minimum(nv, m - 1)] == ts[ends])
+    run_next[okn] = cs[nv[okn]]
+    nxt_node_s = run_next[run_id]
+    prev_any = np.empty(m, np.int64)
+    prev_node = np.empty(m, np.int64)
+    nxt_node = np.empty(m, np.int64)
+    prev_any[order] = prev_any_s
+    prev_node[order] = prev_node_s
+    nxt_node[order] = nxt_node_s
+    return prev_node, prev_any, nxt_node
+
+
+def _spec_dl(cit, to, n, agebins, maxind=None):
+    """(in-degree, citation-lag) kernel (igraph_revolver_mes_dl,
+    src/revolver_cit.c:2569): citing moves (x, lag) -> (x+1, 0); a
+    lag crossing moves (deg, k-1) -> (deg, k) with the vertex's
+    CURRENT degree; arrival at (0, never)."""
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    binwidth = n // agebins + 1
+    never = agebins
+    ncols = agebins + 2
+    nrows = maxind + 2
+
+    def flat(x, y):
+        return x * ncols + y
+
+    prior, cum_all = _prior_counts(cit, to)
+    prev_node, prev_any, nxt_node = _lag_info(cit, to, n)
+
+    def lagbin(c_now, last):
+        return np.minimum(
+            np.where(last < 0, never, (c_now + 1 - (last + 1)) // binwidth),
+            ncols - 1)
+
+    est_cls = flat(prior, lagbin(cit, prev_node))
+    upd_old = flat(cum_all, lagbin(cit, prev_any))
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    keys = _per_target_keys(cit, to, n)
+    lg = []
+    for k in range(1, agebins + 1):
+        c = cit + binwidth * k - 1
+        live = (c <= n - 1) & (c < nxt_node)
+        nn = int(live.sum())
+        if nn == 0:
+            continue
+        deg = _count_cites_upto(keys, n, to[live], c[live])
+        lg.append((np.repeat(c[live], 2),
+                   _interleave(flat(deg, k - 1), flat(deg, k)),
+                   _pm(nn), 3))
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2),
+         _interleave(upd_old, flat(cum_all + 1, 0)), _pm(m), 0),
+        (arr_c, np.full(n, flat(0, never), np.int64),
+         np.ones(n, np.int64), 1),
+    ] + lg)
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nrows, ncols)[
+            ..., :maxind + 1, :agebins + 1]
+
+    return _Spec(n, nrows * ncols, cit, est_cls, cd, cls, sg,
+                 public=public)
+
+
+def _spec_el(cit, to, n, cats, agebins):
+    """(category, citation-lag) kernel (igraph_revolver_mes_el,
+    src/revolver_cit.c:2986): citing moves (cat, lag) -> (cat, 0);
+    lag crossings move (cat, k-1) -> (cat, k); arrival at
+    (cats[v], never)."""
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    binwidth = n // agebins + 1
+    never = agebins
+    ncols = agebins + 2
+
+    def flat(cat, y):
+        return cat * ncols + y
+
+    prev_node, prev_any, nxt_node = _lag_info(cit, to, n)
+
+    def lagbin(c_now, last):
+        return np.minimum(
+            np.where(last < 0, never, (c_now + 1 - (last + 1)) // binwidth),
+            ncols - 1)
+
+    tc = cats[to]
+    est_cls = flat(tc, lagbin(cit, prev_node))
+    upd_old = flat(tc, lagbin(cit, prev_any))
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    lg = []
+    for k in range(1, agebins + 1):
+        c = cit + binwidth * k - 1
+        live = (c <= n - 1) & (c < nxt_node)
+        nn = int(live.sum())
+        if nn == 0:
+            continue
+        cc = tc[live]
+        lg.append((np.repeat(c[live], 2),
+                   _interleave(flat(cc, k - 1), flat(cc, k)),
+                   _pm(nn), 3))
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2),
+         _interleave(upd_old, flat(tc, 0)), _pm(m), 0),
+        (arr_c, flat(cats, np.full(n, never, np.int64)),
+         np.ones(n, np.int64), 1),
+    ] + lg)
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nocats, ncols)[..., :agebins + 1]
+
+    return _Spec(n, nocats * ncols, cit, est_cls, cd, cls, sg,
+                 public=public)
+
+
+def _windowed_stream(cit, to, n, window):
+    """Per-target merged (+1 citation / -1 expiry) transition stream:
+    value-before, value-after, citing-node tag, and phase (0 cite,
+    2 expiry)."""
+    m = len(cit)
+    expire = cit + window
+    has_exp = expire <= n - 1
+    tv = np.concatenate((to, to[has_exp]))
+    tc = np.concatenate((cit, expire[has_exp]))
+    tp = np.concatenate((np.zeros(m, np.int8),
+                         np.full(int(has_exp.sum()), 2, np.int8)))
+    tsg = np.concatenate((np.ones(m, np.int64),
+                          -np.ones(int(has_exp.sum()), np.int64)))
+    seq = np.concatenate((np.arange(m), np.flatnonzero(has_exp)))
+    order = np.lexsort((seq, tp, tc, tv))
+    vv, sgs = tv[order], tsg[order]
+    starts = np.flatnonzero(np.r_[True, vv[1:] != vv[:-1]])
+    run = np.cumsum(sgs)
+    base = np.repeat(np.where(starts > 0, run[np.maximum(starts - 1, 0)],
+                              0),
+                     np.diff(np.r_[starts, len(vv)]))
+    val_after = run - base
+    return (vv, tc[order], tp[order], sgs, val_after - sgs, val_after)
+
+
+def _spec_ar(cit, to, n, agebins, window, maxind=None):
+    """(age-bin, windowed in-degree) kernel (igraph_revolver_mes_ar,
+    src/revolver_cit.c:3843): citations/expiries move along the
+    window axis at the vertex's CURRENT age; aging moves along the
+    age axis with the CURRENT windowed degree; arrival at (0, 0) with
+    the binwidth==1 vertex-0 quirk on the age axis."""
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    binwidth = n // agebins + 1
+    nrows = agebins + 1
+    ncols = maxind + 2
+
+    def flat(age, w):
+        return age * ncols + w
+
+    vv, cc, pp, sgs, w_before, w_after = _windowed_stream(cit, to, n,
+                                                          window)
+    age_tr = np.minimum((cc - vv) // binwidth, nrows - 1)
+    wb = np.minimum(w_before, ncols - 1)
+    wa = np.minimum(w_after, ncols - 1)
+    # estimate classes: age analytic, window count strictly pre-batch
+    keys = _per_target_keys(cit, to, n)
+    est_w = (_count_cites_upto(keys, n, to, cit - 1)
+             - _count_cites_upto(keys, n, to,
+                                 np.maximum(cit - window, 0) - 1))
+    est_cls = flat(np.minimum((cit - to) // binwidth, nrows - 1),
+                   np.minimum(est_w, ncols - 1))
+    arr_c = np.arange(n, dtype=np.int64)
+    arr_cls = np.full(n, flat(0, 0), np.int64)
+    if binwidth == 1:
+        arr_cls[0] = flat(1, 0)   # src/revolver_cit.c:3901
+    # aging: windowed degree AFTER this body's window updates =
+    # citations with c-window < cit' <= c
+    av, ak, ac = _age_crossings(n, binwidth, agebins)
+    aw = (_count_cites_upto(keys, n, av, ac)
+          - _count_cites_upto(keys, n, av,
+                              np.maximum(ac - window, 0)))
+    aw = np.minimum(aw, ncols - 1)
+    # transition deltas carry their phase through _merge_exec
+    tr_cd = np.repeat(cc, 2)
+    tr_cls = _interleave(flat(age_tr, wb), flat(age_tr, wa))
+    tr_sg = _pm(len(vv))
+    tr_ph = np.repeat(pp, 2)
+    ag_cd = np.repeat(ac, 2)
+    ag_cls = _interleave(flat(ak - 1, aw), flat(np.minimum(ak, nrows - 1),
+                                                aw))
+    ag_sg = _pm(len(ac))
+    all_cd = np.concatenate((tr_cd, arr_c, ag_cd))
+    all_cls = np.concatenate((tr_cls, arr_cls, ag_cls))
+    all_sg = np.concatenate((tr_sg, np.ones(n, np.int64), ag_sg))
+    all_ph = np.concatenate((tr_ph, np.ones(n, np.int8),
+                             np.full(len(ag_cd), 3, np.int8)))
+    oo = np.lexsort((np.arange(len(all_cd)), all_ph, all_cd))
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nrows, ncols)[
+            ..., :agebins, :maxind + 1]
+
+    return _Spec(n, nrows * ncols, cit, est_cls,
+                 all_cd[oo], all_cls[oo], all_sg[oo], public=public)
 
 
 # ---------------------------------------------------------------------------
@@ -630,3 +809,29 @@ def revolver_r(edges, window: int, n=None, niter: int = 5, maxind=None):
     (trailing-window in-degree) kernel."""
     cit, to, n = _events(edges, n)
     return _driver(_spec_r(cit, to, n, window, maxind), cit, n, niter)
+
+
+def revolver_dl(edges, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_dl (src/revolver_cit.c:2444): (in-degree,
+    citation-lag) matrix kernel; lag column ``agebins`` is the
+    never-cited class."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_dl(cit, to, n, agebins), cit, n, niter)
+
+
+def revolver_el(edges, cats, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_el (src/revolver_cit.c:2861): (category,
+    citation-lag) matrix kernel."""
+    cit, to, n = _events(edges, n)
+    return _driver(_spec_el(cit, to, n, cats, agebins), cit, n, niter)
+
+
+def revolver_ar(edges, agebins: int, window: int, n=None,
+                niter: int = 5, maxind=None):
+    """igraph_revolver_ar (src/revolver_cit.c:3700): (age-bin,
+    windowed in-degree) matrix kernel."""
+    cit, to, n = _events(edges, n)
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    return _driver(_spec_ar(cit, to, n, agebins, window, maxind),
+                   cit, n, niter)
