@@ -835,3 +835,214 @@ def test_revolver_ar_mes_matches_reference_replay(seed, agebins, window):
                                atol=1e-12)
     np.testing.assert_allclose(got["cites"], cites, atol=0)
     np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def ref_mes_di(adj, n, st, cats, nocats, maxind):
+    C = maxind + 2
+    indeg = [0] * n
+    ntkl = np.zeros(C)
+    ch = np.zeros((nocats, C))
+    normfact = np.zeros((nocats, C))
+    notnull = np.zeros((nocats, C))
+    kernel = np.zeros((nocats, C))
+    edges = np.zeros(nocats)
+    ntkl[0] = 1
+    for node in range(n - 1):
+        cidx = cats[node + 1]
+        for to in adj[node + 1]:
+            x = indeg[to]
+            xk = st[node] / ntkl[x]
+            notnull[cidx, x] += 1
+            kernel[cidx, x] += (xk - kernel[cidx, x]) / notnull[cidx, x]
+        edges[cidx] += len(adj[node + 1])
+        for to in adj[node + 1]:
+            x = indeg[to]
+            indeg[to] += 1
+            ntkl[x] -= 1
+            if ntkl[x] == 0:
+                for j in range(nocats):
+                    normfact[j, x] += edges[j] - ch[j, x]
+            ntkl[x + 1] += 1
+            if ntkl[x + 1] == 1:
+                for j in range(nocats):
+                    ch[j, x + 1] = edges[j]
+        ntkl[0] += 1
+        if ntkl[0] == 1:
+            for j in range(nocats):
+                ch[j, 0] = edges[j]
+    for j in range(nocats):
+        for i in range(maxind + 1):
+            if ntkl[i] != 0:
+                normfact[j, i] += edges[j] - ch[j, i]
+            if normfact[j, i] == 0:
+                kernel[j, i] = 0
+                normfact[j, i] = 1
+            kernel[j, i] *= notnull[j, i] / normfact[j, i]
+    return kernel[:, :maxind + 1], normfact[:, :maxind + 1], \
+        notnull[:, :maxind + 1]
+
+
+def ref_st_di(adj, n, kernel, cats, nocats):
+    indeg = [0] * n
+    allst = np.zeros((nocats, n))
+    for j in range(nocats):
+        allst[j, 0] = kernel[j, 0]
+    st = np.zeros(n)
+    st[0] = allst[cats[0], 0]
+    for node in range(1, n - 1):
+        for j in range(nocats):
+            allst[j, node] = allst[j, node - 1] + kernel[j, 0]
+        for to in adj[node]:
+            x = indeg[to]
+            indeg[to] += 1
+            for j in range(nocats):
+                allst[j, node] += -kernel[j, x] + kernel[j, x + 1]
+        st[node] = allst[cats[node + 1], node]
+    return st
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_revolver_di_matches_reference_replay(seed):
+    from xdata_igraph_ray.graph.revolver import revolver_di
+
+    n = 45
+    src, dst = cit_graph(n, seed)
+    rng = np.random.default_rng(seed + 7)
+    cats = rng.integers(0, 3, n)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    st = np.ones(n)
+    for _ in range(2):
+        kernel, norm, cites = ref_mes_di(adj, n, st, cats, 3, maxind)
+        kernel = kernel / kernel.sum()
+        kpad = np.zeros((3, maxind + 2))
+        kpad[:, :maxind + 1] = kernel
+        st = ref_st_di(adj, n, kpad, cats, 3)
+    got = revolver_di((src, dst), cats, n=n, niter=2)
+    np.testing.assert_allclose(got["kernel"], kernel, atol=1e-12)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["st"][:n - 1], st[:n - 1], atol=1e-10)
+    assert got["st"][n - 1] == 0.0
+    assert got["expected"] is None
+
+
+def ref_mes_ade(adj, n, st, cats, nocats, maxind, agebins):
+    binwidth = n // agebins + 1
+    D, A = maxind + 2, agebins + 1
+    indeg = [0] * n
+    ntkl = np.zeros((nocats, D, A))
+    ch = np.zeros((nocats, D, A))
+    normfact = np.zeros((nocats, D, A))
+    notnull = np.zeros((nocats, D, A))
+    kernel = np.zeros((nocats, D, A))
+    ntkl[cats[0], 0, 0 if binwidth > 1 else 1] = 1
+    edges = 0
+    for node in range(n - 1):
+        for to in adj[node + 1]:
+            c, x = cats[to], indeg[to]
+            y = (node + 1 - to) // binwidth
+            xk = st[node] / ntkl[c, x, y]
+            notnull[c, x, y] += 1
+            kernel[c, x, y] += (xk - kernel[c, x, y]) / notnull[c, x, y]
+        edges += len(adj[node + 1])
+        for to in adj[node + 1]:
+            c, x = cats[to], indeg[to]
+            y = (node + 1 - to) // binwidth
+            indeg[to] += 1
+            ntkl[c, x, y] -= 1
+            if ntkl[c, x, y] == 0:
+                normfact[c, x, y] += edges - ch[c, x, y]
+            ntkl[c, x + 1, y] += 1
+            if ntkl[c, x + 1, y] == 1:
+                ch[c, x + 1, y] = edges
+        c0 = cats[node + 1]
+        ntkl[c0, 0, 0] += 1
+        if ntkl[c0, 0, 0] == 1:
+            ch[c0, 0, 0] = edges
+        k = 1
+        while node + 1 - binwidth * k + 1 >= 0:
+            sh = node + 1 - binwidth * k + 1
+            c, d = cats[sh], indeg[sh]
+            ntkl[c, d, k - 1] -= 1
+            if ntkl[c, d, k - 1] == 0:
+                normfact[c, d, k - 1] += edges - ch[c, d, k - 1]
+            ntkl[c, d, k] += 1
+            if ntkl[c, d, k] == 1:
+                ch[c, d, k] = edges
+            k += 1
+    for c in range(nocats):
+        for i in range(maxind + 1):
+            for j in range(agebins):
+                if ntkl[c, i, j] != 0:
+                    normfact[c, i, j] += edges - ch[c, i, j]
+                if normfact[c, i, j] == 0:
+                    kernel[c, i, j] = 0
+                    normfact[c, i, j] = 1
+                kernel[c, i, j] *= notnull[c, i, j] / normfact[c, i, j]
+    sl = np.s_[:, :maxind + 1, :agebins]
+    return kernel[sl], normfact[sl], notnull[sl]
+
+
+@pytest.mark.parametrize("seed,agebins", [(0, 4), (3, 6)])
+def test_revolver_ade_mes_matches_reference_replay(seed, agebins):
+    from xdata_igraph_ray.graph.revolver import revolver_ade
+
+    n = 40
+    src, dst = cit_graph(n, seed)
+    rng = np.random.default_rng(seed + 11)
+    cats = rng.integers(0, 2, n)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    kernel, norm, cites = ref_mes_ade(adj, n, np.ones(n), cats, 2,
+                                      maxind, agebins)
+    got = revolver_ade((src, dst), cats, agebins, n=n, niter=1)
+    np.testing.assert_allclose(got["kernel"], kernel / kernel.sum(),
+                               atol=1e-12)
+    np.testing.assert_allclose(got["cites"], cites, atol=0)
+    np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+
+
+def test_partitioned_kernel_invariants():
+    """il / ir / adi / air: shape, mass and bookkeeping invariants
+    (their base classes and the ccat machinery each have exact replay
+    tests above)."""
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_adi, revolver_air, revolver_il, revolver_ir,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 3)
+    rng = np.random.default_rng(9)
+    cats = rng.integers(0, 3, n)
+    m = len(src)
+    for out, shape_len in [
+        (revolver_il((src, dst), cats, 4, n=n, niter=2), 2),
+        (revolver_ir((src, dst), cats, 8, n=n, niter=2), 2),
+        (revolver_adi((src, dst), cats, 4, n=n, niter=2), 3),
+        (revolver_air((src, dst), cats, 4, 8, n=n, niter=2), 3),
+    ]:
+        k = out["kernel"]
+        assert k.ndim == shape_len and k.shape[0] == 3
+        assert np.isfinite(k).all() and (k >= 0).all()
+        assert abs(k.sum() - 1.0) < 1e-9
+        assert int(out["cites"].sum()) == m
+        assert out["logprob"] <= 0.0 < np.inf
+
+
+def test_error2_matches_driver_likelihood():
+    from xdata_igraph_ray.graph.revolver import (
+        error2, revolver_d, revolver_de,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 5)
+    rng = np.random.default_rng(2)
+    cats = rng.integers(0, 2, n)
+    out = revolver_d((src, dst), n=n, niter=3)
+    lp, ln = error2((src, dst), out["kernel"], "d", n=n)
+    assert abs(lp - out["logprob"]) < 1e-9
+    assert abs(ln - out["lognull"]) < 1e-9
+    out = revolver_de((src, dst), cats, n=n, niter=2)
+    lp, ln = error2((src, dst), out["kernel"], "de", n=n, cats=cats)
+    assert abs(lp - out["logprob"]) < 1e-9

@@ -764,6 +764,104 @@ def _driver(spec, cit, n, niter):
     return out
 
 
+def _mes_rows(spec, st, ecum_rows, rows, want_sd=False):
+    """Measure pass for citing-category-partitioned kernels (di/il/ir
+    /adi/air): ntk is SHARED across citing categories; notnull /
+    kernel / sd / normfact are per (citing-cat, class), with each
+    category's own event counter driving the exposure bookkeeping
+    (src/revolver_cit.c:4292: mes_di)."""
+    ncc = ecum_rows.shape[0]
+    size = ncc * spec.nflat
+    ntk = spec.ntk_at_estimates()
+    xk = st[spec.est_c - 1] / ntk
+    logmax = float(np.log(1.0 / ntk).sum())
+    idx = rows * spec.nflat + spec.est_cls
+    notnull = np.bincount(idx, minlength=size).astype(float)
+    ssum = np.bincount(idx, weights=xk, minlength=size)
+    mean = np.divide(ssum, notnull, out=np.zeros(size), where=notnull > 0)
+    nf = spec.normfact(ecum_rows).reshape(size)
+    zero = nf == 0
+    kernel = np.divide(ssum, nf, out=np.zeros(size), where=~zero)
+    nf = np.where(zero, 1.0, nf)
+    sd = None
+    if want_sd:
+        dev = xk - mean[idx]
+        m2 = np.bincount(idx, weights=dev * dev, minlength=size)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sd = np.sqrt((m2 + mean * mean * notnull
+                          * (1 - notnull / nf)) / (nf - 1))
+        sd = sd.reshape(ncc, spec.nflat)
+    return (kernel.reshape(ncc, spec.nflat), sd,
+            nf.reshape(ncc, spec.nflat),
+            notnull.reshape(ncc, spec.nflat), logmax)
+
+
+def _st_rows(spec, kernel_rows, cats, full):
+    """st for partitioned kernels: per-category running sums, the
+    citing node's category row selected per step (st_di,
+    src/revolver_cit.c:4446).  ``full=False`` mirrors the drivers
+    whose loop stops at n-2 (di/ir/adi/air) leaving st[n-1]=0; il's
+    full-range loop reads cats[n] OUT OF BOUNDS in the reference —
+    pinned here to the cats[n-1] row (st[n-1] is unused by
+    mes/error)."""
+    ncc = kernel_rows.shape[0]
+    n = spec.n
+    allst = np.zeros((ncc, n))
+    for j in range(ncc):
+        per_c = np.zeros(n)
+        np.add.at(per_c, spec.d_cd, spec.d_sg * kernel_rows[j, spec.d_cls])
+        allst[j] = np.cumsum(per_c)
+    st = np.zeros(n)
+    st[0] = allst[cats[0], 0]
+    if n > 1:
+        hi = n if full else n - 1
+        b = np.arange(1, hi)
+        sel = cats[np.minimum(b + 1, n - 1)]
+        st[b] = allst[sel, b]
+    return st
+
+
+def _driver_rows(spec, cit, n, cats, niter, full_st=False):
+    """revolver_di/il/ir/adi/air iteration: like _driver but with
+    per-citing-category statistics; the reference's exp_* for these
+    kernels are TODO stubs (src/revolver_cit.c:4504), so expected is
+    None."""
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    rows_full = np.zeros((nocats, n))
+    np.add.at(rows_full, (cats[cit], cit), 1.0)
+    ecum_rows = np.cumsum(rows_full, axis=1)
+    rows = cats[spec.est_c]
+    st = np.ones(n)
+    out = {}
+    for i in range(niter):
+        last = i + 1 == niter
+        kernel, sd, nf, cites, logmax = _mes_rows(
+            spec, st, ecum_rows, rows, want_sd=last)
+        ks = kernel.sum()
+        if ks > 0:
+            kernel = kernel / ks
+        st = _st_rows(spec, kernel, cats, full_st)
+        if last:
+            with np.errstate(divide="ignore"):
+                logprob = float(np.log(
+                    kernel[rows, spec.est_cls]
+                    / st[spec.est_c - 1]).sum())
+            lognull = float(np.log(1.0 / spec.est_c.astype(float)).sum())
+            out = {
+                "kernel": spec.public(kernel),
+                "sd": spec.public(sd),
+                "norm": spec.public(nf),
+                "cites": spec.public(cites),
+                "expected": None,
+                "logprob": logprob,
+                "lognull": lognull,
+                "logmax": logmax,
+                "st": st,
+            }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # public API
 
@@ -835,3 +933,172 @@ def revolver_ar(edges, agebins: int, window: int, n=None,
         maxind = int(np.bincount(to, minlength=n).max(initial=0))
     return _driver(_spec_ar(cit, to, n, agebins, window, maxind),
                    cit, n, niter)
+
+
+def _spec_ade(cit, to, n, cats, agebins, maxind=None):
+    """(category, in-degree, age-bin) 3-D kernel
+    (igraph_revolver_mes_ade, src/revolver_cit.c:1045): the cited
+    vertex's category is part of the class — no partitioning."""
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    binwidth = n // agebins + 1
+    ncols = agebins + 1
+    ndeg = maxind + 2
+
+    def flat(cat, x, y):
+        return (cat * ndeg + x) * ncols + y
+
+    prior, cum_all = _prior_counts(cit, to)
+    age_est = (cit - to) // binwidth
+    tc = cats[to]
+    m = len(cit)
+    arr_c = np.arange(n, dtype=np.int64)
+    arr_cls = flat(cats, np.zeros(n, np.int64),
+                   np.zeros(n, np.int64))
+    if binwidth == 1:
+        arr_cls[0] = flat(cats[0], 0, 1)
+    keys = _per_target_keys(cit, to, n)
+    av, ak, ac = _age_crossings(n, binwidth, agebins)
+    adeg = _count_cites_upto(keys, n, av, ac)
+    acat = cats[av]
+    cd, cls, sg = _merge_exec([
+        (np.repeat(cit, 2),
+         _interleave(flat(tc, cum_all, age_est),
+                     flat(tc, cum_all + 1, age_est)), _pm(m), 0),
+        (arr_c, arr_cls, np.ones(n, np.int64), 1),
+        (np.repeat(ac, 2),
+         _interleave(flat(acat, adeg, ak - 1), flat(acat, adeg, ak)),
+         _pm(len(ac)), 3),
+    ])
+
+    def public(a):
+        return a.reshape(*a.shape[:-1], nocats, ndeg, ncols)[
+            ..., :maxind + 1, :agebins]
+
+    return _Spec(n, nocats * ndeg * ncols, cit,
+                 flat(tc, prior, age_est), cd, cls, sg, public=public)
+
+
+def revolver_ade(edges, cats, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_ade (src/revolver_cit.c:448 family): (category,
+    in-degree, age) 3-D kernel."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    return _driver(_spec_ade(cit, to, n, cats, agebins), cit, n, niter)
+
+
+def revolver_di(edges, cats, n=None, niter: int = 5):
+    """igraph_revolver_di (src/revolver_cit.c:4184): in-degree kernel
+    PARTITIONED by the CITING vertex's category — shared ntk, per-
+    category exposure counters and statistics.  ``expected`` is None
+    (the reference's exp_di is a TODO stub, src/revolver_cit.c:4504)."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    return _driver_rows(_spec_d(cit, to, n), cit, n, cats, niter)
+
+
+def revolver_il(edges, cats, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_il (src/revolver_cit.c:4966): citation-lag
+    kernel partitioned by citing category."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    return _driver_rows(_spec_l(cit, to, n, agebins), cit, n, cats,
+                        niter, full_st=True)
+
+
+def revolver_ir(edges, cats, window: int, n=None, niter: int = 5,
+                maxind=None):
+    """igraph_revolver_ir (src/revolver_cit.c:5436): windowed
+    in-degree kernel partitioned by citing category."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    return _driver_rows(_spec_r(cit, to, n, window, maxind), cit, n,
+                        cats, niter)
+
+
+def revolver_adi(edges, cats, agebins: int, n=None, niter: int = 5):
+    """igraph_revolver_adi (src/revolver_cit.c:4640): (in-degree,
+    age) kernel partitioned by citing category."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    return _driver_rows(_spec_ad(cit, to, n, agebins), cit, n, cats,
+                        niter)
+
+
+def revolver_air(edges, cats, agebins: int, window: int, n=None,
+                 niter: int = 5, maxind=None):
+    """igraph_revolver_air (src/revolver_cit.c:6050): (age, windowed
+    in-degree) kernel partitioned by citing category."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    if maxind is None:
+        maxind = int(np.bincount(to, minlength=n).max(initial=0))
+    return _driver_rows(_spec_ar(cit, to, n, agebins, window, maxind),
+                        cit, n, cats, niter)
+
+
+def error2(edges, kernel, kind: str, n=None, cats=None, agebins=None,
+           window=None):
+    """igraph_revolver_error2_* (src/revolver_cit.c:449+): given an
+    externally-supplied kernel, rebuild st from it and return
+    (logprob, lognull) — the likelihood probe used to compare fitted
+    kernels across model families."""
+    cit, to, n = _events(edges, n)
+    kernel = np.asarray(kernel, float)
+    if cats is not None:
+        cats = np.asarray(cats, np.int64)
+    ccat = kind in ("di", "il", "ir", "adi", "air")
+    spec, kflat = _error2_spec(cit, to, n, kernel, kind, cats, agebins,
+                               window)
+    if not ccat:
+        st = spec.st(kflat)
+        return _error(spec, kflat, st)
+    nocats = int(cats.max(initial=0)) + 1
+    rows2 = kflat.reshape(nocats, spec.nflat)
+    st = _st_rows(spec, rows2, cats, kind == "il")
+    rows = cats[spec.est_c]
+    with np.errstate(divide="ignore"):
+        logprob = float(np.log(
+            rows2[rows, spec.est_cls] / st[spec.est_c - 1]).sum())
+    lognull = float(np.log(1.0 / spec.est_c.astype(float)).sum())
+    return logprob, lognull
+
+
+def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
+    """Build the spec for error2 and pad the public-shaped kernel back
+    into the internal flat layout."""
+    if kind == "d":
+        spec = _spec_d(cit, to, n, maxind=len(kernel) - 1)
+        kf = np.zeros(spec.nflat)
+        kf[:len(kernel)] = kernel
+    elif kind == "e":
+        spec = _spec_e(cit, to, n, cats)
+        kf = np.asarray(kernel, float)
+    elif kind == "l":
+        spec = _spec_l(cit, to, n, agebins)
+        kf = np.zeros(spec.nflat)
+        kf[:len(kernel)] = kernel
+    elif kind == "r":
+        spec = _spec_r(cit, to, n, window, maxind=len(kernel) - 1)
+        kf = np.zeros(spec.nflat)
+        kf[:len(kernel)] = kernel
+    elif kind == "ad":
+        spec = _spec_ad(cit, to, n, agebins, maxind=kernel.shape[0] - 1)
+        kf = np.zeros((kernel.shape[0] + 1, agebins + 1))
+        kf[:kernel.shape[0], :kernel.shape[1]] = kernel
+        kf = kf.reshape(-1)
+    elif kind == "de":
+        spec = _spec_de(cit, to, n, cats, maxind=kernel.shape[1] - 1)
+        kf = np.zeros((kernel.shape[0], kernel.shape[1] + 1))
+        kf[:, :kernel.shape[1]] = kernel
+        kf = kf.reshape(-1)
+    elif kind == "di":
+        spec = _spec_d(cit, to, n)
+        kf = np.zeros((kernel.shape[0], spec.nflat))
+        kf[:, :kernel.shape[1]] = kernel
+        kf = kf.reshape(-1)
+    else:
+        raise ValueError(f"error2: unsupported kernel kind {kind!r}")
+    return spec, kf
