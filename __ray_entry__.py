@@ -3025,6 +3025,70 @@ def q_compose(sf_dir: str):
             .reset_index(drop=True))
 
 
+NCIT = 400  # revolver citation-graph vertex space
+
+
+def _cit_events(sf_dir: str):
+    """Deterministic citation history from lineitem: each row cites
+    the smaller of the two derived ids from the larger (dst < src, so
+    vertex id == arrival order).  Multi-edges kept — revolver counts
+    every copy."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    a = t["l_orderkey"].to_numpy() % NCIT
+    b = t["l_partkey"].to_numpy() % NCIT
+    keep = a != b
+    a, b = a[keep], b[keep]
+    return np.maximum(a, b).astype(np.int64), \
+        np.minimum(a, b).astype(np.int64)
+
+
+def _q9(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, float) * 1e9 + 0.5) / 1e9
+
+
+def q_revolver_d(sf_dir: str):
+    """In-degree attachment kernel of the lineitem citation history
+    (igraph_revolver_d, src/revolver_cit.c:38), one measurement pass
+    (st == 1).  Oracle: full window-function SQL replay of the delta
+    timeline — per-class running counts for ntk at estimate time, the
+    ==1-open / ==0-close exposure pairing for normfact — quantized
+    half-up at 1e-9 on both sides."""
+    from xdata_igraph_ray.graph.revolver import revolver_d
+
+    cit, to = _cit_events(sf_dir)
+    out = revolver_d((cit, to), n=NCIT, niter=1)
+    k = out["kernel"]
+    return pd.DataFrame({
+        "deg": np.arange(len(k), dtype=np.int64),
+        "kernel": _q9(k),
+        "cites": out["cites"].astype(np.int64),
+        "norm": _q9(out["norm"]),
+    })
+
+
+def q_revolver_e(sf_dir: str):
+    """Category attachment kernel (igraph_revolver_e,
+    src/revolver_cit.c:1407) with cats[v] = v mod 5 over the same
+    citation history; one pass.  The e-kernel's bookkeeping is
+    closed-form (arrivals only), so the oracle is a direct SQL
+    aggregation."""
+    from xdata_igraph_ray.graph.revolver import revolver_e
+
+    cit, to = _cit_events(sf_dir)
+    cats = np.arange(NCIT, dtype=np.int64) % 5
+    out = revolver_e((cit, to), cats, n=NCIT, niter=1)
+    k = out["kernel"]
+    return pd.DataFrame({
+        "cat": np.arange(5, dtype=np.int64),
+        "kernel": _q9(k),
+        "cites": out["cites"].astype(np.int64),
+        "norm": _q9(out["norm"]),
+    })
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages -> extract -> graph ->
     pagerank -> scores."""
@@ -3175,6 +3239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "is_mutual_li": q_is_mutual,
         "to_undirected_li": q_to_undirected,
         "compose_li": q_compose,
+        "revolver_d_li": q_revolver_d,
+        "revolver_e_li": q_revolver_e,
     }
 
 
@@ -6275,5 +6341,167 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.src AS src, b.src AS dst
             FROM e a JOIN e b ON a.dst = b.dst
             ORDER BY src, dst
+            """,
+        # full window-function replay of revolver_d's delta timeline
+        # (src/revolver_cit.c:115-253): every ntk mutation is a
+        # (citing-node, class, sign) row; per-class running sums give
+        # ntk at estimate time (query rows at phase -1 sort before
+        # same-body deltas); normfact pairs ==1-opens with ==0-closes
+        # plus the final nonzero flush, measured in cumulative-event
+        # units.  Quantized half-up 1e-9 both sides.
+        "revolver_d_li": """
+            WITH ev0 AS (
+              SELECT GREATEST(l_orderkey % 400, l_partkey % 400) AS cit,
+                     LEAST(l_orderkey % 400, l_partkey % 400) AS tow
+              FROM lineitem
+              WHERE l_orderkey % 400 <> l_partkey % 400
+            ),
+            ev AS (
+              SELECT cit, tow,
+                     ROW_NUMBER() OVER (ORDER BY cit, tow) AS evseq
+              FROM ev0
+            ),
+            e2 AS (
+              SELECT cit, tow, evseq,
+                ROW_NUMBER() OVER (PARTITION BY tow ORDER BY evseq) - 1
+                  AS cum,
+                ROW_NUMBER() OVER (PARTITION BY tow ORDER BY evseq) -
+                ROW_NUMBER() OVER (PARTITION BY tow, cit ORDER BY evseq)
+                  AS prior
+              FROM ev
+            ),
+            mx AS (SELECT MAX(cum) + 1 AS maxind FROM e2),
+            ecnt AS (SELECT cit AS c, COUNT(*) AS cnt FROM ev GROUP BY 1),
+            ecum AS (
+              SELECT r.range AS c,
+                     COALESCE(SUM(ecnt.cnt) OVER (ORDER BY r.range),
+                              0)::DOUBLE AS ee
+              FROM range(0, 400) r LEFT JOIN ecnt ON ecnt.c = r.range
+            ),
+            etot AS (SELECT COUNT(*)::DOUBLE AS ee FROM ev),
+            deltas AS (
+              SELECT cit AS cd, cum AS cls, -1 AS sg, 0 AS ph,
+                     evseq * 2 AS ord FROM e2
+              UNION ALL
+              SELECT cit, cum + 1, 1, 0, evseq * 2 + 1 FROM e2
+              UNION ALL
+              SELECT r.range, 0, 1, 1, 0 FROM range(0, 400) r
+            ),
+            runs AS (
+              SELECT cd, cls, sg, ph, ord,
+                SUM(sg) OVER (PARTITION BY cls ORDER BY cd, ph, ord
+                              ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM deltas
+            ),
+            flags AS (
+              SELECT cls, cd, sg, ph, ord FROM runs
+              WHERE (sg > 0 AND cnt = 1) OR (sg < 0 AND cnt = 0)
+            ),
+            fjoin AS (
+              SELECT f.cls, f.sg, e.ee,
+                LAG(e.ee) OVER (PARTITION BY f.cls
+                                ORDER BY f.cd, f.ph, f.ord) AS preve,
+                ROW_NUMBER() OVER (PARTITION BY f.cls
+                  ORDER BY f.cd DESC, f.ph DESC, f.ord DESC) AS rdesc
+              FROM flags f JOIN ecum e ON e.c = f.cd
+            ),
+            spans AS (
+              SELECT cls,
+                SUM(CASE WHEN sg < 0 THEN ee - preve ELSE 0 END) AS nf0,
+                MAX(CASE WHEN rdesc = 1 AND sg > 0 THEN 1 ELSE 0 END)
+                  AS open_end,
+                MAX(CASE WHEN rdesc = 1 AND sg > 0 THEN ee END) AS laste
+              FROM fjoin GROUP BY cls
+            ),
+            nf AS (
+              SELECT cls, nf0 + CASE WHEN open_end = 1
+                THEN (SELECT ee FROM etot) - laste ELSE 0 END AS nfv
+              FROM spans
+            ),
+            qrows AS (
+              -- estimate-time class: same-batch earlier copies are
+              -- NOT yet counted in the in-degree (the reference's
+              -- estimate loop reads indegree before the updates)
+              SELECT cit AS cd, prior AS cls, 0 AS sg, -1 AS ph,
+                     evseq AS ord FROM e2
+            ),
+            run2 AS (
+              SELECT cd, cls, sg, ph, ord,
+                SUM(sg) OVER (PARTITION BY cls ORDER BY cd, ph, ord
+                              ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM (SELECT * FROM deltas UNION ALL SELECT * FROM qrows)
+            ),
+            agg AS (
+              SELECT cls, SUM(1.0 / cnt) AS sxk, COUNT(*) AS cites
+              FROM run2 WHERE ph = -1 GROUP BY cls
+            ),
+            classes AS (
+              -- every class 0..maxind occurs in the delta stream (a
+              -- vertex reaching degree d passed through all d' < d)
+              SELECT DISTINCT cls FROM deltas
+            ),
+            kern AS (
+              SELECT c.cls, COALESCE(a.cites, 0) AS cites,
+                CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 0.0
+                     ELSE COALESCE(a.sxk, 0) / n.nfv END AS k0,
+                CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 1.0
+                     ELSE n.nfv END AS nfv
+              FROM classes c
+              LEFT JOIN agg a ON a.cls = c.cls
+              LEFT JOIN nf n ON n.cls = c.cls
+            ),
+            tot AS (SELECT SUM(k0) AS s FROM kern)
+            SELECT cls AS deg,
+                   FLOOR(k0 / (SELECT s FROM tot) * 1e9 + 0.5) / 1e9
+                     AS kernel,
+                   cites::BIGINT AS cites,
+                   FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
+            FROM kern ORDER BY deg
+            """,
+        # revolver_e's bookkeeping is closed-form: ntk[cat] at a
+        # citation from c counts arrived vertices v <= c-1 with
+        # v % 5 == cat; exposure opens at the first arrival of the
+        # category (vertex == cat) and never closes.
+        "revolver_e_li": """
+            WITH ev AS (
+              SELECT GREATEST(l_orderkey % 400, l_partkey % 400) AS cit,
+                     LEAST(l_orderkey % 400, l_partkey % 400) AS tow
+              FROM lineitem
+              WHERE l_orderkey % 400 <> l_partkey % 400
+            ),
+            ecnt AS (SELECT cit AS c, COUNT(*) AS cnt FROM ev GROUP BY 1),
+            ecum AS (
+              SELECT r.range AS c,
+                     COALESCE(SUM(ecnt.cnt) OVER (ORDER BY r.range),
+                              0)::DOUBLE AS ee
+              FROM range(0, 400) r LEFT JOIN ecnt ON ecnt.c = r.range
+            ),
+            etot AS (SELECT COUNT(*)::DOUBLE AS ee FROM ev),
+            est AS (
+              SELECT tow % 5 AS cat,
+                1.0 / (((cit - 1 - (tow % 5)) // 5) + 1) AS xk
+              FROM ev
+            ),
+            agg AS (
+              SELECT cat, SUM(xk) AS sxk, COUNT(*) AS cites
+              FROM est GROUP BY cat
+            ),
+            nf AS (
+              SELECT r.range AS cat,
+                     (SELECT ee FROM etot) - e.ee AS nfv
+              FROM range(0, 5) r JOIN ecum e ON e.c = r.range
+            ),
+            kern AS (
+              SELECT n.cat, COALESCE(a.sxk, 0) / n.nfv AS k0,
+                     COALESCE(a.cites, 0) AS cites, n.nfv
+              FROM nf n LEFT JOIN agg a ON a.cat = n.cat
+            ),
+            tot AS (SELECT SUM(k0) AS s FROM kern)
+            SELECT cat,
+                   FLOOR(k0 / (SELECT s FROM tot) * 1e9 + 0.5) / 1e9
+                     AS kernel,
+                   cites::BIGINT AS cites,
+                   FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
+            FROM kern ORDER BY cat
             """,
     }

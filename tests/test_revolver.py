@@ -1046,3 +1046,40 @@ def test_error2_matches_driver_likelihood():
     out = revolver_de((src, dst), cats, n=n, niter=2)
     lp, ln = error2((src, dst), out["kernel"], "de", n=n, cats=cats)
     assert abs(lp - out["logprob"]) < 1e-9
+
+
+def test_evolver_d_roundtrip_with_revolver():
+    """Generate from a known increasing kernel, measure it back: the
+    measured kernel must be valid-citation-graph shaped and show the
+    planted preferential-attachment trend."""
+    from xdata_igraph_ray.graph.revolver import evolver_d, revolver_d
+
+    kernel = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    t = evolver_d(400, kernel, m=3, seed=5)
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    assert (dst < src).all()
+    assert len(src) == 3 * 399
+    out = revolver_d((src, dst), n=400, niter=4)
+    k = out["kernel"]
+    # trend: average kernel over degrees 2-4 exceeds degree-0 class
+    assert k[2:5].mean() > k[0]
+    # determinism
+    t2 = evolver_d(400, kernel, m=3, seed=5)
+    assert t.equals(t2)
+    # validation
+    with pytest.raises(ValueError):
+        evolver_d(10, np.array([0.0, 1.0]))
+    with pytest.raises(ValueError):
+        evolver_d(10, np.array([]))
+
+
+def test_evolver_d_outseq_and_outdist():
+    from xdata_igraph_ray.graph.revolver import evolver_d
+
+    outseq = np.r_[0, np.arange(1, 10) % 3]
+    t = evolver_d(10, np.ones(3), outseq=outseq, seed=1)
+    got = np.bincount(t["src"].to_numpy(), minlength=10)
+    np.testing.assert_array_equal(got, outseq)
+    t2 = evolver_d(30, np.ones(3), outdist=np.array([0.0, 1.0]), seed=2)
+    assert np.bincount(t2["src"].to_numpy(), minlength=30)[1:].max() == 1

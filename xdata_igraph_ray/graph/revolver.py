@@ -1066,6 +1066,63 @@ def error2(edges, kernel, kind: str, n=None, cats=None, agebins=None,
     return logprob, lognull
 
 
+def evolver_d(n: int, kernel, outseq=None, outdist=None, m: int = 1,
+              seed: int = 42) -> pa.Table:
+    """igraph_evolver_d (src/evolver_cit.c:94): GROW a citation graph
+    from a given in-degree attachment kernel — the generative inverse
+    of :func:`revolver_d`.  Vertex i arrives with ``outseq[i]`` (or a
+    draw from ``outdist``, or the constant ``m``) citations sampled
+    proportional to kernel[deg] over present vertices via a Fenwick
+    partial-sum tree (the reference's psumtree).
+
+    Pinned divergences: seeded numpy RNG replaces the reference
+    stream, and kernel weights stay FLOATS — the reference truncates
+    them to long at each psumtree update (src/evolver_cit.c:154-156),
+    which silently zeroes fractional kernels.
+    """
+    from .games import _Fenwick
+
+    kernel = np.asarray(kernel, float)
+    if len(kernel) == 0:
+        raise ValueError("Zero length kernel")
+    if kernel[0] == 0:
+        raise ValueError(
+            "Zero attractivity for zero degree vertices not allowed")
+    rng = np.random.default_rng(seed)
+    if outseq is not None:
+        outseq = np.asarray(outseq, np.int64)
+        if len(outseq) != n:
+            raise ValueError("Invalid out-degree sequence length")
+    elif outdist is not None:
+        outdist = np.asarray(outdist, float)
+        p = outdist / outdist.sum()
+        outseq = np.r_[0, rng.choice(len(outdist), size=max(n - 1, 0),
+                                     p=p)]
+    else:
+        outseq = np.r_[0, np.full(max(n - 1, 0), m, np.int64)]
+    tree = _Fenwick(n)
+    tree.update(0, kernel[0])
+    degree = np.zeros(n, np.int64)
+    src, dst = [], []
+    for i in range(1, n):
+        total = tree.total()
+        k = int(outseq[i])   # not clamped to i — multi-citations of the
+        picked = []          # same older vertex stand in, like the C
+        for _ in range(k):
+            to = tree.search(rng.uniform(0.0, total))
+            degree[to] += 1
+            src.append(i)
+            dst.append(to)
+            picked.append(to)
+        for to in picked:
+            d = int(degree[to])
+            a = kernel[d] if d < len(kernel) else kernel[-1]
+            tree.update(to, a)
+        tree.update(i, kernel[0])
+    return pa.table({"src": np.asarray(src, np.int64),
+                     "dst": np.asarray(dst, np.int64)})
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
