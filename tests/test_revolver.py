@@ -1083,3 +1083,243 @@ def test_evolver_d_outseq_and_outdist():
     np.testing.assert_array_equal(got, outseq)
     t2 = evolver_d(30, np.ones(3), outdist=np.array([0.0, 1.0]), seed=2)
     assert np.bincount(t2["src"].to_numpy(), minlength=30)[1:].max() == 1
+
+
+# -- d_d: growing-network degree-degree pair kernel --------------------------
+
+
+def grow_graph(n, seed, per_step=2, epb=3, simple=True):
+    """Growing network with explicit vertex/edge times: per_step
+    vertices arrive per timestep; each timestep adds edges between
+    already-present vertices.  ``simple`` skips duplicate pairs —
+    the d_d model's NTKK denominator hits zero on multi-edges (the
+    reference divides by zero there too)."""
+    rng = np.random.default_rng(seed)
+    vtime = np.arange(n) // per_step
+    src, dst, etime = [], [], []
+    seen = set()
+    for t in range(1, n // per_step):
+        present = np.flatnonzero(vtime <= t)
+        for _ in range(int(rng.poisson(epb))):
+            a, b = rng.choice(present, 2, replace=False)
+            key = (min(a, b), max(a, b))
+            if simple and key in seen:
+                continue
+            seen.add(key)
+            src.append(a)
+            dst.append(b)
+            etime.append(t)
+    return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            vtime.astype(np.int64), np.asarray(etime, np.int64))
+
+
+def ref_revolver_d_d(src, dst, n, vtime, etime, niter):
+    """Literal per-line translation of src/revolver_grow.c:40-465 and
+    :467-601, :603-686 using plain Python loops (no vectorized
+    probes)."""
+    noev = int(max(vtime.max(), etime.max())) + 1
+    deg_all = np.bincount(src, minlength=n) + np.bincount(dst,
+                                                          minlength=n)
+    D = int(deg_all.max()) + 1
+    vorder = np.argsort(vtime, kind="stable")
+    eorder = np.argsort(etime, kind="stable")
+    inc = [[] for _ in range(n)]
+    for ei in range(len(src)):
+        inc[src[ei]].append(ei)
+        inc[dst[ei]].append(ei)
+
+    def NTKK(ntk, ntkk, x, y):
+        if x == y:
+            return ntk[x] * (ntk[x] - 1) // 2 - ntkk[x][y]
+        return ntk[x] * ntk[y] - ntkk[x][y]
+
+    def mes(st):
+        degree = [0] * n
+        added = [False] * len(src)
+        ntk = [0] * D
+        ntkk = [[0] * D for _ in range(D)]
+        ch = [[0.0] * D for _ in range(D)]
+        normfact = [[0.0] * D for _ in range(D)]
+        notnull = [[0.0] * D for _ in range(D)]
+        kernel = [[0.0] * D for _ in range(D)]
+        nptr = eptr = 0
+        for t in range(noev):
+            np_save = nptr
+            while nptr < n and vtime[vorder[nptr]] == t:
+                nptr += 1
+            nadd = nptr - np_save
+            ntk[0] += nadd
+            if ntk[0] == nadd and nadd != 0:
+                if nadd >= 2:
+                    ch[0][0] = eptr
+                for i in range(1, D):
+                    if NTKK(ntk, ntkk, 0, i) == nadd * ntk[i]:
+                        ch[0][i] = ch[i][0] = eptr
+            ep_save = eptr
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                x, y = degree[src[ei]], degree[dst[ei]]
+                notnull[x][y] += 1
+                notnull[y][x] = notnull[x][y]
+                xk = st[t] / NTKK(ntk, ntkk, x, y)
+                old = kernel[x][y]
+                kernel[x][y] += (xk - old) / notnull[x][y]
+                kernel[y][x] = kernel[x][y]
+                eptr += 1
+            ep_new = eptr
+            eptr = ep_save
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                f, tt = src[ei], dst[ei]
+                x, y = degree[f], degree[tt]
+                for v, xi in ((f, x), (tt, y)):
+                    for e2 in inc[v]:
+                        if not added[e2]:
+                            continue
+                        other = dst[e2] if src[e2] == v else src[e2]
+                        dg = degree[other]
+                        ntkk[xi][dg] -= 1
+                        ntkk[dg][xi] = ntkk[xi][dg]
+                        if NTKK(ntk, ntkk, xi, dg) == 1:
+                            ch[dg][xi] = ch[xi][dg] = ep_new
+                        ntkk[xi + 1][dg] += 1
+                        ntkk[dg][xi + 1] = ntkk[xi + 1][dg]
+                        if NTKK(ntk, ntkk, xi + 1, dg) == 0:
+                            normfact[xi + 1][dg] += ep_new - ch[xi + 1][dg]
+                            normfact[dg][xi + 1] = normfact[xi + 1][dg]
+                added[ei] = True
+                ntkk[x + 1][y + 1] += 1
+                ntkk[y + 1][x + 1] = ntkk[x + 1][y + 1]
+                if NTKK(ntk, ntkk, x + 1, y + 1) == 0:
+                    normfact[x + 1][y + 1] = ep_new - ch[x + 1][y + 1]
+                    normfact[y + 1][x + 1] = normfact[x + 1][y + 1]
+                for i in range(D):
+                    before = NTKK(ntk, ntkk, x, i)
+                    ntk[x] -= 1
+                    after = NTKK(ntk, ntkk, x, i)
+                    ntk[x] += 1
+                    if before > 0 and after == 0:
+                        normfact[x][i] += ep_new - ch[x][i]
+                        normfact[i][x] = normfact[x][i]
+                ntk[x] -= 1
+                for i in range(D):
+                    before = NTKK(ntk, ntkk, y, i)
+                    ntk[y] -= 1
+                    after = NTKK(ntk, ntkk, y, i)
+                    ntk[y] += 1
+                    if before > 0 and after == 0:
+                        normfact[y][i] += ep_new - ch[y][i]
+                        normfact[i][y] = normfact[y][i]
+                ntk[y] -= 1
+                for i in range(D):
+                    before = NTKK(ntk, ntkk, x + 1, i)
+                    ntk[x + 1] += 1
+                    after = NTKK(ntk, ntkk, x + 1, i)
+                    ntk[x + 1] -= 1
+                    if before == 0 and after > 0:
+                        ch[x + 1][i] = ch[i][x + 1] = ep_new
+                ntk[x + 1] += 1
+                for i in range(D):
+                    before = NTKK(ntk, ntkk, y + 1, i)
+                    ntk[y + 1] += 1
+                    after = NTKK(ntk, ntkk, y + 1, i)
+                    ntk[y + 1] -= 1
+                    if before == 0 and after == 0:  # reference quirk
+                        ch[y + 1][i] = ch[i][y + 1] = ep_new
+                ntk[y + 1] += 1
+                degree[f] += 1
+                degree[tt] += 1
+                eptr += 1
+        for i in range(D):
+            for j in range(i + 1):
+                if NTKK(ntk, ntkk, i, j) != 0:
+                    normfact[i][j] += eptr - ch[i][j]
+                    normfact[j][i] = normfact[i][j]
+                if normfact[i][j] == 0:
+                    kernel[i][j] = kernel[j][i] = 0
+                    normfact[i][j] = normfact[j][i] = 1
+                kernel[i][j] *= notnull[i][j] / normfact[i][j]
+                kernel[j][i] = kernel[i][j]
+        return (np.array(kernel), np.array(normfact), np.array(notnull))
+
+    def st_fn(kernel):
+        degree = [0] * n
+        added = [False] * len(src)
+        ntk = [0] * D
+        st = np.zeros(noev)
+        nptr = eptr = 0
+        for t in range(noev - 1):
+            while nptr < n and vtime[vorder[nptr]] == t:
+                for i in range(D):
+                    st[t] += ntk[i] * kernel[i][0]
+                ntk[0] += 1
+                nptr += 1
+            st[t + 1] = st[t]
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                f, tt = src[ei], dst[ei]
+                x, y = degree[f], degree[tt]
+                inc_v = -kernel[x][y]
+                for i in range(D):
+                    inc_v += ntk[i] * (kernel[i][x + 1] - kernel[i][x]
+                                       + kernel[i][y + 1] - kernel[i][y])
+                inc_v -= kernel[x + 1][x + 1] + kernel[y + 1][y + 1]
+                inc_v += kernel[x][x] + kernel[y][y]
+                ntk[x] -= 1
+                ntk[y] -= 1
+                ntk[x + 1] += 1
+                ntk[y + 1] += 1
+                for v, xi in ((f, x), (tt, y)):
+                    for e2 in inc[v]:
+                        if added[e2]:
+                            other = dst[e2] if src[e2] == v else src[e2]
+                            dg = degree[other]
+                            inc_v += kernel[xi][dg] - kernel[xi + 1][dg]
+                added[ei] = True
+                degree[f] += 1
+                degree[tt] += 1
+                st[t + 1] += inc_v
+                eptr += 1
+        return st
+
+    st = np.ones(noev)
+    for i in range(niter):
+        kernel, norm, cites = mes(st)
+        kernel = kernel / kernel.sum()
+        st = st_fn(kernel.tolist())
+    return kernel, norm, cites, st
+
+
+@pytest.mark.parametrize("seed,niter", [(0, 1), (1, 2), (4, 3)])
+def test_revolver_d_d_matches_reference_replay(seed, niter):
+    from xdata_igraph_ray.graph.revolver import revolver_d_d
+
+    n = 20
+    src, dst, vtime, etime = grow_graph(n, seed)
+    want_k, want_n, want_c, want_st = ref_revolver_d_d(
+        src, dst, n, vtime, etime, niter)
+    got = revolver_d_d((src, dst), vtime, etime, n=n, niter=niter)
+    np.testing.assert_allclose(got["kernel"], want_k, atol=1e-12)
+    np.testing.assert_allclose(got["norm"], want_n, atol=1e-9)
+    np.testing.assert_allclose(got["cites"], want_c, atol=0)
+    np.testing.assert_allclose(got["st"], want_st, atol=1e-10)
+    # symmetry + mass
+    assert np.allclose(got["kernel"], got["kernel"].T)
+    assert abs(got["kernel"].sum() - 1.0) < 1e-9
+
+
+def test_revolver_d_d_multi_edge_degenerate_parity():
+    """A duplicate pair drives the NTKK denominator to zero; the
+    reference divides by zero identically — both sides must produce
+    the SAME NaN pattern rather than silently diverging."""
+    from xdata_igraph_ray.graph.revolver import revolver_d_d
+
+    src, dst, vtime, etime = grow_graph(20, 1, simple=False)
+    want_k, _, want_c, want_st = ref_revolver_d_d(
+        src, dst, 20, vtime, etime, 2)
+    got = revolver_d_d((src, dst), vtime, etime, n=20, niter=2)
+    np.testing.assert_allclose(got["kernel"], want_k, atol=1e-12,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["st"], want_st, atol=1e-10,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["cites"], want_c, atol=0)

@@ -744,8 +744,8 @@ def _driver(spec, cit, n, niter):
         last = i + 1 == niter
         kernel, sd, nf, cites, logmax = _mes(spec, st, ecum, want_sd=last)
         ks = kernel.sum()
-        if ks > 0:
-            kernel = kernel / ks
+        if ks != 0:   # != not >: NaN sums must propagate like the
+            kernel = kernel / ks  # reference's unguarded division
         st = spec.st(kernel)
         if last:
             expected = _expected(spec, kernel, st, cit, n)
@@ -839,8 +839,8 @@ def _driver_rows(spec, cit, n, cats, niter, full_st=False):
         kernel, sd, nf, cites, logmax = _mes_rows(
             spec, st, ecum_rows, rows, want_sd=last)
         ks = kernel.sum()
-        if ks > 0:
-            kernel = kernel / ks
+        if ks != 0:   # != not >: NaN sums must propagate like the
+            kernel = kernel / ks  # reference's unguarded division
         st = _st_rows(spec, kernel, cats, full_st)
         if last:
             with np.errstate(divide="ignore"):
@@ -1121,6 +1121,281 @@ def evolver_d(n: int, kernel, outseq=None, outdist=None, m: int = 1,
         tree.update(i, kernel[0])
     return pa.table({"src": np.asarray(src, np.int64),
                      "dst": np.asarray(dst, np.int64)})
+
+
+def revolver_d_d(edges, vtime, etime, n=None, niter: int = 5):
+    """igraph_revolver_d_d (src/revolver_grow.c:40): degree-degree
+    PAIR kernel of a growing undirected network with explicit vertex
+    and edge times.  At each timestep the probability that a new edge
+    lands on a (deg-x, deg-y) vertex pair is A(x, y); the measurement
+    divides st[t] by NTKK(x, y) — the number of POSSIBLE new (x, y)
+    connections, ntk[x]*ntk[y] (triangular on the diagonal) minus the
+    connections already present between the two degree classes.
+
+    Sequential history replay (the reference's own O(E * maxdeg)
+    single-threaded scope) with numpy row operations for the
+    per-degree-class probes; the event extraction is the only
+    distributed-scale step.  The reference's ``exp_d_d`` is a TODO
+    stub, so ``expected`` is None.  One faithfully mirrored quirk: the
+    yidx+1 exposure probe tests ``before==0 && after==0`` where the
+    xidx+1 probe tests ``after>0`` (src/revolver_grow.c:399-411) — a
+    likely typo in the reference, kept for output parity.
+
+    Returns dict(kernel, sd, norm, cites, expected=None, logprob,
+    lognull, st).
+    """
+    if isinstance(edges, tuple):
+        src = np.asarray(edges[0], np.int64)
+        dst = np.asarray(edges[1], np.int64)
+    else:
+        if not isinstance(edges, pa.Table):
+            edges = pa.concat_tables(
+                list(edges.iter_batches(batch_format="pyarrow")))
+        src = edges["src"].to_numpy().astype(np.int64)
+        dst = edges["dst"].to_numpy().astype(np.int64)
+    vtime = np.asarray(vtime, np.int64)
+    etime = np.asarray(etime, np.int64)
+    if n is None:
+        n = len(vtime)
+    if len(vtime) != n or len(etime) != len(src):
+        raise ValueError("vtime/etime length mismatch")
+    noev = int(max(vtime.max(initial=-1), etime.max(initial=-1))) + 1
+    # undirected max degree (loops double-counted, igraph_maxdegree ALL)
+    deg_all = (np.bincount(src, minlength=n) + np.bincount(dst,
+                                                           minlength=n))
+    maxdeg = int(deg_all.max(initial=0))
+    vorder = np.argsort(vtime, kind="stable")
+    eorder = np.argsort(etime, kind="stable")
+    vptr_at = np.searchsorted(vtime[vorder], np.arange(noev + 1))
+    eptr_at = np.searchsorted(etime[eorder], np.arange(noev + 1))
+    # incidence lists (edge ids per vertex) for the rescan step
+    inc = [[] for _ in range(n)]
+    for ei in range(len(src)):
+        inc[src[ei]].append(ei)
+        inc[dst[ei]].append(ei)
+    inc = [np.asarray(x, np.int64) for x in inc]
+
+    D = maxdeg + 1
+    st = np.ones(noev)
+    out = {}
+    for it in range(niter):
+        last = it + 1 == niter
+        kernel, sd, nf, cites = _mes_d_d(
+            src, dst, n, noev, D, st, vorder, eorder, vptr_at, eptr_at,
+            inc, want_sd=last)
+        ks = kernel.sum()
+        if ks != 0:   # != not >: NaN sums must propagate like the
+            kernel = kernel / ks  # reference's unguarded division
+        st = _st_d_d(src, dst, n, noev, D, kernel, vptr_at, eptr_at,
+                     vorder, eorder, inc)
+        if last:
+            logprob, lognull = _error_d_d(
+                src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder)
+            out = {"kernel": kernel, "sd": sd, "norm": nf,
+                   "cites": cites, "expected": None,
+                   "logprob": logprob, "lognull": lognull, "st": st}
+    return out
+
+
+def _ntkk_row(ntk, ntkk, x):
+    """NTKK(x, :) — possible new connections between degree classes
+    (src/revolver_grow.c:158)."""
+    row = ntk[x] * ntk - ntkk[x]
+    row[x] = ntk[x] * (ntk[x] - 1) // 2 - ntkk[x, x]
+    return row
+
+
+def _mes_d_d(src, dst, n, noev, D, st, vorder, eorder, vptr_at, eptr_at,
+             inc, want_sd=False):
+    degree = np.zeros(n, np.int64)
+    added = np.zeros(len(src), bool)
+    ntk = np.zeros(D, np.int64)
+    ntkk = np.zeros((D, D), np.int64)
+    ch = np.zeros((D, D))
+    normfact = np.zeros((D, D))
+    notnull = np.zeros((D, D))
+    kernel = np.zeros((D, D))
+    sd = np.zeros((D, D))
+
+    def close_if(mask, rowsel, eptr_new):
+        pass
+
+    for t in range(noev):
+        nadd = vptr_at[t + 1] - vptr_at[t]
+        ntk[0] += nadd
+        eptr_new = int(eptr_at[t + 1])
+        eptr0 = int(eptr_at[t])
+        if ntk[0] == nadd and nadd != 0:
+            # src/revolver_grow.c:85-96 — freshly (re)opened 0-row
+            if nadd >= 2:
+                ch[0, 0] = eptr0
+            row = _ntkk_row(ntk, ntkk, 0)
+            hit = np.flatnonzero(row[1:] == nadd * ntk[1:]) + 1
+            ch[0, hit] = eptr0
+            ch[hit, 0] = eptr0
+        # estimate pass (degrees frozen over the timestep)
+        for p in range(eptr0, eptr_new):
+            ei = int(eorder[p])
+            x, y = int(degree[src[ei]]), int(degree[dst[ei]])
+            notnull[x, y] += 1
+            notnull[y, x] = notnull[x, y]
+            poss = (ntk[x] * (ntk[x] - 1) // 2 - ntkk[x, x]) if x == y \
+                else ntk[x] * ntk[y] - ntkk[x, y]
+            xk = st[t] / poss
+            oldakk = kernel[x, y]
+            kernel[x, y] += (xk - oldakk) / notnull[x, y]
+            kernel[y, x] = kernel[x, y]
+            if want_sd:
+                sd[x, y] += (xk - oldakk) * (xk - kernel[x, y])
+                sd[y, x] = sd[x, y]
+        # update pass
+        for p in range(eptr0, eptr_new):
+            ei = int(eorder[p])
+            f, tt = int(src[ei]), int(dst[ei])
+            x, y = int(degree[f]), int(degree[tt])
+            for v, xi in ((f, x), (tt, y)):
+                for e2 in inc[v]:
+                    if not added[e2]:
+                        continue
+                    other = dst[e2] if src[e2] == v else src[e2]
+                    # (a loop edge keeps other == v, like IGRAPH_OTHER)
+                    if src[e2] == v and dst[e2] == v:
+                        other = v
+                    dg = int(degree[other])
+                    ntkk[xi, dg] -= 1
+                    ntkk[dg, xi] = ntkk[xi, dg]
+                    if _ntkk_row(ntk, ntkk, xi)[dg] == 1:
+                        ch[dg, xi] = eptr_new
+                        ch[xi, dg] = eptr_new
+                    ntkk[xi + 1, dg] += 1
+                    ntkk[dg, xi + 1] = ntkk[xi + 1, dg]
+                    if _ntkk_row(ntk, ntkk, xi + 1)[dg] == 0:
+                        normfact[xi + 1, dg] += eptr_new - ch[xi + 1, dg]
+                        normfact[dg, xi + 1] = normfact[xi + 1, dg]
+            added[ei] = True
+            ntkk[x + 1, y + 1] += 1
+            ntkk[y + 1, x + 1] = ntkk[x + 1, y + 1]
+            if _ntkk_row(ntk, ntkk, x + 1)[y + 1] == 0:
+                normfact[x + 1, y + 1] = eptr_new - ch[x + 1, y + 1]
+                normfact[y + 1, x + 1] = normfact[x + 1, y + 1]
+            # exposure probes: does removing/adding one vertex of a
+            # class empty/open any pair class?  (vectorized rows)
+            for xi in (x, y):
+                before = _ntkk_row(ntk, ntkk, xi)
+                ntk[xi] -= 1
+                after = _ntkk_row(ntk, ntkk, xi)
+                ntk[xi] += 1
+                hit = np.flatnonzero((before > 0) & (after == 0))
+                if len(hit):
+                    normfact[xi, hit] += eptr_new - ch[xi, hit]
+                    normfact[hit, xi] = normfact[xi, hit]
+                ntk[xi] -= 1
+            before = _ntkk_row(ntk, ntkk, x + 1)
+            ntk[x + 1] += 1
+            after = _ntkk_row(ntk, ntkk, x + 1)
+            ntk[x + 1] -= 1
+            hit = np.flatnonzero((before == 0) & (after > 0))
+            if len(hit):
+                ch[x + 1, hit] = eptr_new
+                ch[hit, x + 1] = eptr_new
+            ntk[x + 1] += 1
+            before = _ntkk_row(ntk, ntkk, y + 1)
+            ntk[y + 1] += 1
+            after = _ntkk_row(ntk, ntkk, y + 1)
+            ntk[y + 1] -= 1
+            # the reference tests after==0 here, not after>0 — a
+            # probable typo kept for parity (src/revolver_grow.c:405)
+            hit = np.flatnonzero((before == 0) & (after == 0))
+            if len(hit):
+                ch[y + 1, hit] = eptr_new
+                ch[hit, y + 1] = eptr_new
+            ntk[y + 1] += 1
+            degree[f] += 1
+            degree[tt] += 1
+    eptr = float(eptr_at[noev])
+    for i in range(D):
+        for j in range(i + 1):
+            poss = (ntk[i] * (ntk[i] - 1) // 2 - ntkk[i, i]) if i == j \
+                else ntk[i] * ntk[j] - ntkk[i, j]
+            if poss != 0:
+                normfact[i, j] += eptr - ch[i, j]
+                normfact[j, i] = normfact[i, j]
+            if normfact[i, j] == 0:
+                kernel[i, j] = kernel[j, i] = 0
+                normfact[i, j] = normfact[j, i] = 1
+            oldakk = kernel[i, j]
+            kernel[i, j] *= notnull[i, j] / normfact[i, j]
+            kernel[j, i] = kernel[i, j]
+            if want_sd:
+                sd[i, j] += oldakk * oldakk * notnull[i, j] * (
+                    1 - notnull[i, j] / normfact[i, j])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sd[i, j] = np.sqrt(sd[i, j] / (normfact[i, j] - 1))
+                sd[j, i] = sd[i, j]
+    return kernel, (sd if want_sd else None), normfact, notnull
+
+
+def _st_d_d(src, dst, n, noev, D, kernel, vptr_at, eptr_at, vorder,
+            eorder, inc):
+    """src/revolver_grow.c:467 — st over events from the kernel."""
+    degree = np.zeros(n, np.int64)
+    added = np.zeros(len(src), bool)
+    ntk = np.zeros(D, np.int64)
+    st = np.zeros(noev)
+    k0 = kernel[:, 0]
+    for t in range(noev - 1):
+        for _ in range(int(vptr_at[t + 1] - vptr_at[t])):
+            st[t] += float(ntk @ k0)
+            ntk[0] += 1
+        st[t + 1] = st[t]
+        for p in range(int(eptr_at[t]), int(eptr_at[t + 1])):
+            ei = int(eorder[p])
+            f, tt = int(src[ei]), int(dst[ei])
+            x, y = int(degree[f]), int(degree[tt])
+            inc_v = -kernel[x, y]
+            inc_v += float(ntk @ (kernel[:, x + 1] - kernel[:, x]
+                                  + kernel[:, y + 1] - kernel[:, y]))
+            inc_v -= kernel[x + 1, x + 1] + kernel[y + 1, y + 1]
+            inc_v += kernel[x, x] + kernel[y, y]
+            ntk[x] -= 1
+            ntk[y] -= 1
+            ntk[x + 1] += 1
+            ntk[y + 1] += 1
+            for v, xi in ((f, x), (tt, y)):
+                for e2 in inc[v]:
+                    if not added[e2]:
+                        continue
+                    other = dst[e2] if src[e2] == v else src[e2]
+                    dg = int(degree[other])
+                    inc_v += kernel[xi, dg] - kernel[xi + 1, dg]
+            added[ei] = True
+            degree[f] += 1
+            degree[tt] += 1
+            st[t + 1] += inc_v
+    return st
+
+
+def _error_d_d(src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder):
+    """src/revolver_grow.c:603."""
+    degree = np.zeros(n, np.int64)
+    logprob = lognull = 0.0
+    vertices = 0
+    for t in range(noev):
+        vertices += int(vptr_at[t + 1] - vptr_at[t])
+        e0, e1 = int(eptr_at[t]), int(eptr_at[t + 1])
+        for p in range(e0, e1):
+            ei = int(eorder[p])
+            x = int(degree[src[ei]])
+            y = int(degree[dst[ei]])
+            with np.errstate(divide="ignore"):
+                logprob += float(np.log(kernel[x, y] / st[t]))
+            lognull += float(np.log(
+                1.0 / (vertices * (vertices - 1) // 2 - e0)))
+        for p in range(e0, e1):
+            ei = int(eorder[p])
+            degree[src[ei]] += 1
+            degree[dst[ei]] += 1
+    return logprob, lognull
 
 
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
