@@ -1323,3 +1323,212 @@ def test_revolver_d_d_multi_edge_degenerate_parity():
     np.testing.assert_allclose(got["st"], want_st, atol=1e-10,
                                equal_nan=True)
     np.testing.assert_allclose(got["cites"], want_c, atol=0)
+
+
+# -- p_p: collaboration paper-count pair kernel ------------------------------
+
+
+def collab_history(n, seed, per_step=2):
+    """Growing collaboration history: authors arrive, papers retype
+    random present authors, edges connect distinct present pairs
+    (simple)."""
+    rng = np.random.default_rng(seed)
+    vtime = np.arange(n) // per_step
+    noev = n // per_step
+    src, dst, etime, authors, eventsizes, seen = [], [], [], [], [], set()
+    for t in range(noev):
+        present = np.flatnonzero(vtime <= t)
+        k = int(rng.integers(0, 3))
+        eventsizes.append(k)
+        for _ in range(k):
+            authors.append(int(rng.choice(present)))
+        if t >= 1:
+            for _ in range(int(rng.poisson(2))):
+                a, b = rng.choice(present, 2, replace=False)
+                key = (min(a, b), max(a, b))
+                if key in seen:
+                    continue
+                seen.add(key)
+                src.append(a)
+                dst.append(b)
+                etime.append(t)
+    return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            vtime.astype(np.int64), np.asarray(etime, np.int64),
+            np.asarray(authors, np.int64),
+            np.asarray(eventsizes, np.int64))
+
+
+def ref_revolver_p_p(src, dst, n, vtime, etime, authors, eventsizes,
+                     niter):
+    """Literal translation of src/revolver_grow.c:687-1290."""
+    noev = len(eventsizes)
+    P = int(np.bincount(authors, minlength=n).max(initial=0))
+    D = P + 1
+    vorder = np.argsort(vtime, kind="stable")
+    eorder = np.argsort(etime, kind="stable")
+    aptr_at = np.r_[0, np.cumsum(eventsizes)]
+    inc = [[] for _ in range(n)]
+    for ei in range(len(src)):
+        inc[src[ei]].append(ei)
+        inc[dst[ei]].append(ei)
+
+    def NTKK(ntk, ntkk, x, y):
+        if x == y:
+            return ntk[x] * (ntk[x] - 1) // 2 - ntkk[x][y]
+        return ntk[x] * ntk[y] - ntkk[x][y]
+
+    def mes(st):
+        papers = [0] * n
+        added = [False] * len(src)
+        ntk = [0] * D
+        ntkk = [[0] * D for _ in range(D)]
+        ch = [[0.0] * D for _ in range(D)]
+        normfact = [[0.0] * D for _ in range(D)]
+        notnull = [[0.0] * D for _ in range(D)]
+        kernel = [[0.0] * D for _ in range(D)]
+        nptr = eptr = 0
+        for t in range(noev):
+            np_save = nptr
+            while nptr < n and vtime[vorder[nptr]] == t:
+                nptr += 1
+            nadd = nptr - np_save
+            ntk[0] += nadd
+            if ntk[0] == nadd and nadd != 0:
+                if nadd >= 2:
+                    ch[0][0] = eptr
+                for i in range(1, D):
+                    if NTKK(ntk, ntkk, 0, i) == nadd * ntk[i]:
+                        ch[0][i] = ch[i][0] = eptr
+            ep_save = eptr
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                x, y = papers[src[ei]], papers[dst[ei]]
+                notnull[x][y] += 1
+                notnull[y][x] = notnull[x][y]
+                xk = st[t] / NTKK(ntk, ntkk, x, y)
+                old = kernel[x][y]
+                kernel[x][y] += (xk - old) / notnull[x][y]
+                kernel[y][x] = kernel[x][y]
+                eptr += 1
+            ep_new = eptr
+            for ai in range(aptr_at[t], aptr_at[t + 1]):
+                aut = authors[ai]
+                pap = papers[aut]
+                for e2 in inc[aut]:
+                    if not added[e2]:
+                        continue
+                    other = dst[e2] if src[e2] == aut else src[e2]
+                    op = papers[other]
+                    ntkk[pap][op] -= 1
+                    ntkk[op][pap] = ntkk[pap][op]
+                    if NTKK(ntk, ntkk, pap, op) == 1:
+                        ch[pap][op] = ch[op][pap] = ep_new
+                    ntkk[pap + 1][op] += 1
+                    ntkk[op][pap + 1] = ntkk[pap + 1][op]
+                    if NTKK(ntk, ntkk, pap + 1, op) == 0:
+                        normfact[pap + 1][op] += ep_new - ch[pap + 1][op]
+                        normfact[op][pap + 1] = normfact[pap + 1][op]
+                for j in range(D):
+                    before = NTKK(ntk, ntkk, pap, j)
+                    ntk[pap] -= 1
+                    after = NTKK(ntk, ntkk, pap, j)
+                    ntk[pap] += 1
+                    if before > 0 and after == 0:
+                        normfact[pap][j] += ep_new - ch[pap][j]
+                        normfact[j][pap] = normfact[pap][j]
+                ntk[pap] -= 1
+                for j in range(D):
+                    before = NTKK(ntk, ntkk, pap + 1, j)
+                    ntk[pap + 1] += 1
+                    after = NTKK(ntk, ntkk, pap + 1, j)
+                    ntk[pap + 1] -= 1
+                    if before == 0 and after > 0:
+                        ch[pap + 1][j] = ch[j][pap + 1] = ep_new
+                ntk[pap + 1] += 1
+                papers[aut] += 1
+            eptr = ep_save
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                x, y = papers[src[ei]], papers[dst[ei]]
+                ntkk[x][y] += 1
+                ntkk[y][x] = ntkk[x][y]
+                if NTKK(ntk, ntkk, x, y) == 0:
+                    normfact[x][y] += ep_new - ch[x][y]
+                    normfact[y][x] = normfact[x][y]
+                added[ei] = True
+                eptr += 1
+        for i in range(D):
+            for j in range(i + 1):
+                if NTKK(ntk, ntkk, i, j) != 0:
+                    normfact[i][j] += eptr - ch[i][j]
+                    normfact[j][i] = normfact[i][j]
+                if normfact[i][j] == 0:
+                    kernel[i][j] = kernel[j][i] = 0
+                    normfact[i][j] = normfact[j][i] = 1
+                kernel[i][j] *= notnull[i][j] / normfact[i][j]
+                kernel[j][i] = kernel[i][j]
+        return np.array(kernel), np.array(normfact), np.array(notnull)
+
+    def st_fn(kernel):
+        papers = [0] * n
+        added = [False] * len(src)
+        ntk = [0] * D
+        st = np.zeros(noev)
+        nptr = eptr = 0
+        for t in range(noev - 1):
+            np_save = nptr
+            while nptr < n and vtime[vorder[nptr]] == t:
+                nptr += 1
+            nadd = nptr - np_save
+            if nadd != 0:
+                for i in range(D):
+                    st[t] += ntk[i] * kernel[i][0] * nadd
+                st[t] += nadd * (nadd - 1) // 2 * kernel[0][0]
+                ntk[0] += nadd
+            st[t + 1] = st[t]
+            for ai in range(aptr_at[t], aptr_at[t + 1]):
+                aut = authors[ai]
+                pap = papers[aut]
+                for j in range(D):
+                    st[t + 1] += ntk[j] * (kernel[j][pap + 1]
+                                           - kernel[j][pap])
+                st[t + 1] += kernel[pap][pap] - kernel[pap + 1][pap + 1]
+                ntk[pap] -= 1
+                ntk[pap + 1] += 1
+                for e2 in inc[aut]:
+                    if added[e2]:
+                        other = dst[e2] if src[e2] == aut else src[e2]
+                        op = papers[other]
+                        st[t + 1] += kernel[pap][op] - kernel[pap + 1][op]
+                papers[aut] += 1
+            while eptr < len(src) and etime[eorder[eptr]] == t:
+                ei = eorder[eptr]
+                st[t + 1] -= kernel[papers[src[ei]]][papers[dst[ei]]]
+                added[ei] = True
+                eptr += 1
+        return st
+
+    st = np.ones(noev)
+    for _ in range(niter):
+        kernel, norm, cites = mes(st)
+        kernel = kernel / kernel.sum()
+        st = st_fn(kernel.tolist())
+    return kernel, norm, cites, st
+
+
+@pytest.mark.parametrize("seed,niter", [(0, 1), (2, 2)])
+def test_revolver_p_p_matches_reference_replay(seed, niter):
+    from xdata_igraph_ray.graph.revolver import revolver_p_p
+
+    n = 20
+    src, dst, vtime, etime, authors, eventsizes = collab_history(n, seed)
+    want_k, want_n, want_c, want_st = ref_revolver_p_p(
+        src, dst, n, vtime, etime, authors, eventsizes, niter)
+    got = revolver_p_p((src, dst), vtime, etime, authors, eventsizes,
+                       n=n, niter=niter)
+    np.testing.assert_allclose(got["kernel"], want_k, atol=1e-12,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["norm"], want_n, atol=1e-9)
+    np.testing.assert_allclose(got["cites"], want_c, atol=0)
+    np.testing.assert_allclose(got["st"], want_st, atol=1e-10,
+                               equal_nan=True)

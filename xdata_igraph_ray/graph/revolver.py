@@ -1398,6 +1398,238 @@ def _error_d_d(src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder):
     return logprob, lognull
 
 
+def revolver_p_p(edges, vtime, etime, authors, eventsizes, n=None,
+                 niter: int = 5):
+    """igraph_revolver_p_p (src/revolver_grow.c:687): paper-count
+    pair kernel of a growing collaboration network.  Vertices are
+    authors; each timestep publishes papers (the ``authors`` slice of
+    length ``eventsizes[t]`` lists the authors gaining one paper) and
+    adds collaboration edges; the kernel A(p_x, p_y) measures how
+    paper counts drive new collaborations, with the same NTKK
+    possible-connections denominator as :func:`revolver_d_d`.
+    ``expected`` is None (exp_p_p is a TODO stub in the reference).
+    """
+    if isinstance(edges, tuple):
+        src = np.asarray(edges[0], np.int64)
+        dst = np.asarray(edges[1], np.int64)
+    else:
+        if not isinstance(edges, pa.Table):
+            edges = pa.concat_tables(
+                list(edges.iter_batches(batch_format="pyarrow")))
+        src = edges["src"].to_numpy().astype(np.int64)
+        dst = edges["dst"].to_numpy().astype(np.int64)
+    vtime = np.asarray(vtime, np.int64)
+    etime = np.asarray(etime, np.int64)
+    authors = np.asarray(authors, np.int64)
+    eventsizes = np.asarray(eventsizes, np.int64)
+    if n is None:
+        n = len(vtime)
+    if eventsizes.sum() != len(authors):
+        raise ValueError("eventsizes must partition authors")
+    noev = len(eventsizes)
+    P = int(np.bincount(authors, minlength=n).max(initial=0))  # maxpapers
+    D = P + 1
+    vorder = np.argsort(vtime, kind="stable")
+    eorder = np.argsort(etime, kind="stable")
+    vptr_at = np.searchsorted(vtime[vorder], np.arange(noev + 1))
+    eptr_at = np.searchsorted(etime[eorder], np.arange(noev + 1))
+    aptr_at = np.r_[0, np.cumsum(eventsizes)]
+    inc = [[] for _ in range(n)]
+    for ei in range(len(src)):
+        inc[src[ei]].append(ei)
+        inc[dst[ei]].append(ei)
+    inc = [np.asarray(x, np.int64) for x in inc]
+    st = np.ones(noev)
+    out = {}
+    for it in range(niter):
+        last = it + 1 == niter
+        kernel, sd, nf, cites = _mes_p_p(
+            src, dst, n, noev, D, st, eorder, vptr_at, eptr_at,
+            authors, aptr_at, inc, want_sd=last)
+        ks = kernel.sum()
+        if ks != 0:
+            kernel = kernel / ks
+        st = _st_p_p(src, dst, n, noev, D, kernel, vptr_at, eptr_at,
+                     eorder, authors, aptr_at, inc)
+        if last:
+            logprob, lognull = _error_p_p(
+                src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder,
+                authors, aptr_at)
+            out = {"kernel": kernel, "sd": sd, "norm": nf,
+                   "cites": cites, "expected": None,
+                   "logprob": logprob, "lognull": lognull, "st": st}
+    return out
+
+
+def _mes_p_p(src, dst, n, noev, D, st, eorder, vptr_at, eptr_at,
+             authors, aptr_at, inc, want_sd=False):
+    papers = np.zeros(n, np.int64)
+    added = np.zeros(len(src), bool)
+    ntk = np.zeros(D, np.int64)
+    ntkk = np.zeros((D, D), np.int64)
+    ch = np.zeros((D, D))
+    normfact = np.zeros((D, D))
+    notnull = np.zeros((D, D))
+    kernel = np.zeros((D, D))
+    sd = np.zeros((D, D))
+    for t in range(noev):
+        nadd = int(vptr_at[t + 1] - vptr_at[t])
+        ntk[0] += nadd
+        eptr0 = int(eptr_at[t])
+        eptr_new = int(eptr_at[t + 1])
+        if ntk[0] == nadd and nadd != 0:
+            if nadd >= 2:
+                ch[0, 0] = eptr0
+            row = _ntkk_row(ntk, ntkk, 0)
+            hit = np.flatnonzero(row[1:] == nadd * ntk[1:]) + 1
+            ch[0, hit] = eptr0
+            ch[hit, 0] = eptr0
+        for p in range(eptr0, eptr_new):
+            ei = int(eorder[p])
+            x, y = int(papers[src[ei]]), int(papers[dst[ei]])
+            notnull[x, y] += 1
+            notnull[y, x] = notnull[x, y]
+            poss = (ntk[x] * (ntk[x] - 1) // 2 - ntkk[x, x]) if x == y \
+                else ntk[x] * ntk[y] - ntkk[x, y]
+            xk = st[t] / poss
+            oldakk = kernel[x, y]
+            kernel[x, y] += (xk - oldakk) / notnull[x, y]
+            kernel[y, x] = kernel[x, y]
+            if want_sd:
+                sd[x, y] += (xk - oldakk) * (xk - kernel[x, y])
+                sd[y, x] = sd[x, y]
+        # new papers retype their authors
+        for ai in range(int(aptr_at[t]), int(aptr_at[t + 1])):
+            aut = int(authors[ai])
+            pap = int(papers[aut])
+            for e2 in inc[aut]:
+                if not added[e2]:
+                    continue
+                other = dst[e2] if src[e2] == aut else src[e2]
+                op = int(papers[other])
+                ntkk[pap, op] -= 1
+                ntkk[op, pap] = ntkk[pap, op]
+                if _ntkk_row(ntk, ntkk, pap)[op] == 1:
+                    ch[pap, op] = eptr_new
+                    ch[op, pap] = eptr_new
+                ntkk[pap + 1, op] += 1
+                ntkk[op, pap + 1] = ntkk[pap + 1, op]
+                if _ntkk_row(ntk, ntkk, pap + 1)[op] == 0:
+                    normfact[pap + 1, op] += eptr_new - ch[pap + 1, op]
+                    normfact[op, pap + 1] = normfact[pap + 1, op]
+            before = _ntkk_row(ntk, ntkk, pap)
+            ntk[pap] -= 1
+            after = _ntkk_row(ntk, ntkk, pap)
+            ntk[pap] += 1
+            hit = np.flatnonzero((before > 0) & (after == 0))
+            if len(hit):
+                normfact[pap, hit] += eptr_new - ch[pap, hit]
+                normfact[hit, pap] = normfact[pap, hit]
+            ntk[pap] -= 1
+            before = _ntkk_row(ntk, ntkk, pap + 1)
+            ntk[pap + 1] += 1
+            after = _ntkk_row(ntk, ntkk, pap + 1)
+            ntk[pap + 1] -= 1
+            hit = np.flatnonzero((before == 0) & (after > 0))
+            if len(hit):
+                ch[pap + 1, hit] = eptr_new
+                ch[hit, pap + 1] = eptr_new
+            ntk[pap + 1] += 1
+            papers[aut] += 1
+        # each new edge removes one connection possibility
+        for p in range(eptr0, eptr_new):
+            ei = int(eorder[p])
+            x = int(papers[src[ei]])
+            y = int(papers[dst[ei]])
+            ntkk[x, y] += 1
+            ntkk[y, x] = ntkk[x, y]
+            if _ntkk_row(ntk, ntkk, x)[y] == 0:
+                normfact[x, y] += eptr_new - ch[x, y]
+                normfact[y, x] = normfact[x, y]
+            added[ei] = True
+    eptr = float(eptr_at[noev])
+    for i in range(D):
+        for j in range(i + 1):
+            poss = (ntk[i] * (ntk[i] - 1) // 2 - ntkk[i, i]) if i == j \
+                else ntk[i] * ntk[j] - ntkk[i, j]
+            if poss != 0:
+                normfact[i, j] += eptr - ch[i, j]
+                normfact[j, i] = normfact[i, j]
+            if normfact[i, j] == 0:
+                kernel[i, j] = kernel[j, i] = 0
+                normfact[i, j] = normfact[j, i] = 1
+            oldakk = kernel[i, j]
+            kernel[i, j] *= notnull[i, j] / normfact[i, j]
+            kernel[j, i] = kernel[i, j]
+            if want_sd:
+                sd[i, j] += oldakk * oldakk * notnull[i, j] * (
+                    1 - notnull[i, j] / normfact[i, j])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sd[i, j] = np.sqrt(sd[i, j] / (normfact[i, j] - 1))
+                sd[j, i] = sd[i, j]
+    return kernel, (sd if want_sd else None), normfact, notnull
+
+
+def _st_p_p(src, dst, n, noev, D, kernel, vptr_at, eptr_at, eorder,
+            authors, aptr_at, inc):
+    """src/revolver_grow.c:1077."""
+    papers = np.zeros(n, np.int64)
+    added = np.zeros(len(src), bool)
+    ntk = np.zeros(D, np.int64)
+    st = np.zeros(noev)
+    k0 = kernel[:, 0]
+    for t in range(noev - 1):
+        nadd = int(vptr_at[t + 1] - vptr_at[t])
+        if nadd != 0:
+            st[t] += float(ntk @ k0) * nadd
+            st[t] += nadd * (nadd - 1) // 2 * kernel[0, 0]
+            ntk[0] += nadd
+        st[t + 1] = st[t]
+        for ai in range(int(aptr_at[t]), int(aptr_at[t + 1])):
+            aut = int(authors[ai])
+            pap = int(papers[aut])
+            st[t + 1] += float(ntk @ (kernel[:, pap + 1]
+                                      - kernel[:, pap]))
+            st[t + 1] += kernel[pap, pap] - kernel[pap + 1, pap + 1]
+            ntk[pap] -= 1
+            ntk[pap + 1] += 1
+            for e2 in inc[aut]:
+                if added[e2]:
+                    other = dst[e2] if src[e2] == aut else src[e2]
+                    op = int(papers[other])
+                    st[t + 1] += kernel[pap, op] - kernel[pap + 1, op]
+            papers[aut] += 1
+        for p in range(int(eptr_at[t]), int(eptr_at[t + 1])):
+            ei = int(eorder[p])
+            x = int(papers[src[ei]])
+            y = int(papers[dst[ei]])
+            st[t + 1] -= kernel[x, y]
+            added[ei] = True
+    return st
+
+
+def _error_p_p(src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder,
+               authors, aptr_at):
+    """src/revolver_grow.c:1208."""
+    papers = np.zeros(n, np.int64)
+    logprob = lognull = 0.0
+    vertices = 0
+    for t in range(noev):
+        vertices += int(vptr_at[t + 1] - vptr_at[t])
+        e0, e1 = int(eptr_at[t]), int(eptr_at[t + 1])
+        for p in range(e0, e1):
+            ei = int(eorder[p])
+            x = int(papers[src[ei]])
+            y = int(papers[dst[ei]])
+            with np.errstate(divide="ignore"):
+                logprob += float(np.log(kernel[x, y] / st[t]))
+            lognull += float(np.log(
+                1.0 / (vertices * (vertices - 1) // 2 - e0)))
+        for ai in range(int(aptr_at[t]), int(aptr_at[t + 1])):
+            papers[int(authors[ai])] += 1
+    return logprob, lognull
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
