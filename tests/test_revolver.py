@@ -1532,3 +1532,170 @@ def test_revolver_p_p_matches_reference_replay(seed, niter):
     np.testing.assert_allclose(got["cites"], want_c, atol=0)
     np.testing.assert_allclose(got["st"], want_st, atol=1e-10,
                                equal_nan=True)
+
+
+# -- ml: EM fixed-point maximum likelihood -----------------------------------
+
+
+def ref_ml_d(adj, n, niter, delta, filt=None):
+    """Literal translation of igraph_revolver_ml_d
+    (src/revolver_ml_cit.c:1786-1955)."""
+    indeg = [0] * n
+    for nb in adj:
+        for t in nb:
+            indeg[t] += 1
+    maxdeg = max(indeg) if n else 0
+    ptk = [0] * (maxdeg + 2)
+    degree = [0] * n
+    kernel = np.ones(maxdeg + 1)
+    mycites = np.zeros(maxdeg + 1)
+    logprob = logmax = 0.0
+    for it in range(niter):
+        tokernel = np.zeros(maxdeg + 1)
+        ptk = [0] * (maxdeg + 2)
+        degree = [0] * n
+        S = 0.0
+        actmax = 0
+        logprob = logmax = 0.0
+        for t in range(n):
+            neis = adj[t]
+            if filt is None or filt[t]:
+                if S != 0:
+                    for i in range(actmax + 1):
+                        tokernel[i] += len(neis) * ptk[i] / S
+                    for to in neis:
+                        x = degree[to]
+                        logprob += math.log(kernel[x] / S)
+                        logmax += math.log(1.0 / t)
+                        if it == 0:
+                            mycites[x] += 1
+            for to in neis:
+                x = degree[to]
+                degree[to] += 1
+                if x == actmax:
+                    actmax += 1
+                ptk[x + 1] += 1
+                ptk[x] -= 1
+                S += kernel[x + 1] if x + 1 <= maxdeg else 0.0
+                S -= kernel[x]
+            ptk[0] += 1
+            S += kernel[0]
+        maxdelta = 0.0
+        newk = kernel.copy()
+        for i in range(maxdeg + 1):
+            if tokernel[i] != 0:
+                newk[i] = mycites[i] / tokernel[i]
+                maxdelta = max(maxdelta, abs(newk[i] - kernel[i]))
+            else:
+                newk[i] = 0.0
+        if maxdelta < delta:
+            break
+        kernel = newk
+    kernel = kernel.copy()
+    kernel[maxdeg] = math.nan
+    return kernel, mycites, logprob, logmax
+
+
+@pytest.mark.parametrize("seed,niter", [(0, 1), (1, 5), (3, 200)])
+def test_revolver_ml_d_matches_reference_replay(seed, niter):
+    from xdata_igraph_ray.graph.revolver import revolver_ml_d
+
+    n = 45
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    want_k, want_c, want_lp, want_lm = ref_ml_d(adj, n, niter, 1e-10)
+    got = revolver_ml_d((src, dst), n=n, niter=niter, delta=1e-10)
+    np.testing.assert_allclose(got["kernel"], want_k, atol=1e-10,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["cites"], want_c, atol=0)
+    assert abs(got["logprob"] - want_lp) < 1e-8
+    assert abs(got["logmax"] - want_lm) < 1e-8
+
+
+def test_revolver_ml_d_filter():
+    from xdata_igraph_ray.graph.revolver import revolver_ml_d
+
+    n = 40
+    src, dst = cit_graph(n, 2)
+    adj = adj_out(src, dst, n)
+    filt = (np.arange(n) % 2).astype(np.int64)
+    want_k, want_c, want_lp, _ = ref_ml_d(adj, n, 30, 1e-10, filt)
+    got = revolver_ml_d((src, dst), n=n, niter=30, delta=1e-10,
+                        filt=filt)
+    np.testing.assert_allclose(got["kernel"], want_k, atol=1e-10,
+                               equal_nan=True)
+    np.testing.assert_allclose(got["cites"], want_c, atol=0)
+
+
+def test_revolver_ml_matrix_kernels_fixed_point():
+    """ml_ad / ml_de / ml_l: at convergence the returned kernel must
+    satisfy kernel[x] == cites[x] / integral(ptk[x] d(outdeg/S)) with
+    ptk recomputed from scratch per body — an independent O(n^2)
+    verification of the timeline-based EM."""
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_ml_ad, revolver_ml_de, revolver_ml_l,
+    )
+
+    n = 35
+    src, dst = cit_graph(n, 4)
+    rng = np.random.default_rng(1)
+    cats = rng.integers(0, 2, n)
+    agebins = 4
+    binwidth = n // agebins + 1
+
+    def brute_check(out, classfn, shape):
+        k = out["kernel"]
+        # recompute denominators from scratch
+        denom = np.zeros(shape)
+        S_hist = []
+        # per body t: classes of all present vertices
+        for t in range(1, n):
+            census = np.zeros(shape)
+            for v in range(t):
+                c = classfn(v, t)
+                if c is not None:
+                    census[c] += 1
+            S = float((census * np.nan_to_num(k)).sum())
+            outd = np.sum(src == t)
+            if S != 0:
+                denom += outd * census / S
+        ok = denom > 0
+        fp = np.where(ok, out["cites"] / np.where(ok, denom, 1), 0.0)
+        got = np.nan_to_num(k)
+        assert np.allclose(got[ok], fp[ok], atol=1e-6), (got, fp)
+
+    deg_hist = {}
+
+    def deg_at(v, t):
+        return int(np.sum((dst == v) & (src < t)))
+
+    out = revolver_ml_ad((src, dst), agebins, n=n, niter=400,
+                         delta=1e-12)
+    brute_check(out, lambda v, t: (min(deg_at(v, t), out["kernel"]
+                                       .shape[0] - 1),
+                                   min((t - v) // binwidth,
+                                       agebins - 1)),
+                out["kernel"].shape)
+    out = revolver_ml_de((src, dst), cats, n=n, niter=400, delta=1e-12)
+    brute_check(out, lambda v, t: (cats[v], deg_at(v, t)),
+                out["kernel"].shape)
+
+    # l: the reference's lag-crossing rescan fires once per multi-edge
+    # copy (mirrored), so the real ntl census diverges from the
+    # idealized per-vertex definition on multi-edge histories — check
+    # the fixed point on a simple history where they coincide.
+    src_s, dst_s = cit_graph(n, 4, multi=False)
+
+    def lag_at(v, t):
+        cit_v = src_s[(dst_s == v) & (src_s < t)]
+        if len(cit_v) == 0:
+            return (agebins,)
+        return (min((t + 1 - (int(cit_v.max()) + 1)) // binwidth,
+                    agebins),)
+
+    out = revolver_ml_l((src_s, dst_s), agebins, n=n, niter=400,
+                        delta=1e-12)
+    save_src, save_dst = src, dst
+    src, dst = src_s, dst_s
+    brute_check(out, lag_at, out["kernel"].shape)
+    src, dst = save_src, save_dst

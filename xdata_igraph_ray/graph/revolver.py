@@ -1630,6 +1630,119 @@ def _error_p_p(src, dst, n, noev, kernel, st, vptr_at, eptr_at, eorder,
     return logprob, lognull
 
 
+def _public_mask(spec):
+    """Flat indices belonging to the kernel's public (non-padding)
+    region."""
+    idx = np.arange(spec.nflat)
+    pub = spec.public(idx[None, :]).reshape(-1)
+    mask = np.zeros(spec.nflat, bool)
+    mask[pub] = True
+    return mask
+
+
+def _ml_fixed_point(spec, cit, to, n, niter, delta, filt):
+    """The EM fixed point shared by igraph_revolver_ml_d / ml_ad /
+    ml_de / ml_l (src/revolver_ml_cit.c:1786,2370,2543,2891):
+
+        kernel'[x] = cites[x] / sum_t outdeg(t) * ptk_t[x] / S_t
+
+    where ptk_t is the class census just before body t and
+    S_t = sum_x kernel[x] * ptk_t[x].  The denominator is the
+    integral of the class-count step function against the body
+    weights — computed per class from the delta timeline, no Python
+    loop over nodes.  Stops when the Linf kernel change drops below
+    ``delta`` (returning the PRE-update kernel, like the reference's
+    break-before-switch)."""
+    pub = _public_mask(spec)
+    outdeg = np.bincount(cit, minlength=n).astype(float)
+    body_ok = np.ones(n, bool)
+    if filt is not None:
+        body_ok = np.asarray(filt) != 0
+    ev_ok = body_ok[spec.est_c]
+    cites = np.bincount(spec.est_cls[ev_ok],
+                        minlength=spec.nflat).astype(float)
+    kernel = np.where(pub, 1.0, 0.0)
+    logprob = logmax = 0.0
+    for _ in range(niter):
+        st = spec.st(kernel)
+        s_before = np.r_[0.0, st[:-1]]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w = np.where((s_before != 0) & body_ok,
+                         outdeg / s_before, 0.0)
+        mu = np.cumsum(w)
+        denom = spec.integral(mu, mu[-1])
+        sb_ev = s_before[spec.est_c]
+        use = ev_ok & (sb_ev != 0)
+        with np.errstate(divide="ignore"):
+            logprob = float(np.log(
+                kernel[spec.est_cls[use]] / sb_ev[use]).sum())
+            logmax = float(np.log(
+                1.0 / spec.est_c[use].astype(float)).sum())
+        upd = denom != 0
+        newk = np.where(upd, np.divide(cites, denom,
+                                       out=np.zeros(spec.nflat),
+                                       where=upd), 0.0)
+        newk[~pub] = 0.0
+        maxdelta = float(np.abs(newk[upd & pub]
+                                - kernel[upd & pub]).max(initial=0.0))
+        if maxdelta < delta:
+            break
+        kernel = newk
+    return kernel, cites, logprob, logmax
+
+
+def revolver_ml_d(edges, n=None, niter: int = 1000,
+                  delta: float = 1e-10, filt=None):
+    """igraph_revolver_ml_d (src/revolver_ml_cit.c:1786): maximum-
+    likelihood in-degree kernel via the EM fixed point.  The
+    reference pins kernel[maxdegree] to NaN on return (that class has
+    no exposure after its last member maxes out) — mirrored."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_d(cit, to, n)
+    kernel, cites, logprob, logmax = _ml_fixed_point(
+        spec, cit, to, n, niter, delta, filt)
+    k = spec.public(kernel[None, :])[0].copy()
+    k[-1] = np.nan
+    return {"kernel": k, "cites": spec.public(cites[None, :])[0],
+            "logprob": logprob, "logmax": logmax}
+
+
+def revolver_ml_ad(edges, agebins: int, n=None, niter: int = 1000,
+                   delta: float = 1e-10, filt=None):
+    """igraph_revolver_ml_ad (src/revolver_ml_cit.c:2370)."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_ad(cit, to, n, agebins)
+    kernel, cites, logprob, logmax = _ml_fixed_point(
+        spec, cit, to, n, niter, delta, filt)
+    return {"kernel": spec.public(kernel[None, :])[0],
+            "cites": spec.public(cites[None, :])[0],
+            "logprob": logprob, "logmax": logmax}
+
+
+def revolver_ml_de(edges, cats, n=None, niter: int = 1000,
+                   delta: float = 1e-10, filt=None):
+    """igraph_revolver_ml_de (src/revolver_ml_cit.c:2543)."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_de(cit, to, n, np.asarray(cats, np.int64))
+    kernel, cites, logprob, logmax = _ml_fixed_point(
+        spec, cit, to, n, niter, delta, filt)
+    return {"kernel": spec.public(kernel[None, :])[0],
+            "cites": spec.public(cites[None, :])[0],
+            "logprob": logprob, "logmax": logmax}
+
+
+def revolver_ml_l(edges, agebins: int, n=None, niter: int = 1000,
+                  delta: float = 1e-10, filt=None):
+    """igraph_revolver_ml_l (src/revolver_ml_cit.c:2891)."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_l(cit, to, n, agebins)
+    kernel, cites, logprob, logmax = _ml_fixed_point(
+        spec, cit, to, n, niter, delta, filt)
+    return {"kernel": spec.public(kernel[None, :])[0],
+            "cites": spec.public(cites[None, :])[0],
+            "logprob": logprob, "logmax": logmax}
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
