@@ -1743,6 +1743,19 @@ def revolver_ml_l(edges, agebins: int, n=None, niter: int = 1000,
             "logprob": logprob, "logmax": logmax}
 
 
+def revolver_ml_ade(edges, cats, agebins: int, n=None,
+                    niter: int = 1000, delta: float = 1e-10, filt=None):
+    """igraph_revolver_ml_ade (src/revolver_ml_cit.c:2706): 3-D
+    (category, degree, age) ML kernel on the same EM fixed point."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_ade(cit, to, n, np.asarray(cats, np.int64), agebins)
+    kernel, cites, logprob, logmax = _ml_fixed_point(
+        spec, cit, to, n, niter, delta, filt)
+    return {"kernel": spec.public(kernel[None, :])[0],
+            "cites": spec.public(cites[None, :])[0],
+            "logprob": logprob, "logmax": logmax}
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
