@@ -174,3 +174,38 @@ def test_graphlets_order_and_simple_check():
         graphlets_candidate_basis(
             _ds([0, 0, 1], [1, 1, 2], [1.0, 2.0, 1.0]), P=2
         )
+
+
+def test_subclique_next_thresholds_and_subgraphs():
+    """igraph_subclique_next: clique threshold = min in-clique weight,
+    next threshold = next distinct weight, surviving subgraph keeps
+    only edges >= next threshold with first-appearance relabeling."""
+    import numpy as np
+    import pyarrow as pa
+
+    from xdata_igraph_ray.graph.graphlets import subclique_next
+
+    # triangle 0-1-2 with weights 1,2,2 plus a pendant edge
+    t = pa.table({
+        "src": np.array([0, 0, 1, 2], np.int64),
+        "dst": np.array([1, 2, 2, 3], np.int64),
+        "weight": np.array([1.0, 2.0, 2.0, 9.0]),
+    })
+    res = subclique_next(t, [[0, 1, 2]])
+    r = res[0]
+    assert r["clique_thr"] == 1.0 and r["next_thr"] == 2.0
+    assert len(r["edges"]) == 2          # the two weight-2 edges
+    assert set(r["ids"].tolist()) == {0, 1, 2}
+    assert r["edges"]["weight"].to_pylist() == [2.0, 2.0]
+    # uniform-weight clique: next_thr inf, empty next level
+    t2 = pa.table({
+        "src": np.array([0, 0, 1], np.int64),
+        "dst": np.array([1, 2, 2], np.int64),
+        "weight": np.array([3.0, 3.0, 3.0]),
+    })
+    r2 = subclique_next(t2, [[0, 1, 2]])[0]
+    assert r2["clique_thr"] == 3.0 and np.isinf(r2["next_thr"])
+    assert len(r2["edges"]) == 0 and len(r2["ids"]) == 0
+    # ids mapping passes through
+    r3 = subclique_next(t, [[0, 1, 2]], ids=np.array([10, 11, 12, 13]))[0]
+    assert set(r3["ids"].tolist()) <= {10, 11, 12}

@@ -320,3 +320,72 @@ def graphlets(
     )
     idx = np.asarray(order, np.int64)
     return [cliques[i] for i in order], (Mu[idx] if len(idx) else Mu)
+
+
+def subclique_next(edges: pa.Table, cliques, ids=None):
+    """igraph_subclique_next (src/glet.c:94-290): for each clique of
+    the previous level, find the within-clique edges, report the
+    clique's threshold (minimum weight) and the NEXT distinct weight,
+    and build the next-level subgraph from the edges with weight >=
+    next threshold (empty when the clique is weight-uniform), vertices
+    relabeled in first-appearance order of the surviving edges.
+
+    ``edges``: pyarrow Table (src, dst, weight) — the level's graph;
+    ``cliques``: list of vertex-id arrays; ``ids``: global ids per
+    local vertex (identity if None).  Returns a list of dicts
+    (edges, weights, ids, clique_thr, next_thr) — one per clique, the
+    same per-clique artifacts the reference returns through its five
+    output vectors.  Driver kernel over small cliques, like the
+    reference's own per-clique loop.
+    """
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    w = edges["weight"].to_numpy()
+    n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64)
+    ids = np.asarray(ids, np.int64)
+    # incident edge ids per vertex, ascending edge id (igraph order)
+    inc = [[] for _ in range(n)]
+    for ei in range(len(src)):
+        inc[src[ei]].append(ei)
+        if dst[ei] != src[ei]:
+            inc[dst[ei]].append(ei)
+    out = []
+    for clique in cliques:
+        clique = list(map(int, clique))
+        marked = set()
+        found = []
+        minw, nextw = np.inf, np.inf
+        for v in clique:
+            marked.add(v)
+            for ei in inc[v]:
+                other = int(dst[ei]) if int(src[ei]) == v else int(src[ei])
+                if other in marked and (other != v or int(src[ei])
+                                        == int(dst[ei])):
+                    we = float(w[ei])
+                    found.append(ei)
+                    if we < minw:
+                        nextw = minw
+                        minw = we
+                    elif minw < we < nextw:
+                        nextw = we
+        newids, idmap, es, ds, ws = [], {}, [], [], []
+        for ei in found:
+            if w[ei] >= nextw:
+                for endpoint in (int(src[ei]), int(dst[ei])):
+                    if endpoint not in idmap:
+                        idmap[endpoint] = len(newids)
+                        newids.append(int(ids[endpoint]))
+                es.append(idmap[int(src[ei])])
+                ds.append(idmap[int(dst[ei])])
+                ws.append(float(w[ei]))
+        out.append({
+            "edges": pa.table({"src": np.asarray(es, np.int64),
+                               "dst": np.asarray(ds, np.int64),
+                               "weight": np.asarray(ws, np.float64)}),
+            "ids": np.asarray(newids, np.int64),
+            "clique_thr": minw,
+            "next_thr": nextw,
+        })
+    return out
