@@ -1699,3 +1699,154 @@ def test_revolver_ml_matrix_kernels_fixed_point():
     src, dst = src_s, dst_s
     brute_check(out, lag_at, out["kernel"].shape)
     src, dst = save_src, save_dst
+
+
+# -- continuous-parameter ML (ml_D family) -----------------------------------
+
+
+def ref_ml_D_eval(adj, n, A_of, dA_of, par, filt=None):
+    """Literal translation of igraph_i_revolver_ml_D_eval
+    (src/revolver_ml_cit.c:64-150)."""
+    indeg = [0] * n
+    for nb in adj:
+        for t in nb:
+            indeg[t] += 1
+    maxdeg = max(indeg) if n else 0
+    A = [A_of(d, par) for d in range(maxdeg + 1)]
+    dA = [dA_of(d, par) for d in range(maxdeg + 1)]
+    dim = len(par)
+    degree = [0] * n
+    S = 0.0
+    dS = [0.0] * dim
+    ssum = 0.0
+    grad = [0.0] * dim
+    ne = 0
+    for t in range(n):
+        neis = adj[t]
+        if filt is None or filt[t]:
+            for to in neis:
+                x = degree[to]
+                ssum += math.log(S) - math.log(A[x])
+                for i in range(dim):
+                    grad[i] += dS[i] / S - dA[x][i] / A[x]
+                ne += 1
+        for to in neis:
+            x = degree[to]
+            degree[to] += 1
+            S += A[x + 1] if x + 1 <= maxdeg else 0.0
+            S -= A[x]
+            for i in range(dim):
+                dS[i] += dA[x + 1][i] if x + 1 <= maxdeg else 0.0
+                dS[i] -= dA[x][i]
+        S += A[0]
+        for i in range(dim):
+            dS[i] += dA[0][i]
+    return ssum / ne, [g / ne for g in grad]
+
+
+def test_ml_D_eval_matches_reference_replay():
+    from xdata_igraph_ray.graph.revolver import (
+        _events, _ml_cont_eval, _spec_d,
+    )
+
+    n = 45
+    src, dst = cit_graph(n, 6)
+    adj = adj_out(src, dst, n)
+
+    def A_of(d, par):
+        return (d ** par[0] + 1.0) if d != 0 else 1.0
+
+    def dA_of(d, par):
+        return [math.log(d) * d ** par[0] if d != 0 else 0.0]
+
+    for alpha in (0.5, 1.0, 1.7):
+        want_f, want_g = ref_ml_D_eval(adj, n, A_of, dA_of, [alpha])
+        cit, to, nn = _events((src, dst), n)
+        spec = _spec_d(cit, to, nn)
+        degs = np.arange(spec.nflat, dtype=float)
+        Af = np.where(degs != 0, np.power(np.maximum(degs, 1e-300),
+                                          alpha), 0.0) + 1.0
+        dAf = [np.where(degs != 0, np.log(np.maximum(degs, 1e-300))
+                        * np.power(np.maximum(degs, 1e-300), alpha),
+                        0.0)]
+        got_f, got_g = _ml_cont_eval(spec, None, Af, dAf)
+        assert abs(got_f - want_f) < 1e-10
+        assert abs(got_g[0] - want_g[0]) < 1e-10
+
+
+def test_ml_D_gradient_finite_difference():
+    from xdata_igraph_ray.graph.revolver import (
+        _events, _ml_cont_eval, _spec_ad, _spec_d,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 8)
+    cit, to, nn = _events((src, dst), n)
+    spec = _spec_ad(cit, to, nn, 4)
+    ncols = 5
+    flat = np.arange(spec.nflat)
+    dcls = (flat // ncols).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+
+    def fg(par):
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, par[0])
+        base = dpow + par[1]
+        agef = np.power(acls, -par[2])
+        Af = base * agef
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        return _ml_cont_eval(spec, None, Af,
+                             [dlog * agef, agef,
+                              -np.log(acls) * base * agef])
+
+    par = np.array([0.8, 1.3, 0.4])
+    f0, g = fg(par)
+    for i in range(3):
+        eps = 1e-6
+        pp = par.copy()
+        pp[i] += eps
+        f1, _ = fg(pp)
+        fd = (f1 - f0) / eps
+        assert abs(fd - g[i]) < 1e-4, (i, fd, g[i])
+
+
+def test_ml_D_alpha_recovers_planted_exponent():
+    from xdata_igraph_ray.graph.revolver import (
+        evolver_d, revolver_ml_D_alpha, revolver_ml_D_alpha_a,
+    )
+
+    # grow with sublinear kernel A(d) = d^0.8 + 1 (superlinear PA
+    # concentrates on one hub past any finite kernel table) and fit
+    # alpha back from the history
+    degs = np.arange(3000, dtype=float)
+    kern = np.where(degs != 0, np.power(np.maximum(degs, 1e-300), 0.8),
+                    0.0) + 1.0
+    t = evolver_d(3000, kern, m=2, seed=9)
+    out = revolver_ml_D_alpha((t["src"].to_numpy(),
+                               t["dst"].to_numpy()), alpha=0.3)
+    assert abs(out["par"][0] - 0.8) < 0.1, out["par"]
+    assert np.isfinite(out["Fmin"])
+    out2 = revolver_ml_D_alpha_a((t["src"].to_numpy(),
+                                  t["dst"].to_numpy()), alpha=0.3,
+                                 a=2.0)
+    assert abs(out2["par"][0] - 0.8) < 0.2, out2["par"]
+
+
+def test_ml_DE_alpha_a_and_AD_run():
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_ml_AD_alpha_a_beta, revolver_ml_DE_alpha_a,
+    )
+
+    n = 60
+    src, dst = cit_graph(n, 10)
+    rng = np.random.default_rng(4)
+    cats = rng.integers(0, 2, n)
+    out = revolver_ml_DE_alpha_a((src, dst), cats, alpha=0.8, a=1.0)
+    assert len(out["par"]) == 3 and np.isfinite(out["Fmin"])
+    out2 = revolver_ml_AD_alpha_a_beta((src, dst), 4, alpha=0.8,
+                                       a=1.0, beta=0.5)
+    assert len(out2["par"]) == 3 and np.isfinite(out2["Fmin"])
+    # the optimizer should not worsen the starting objective
+    assert out2["fncount"] >= 1

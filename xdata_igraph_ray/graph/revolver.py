@@ -1756,6 +1756,224 @@ def revolver_ml_ade(edges, cats, agebins: int, n=None,
             "logprob": logprob, "logmax": logmax}
 
 
+# ---------------------------------------------------------------------------
+# continuous-parameter maximum likelihood (igraph_revolver_ml_D /
+# ml_AD / ml_DE families, src/revolver_ml_cit.c:64-1780): minimize
+#   f(par) = (1/E) * sum_events [ log S_t - log A(x_e; par) ]
+# over the kernel-form parameters, with the analytic gradient
+#   (1/E) * sum_events [ dS_t/S_t - dA(x_e)/A(x_e) ].
+# S_t and dS_t come from the same delta-timeline st recurrence as the
+# measurement passes.  The reference optimizes with its vendored
+# igraph_bfgs (R's vmmin); here a textbook BFGS with Armijo
+# backtracking — a pinned divergence: same objective, same analytic
+# gradient, same optimum, different iterate path.
+
+
+def _ml_cont_eval(spec, filt, A_flat, dA_flats):
+    """(f, grad) of the normalized negative log-likelihood
+    (igraph_i_revolver_ml_D_eval, src/revolver_ml_cit.c:64)."""
+    n = spec.n
+    body_ok = np.ones(n, bool) if filt is None else \
+        (np.asarray(filt) != 0)
+    use = body_ok[spec.est_c]
+    ne = int(use.sum())
+    cls = spec.est_cls[use]
+    cb = spec.est_c[use]
+    s_before = np.r_[0.0, spec.st(A_flat)[:-1]]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = float((np.log(s_before[cb]) - np.log(A_flat[cls])).sum()) / ne
+    grad = np.empty(len(dA_flats))
+    for i, dA in enumerate(dA_flats):
+        ds_before = np.r_[0.0, spec.st(dA)[:-1]]
+        grad[i] = float((ds_before[cb] / s_before[cb]
+                         - dA[cls] / A_flat[cls]).sum()) / ne
+    return f, grad
+
+
+def _bfgs(fg, x0, maxit=250, abstol=1e-10, reltol=1e-8):
+    """Deterministic BFGS with Armijo backtracking; returns
+    (x, fmin, fncount, grcount)."""
+    x = np.asarray(x0, float).copy()
+    dim = len(x)
+    H = np.eye(dim)
+    f, g = fg(x)
+    fn = gr = 1
+    for _ in range(maxit):
+        p = -H @ g
+        if not np.isfinite(p).all():
+            H = np.eye(dim)
+            p = -g
+        gp = float(g @ p)
+        if gp > 0:
+            p, gp = -g, -float(g @ g)
+        step = 1.0
+        fnew, gnew = None, None
+        for _ls in range(40):
+            xn = x + step * p
+            fn_val, gn_val = fg(xn)
+            fn += 1
+            gr += 1
+            if np.isfinite(fn_val) and fn_val <= f + 1e-4 * step * gp:
+                fnew, gnew = fn_val, gn_val
+                break
+            step *= 0.5
+        if fnew is None:
+            break
+        s = step * p
+        y = gnew - g
+        sy = float(s @ y)
+        if sy > 1e-12:
+            rho = 1.0 / sy
+            V = np.eye(dim) - rho * np.outer(s, y)
+            H = V @ H @ V.T + rho * np.outer(s, s)
+        done = abs(f - fnew) < abstol + reltol * (abs(f) + reltol)
+        x, f, g = x + s, fnew, gnew
+        if done:
+            break
+    return x, f, fn, gr
+
+
+def _ml_cont_driver(spec, classgrid_A, x0, maxit, abstol, reltol, filt):
+    """Run BFGS over a kernel form; ``classgrid_A(par)`` returns
+    (A_flat, [dA_flat per param])."""
+
+    def fg(par):
+        A_flat, dA_flats = classgrid_A(par)
+        return _ml_cont_eval(spec, filt, A_flat, dA_flats)
+
+    x, fmin, fn, gr = _bfgs(fg, x0, maxit=maxit, abstol=abstol,
+                            reltol=reltol)
+    return {"par": x, "Fmin": fmin, "fncount": fn, "grcount": gr}
+
+
+def revolver_ml_D(edges, A, dA, x0, n=None, maxit: int = 250,
+                  abstol: float = 1e-10, reltol: float = 1e-8,
+                  filt=None):
+    """igraph_revolver_ml_D (src/revolver_ml_cit.c:203): optimize a
+    user-supplied degree-kernel form.  ``A(degs, par)`` maps a degree
+    vector to kernel values; ``dA(degs, par)`` returns a list of
+    per-parameter derivative vectors."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_d(cit, to, n)
+    degs = np.arange(spec.nflat, dtype=float)
+
+    def grid(par):
+        Af = np.asarray(A(degs, par), float)
+        dAf = [np.asarray(v, float) for v in dA(degs, par)]
+        return Af, dAf
+
+    return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
+
+
+def revolver_ml_D_alpha(edges, alpha: float = 1.0, n=None, **kw):
+    """igraph_revolver_ml_D_alpha: A(d) = d^alpha + 1
+    (src/revolver_ml_cit.c:266-300)."""
+
+    def A(d, par):
+        return np.where(d != 0, np.power(np.maximum(d, 1e-300),
+                                         par[0]), 0.0) + 1.0
+
+    def dA(d, par):
+        with np.errstate(divide="ignore"):
+            return [np.where(d != 0,
+                             np.log(np.maximum(d, 1e-300))
+                             * np.power(np.maximum(d, 1e-300), par[0]),
+                             0.0)]
+
+    return revolver_ml_D(edges, A, dA, np.array([alpha]), n=n, **kw)
+
+
+def revolver_ml_D_alpha_a(edges, alpha: float = 1.0, a: float = 1.0,
+                          n=None, **kw):
+    """igraph_revolver_ml_D_alpha_a: A(d) = d^alpha + a
+    (src/revolver_ml_cit.c:330-420)."""
+
+    def A(d, par):
+        return np.where(d != 0, np.power(np.maximum(d, 1e-300),
+                                         par[0]), 0.0) + par[1]
+
+    def dA(d, par):
+        with np.errstate(divide="ignore"):
+            da = np.where(d != 0,
+                          np.log(np.maximum(d, 1e-300))
+                          * np.power(np.maximum(d, 1e-300), par[0]),
+                          0.0)
+        return [da, np.ones_like(d)]
+
+    return revolver_ml_D(edges, A, dA, np.array([alpha, a]), n=n, **kw)
+
+
+def revolver_ml_AD_alpha_a_beta(edges, agebins: int, alpha: float = 1.0,
+                                a: float = 1.0, beta: float = 1.0,
+                                n=None, maxit: int = 250,
+                                abstol: float = 1e-10,
+                                reltol: float = 1e-8, filt=None):
+    """igraph_revolver_ml_AD_alpha_a_beta (src/revolver_ml_cit.c:1011):
+    A(d, age) = (d^alpha + a) * (age+1)^-beta over the (degree,
+    age-bin) class grid."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_ad(cit, to, n, agebins)
+    ncols = agebins + 1
+    flat = np.arange(spec.nflat)
+    dcls = (flat // ncols).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+
+    def grid(par):
+        alpha_, a_, beta_ = par
+        # no deg==0 special case in the reference's A (pow(0, alpha)
+        # semantics kept; the df does zero the alpha-derivative there)
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, alpha_)
+        base = dpow + a_
+        agef = np.power(acls, -beta_)
+        Af = base * agef
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        return Af, [dlog * agef, agef,
+                    -np.log(acls) * base * agef]
+
+    return _ml_cont_driver(spec, grid, np.array([alpha, a, beta]),
+                           maxit, abstol, reltol, filt)
+
+
+def revolver_ml_DE_alpha_a(edges, cats, alpha: float = 1.0,
+                           a: float = 1.0, coeffs=None, n=None,
+                           maxit: int = 250, abstol: float = 1e-10,
+                           reltol: float = 1e-8, filt=None):
+    """igraph_revolver_ml_DE_alpha_a (src/revolver_ml_cit.c:637):
+    A(cat, d) = c_cat * (d^alpha + a) with c_0 pinned to 1; params
+    are [alpha, a, c_1 .. c_{K-1}]."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    spec = _spec_de(cit, to, n, cats)
+    ncols = spec.nflat // nocats
+    flat = np.arange(spec.nflat)
+    ccls = flat // ncols
+    dcls = (flat % ncols).astype(float)
+    if coeffs is None:
+        coeffs = np.ones(max(nocats - 1, 0))
+
+    def grid(par):
+        alpha_, a_ = par[0], par[1]
+        cvec = np.r_[1.0, par[2:]]
+        dpow = np.where(dcls != 0,
+                        np.power(np.maximum(dcls, 1e-300), alpha_), 0.0)
+        base = dpow + a_
+        Af = cvec[ccls] * base
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        grads = [cvec[ccls] * dlog, cvec[ccls] * np.ones_like(dcls)]
+        for j in range(1, nocats):
+            grads.append(np.where(ccls == j, base, 0.0))
+        return Af, grads
+
+    x0 = np.r_[alpha, a, np.asarray(coeffs, float)]
+    return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
