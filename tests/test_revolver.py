@@ -1850,3 +1850,17 @@ def test_ml_DE_alpha_a_and_AD_run():
     assert len(out2["par"]) == 3 and np.isfinite(out2["Fmin"])
     # the optimizer should not worsen the starting objective
     assert out2["fncount"] >= 1
+
+
+def test_ml_ADE_alpha_a_beta_runs_and_gradient():
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_ml_ADE_alpha_a_beta,
+    )
+
+    n = 50
+    src, dst = cit_graph(n, 12)
+    rng = np.random.default_rng(7)
+    cats = rng.integers(0, 2, n)
+    out = revolver_ml_ADE_alpha_a_beta((src, dst), cats, 4, alpha=0.7,
+                                       a=1.0, beta=0.3)
+    assert len(out["par"]) == 4 and np.isfinite(out["Fmin"])

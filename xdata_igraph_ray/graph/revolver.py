@@ -1974,6 +1974,51 @@ def revolver_ml_DE_alpha_a(edges, cats, alpha: float = 1.0,
     return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
 
 
+def revolver_ml_ADE_alpha_a_beta(edges, cats, agebins: int,
+                                 alpha: float = 1.0, a: float = 1.0,
+                                 beta: float = 1.0, coeffs=None,
+                                 n=None, maxit: int = 250,
+                                 abstol: float = 1e-10,
+                                 reltol: float = 1e-8, filt=None):
+    """igraph_revolver_ml_ADE_alpha_a_beta
+    (src/revolver_ml_cit.c:1463): A(cat, d, age) =
+    c_cat * (d^alpha + a) * (age+1)^-beta with c_0 pinned to 1;
+    params [alpha, a, beta, c_1 .. c_{K-1}]."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    spec = _spec_ade(cit, to, n, cats, agebins)
+    ncols = agebins + 1
+    ndeg = spec.nflat // (nocats * ncols)
+    flat = np.arange(spec.nflat)
+    ccls = flat // (ndeg * ncols)
+    dcls = ((flat // ncols) % ndeg).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+    if coeffs is None:
+        coeffs = np.ones(max(nocats - 1, 0))
+
+    def grid(par):
+        alpha_, a_, beta_ = par[0], par[1], par[2]
+        cvec = np.r_[1.0, par[3:]]
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, alpha_)
+        base = dpow + a_
+        agef = np.power(acls, -beta_)
+        cc = cvec[ccls]
+        Af = cc * base * agef
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        grads = [cc * dlog * agef, cc * agef,
+                 -cc * base * np.log(acls) * agef]
+        for j in range(1, nocats):
+            grads.append(np.where(ccls == j, base * agef, 0.0))
+        return Af, grads
+
+    x0 = np.r_[alpha, a, beta, np.asarray(coeffs, float)]
+    return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
+
+
 def _error2_spec(cit, to, n, kernel, kind, cats, agebins, window):
     """Build the spec for error2 and pad the public-shaped kernel back
     into the internal flat layout."""
