@@ -1864,3 +1864,72 @@ def test_ml_ADE_alpha_a_beta_runs_and_gradient():
     out = revolver_ml_ADE_alpha_a_beta((src, dst), cats, 4, alpha=0.7,
                                        a=1.0, beta=0.3)
     assert len(out["par"]) == 4 and np.isfinite(out["Fmin"])
+
+
+def test_revolver_probs_d_matches_reference_replay():
+    """Literal replay of igraph_revolver_probs_d
+    (src/revolver_ml_cit.c:3043)."""
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_d, revolver_probs_d,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 3)
+    adj_e = [[] for _ in range(n)]   # (edge_index, to) per citing node
+    for ei in range(len(src)):
+        adj_e[src[ei]].append((ei, int(dst[ei])))
+    for a in adj_e:
+        a.sort(key=lambda p: (p[1], p[0]))
+    kernel = revolver_d((src, dst), n=n, niter=2)["kernel"]
+    for pntk in (False, True):
+        got = revolver_probs_d((src, dst), kernel, n=n, ntk=pntk)
+        degree = [0] * n
+        ntk = [0] * (len(kernel) + 1)
+        S = 0.0
+        want_lp = np.zeros(len(src))
+        want_cited = np.zeros(n)
+        want_citing = np.zeros(n)
+        for t in range(n):
+            for ei, to in adj_e[t]:
+                x = degree[to]
+                p = (math.log(ntk[x] * kernel[x] / S) if pntk
+                     else math.log(kernel[x] / S))
+                want_lp[ei] = p
+                want_cited[to] += p
+                want_citing[t] += p
+            for ei, to in adj_e[t]:
+                x = degree[to]
+                degree[to] += 1
+                ntk[x] -= 1
+                ntk[x + 1] += 1
+                S += kernel[x + 1] if x + 1 < len(kernel) else 0.0
+                S -= kernel[x]
+            ntk[0] += 1
+            S += kernel[0]
+        np.testing.assert_allclose(got["logprobs"], want_lp, atol=1e-10)
+        np.testing.assert_allclose(got["logcited"], want_cited,
+                                   atol=1e-9)
+        np.testing.assert_allclose(got["logciting"], want_citing,
+                                   atol=1e-9)
+
+
+def test_revolver_probs_matrix_kernels_run():
+    from xdata_igraph_ray.graph.revolver import (
+        revolver_ad, revolver_de, revolver_probs_ad, revolver_probs_de,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 5)
+    rng = np.random.default_rng(0)
+    cats = rng.integers(0, 2, n)
+    kad = revolver_ad((src, dst), 4, n=n, niter=1)["kernel"]
+    out = revolver_probs_ad((src, dst), kad, n=n)
+    assert len(out["logprobs"]) == len(src)
+    assert np.isfinite(out["logprobs"]).all()
+    kde = revolver_de((src, dst), cats, n=n, niter=1)["kernel"]
+    out2 = revolver_probs_de((src, dst), kde, cats, n=n)
+    assert np.isfinite(out2["logprobs"]).all()
+    # per-edge probs sum to the per-citing sums
+    s = np.zeros(n)
+    np.add.at(s, src, out2["logprobs"])
+    np.testing.assert_allclose(s, out2["logciting"], atol=1e-9)

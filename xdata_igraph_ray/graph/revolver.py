@@ -1756,6 +1756,99 @@ def revolver_ml_ade(edges, cats, agebins: int, n=None,
             "logprob": logprob, "logmax": logmax}
 
 
+def _events_with_origin(edges, n=None):
+    """Like :func:`_events` but also returns, for each sorted event,
+    the ORIGINAL edge-row index (for per-edge outputs)."""
+    if isinstance(edges, tuple):
+        cit = np.asarray(edges[0], np.int64)
+        to = np.asarray(edges[1], np.int64)
+    else:
+        if not isinstance(edges, pa.Table):
+            edges = pa.concat_tables(
+                list(edges.iter_batches(batch_format="pyarrow")))
+        cit = edges["src"].to_numpy().astype(np.int64)
+        to = edges["dst"].to_numpy().astype(np.int64)
+    if n is None:
+        n = int(max(cit.max(initial=-1), to.max(initial=-1))) + 1
+    order = np.lexsort((np.arange(len(cit)), to, cit))
+    cit, to = cit[order], to[order]
+    if len(cit) and np.any(to >= cit):
+        raise ValueError("not a citation graph")
+    return cit, to, n, order
+
+
+def _probs(spec, kernel_flat, cit, to, orig, n, pntk):
+    """Shared igraph_revolver_probs_* body
+    (src/revolver_ml_cit.c:3043): per-edge log-probabilities under a
+    supplied kernel, plus per-cited and per-citing sums."""
+    s_before = np.r_[0.0, spec.st(kernel_flat)[:-1]]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        base = np.log(kernel_flat[spec.est_cls]
+                      / s_before[spec.est_c])
+        if pntk:
+            base = base + np.log(spec.ntk_at_estimates())
+    logprobs = np.empty(len(orig))
+    logprobs[orig] = base
+    logcited = np.zeros(n)
+    np.add.at(logcited, to, base)
+    logciting = np.zeros(n)
+    np.add.at(logciting, cit, base)
+    return {"logprobs": logprobs, "logcited": logcited,
+            "logciting": logciting}
+
+
+def revolver_probs_d(edges, kernel, n=None, ntk: bool = False):
+    """igraph_revolver_probs_d (src/revolver_ml_cit.c:3043): per-edge
+    citation log-probabilities log(kernel[x]/S) (times the class
+    count with ``ntk=True``), plus per-cited-vertex and
+    per-citing-vertex sums."""
+    cit, to, n, orig = _events_with_origin(edges, n)
+    kernel = np.asarray(kernel, float)
+    spec = _spec_d(cit, to, n, maxind=len(kernel) - 1)
+    kf = np.zeros(spec.nflat)
+    kf[:len(kernel)] = kernel
+    return _probs(spec, kf, cit, to, orig, n, ntk)
+
+
+def revolver_probs_ad(edges, kernel, agebins: int | None = None,
+                      n=None, ntk: bool = False):
+    """igraph_revolver_probs_ad (src/revolver_ml_cit.c:3140)."""
+    cit, to, n, orig = _events_with_origin(edges, n)
+    kernel = np.asarray(kernel, float)
+    if agebins is None:
+        agebins = kernel.shape[1]
+    spec = _spec_ad(cit, to, n, agebins, maxind=kernel.shape[0] - 1)
+    kf = np.zeros((kernel.shape[0] + 1, agebins + 1))
+    kf[:kernel.shape[0], :kernel.shape[1]] = kernel
+    return _probs(spec, kf.reshape(-1), cit, to, orig, n, ntk)
+
+
+def revolver_probs_de(edges, kernel, cats, n=None, ntk: bool = False):
+    """igraph_revolver_probs_de (src/revolver_ml_cit.c:3252)."""
+    cit, to, n, orig = _events_with_origin(edges, n)
+    kernel = np.asarray(kernel, float)
+    cats = np.asarray(cats, np.int64)
+    spec = _spec_de(cit, to, n, cats, maxind=kernel.shape[1] - 1)
+    kf = np.zeros((kernel.shape[0], kernel.shape[1] + 1))
+    kf[:, :kernel.shape[1]] = kernel
+    return _probs(spec, kf.reshape(-1), cit, to, orig, n, ntk)
+
+
+def revolver_probs_ade(edges, kernel, cats, agebins: int | None = None,
+                       n=None, ntk: bool = False):
+    """igraph_revolver_probs_ade (src/revolver_ml_cit.c:3327)."""
+    cit, to, n, orig = _events_with_origin(edges, n)
+    kernel = np.asarray(kernel, float)
+    cats = np.asarray(cats, np.int64)
+    if agebins is None:
+        agebins = kernel.shape[2]
+    spec = _spec_ade(cit, to, n, cats, agebins,
+                     maxind=kernel.shape[1] - 1)
+    kf = np.zeros((kernel.shape[0], kernel.shape[1] + 1, agebins + 1))
+    kf[:, :kernel.shape[1], :kernel.shape[2]] = kernel
+    return _probs(spec, kf.reshape(-1), cit, to, orig, n, ntk)
+
+
 # ---------------------------------------------------------------------------
 # continuous-parameter maximum likelihood (igraph_revolver_ml_D /
 # ml_AD / ml_DE families, src/revolver_ml_cit.c:64-1780): minimize
