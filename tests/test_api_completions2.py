@@ -144,3 +144,107 @@ def test_maximal_cliques_file_roundtrip(tmp_path):
              for ln in open(path).read().splitlines()]
     assert len(lines) == cnt
     assert len({tuple(x) for x in lines}) == cnt
+
+
+def test_list_triangles_matches_counts():
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.triangles import list_triangles, triangles
+
+    t = rd.from_arrow(generators.erdos_renyi_gnm(30, 90, directed=False,
+                                                 seed=3))
+    total, _ = triangles(t, 30, per_vertex=False)
+    tri = list_triangles(t).to_pandas()
+    assert len(tri) == total
+    assert (tri["a"] < tri["b"]).all() and (tri["b"] < tri["c"]).all()
+    # all triples are genuine triangles
+    es = set()
+    for r in rd.from_arrow(generators.erdos_renyi_gnm(
+            30, 90, directed=False, seed=3)).to_pandas().itertuples():
+        es.add((min(r.src, r.dst), max(r.src, r.dst)))
+    for r in tri.itertuples():
+        assert (r.a, r.b) in es and (r.b, r.c) in es and (r.a, r.c) in es
+    assert len(tri.drop_duplicates()) == total
+
+
+def test_is_loop_is_multiple_has_multiple_get_edgelist():
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.ops import (
+        get_edgelist, has_multiple, is_loop, is_multiple,
+    )
+
+    t = pa.table({"src": np.array([0, 1, 1, 2, 3], np.int64),
+                  "dst": np.array([1, 1, 2, 1, 3], np.int64)})
+    t = pa.concat_tables([t, t.slice(2, 1)])  # duplicate (1,2)
+    ds = rd.from_arrow(t)
+    fl = is_loop(ds).to_pandas()["is_loop"].tolist()
+    assert fl == [False, True, False, False, True, False]
+    im = is_multiple(ds).to_pandas()
+    flagged = im[im["is_multiple"]]
+    assert len(flagged) == 1
+    assert flagged.iloc[0]["src"] == 1 and flagged.iloc[0]["dst"] == 2
+    # the SECOND copy (higher eid) is the flagged one
+    assert flagged.iloc[0]["eid"] == 5
+    assert has_multiple(ds)
+    assert not has_multiple(rd.from_arrow(
+        pa.table({"src": np.array([0, 1], np.int64),
+                  "dst": np.array([1, 2], np.int64)})))
+    el = get_edgelist(ds).to_pandas()
+    assert list(el.columns) == ["src", "dst"] and len(el) == 6
+
+
+def test_is_connected_modes():
+    from xdata_igraph_ray.graph.components import is_connected
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    # directed ring: weakly and strongly connected
+    ring = _tbl([0, 1, 2, 3], [1, 2, 3, 0])
+    eng = GraphEngine.from_edges(ring, n=4, P=2)
+    assert is_connected(eng, "weak")
+    assert is_connected(eng, "strong")
+    # directed path: weak yes, strong no
+    path = _tbl([0, 1, 2], [1, 2, 3])
+    eng2 = GraphEngine.from_edges(path, n=4, P=2)
+    assert is_connected(eng2, "weak")
+    assert not is_connected(eng2, "strong")
+    # disconnected
+    two = _tbl([0, 2], [1, 3])
+    eng3 = GraphEngine.from_edges(two, n=4, P=2)
+    assert not is_connected(eng3, "weak")
+    with pytest.raises(ValueError):
+        is_connected(eng3, "nope")
+
+
+def test_hub_authority_flow_value_wrappers():
+    from xdata_igraph_ray.graph.centrality import (
+        authority_score, hub_score,
+    )
+    from xdata_igraph_ray.graph.engine import GraphEngine
+    from xdata_igraph_ray.graph.flow import maxflow_value, st_mincut_value
+
+    star = _tbl([0, 0, 0, 4], [1, 2, 3, 0])
+    eng = GraphEngine.from_edges(star, n=5, P=2)
+    hub = hub_score(eng).to_pandas().sort_values("vid")
+    assert hub["hub"].iloc[0] == hub["hub"].max() == 1.0  # vertex 0
+    auth = authority_score(eng).to_pandas().sort_values("vid")
+    assert auth["auth"].iloc[0] < auth["auth"].max()
+    # unit-capacity 2-path network
+    net = _tbl([0, 0, 1, 2], [1, 2, 3, 3])
+    enf = GraphEngine.from_edges(net, n=4, P=2)
+    assert maxflow_value(enf, 0, 3) == 2.0
+    enf2 = GraphEngine.from_edges(net, n=4, P=2)
+    assert st_mincut_value(enf2, 0, 3) == 2.0
+
+
+def test_modularity_matrix_rowsums_zero():
+    import ray.data as rd
+
+    from xdata_igraph_ray.graph.metrics import modularity_matrix
+
+    t = rd.from_arrow(generators.erdos_renyi_gnm(12, 26, directed=False,
+                                                 seed=5))
+    B = modularity_matrix(t, 12)
+    assert B.shape == (12, 12)
+    np.testing.assert_allclose(B.sum(axis=1), 0.0, atol=1e-9)
+    np.testing.assert_allclose(B, B.T, atol=0)

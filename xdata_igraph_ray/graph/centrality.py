@@ -433,3 +433,18 @@ def hits(
         delta = max(deltas)
         it += 1
     return {"iterations": it, "delta": delta}
+
+
+def hub_score(engine: GraphEngine, weighted: bool = False,
+              tol: float = 1e-10, max_iter: int = 1000):
+    """igraph_hub_score (src/centrality.c:840): the hub vector of
+    :func:`hits`, exported as a Dataset (vid, hub)."""
+    hits(engine, weighted=weighted, tol=tol, max_iter=max_iter)
+    return engine.state_dataset(["hub"])
+
+
+def authority_score(engine: GraphEngine, weighted: bool = False,
+                    tol: float = 1e-10, max_iter: int = 1000):
+    """igraph_authority_score (src/centrality.c:886)."""
+    hits(engine, weighted=weighted, tol=tol, max_iter=max_iter)
+    return engine.state_dataset(["auth"])

@@ -164,3 +164,33 @@ def scc(
         "wall_s": time.time() - t0,
         "resumed_from": start_round if start_round else None,
     }
+
+
+def is_connected(engine: "GraphEngine", mode: str = "weak") -> bool:
+    """igraph_is_connected (src/components.c:300): one component?
+    ``mode`` "weak" runs min-label WCC, "strong" the FW-BW SCC —
+    mirroring the reference's dispatch (directedness aside, weak
+    treats arcs as undirected)."""
+    if engine.n <= 1:
+        return True
+    if mode == "weak":
+        wcc(engine)
+        labels = "label"
+    elif mode == "strong":
+        scc(engine)
+        labels = "scc"
+    else:
+        raise ValueError(f"unknown connectedness mode {mode!r}")
+    import numpy as np
+
+    parts = ray.get([s.get_state.remote(labels) for s in engine.shards])
+    first = None
+    for d in parts:
+        arr = d[labels]
+        if len(arr) == 0:
+            continue
+        if first is None:
+            first = arr[0]
+        if np.any(arr != first):
+            return False
+    return True

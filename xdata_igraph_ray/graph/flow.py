@@ -560,3 +560,18 @@ def reverse_residual_graph(src, dst, flow, capacity=None) -> pa.Table:
         "src": np.concatenate([src[f_pos], dst[f_free]]),
         "dst": np.concatenate([dst[f_pos], src[f_free]]),
     })
+
+
+def maxflow_value(engine: GraphEngine, s: int, t: int) -> float:
+    """igraph_maxflow_value (src/flow.c:1387)."""
+    return float(maxflow(engine, s, t)["value"])
+
+
+def st_mincut_value(engine: GraphEngine, s: int, t: int) -> float:
+    """igraph_st_mincut_value (src/flow.c:1760) — max-flow duality."""
+    return float(st_mincut(engine, s, t)["value"])
+
+
+def mincut_value(edges, n: int, P: int = 8) -> float:
+    """igraph_mincut_value (src/flow.c:1615)."""
+    return float(mincut(edges, n, P=P)["value"])

@@ -628,3 +628,26 @@ def centralization_evcent_tmax(
     if scale:
         return float(n - 2)
     return (n - 2.0) / np.sqrt(2.0)
+
+
+def modularity_matrix(edges, n: int, P: int = DEFAULT_PARTITIONS):
+    """igraph_modularity_matrix (src/community.c): dense
+    B = A - d d^T / 2m over the undirected support — a small-graph
+    export (O(n^2) dense by definition; the leading-eigenvector
+    community code uses the restricted form distributed)."""
+    import numpy as np
+
+    from .triangles import undirected_support
+
+    und = undirected_support(edges, P=P)
+    A = np.zeros((n, n))
+    for r in ray.get(und):
+        a = r["a"].to_numpy()
+        b = r["b"].to_numpy()
+        A[a, b] += 1
+        A[b, a] += 1
+    d = A.sum(axis=1)
+    m2 = d.sum()
+    if m2 == 0:
+        return A
+    return A - np.outer(d, d) / m2

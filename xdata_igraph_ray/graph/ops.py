@@ -285,6 +285,68 @@ def edge_count(edges) -> int:
     return int(_scalar_sum(_refs(edges), lambda t: len(t)))
 
 
+def is_loop(edges) -> Dataset:
+    """Per-edge loop flags in input row order (igraph_is_loop,
+    src/structural_properties.c:3454): (edge_id, is_loop)."""
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "is_loop": pc.equal(t["src"], t["dst"]),
+        })
+
+    ds = edges if not isinstance(edges, list) else to_dataset(edges)
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def is_multiple(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """igraph_is_multiple (src/structural_properties.c:3562): an edge
+    is flagged iff an EARLIER edge (smaller edge id) with the same
+    endpoints exists — every duplicate copy except the first.
+    Returns (src, dst, dup_rank, is_multiple); dup_rank is the copy
+    index within the (src, dst) group in input order."""
+    refs = _refs(edges)
+    # tag rows with a global sequence per block, then rank per key
+    tagged = []
+    base = 0
+    sizes = ray.get([_apply.remote(lambda t: len(t), r) for r in refs])
+    for r, sz in zip(refs, sizes):
+        tagged.append(_apply.remote(
+            lambda t, b=base: t.append_column(
+                "eid", pa.array(b + np.arange(len(t)), pa.int64())), r))
+        base += sz
+
+    def rank(t: pa.Table) -> pa.Table:
+        order = np.lexsort((t["eid"].to_numpy(), t["dst"].to_numpy(),
+                            t["src"].to_numpy()))
+        s = t["src"].to_numpy()[order]
+        d = t["dst"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, (s[1:] != s[:-1])
+                                      | (d[1:] != d[:-1])])
+        lens = np.diff(np.r_[starts, len(s)])
+        rk = np.arange(len(s)) - np.repeat(starts, lens)
+        return pa.table({"src": s, "dst": d,
+                         "eid": t["eid"].to_numpy()[order],
+                         "dup_rank": rk,
+                         "is_multiple": rk > 0})
+
+    return exchange(tagged, ["src", "dst"], P=P, reduce_fn=rank)
+
+
+def has_multiple(edges, P: int = DEFAULT_PARTITIONS) -> bool:
+    """igraph_has_multiple: any duplicated (src, dst) pair."""
+    cm = count_multiple(edges, P=P)
+    return bool(cm.filter(lambda r: r["count"] > 1).count() > 0)
+
+
+def get_edgelist(edges) -> Dataset:
+    """igraph_get_edgelist (src/conversion.c:287) — the edge table in
+    edge-id order IS this engine's native representation; this
+    projects the endpoint columns."""
+    ds = edges if not isinstance(edges, list) else to_dataset(edges)
+    return ds.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+
+
 def density(edges, n: int, directed: bool = True, loops: bool = False) -> float:
     """igraph_density (src/structural_properties.c:2774)."""
     m = edge_count(edges)

@@ -71,16 +71,9 @@ def _rank(deg: np.ndarray, vid: np.ndarray) -> np.ndarray:
     return deg.astype(np.int64) * (1 << 40) + vid
 
 
-def triangles(
-    edges: Dataset | list,
-    n: int,
-    P: int = DEFAULT_PARTITIONS,
-    per_vertex: bool = True,
-):
-    """Returns (total_triangles, per-vertex Dataset (vid, count) or None).
-
-    Per-vertex counts are igraph_adjacent_triangles semantics
-    (src/triangles.c:507-546)."""
+def _triangle_matches(edges: Dataset | list, P: int):
+    """Shared wedge-probe pipeline: refs of (pivot, x, y) rows, one
+    per triangle."""
     und = undirected_support(edges, P=P)
 
     # degrees on the simplified support
@@ -111,7 +104,7 @@ def triangles(
     )
 
     # probe wedges against oriented edges on (x, y)
-    matches = hash_join(
+    return hash_join(
         wedges,
         [_probe_table.remote(r) for r in oriented],
         keys=["x", "y"],
@@ -119,9 +112,43 @@ def triangles(
         P=P,
         as_refs=True,
     )
+
+
+def triangles(
+    edges: Dataset | list,
+    n: int,
+    P: int = DEFAULT_PARTITIONS,
+    per_vertex: bool = True,
+):
+    """Returns (total_triangles, per-vertex Dataset (vid, count) or None).
+
+    Per-vertex counts are igraph_adjacent_triangles semantics
+    (src/triangles.c:507-546)."""
+    matches = _triangle_matches(edges, P)
     total = int(sum(ray.get([_rows.remote(r) for r in matches])))
     if not per_vertex:
         return total, None
+    return _per_vertex_counts(matches, n, P, total)
+
+
+def list_triangles(edges: Dataset | list,
+                   P: int = DEFAULT_PARTITIONS) -> Dataset:
+    """igraph_list_triangles (src/triangles.c:567): every triangle
+    exactly once as an id-triple, columns (a, b, c) canonicalized
+    a < b < c (the reference's row order is enumeration-defined — its
+    triples come out in rank order; sorted triples here)."""
+    matches = _triangle_matches(edges, P)
+
+    def rows(t: pa.Table) -> pa.Table:
+        tri = np.sort(np.stack([t["pivot"].to_numpy(),
+                                t["x"].to_numpy(),
+                                t["y"].to_numpy()]), axis=0)
+        return pa.table({"a": tri[0], "b": tri[1], "c": tri[2]})
+
+    return to_dataset([_project.remote(rows, r) for r in matches])
+
+
+def _per_vertex_counts(matches, n, P, total):
 
     corners = [_corners.remote(r) for r in matches]
     zeros = block_refs(
