@@ -1933,3 +1933,30 @@ def test_revolver_probs_matrix_kernels_run():
     s = np.zeros(n)
     np.add.at(s, src, out2["logprobs"])
     np.testing.assert_allclose(s, out2["logciting"], atol=1e-9)
+
+
+def test_revolver_ml_f_friend_boost_and_determinism():
+    from xdata_igraph_ray.graph.revolver import revolver_ml_f
+
+    # ring of triangles: each new vertex cites two ADJACENT older
+    # vertices, so the second citation is always a friend of the
+    # first -> the friend class should dominate
+    src, dst = [], []
+    for c in range(2, 60):
+        src += [c, c]
+        dst += [c - 1, c - 2]
+    src.append(1)
+    dst.append(0)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    out = revolver_ml_f((src, dst), n=60, niter=15, seed=1)
+    assert out["kernel"][1] > out["kernel"][0]
+    assert out["cites"].sum() > 0
+    # determinism with the same seed
+    out2 = revolver_ml_f((src, dst), n=60, niter=15, seed=1)
+    np.testing.assert_array_equal(out["kernel"], out2["kernel"])
+    # single-citation graphs never exercise the friend machinery
+    src1 = np.arange(1, 40, dtype=np.int64)
+    dst1 = np.zeros(39, np.int64)
+    out3 = revolver_ml_f((src1, dst1), n=40, niter=5)
+    assert out3["cites"].sum() == 0  # no subsequent citations at all

@@ -1849,6 +1849,78 @@ def revolver_probs_ade(edges, kernel, cats, agebins: int | None = None,
     return _probs(spec, kf.reshape(-1), cit, to, orig, n, ntk)
 
 
+def revolver_ml_f(edges, n=None, niter: int = 20, seed: int = 42):
+    """igraph_revolver_ml_f (src/revolver_ml_cit.c:1957): two-class
+    friend-of-friend attachment — after each citation the cited
+    vertex's already-present neighbors become "friends"; the kernel
+    [non-friend, friend] measures how much friendship boosts the
+    probability of the SUBSEQUENT citations of the same new vertex
+    (the first citation is uniform).  The reference randomly permutes
+    each vertex's citation order per iteration; a seeded numpy
+    generator replaces that stream (pinned divergence — same model,
+    deterministic).  Sequential driver kernel like the reference's
+    own scope.  Returns dict(kernel, cites, logprob, logmax)."""
+    cit, to, n = _events(edges, n)
+    rng = np.random.default_rng(seed)
+    out_adj = [[] for _ in range(n)]
+    in_adj = [[] for _ in range(n)]
+    for c, v in zip(cit.tolist(), to.tolist()):
+        out_adj[c].append(v)
+        in_adj[v].append(c)
+    for a in in_adj:
+        a.sort()
+    kernel = np.ones(2)
+    cites = np.zeros(2)
+    logprob = logmax = 0.0
+    for it in range(niter):
+        tokernel = np.zeros(2)
+        marked = np.zeros(n, np.int64)
+        logprob = logmax = 0.0
+        for t in range(n):
+            neis = out_adj[t]
+            nneis = len(neis)
+            if nneis == 0:
+                continue
+            perm = rng.permutation(nneis)
+            ptk = np.array([float(t), 0.0])
+            for e in range(nneis):
+                v = neis[perm[e]]
+                x = 1 if marked[v] == t + 1 else 0
+                if e != 0:
+                    S = ptk[0] * kernel[0] + ptk[1] * kernel[1]
+                    tokernel[0] += ptk[0] / S
+                    tokernel[1] += ptk[1] / S
+                    if it == 0:
+                        cites[x] += 1
+                    logprob += float(np.log(kernel[x] / S))
+                    logmax += float(np.log(1.0 / t))
+                else:
+                    logprob += float(np.log(1.0 / t))
+                    logmax += float(np.log(1.0 / t))
+                ptk[x] -= 1
+                marked[v] = t + 1
+                for nei in in_adj[v]:
+                    if nei >= t:
+                        break
+                    if marked[nei] != t + 1:
+                        marked[nei] = t + 1
+                        ptk[0] -= 1
+                        ptk[1] += 1
+                for nei in out_adj[v]:
+                    if marked[nei] != t + 1:
+                        marked[nei] = t + 1
+                        ptk[0] -= 1
+                        ptk[1] += 1
+        newk = kernel.copy()
+        if tokernel[0] != 0:
+            newk[0] = cites[0] / tokernel[0]
+        if tokernel[1] != 0:
+            newk[1] = cites[1] / tokernel[1]
+        kernel = newk
+    return {"kernel": kernel, "cites": cites, "logprob": logprob,
+            "logmax": logmax}
+
+
 # ---------------------------------------------------------------------------
 # continuous-parameter maximum likelihood (igraph_revolver_ml_D /
 # ml_AD / ml_DE families, src/revolver_ml_cit.c:64-1780): minimize
