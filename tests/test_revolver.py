@@ -1960,3 +1960,27 @@ def test_revolver_ml_f_friend_boost_and_determinism():
     dst1 = np.zeros(39, np.int64)
     out3 = revolver_ml_f((src1, dst1), n=40, niter=5)
     assert out3["cites"].sum() == 0  # no subsequent citations at all
+
+
+def test_revolver_ml_df_runs_and_friend_rows():
+    from xdata_igraph_ray.graph.revolver import revolver_ml_df
+
+    # chained triangles again: second citations always hit friends
+    src, dst = [], []
+    for c in range(2, 50):
+        src += [c, c]
+        dst += [c - 1, c - 2]
+    src.append(1)
+    dst.append(0)
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    out = revolver_ml_df((src, dst), n=50, niter=10, seed=2)
+    k, c = out["kernel"], out["cites"]
+    assert k.shape[0] == 3 and c.shape == k.shape
+    # row 0 counts the first citations, rows 1/2 the subsequent ones
+    assert c[0].sum() == 49 - 1 + 1  # one first citation per citing node
+    assert c[1:].sum() == len(src) - int(c[0].sum())
+    assert np.isfinite(out["logprob"]) and out["logprob"] <= 0
+    # determinism
+    out2 = revolver_ml_df((src, dst), n=50, niter=10, seed=2)
+    np.testing.assert_array_equal(out["kernel"], out2["kernel"])

@@ -1921,6 +1921,117 @@ def revolver_ml_f(edges, n=None, niter: int = 20, seed: int = 42):
             "logmax": logmax}
 
 
+def revolver_ml_df(edges, n=None, niter: int = 20, seed: int = 42):
+    """igraph_revolver_ml_df (src/revolver_ml_cit.c:2124): the
+    three-row (first-citation, subsequent-non-friend,
+    subsequent-friend) x in-degree kernel — the degree-resolved
+    friend-of-friend model.  Mirrors the reference's bookkeeping
+    op-for-op: the class census persists across citing vertices and
+    is un-marked through the same stack-coded restore; S1/S2/S3
+    running sums; per-node random citation order from a seeded
+    generator (pinned divergence).  Returns dict(kernel(3,maxdeg+1),
+    cites, logprob, logmax)."""
+    cit, to, n = _events(edges, n)
+    rng = np.random.default_rng(seed)
+    out_adj = [[] for _ in range(n)]
+    in_adj = [[] for _ in range(n)]
+    for c, v in zip(cit.tolist(), to.tolist()):
+        out_adj[c].append(v)
+        in_adj[v].append(c)
+    for a in in_adj:
+        a.sort()
+    maxdeg = int(np.bincount(to, minlength=n).max(initial=0))
+    D = maxdeg + 1
+    kernel = np.ones((3, D))
+    cites = np.zeros((3, D))
+    logprob = logmax = 0.0
+    for it in range(niter):
+        tokernel = np.zeros((3, D))
+        ptk = np.zeros((2, D + 1))
+        marked = np.zeros(n, np.int64)
+        degree = np.zeros(n, np.int64)
+        S1 = S2 = S3 = 0.0
+        actmax = 0
+        stack: list[int] = []
+        logprob = logmax = 0.0
+        for t in range(n):
+            neis = out_adj[t]
+            nneis = len(neis)
+            perm = rng.permutation(nneis) if nneis else []
+            # restore ptk from the stack (undo the previous node's
+            # marking; re-enter cited vertices at their new degree)
+            while stack:
+                deg = stack.pop()
+                if deg > 0:
+                    ptk[0, deg - 1] += 1
+                    ptk[1, deg - 1] = 0
+                else:
+                    ptk[0, -deg - 1] -= 1
+                    ptk[1, -deg - 1] = 0
+            S2 = S3
+            for e in range(nneis):
+                v = neis[perm[e]]
+                x = 1 if marked[v] == t + 1 else 0
+                y = int(degree[v])
+                if e == 0:
+                    tokernel[0, :actmax + 1] += ptk[0, :actmax + 1] / S1
+                    if it == 0:
+                        cites[0, y] += 1
+                    if kernel[0, y] != 0:
+                        logprob += float(np.log(kernel[0, y] / S1))
+                    logmax += float(np.log(1.0 / t))
+                else:
+                    tokernel[1, :actmax + 1] += ptk[0, :actmax + 1] / S2
+                    tokernel[2, :actmax + 1] += ptk[1, :actmax + 1] / S2
+                    if it == 0:
+                        cites[x + 1, y] += 1
+                    if kernel[x + 1, y] != 0:
+                        logprob += float(np.log(kernel[x + 1, y] / S2))
+                    logmax += float(np.log(1.0 / t))
+                marked[v] = t + 1
+                degree[v] += 1
+                if degree[v] > actmax:
+                    actmax += 1
+                ptk[x, y] -= 1
+                S1 += kernel[0, y + 1] if y + 1 < D else 0.0
+                S1 -= kernel[0, y]
+                S3 += kernel[1, y + 1] if y + 1 < D else 0.0
+                S3 -= kernel[1, y]
+                S2 -= kernel[x + 1, y]
+                if x == 0:
+                    stack.append(y + 2)
+                else:
+                    stack.append(-y - 1)
+                    stack.append(y + 2)
+                for nei in in_adj[v]:
+                    if nei >= t:
+                        break
+                    if marked[nei] != t + 1:
+                        nd = int(degree[nei])
+                        marked[nei] = t + 1
+                        ptk[0, nd] -= 1
+                        ptk[1, nd] += 1
+                        S2 -= kernel[1, nd] - kernel[2, nd]
+                        stack.append(nd + 1)
+                for nei in out_adj[v]:
+                    if marked[nei] != t + 1:
+                        nd = int(degree[nei])
+                        marked[nei] = t + 1
+                        ptk[0, nd] -= 1
+                        ptk[1, nd] += 1
+                        S2 -= kernel[1, nd] - kernel[2, nd]
+                        stack.append(nd + 1)
+            S1 += kernel[0, 0]
+            S3 += kernel[1, 0]
+            ptk[0, 0] += 1
+        newk = np.zeros((3, D))
+        nz = tokernel != 0
+        newk[nz] = cites[nz] / tokernel[nz]
+        kernel = newk
+    return {"kernel": kernel, "cites": cites, "logprob": logprob,
+            "logmax": logmax}
+
+
 # ---------------------------------------------------------------------------
 # continuous-parameter maximum likelihood (igraph_revolver_ml_D /
 # ml_AD / ml_DE families, src/revolver_ml_cit.c:64-1780): minimize
