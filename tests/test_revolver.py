@@ -1984,3 +1984,55 @@ def test_revolver_ml_df_runs_and_friend_rows():
     # determinism
     out2 = revolver_ml_df((src, dst), n=50, niter=10, seed=2)
     np.testing.assert_array_equal(out["kernel"], out2["kernel"])
+
+
+def test_ml_dpareto_gradient_and_run():
+    from xdata_igraph_ray.graph.revolver import (
+        _events, _ml_cont_eval, _spec_ad, revolver_ml_AD_dpareto,
+        revolver_ml_ADE_dpareto,
+    )
+
+    n = 40
+    src, dst = cit_graph(n, 11)
+    # finite-difference check of the CORRECTED dpareto gradient
+    cit, to, nn = _events((src, dst), n)
+    spec = _spec_ad(cit, to, nn, 4)
+    ncols = 5
+    flat = np.arange(spec.nflat)
+    dcls = (flat // ncols).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+
+    def fg(par):
+        alpha_, a_, pa_, pb_, ps_ = par
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, alpha_)
+        base = dpow + a_
+        below = acls < ps_
+        expo = np.where(below, pb_ - 1.0, -pa_ - 1.0)
+        ratio = acls / ps_
+        agef = np.power(ratio, expo)
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        lr = np.log(ratio)
+        return _ml_cont_eval(spec, None, base * agef, [
+            dlog * agef, agef,
+            np.where(below, 0.0, -base * lr * agef),
+            np.where(below, base * lr * agef, 0.0),
+            -base * expo * agef / ps_,
+        ])
+
+    par = np.array([0.7, 1.2, 0.8, 1.4, 2.5])
+    f0, g = fg(par)
+    for i in range(5):
+        eps = 1e-6
+        pp = par.copy()
+        pp[i] += eps
+        f1, _ = fg(pp)
+        assert abs((f1 - f0) / eps - g[i]) < 1e-4, i
+    out = revolver_ml_AD_dpareto((src, dst), 4, maxit=60)
+    assert len(out["par"]) == 5 and np.isfinite(out["Fmin"])
+    rng = np.random.default_rng(0)
+    cats = rng.integers(0, 2, n)
+    out2 = revolver_ml_ADE_dpareto((src, dst), cats, 4, maxit=40)
+    assert len(out2["par"]) == 6 and np.isfinite(out2["Fmin"])

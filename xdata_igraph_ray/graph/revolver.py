@@ -2250,6 +2250,113 @@ def revolver_ml_DE_alpha_a(edges, cats, alpha: float = 1.0,
     return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
 
 
+def revolver_ml_AD_dpareto(edges, agebins: int, alpha: float = 1.0,
+                           a: float = 1.0, paralpha: float = 1.0,
+                           parbeta: float = 1.0, parscale: float = 2.0,
+                           n=None, maxit: int = 250,
+                           abstol: float = 1e-10,
+                           reltol: float = 1e-8, filt=None):
+    """igraph_revolver_ml_AD_dpareto (src/revolver_ml_cit.c:1119):
+    A(d, age) = (d^alpha + a) * dpareto(age+1) where the aging factor
+    is the discrete-Pareto-style piecewise power
+    (age/s)^(parbeta-1) below the scale s and (age/s)^(-paralpha-1)
+    above it.  PINNED DIVERGENCE: the reference's hand-coded gradient
+    carries a sign error on the paralpha component
+    (src/revolver_ml_cit.c:1110 region: d/dparalpha of
+    (age/s)^(-paralpha-1) is -log(age/s) * value, the C adds +log) —
+    the CORRECT analytic gradient is used here, so the optimizer path
+    differs while the objective and its true optimum are the
+    reference's."""
+    cit, to, n = _events(edges, n)
+    spec = _spec_ad(cit, to, n, agebins)
+    ncols = agebins + 1
+    flat = np.arange(spec.nflat)
+    dcls = (flat // ncols).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+
+    def grid(par):
+        alpha_, a_, pa_, pb_, ps_ = par
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, alpha_)
+        base = dpow + a_
+        below = acls < ps_
+        expo = np.where(below, pb_ - 1.0, -pa_ - 1.0)
+        ratio = acls / ps_
+        agef = np.power(ratio, expo)
+        Af = base * agef
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        lr = np.log(ratio)
+        grads = [
+            dlog * agef,                              # d/dalpha
+            agef,                                     # d/da
+            np.where(below, 0.0, -base * lr * agef),  # d/dparalpha
+            np.where(below, base * lr * agef, 0.0),   # d/dparbeta
+            -base * expo * agef / ps_,                # d/dparscale
+        ]
+        return Af, grads
+
+    return _ml_cont_driver(
+        spec, grid, np.array([alpha, a, paralpha, parbeta, parscale]),
+        maxit, abstol, reltol, filt)
+
+
+def revolver_ml_ADE_dpareto(edges, cats, agebins: int,
+                            alpha: float = 1.0, a: float = 1.0,
+                            paralpha: float = 1.0, parbeta: float = 1.0,
+                            parscale: float = 2.0, coeffs=None, n=None,
+                            maxit: int = 250, abstol: float = 1e-10,
+                            reltol: float = 1e-8, filt=None):
+    """igraph_revolver_ml_ADE_dpareto (src/revolver_ml_cit.c:1590):
+    the category-coefficient variant of :func:`revolver_ml_AD_dpareto`
+    — A(cat, d, age) = c_cat * (d^alpha + a) * dpareto(age+1), c_0
+    pinned to 1.  Same corrected-gradient pinned divergence."""
+    cit, to, n = _events(edges, n)
+    cats = np.asarray(cats, np.int64)
+    nocats = int(cats.max(initial=0)) + 1
+    spec = _spec_ade(cit, to, n, cats, agebins)
+    ncols = agebins + 1
+    ndeg = spec.nflat // (nocats * ncols)
+    flat = np.arange(spec.nflat)
+    ccls = flat // (ndeg * ncols)
+    dcls = ((flat // ncols) % ndeg).astype(float)
+    acls = (flat % ncols).astype(float) + 1.0
+    if coeffs is None:
+        coeffs = np.ones(max(nocats - 1, 0))
+
+    def grid(par):
+        alpha_, a_, pa_, pb_, ps_ = par[:5]
+        cvec = np.r_[1.0, par[5:]]
+        with np.errstate(divide="ignore"):
+            dpow = np.power(dcls, alpha_)
+        base = dpow + a_
+        below = acls < ps_
+        expo = np.where(below, pb_ - 1.0, -pa_ - 1.0)
+        ratio = acls / ps_
+        agef = np.power(ratio, expo)
+        cc = cvec[ccls]
+        Af = cc * base * agef
+        with np.errstate(divide="ignore"):
+            dlog = np.where(dcls != 0,
+                            np.log(np.maximum(dcls, 1e-300)) * dpow, 0.0)
+        lr = np.log(ratio)
+        grads = [
+            cc * dlog * agef,
+            cc * agef,
+            np.where(below, 0.0, -cc * base * lr * agef),
+            np.where(below, cc * base * lr * agef, 0.0),
+            -cc * base * expo * agef / ps_,
+        ]
+        for j in range(1, nocats):
+            grads.append(np.where(ccls == j, base * agef, 0.0))
+        return Af, grads
+
+    x0 = np.r_[alpha, a, paralpha, parbeta, parscale,
+               np.asarray(coeffs, float)]
+    return _ml_cont_driver(spec, grid, x0, maxit, abstol, reltol, filt)
+
+
 def revolver_ml_ADE_alpha_a_beta(edges, cats, agebins: int,
                                  alpha: float = 1.0, a: float = 1.0,
                                  beta: float = 1.0, coeffs=None,
