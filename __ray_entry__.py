@@ -3089,6 +3089,24 @@ def q_revolver_e(sf_dir: str):
     })
 
 
+def q_revolver_r(sf_dir: str):
+    """Windowed in-degree attachment kernel (igraph_revolver_r,
+    src/revolver_cit.c:3336) over the same citation history, trailing
+    window of 25 citing nodes, one pass.  Oracle: the revolver_d
+    delta-timeline SQL extended with the per-target expiry stream."""
+    from xdata_igraph_ray.graph.revolver import revolver_r
+
+    cit, to = _cit_events(sf_dir)
+    out = revolver_r((cit, to), 25, n=NCIT, niter=1)
+    k = out["kernel"]
+    return pd.DataFrame({
+        "wdeg": np.arange(len(k), dtype=np.int64),
+        "kernel": _q9(k),
+        "cites": out["cites"].astype(np.int64),
+        "norm": _q9(out["norm"]),
+    })
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages -> extract -> graph ->
     pagerank -> scores."""
@@ -3241,6 +3259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compose_li": q_compose,
         "revolver_d_li": q_revolver_d,
         "revolver_e_li": q_revolver_e,
+        "revolver_r_li": q_revolver_r,
     }
 
 
@@ -6457,6 +6476,133 @@ def oracle_sql() -> dict[str, str]:
                    cites::BIGINT AS cites,
                    FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
             FROM kern ORDER BY deg
+            """,
+        # the windowed-in-degree kernel: same delta-timeline SQL as
+        # revolver_d_li plus the per-target trailing-window expiry
+        # stream (citations leave the class 25 citing nodes later).
+        "revolver_r_li": """
+            WITH ev0 AS (
+              SELECT GREATEST(l_orderkey % 400, l_partkey % 400) AS cit,
+                     LEAST(l_orderkey % 400, l_partkey % 400) AS tow
+              FROM lineitem
+              WHERE l_orderkey % 400 <> l_partkey % 400
+            ),
+            ev AS (
+              SELECT cit, tow,
+                     ROW_NUMBER() OVER (ORDER BY cit, tow) AS evseq
+              FROM ev0
+            ),
+            -- per-target windowed-count stream: +1 at the citation,
+            -- -1 when it leaves the trailing window (phase 2, after
+            -- the arrival like the reference's update order)
+            tr0 AS (
+              SELECT cit AS cd, tow, 1 AS sg, 0 AS ph, evseq FROM ev
+              UNION ALL
+              SELECT cit + 25, tow, -1, 2, evseq FROM ev
+              WHERE cit + 25 <= 399
+            ),
+            tr AS (
+              SELECT cd, tow, sg, ph, evseq,
+                SUM(sg) OVER (PARTITION BY tow ORDER BY cd, ph, evseq
+                              ROWS UNBOUNDED PRECEDING) AS val_after
+              FROM tr0
+            ),
+            qr AS (
+              SELECT cd, tow, sg, ph, evseq,
+                SUM(sg) OVER (PARTITION BY tow ORDER BY cd, ph, evseq
+                              ROWS UNBOUNDED PRECEDING) AS val
+              FROM (SELECT * FROM tr0
+                    UNION ALL
+                    SELECT cit, tow, 0, -1, evseq FROM ev)
+            ),
+            est AS (
+              SELECT cd AS cit, tow, evseq, val AS cls
+              FROM qr WHERE ph = -1
+            ),
+            mx AS (SELECT MAX(val_after) AS maxind FROM tr),
+            d2 AS (
+              SELECT cd, (val_after - sg) AS cls, -1 AS sgn, ph, tow,
+                     evseq, 0 AS half FROM tr
+              UNION ALL
+              SELECT cd, val_after, 1, ph, tow, evseq, 1 FROM tr
+              UNION ALL
+              SELECT r.range, 0, 1, 1, -1, 0, 0 FROM range(0, 400) r
+            ),
+            runs AS (
+              SELECT cd, cls, sgn, ph, tow, evseq, half,
+                SUM(sgn) OVER (PARTITION BY cls
+                               ORDER BY cd, ph, tow, evseq, half
+                               ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM d2
+            ),
+            ecnt AS (SELECT cit AS c, COUNT(*) AS cnt FROM ev GROUP BY 1),
+            ecum AS (
+              SELECT r.range AS c,
+                     COALESCE(SUM(ecnt.cnt) OVER (ORDER BY r.range),
+                              0)::DOUBLE AS ee
+              FROM range(0, 400) r LEFT JOIN ecnt ON ecnt.c = r.range
+            ),
+            etot AS (SELECT COUNT(*)::DOUBLE AS ee FROM ev),
+            flags AS (
+              SELECT cls, cd, sgn, ph, tow, evseq, half FROM runs
+              WHERE (sgn > 0 AND cnt = 1) OR (sgn < 0 AND cnt = 0)
+            ),
+            fjoin AS (
+              SELECT f.cls, f.sgn, e.ee,
+                LAG(e.ee) OVER (PARTITION BY f.cls
+                  ORDER BY f.cd, f.ph, f.tow, f.evseq, f.half) AS preve,
+                ROW_NUMBER() OVER (PARTITION BY f.cls
+                  ORDER BY f.cd DESC, f.ph DESC, f.tow DESC,
+                           f.evseq DESC, f.half DESC) AS rdesc
+              FROM flags f JOIN ecum e ON e.c = f.cd
+            ),
+            spans AS (
+              SELECT cls,
+                SUM(CASE WHEN sgn < 0 THEN ee - preve ELSE 0 END) AS nf0,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN 1 ELSE 0 END)
+                  AS open_end,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN ee END) AS laste
+              FROM fjoin GROUP BY cls
+            ),
+            nf AS (
+              SELECT cls, nf0 + CASE WHEN open_end = 1
+                THEN (SELECT ee FROM etot) - laste ELSE 0 END AS nfv
+              FROM spans
+            ),
+            run2 AS (
+              SELECT cd, cls, sgn, ph,
+                SUM(sgn) OVER (PARTITION BY cls
+                               ORDER BY cd, ph, tow, evseq, half
+                               ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM (SELECT * FROM d2
+                    UNION ALL
+                    SELECT cit, cls, 0, -1, tow, evseq, 0 FROM est)
+            ),
+            agg AS (
+              SELECT cls, SUM(1.0 / cnt) AS sxk, COUNT(*) AS cites
+              FROM run2 WHERE ph = -1 GROUP BY cls
+            ),
+            classes AS (
+              SELECT DISTINCT cls FROM d2
+              WHERE cls <= (SELECT maxind FROM mx)
+            ),
+            kern AS (
+              SELECT c.cls, COALESCE(a.cites, 0) AS cites,
+                CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 0.0
+                     ELSE COALESCE(a.sxk, 0) / n.nfv END AS k0,
+                CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 1.0
+                     ELSE n.nfv END AS nfv
+              FROM classes c
+              LEFT JOIN agg a ON a.cls = c.cls
+              LEFT JOIN nf n ON n.cls = c.cls
+            ),
+            tot AS (SELECT SUM(k0) AS s FROM kern)
+            SELECT cls::BIGINT AS wdeg,
+                   FLOOR(k0 / (SELECT s FROM tot) * 1e9 + 0.5) / 1e9
+                     AS kernel,
+                   cites::BIGINT AS cites,
+                   FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
+            FROM kern ORDER BY wdeg
             """,
         # revolver_e's bookkeeping is closed-form: ntk[cat] at a
         # citation from c counts arrived vertices v <= c-1 with
