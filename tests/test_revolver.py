@@ -2036,3 +2036,69 @@ def test_ml_dpareto_gradient_and_run():
     cats = rng.integers(0, 2, n)
     out2 = revolver_ml_ADE_dpareto((src, dst), cats, 4, maxit=40)
     assert len(out2["par"]) == 6 and np.isfinite(out2["Fmin"])
+
+
+def ref_exp_ad(adj, n, kernel, st, maxind, agebins):
+    """Literal replay of igraph_revolver_exp_ad
+    (src/revolver_cit.c:778-880)."""
+    binwidth = n // agebins + 1
+    R, Cc = maxind + 2, agebins + 1
+    outdeg = [len(adj[v]) for v in range(n)]
+    cumst = np.zeros(n + 1)
+    for i in range(n):
+        cumst[i + 1] = cumst[i] + outdeg[i] / st[i]
+    ntkl = np.zeros((R, Cc))
+    ch = np.zeros((R, Cc), dtype=int)
+    indeg = [0] * n
+    expected = np.zeros((R, Cc))
+    for node in range(n):
+        for to in adj[node]:
+            x = indeg[to]
+            y = (node - to) // binwidth
+            indeg[to] += 1
+            ntkl[x, y] -= 1
+            expected[x, y] += (ntkl[x, y] + 1) * (cumst[node]
+                                                  - cumst[ch[x, y]])
+            ch[x, y] = node
+            ntkl[x + 1, y] += 1
+            expected[x + 1, y] += (ntkl[x + 1, y] - 1) * (
+                cumst[node] - cumst[ch[x + 1, y]])
+            ch[x + 1, y] = node
+        ntkl[0, 0] += 1
+        expected[0, 0] += (ntkl[0, 0] - 1) * (cumst[node]
+                                              - cumst[ch[0, 0]])
+        ch[0, 0] = node
+        k = 1
+        while node - binwidth * k + 1 >= 0:
+            sh = node - binwidth * k + 1
+            d = indeg[sh]
+            ntkl[d, k - 1] -= 1
+            expected[d, k - 1] += (ntkl[d, k - 1] + 1) * (
+                cumst[node] - cumst[ch[d, k - 1]])
+            ch[d, k - 1] = node
+            ntkl[d, k] += 1
+            expected[d, k] += (ntkl[d, k] - 1) * (cumst[node]
+                                                  - cumst[ch[d, k]])
+            ch[d, k] = node
+            k += 1
+    for i in range(maxind + 1):
+        for j in range(agebins):
+            expected[i, j] += ntkl[i, j] * (cumst[n] - cumst[ch[i, j]])
+            expected[i, j] *= kernel[i, j]
+    return expected[:maxind + 1, :agebins]
+
+
+@pytest.mark.parametrize("seed,agebins", [(0, 4), (2, 6)])
+def test_revolver_ad_expected_matches_reference_replay(seed, agebins):
+    from xdata_igraph_ray.graph.revolver import revolver_ad
+
+    n = 40
+    src, dst = cit_graph(n, seed)
+    adj = adj_out(src, dst, n)
+    maxind = int(np.bincount(dst, minlength=n).max())
+    out = revolver_ad((src, dst), agebins, n=n, niter=2)
+    want = ref_exp_ad(adj, n, out["kernel"], out["st"], maxind, agebins)
+    np.testing.assert_allclose(out["expected"], want, atol=1e-9)
+    # sanity: expected citations total ~ the number of events in
+    # exposed classes
+    assert out["expected"].sum() > 0
