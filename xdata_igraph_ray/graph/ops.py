@@ -335,7 +335,7 @@ def is_multiple(edges, P: int = DEFAULT_PARTITIONS) -> Dataset:
 def has_multiple(edges, P: int = DEFAULT_PARTITIONS) -> bool:
     """igraph_has_multiple: any duplicated (src, dst) pair."""
     cm = count_multiple(edges, P=P)
-    return bool(cm.filter(lambda r: r["count"] > 1).count() > 0)
+    return int(cm.max("count") or 0) > 1
 
 
 def get_edgelist(edges) -> Dataset:
