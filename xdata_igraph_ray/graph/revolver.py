@@ -720,6 +720,13 @@ def _mes(spec, st, ecum, want_sd=False):
 
 
 def _expected(spec, kernel_flat, st, cit, n):
+    """igraph_revolver_exp_*: kernel[x] times the integral of ntk[x]
+    d(cumulative outdeg/st).  Shares the measurement delta stream —
+    validated against literal replays of exp_d and exp_ad; one
+    divergence corner: when binwidth == 1 (n < agebins) the age
+    kernels' mes stream pre-seeds vertex 0 at age bin 1 (the
+    reference's mes quirk) while the reference's exp starts it at
+    bin 0 — irrelevant at any realistic n."""
     outdeg = np.bincount(cit, minlength=n)
     cumst = np.zeros(n + 1)
     cumst[1:] = np.cumsum(outdeg / st)
