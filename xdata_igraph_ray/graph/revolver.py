@@ -726,7 +726,11 @@ def _expected(spec, kernel_flat, st, cit, n):
     divergence corner: when binwidth == 1 (n < agebins) the age
     kernels' mes stream pre-seeds vertex 0 at age bin 1 (the
     reference's mes quirk) while the reference's exp starts it at
-    bin 0 — irrelevant at any realistic n."""
+    bin 0 — irrelevant at any realistic n.  The reference only
+    implements exp for the d and ad kernels (exp_e/l/r/de/dl/el/ar/
+    ade are TODO stubs returning nothing); this engine evaluates the
+    same well-defined integral for EVERY kernel — a documented
+    extension."""
     outdeg = np.bincount(cit, minlength=n)
     cumst = np.zeros(n + 1)
     cumst[1:] = np.cumsum(outdeg / st)
