@@ -3107,6 +3107,42 @@ def q_revolver_r(sf_dir: str):
     })
 
 
+def q_pagerank_old(sf_dir: str):
+    """Deprecated power-method PageRank (igraph_pagerank_old with
+    old=True: additive (1-d), NO normalization, loop-excluded
+    out-degree clamped to 1, leaky dangling mass) — fixed 40
+    iterations; same linear-recursion oracle shape as pagerank_li."""
+    from xdata_igraph_ray.graph.pagerank import pagerank_old
+
+    eng = _engine(sf_dir)
+    pagerank_old(eng, niter=40, eps=1e-300, old=True)
+    scores = eng.state_arrays("prold")
+    return pd.DataFrame(
+        {"vid": np.arange(NV), "score": np.round(scores, 6)}
+    )
+
+
+def q_is_multiple(sf_dir: str):
+    """igraph_is_multiple semantics: every copy after the first per
+    (src, dst) pair is flagged; identical copies are interchangeable,
+    so the (src, dst, dup_rank) multiset is order-free."""
+    from xdata_igraph_ray.graph.ops import is_multiple
+
+    out = is_multiple(_li_edges(sf_dir), P=8).to_pandas()
+    return (out[["src", "dst", "dup_rank"]]
+            .sort_values(["src", "dst", "dup_rank"])
+            .reset_index(drop=True))
+
+
+def q_list_triangles(sf_dir: str):
+    """igraph_list_triangles: every triangle of the undirected
+    support once, canonical (a < b < c)."""
+    from xdata_igraph_ray.graph.triangles import list_triangles
+
+    out = list_triangles(_li_edges(sf_dir), P=8).to_pandas()
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: pages -> extract -> graph ->
     pagerank -> scores."""
@@ -3260,6 +3296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revolver_d_li": q_revolver_d,
         "revolver_e_li": q_revolver_e,
         "revolver_r_li": q_revolver_r,
+        "pagerank_old_li": q_pagerank_old,
+        "is_multiple_li": q_is_multiple,
+        "list_triangles_li": q_list_triangles,
     }
 
 
@@ -6476,6 +6515,59 @@ def oracle_sql() -> dict[str, str]:
                    cites::BIGINT AS cites,
                    FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
             FROM kern ORDER BY deg
+            """,
+        # deprecated power method, old=True form: additive (1-d), no
+        # normalization -> a plain linear recursion like pagerank_li;
+        # out-degree excludes loops (clamped to 1) while the gather
+        # keeps loop contributions
+        "pagerank_old_li": f"""
+            WITH RECURSIVE e AS (SELECT * FROM {_LI_E} t),
+            v AS (SELECT range AS vid FROM range(0, {NV})),
+            deg AS (
+              SELECT v.vid,
+                GREATEST(COALESCE(d.c, 0), 1)::DOUBLE AS outdeg
+              FROM v LEFT JOIN (
+                SELECT src AS vid, count(*) AS c FROM e
+                WHERE src <> dst GROUP BY src
+              ) d ON d.vid = v.vid
+            ),
+            pr(v, score, outdeg, iter) AS (
+              SELECT d.vid, CAST(0.15 AS DOUBLE), d.outdeg, 0 FROM deg d
+              UNION ALL
+              SELECT m.v, 0.85 * COALESCE(sum(m.val), 0) + 0.15,
+                     any_value(m.od), min(m.iter) + 1
+              FROM (
+                SELECT e.dst AS v, p.score / p.outdeg AS val,
+                       CAST(NULL AS DOUBLE) AS od, p.iter AS iter
+                FROM pr p JOIN e ON e.src = p.v
+                UNION ALL
+                SELECT p.v, CAST(NULL AS DOUBLE), p.outdeg, p.iter
+                FROM pr p
+              ) m
+              GROUP BY m.v
+              HAVING min(m.iter) < 40
+            )
+            SELECT v AS vid, round(score, 6) AS score FROM pr
+            WHERE iter = 40 ORDER BY vid
+            """,
+        "is_multiple_li": f"""
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src, dst) - 1
+                     AS dup_rank
+            FROM {_LI_E} t
+            ORDER BY src, dst, dup_rank
+            """,
+        "list_triangles_li": f"""
+            WITH und AS (
+              SELECT DISTINCT LEAST(src, dst) AS a,
+                              GREATEST(src, dst) AS b
+              FROM {_LI_E} t WHERE src <> dst
+            )
+            SELECT e1.a AS a, e1.b AS b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ORDER BY a, b, c
             """,
         # the windowed-in-degree kernel: same delta-timeline SQL as
         # revolver_d_li plus the per-target trailing-window expiry
