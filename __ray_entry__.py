@@ -3107,6 +3107,32 @@ def q_revolver_r(sf_dir: str):
     })
 
 
+def q_revolver_l(sf_dir: str):
+    """Citation-lag attachment kernel (igraph_revolver_l,
+    src/revolver_cit.c:2096) over a sparser 3000-vertex citation
+    derivation so the lag bins populate; 24 age bins + the never-cited
+    class, one pass."""
+    import pyarrow.parquet as pq
+
+    from xdata_igraph_ray.graph.revolver import revolver_l
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    a = t["l_orderkey"].to_numpy() % 3000
+    b = t["l_partkey"].to_numpy() % 3000
+    keep = a != b
+    cit = np.maximum(a, b)[keep].astype(np.int64)
+    to = np.minimum(a, b)[keep].astype(np.int64)
+    out = revolver_l((cit, to), 24, n=3000, niter=1)
+    k = out["kernel"]
+    return pd.DataFrame({
+        "lag": np.arange(len(k), dtype=np.int64),
+        "kernel": _q9(k),
+        "cites": out["cites"].astype(np.int64),
+        "norm": _q9(out["norm"]),
+    })
+
+
 def q_pagerank_old(sf_dir: str):
     """Deprecated power-method PageRank (igraph_pagerank_old with
     old=True: additive (1-d), NO normalization, loop-excluded
@@ -3296,6 +3322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revolver_d_li": q_revolver_d,
         "revolver_e_li": q_revolver_e,
         "revolver_r_li": q_revolver_r,
+        "revolver_l_li": q_revolver_l,
         "pagerank_old_li": q_pagerank_old,
         "is_multiple_li": q_is_multiple,
         "list_triangles_li": q_list_triangles,
@@ -6515,6 +6542,147 @@ def oracle_sql() -> dict[str, str]:
                    cites::BIGINT AS cites,
                    FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
             FROM kern ORDER BY deg
+            """,
+        # citation-lag kernel over a sparser 3000-vertex derivation
+        # (lag bins actually populate): the same delta-timeline SQL
+        # with LAG/MAX-window lastcit flavors and the k-major crossing
+        # schedule, per edge copy like the reference's rescan.
+        "revolver_l_li": """
+            WITH ev0 AS (
+              SELECT GREATEST(l_orderkey % 3000, l_partkey % 3000) AS cit,
+                     LEAST(l_orderkey % 3000, l_partkey % 3000) AS tow
+              FROM lineitem
+              WHERE l_orderkey % 3000 <> l_partkey % 3000
+            ),
+            ev AS (
+              SELECT cit, tow,
+                     ROW_NUMBER() OVER (ORDER BY cit, tow) AS evseq
+              FROM ev0
+            ),
+            lagw AS (
+              SELECT cit, tow, evseq,
+                MAX(cit) OVER (PARTITION BY tow ORDER BY cit
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_node,
+                LAG(cit) OVER (PARTITION BY tow ORDER BY evseq)
+                  AS prev_any,
+                MIN(cit) OVER (PARTITION BY tow ORDER BY cit
+                  RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nxt_node
+              FROM ev
+            ),
+            lagcls AS (
+              SELECT cit, tow, evseq,
+                CASE WHEN prev_node IS NULL THEN 24
+                     ELSE LEAST((cit + 1 - (prev_node + 1)) // 126,
+                                25) END AS est_cls,
+                CASE WHEN prev_any IS NULL THEN 24
+                     ELSE LEAST((cit + 1 - (prev_any + 1)) // 126,
+                                25) END AS upd_old,
+                nxt_node
+              FROM lagw
+            ),
+            -- class deltas: citations (ph 0), arrivals into the
+            -- never-cited class (ph 1), lag-bin crossings k-1 -> k at
+            -- body cit + binwidth*k - 1 unless re-cited first (ph 3,
+            -- k-major within a body, per edge copy like the
+            -- reference's rescan)
+            d2 AS (
+              SELECT cit AS cd, upd_old AS cls, -1 AS sgn, 0 AS ph,
+                     CAST(0 AS BIGINT) AS k, evseq, 0 AS half
+              FROM lagcls
+              UNION ALL
+              SELECT cit, 0, 1, 0, 0, evseq, 1 FROM lagcls
+              UNION ALL
+              SELECT r.range, 24, 1, 1, 0, 0, 0 FROM range(0, 3000) r
+              UNION ALL
+              SELECT l.cit + 126 * kk.range - 1, kk.range - 1, -1, 3,
+                     kk.range, l.evseq, 0
+              FROM lagcls l CROSS JOIN range(1, 25) kk
+              WHERE l.cit + 126 * kk.range - 1 <= 2999
+                AND (l.nxt_node IS NULL
+                     OR l.cit + 126 * kk.range - 1 < l.nxt_node)
+              UNION ALL
+              SELECT l.cit + 126 * kk.range - 1, kk.range, 1, 3,
+                     kk.range, l.evseq, 1
+              FROM lagcls l CROSS JOIN range(1, 25) kk
+              WHERE l.cit + 126 * kk.range - 1 <= 2999
+                AND (l.nxt_node IS NULL
+                     OR l.cit + 126 * kk.range - 1 < l.nxt_node)
+            ),
+            runs AS (
+              SELECT cd, cls, sgn, ph, k, evseq, half,
+                SUM(sgn) OVER (PARTITION BY cls
+                  ORDER BY cd, ph, k, evseq, half
+                  ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM d2
+            ),
+            ecnt AS (SELECT cit AS c, COUNT(*) AS cnt FROM ev GROUP BY 1),
+            ecum AS (
+              SELECT r.range AS c,
+                COALESCE(SUM(ecnt.cnt) OVER (ORDER BY r.range),
+                         0)::DOUBLE AS ee
+              FROM range(0, 3000) r LEFT JOIN ecnt ON ecnt.c = r.range
+            ),
+            etot AS (SELECT COUNT(*)::DOUBLE AS ee FROM ev),
+            flags AS (
+              SELECT cls, cd, sgn, ph, k, evseq, half FROM runs
+              WHERE (sgn > 0 AND cnt = 1) OR (sgn < 0 AND cnt = 0)
+            ),
+            fjoin AS (
+              SELECT f.cls, f.sgn, e.ee,
+                LAG(e.ee) OVER (PARTITION BY f.cls
+                  ORDER BY f.cd, f.ph, f.k, f.evseq, f.half) AS preve,
+                ROW_NUMBER() OVER (PARTITION BY f.cls
+                  ORDER BY f.cd DESC, f.ph DESC, f.k DESC,
+                           f.evseq DESC, f.half DESC) AS rdesc
+              FROM flags f JOIN ecum e ON e.c = f.cd
+            ),
+            spans AS (
+              SELECT cls,
+                SUM(CASE WHEN sgn < 0 THEN ee - preve ELSE 0 END) AS nf0,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN 1 ELSE 0 END)
+                  AS open_end,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN ee END) AS laste
+              FROM fjoin GROUP BY cls
+            ),
+            nf AS (
+              SELECT cls, nf0 + CASE WHEN open_end = 1
+                THEN (SELECT ee FROM etot) - laste ELSE 0 END AS nfv
+              FROM spans
+            ),
+            run2 AS (
+              SELECT cd, cls, sgn, ph,
+                SUM(sgn) OVER (PARTITION BY cls
+                  ORDER BY cd, ph, k, evseq, half
+                  ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM (SELECT * FROM d2
+                    UNION ALL
+                    SELECT cit, est_cls, 0, -1, 0, evseq, 0 FROM lagcls)
+            ),
+            agg AS (
+              SELECT cls, SUM(1.0 / cnt) AS sxk, COUNT(*) AS cites
+              FROM run2 WHERE ph = -1 GROUP BY cls
+            ),
+            classes AS (SELECT range AS cls FROM range(0, 25)),
+            tot AS (
+              SELECT SUM(CASE WHEN COALESCE(n2.nfv, 0) = 0 THEN 0.0
+                              ELSE COALESCE(a2.sxk, 0) / n2.nfv END) AS s
+              FROM (SELECT DISTINCT cls FROM d2) c2
+              LEFT JOIN agg a2 ON a2.cls = c2.cls
+              LEFT JOIN nf n2 ON n2.cls = c2.cls
+            )
+            SELECT c.cls::BIGINT AS lag,
+              FLOOR(CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 0.0
+                    ELSE COALESCE(a.sxk, 0) / n.nfv END
+                    / (SELECT s FROM tot) * 1e9 + 0.5) / 1e9 AS kernel,
+              COALESCE(a.cites, 0)::BIGINT AS cites,
+              FLOOR(CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 1.0
+                    ELSE n.nfv END * 1e9 + 0.5) / 1e9 AS norm
+            FROM classes c
+            LEFT JOIN agg a ON a.cls = c.cls
+            LEFT JOIN nf n ON n.cls = c.cls
+            ORDER BY lag
             """,
         # deprecated power method, old=True form: additive (1-d), no
         # normalization -> a plain linear recursion like pagerank_li;
