@@ -3107,6 +3107,26 @@ def q_revolver_r(sf_dir: str):
     })
 
 
+def q_revolver_de(sf_dir: str):
+    """(category, in-degree) attachment kernel (igraph_revolver_de,
+    src/revolver_cit.c:1726), cats[v] = v mod 4, one pass; flattened
+    (cat, deg) grid."""
+    from xdata_igraph_ray.graph.revolver import revolver_de
+
+    cit, to = _cit_events(sf_dir)
+    cats = np.arange(NCIT, dtype=np.int64) % 4
+    out = revolver_de((cit, to), cats, n=NCIT, niter=1)
+    k = out["kernel"]
+    nc, nd = k.shape
+    return pd.DataFrame({
+        "cat": np.repeat(np.arange(nc, dtype=np.int64), nd),
+        "deg": np.tile(np.arange(nd, dtype=np.int64), nc),
+        "kernel": _q9(k.reshape(-1)),
+        "cites": out["cites"].reshape(-1).astype(np.int64),
+        "norm": _q9(out["norm"].reshape(-1)),
+    })
+
+
 def q_revolver_ad(sf_dir: str):
     """(in-degree, age-bin) attachment kernel (igraph_revolver_ad,
     src/revolver_cit.c:478) over the lineitem citation history, 5 age
@@ -3342,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revolver_d_li": q_revolver_d,
         "revolver_e_li": q_revolver_e,
         "revolver_r_li": q_revolver_r,
+        "revolver_de_li": q_revolver_de,
         "revolver_ad_li": q_revolver_ad,
         "revolver_l_li": q_revolver_l,
         "pagerank_old_li": q_pagerank_old,
@@ -6563,6 +6584,106 @@ def oracle_sql() -> dict[str, str]:
                    cites::BIGINT AS cites,
                    FLOOR(nfv * 1e9 + 0.5) / 1e9 AS norm
             FROM kern ORDER BY deg
+            """,
+        # the (category, in-degree) matrix kernel: the d timeline with
+        # a static cited-category dimension (cats[v] = v mod 4).
+        "revolver_de_li": """
+            WITH ev0 AS (
+              SELECT GREATEST(l_orderkey % 400, l_partkey % 400) AS cit,
+                     LEAST(l_orderkey % 400, l_partkey % 400) AS tow
+              FROM lineitem WHERE l_orderkey % 400 <> l_partkey % 400
+            ),
+            ev AS (SELECT cit, tow, ROW_NUMBER() OVER (ORDER BY cit, tow) AS evseq FROM ev0),
+            e2 AS (
+              SELECT cit, tow, evseq, (tow % 4) AS cat,
+                ROW_NUMBER() OVER (PARTITION BY tow ORDER BY evseq) - 1 AS cum,
+                ROW_NUMBER() OVER (PARTITION BY tow ORDER BY evseq)
+                - ROW_NUMBER() OVER (PARTITION BY tow, cit ORDER BY evseq) AS prior
+              FROM ev
+            ),
+            mx AS (SELECT MAX(cum) + 1 AS maxind FROM e2),
+            d2 AS (
+              SELECT cit AS cd, cat * 336 + cum AS cls, -1 AS sgn, 0 AS ph,
+                     evseq, 0 AS half FROM e2
+              UNION ALL
+              SELECT cit, cat * 336 + cum + 1, 1, 0, evseq, 1 FROM e2
+              UNION ALL
+              SELECT r.range, (r.range % 4) * 336, 1, 1, 0, 0
+              FROM range(0, 400) r
+            ),
+            runs AS (
+              SELECT cd, cls, sgn, ph, evseq, half,
+                SUM(sgn) OVER (PARTITION BY cls ORDER BY cd, ph, evseq, half
+                               ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM d2
+            ),
+            ecnt AS (SELECT cit AS c, COUNT(*) AS cnt FROM ev GROUP BY 1),
+            ecum AS (
+              SELECT r.range AS c,
+                     COALESCE(SUM(ecnt.cnt) OVER (ORDER BY r.range), 0)::DOUBLE AS ee
+              FROM range(0, 400) r LEFT JOIN ecnt ON ecnt.c = r.range
+            ),
+            etot AS (SELECT COUNT(*)::DOUBLE AS ee FROM ev),
+            flags AS (
+              SELECT cls, cd, sgn, ph, evseq, half FROM runs
+              WHERE (sgn > 0 AND cnt = 1) OR (sgn < 0 AND cnt = 0)
+            ),
+            fjoin AS (
+              SELECT f.cls, f.sgn, e.ee,
+                LAG(e.ee) OVER (PARTITION BY f.cls
+                  ORDER BY f.cd, f.ph, f.evseq, f.half) AS preve,
+                ROW_NUMBER() OVER (PARTITION BY f.cls
+                  ORDER BY f.cd DESC, f.ph DESC, f.evseq DESC, f.half DESC) AS rdesc
+              FROM flags f JOIN ecum e ON e.c = f.cd
+            ),
+            spans AS (
+              SELECT cls,
+                SUM(CASE WHEN sgn < 0 THEN ee - preve ELSE 0 END) AS nf0,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN 1 ELSE 0 END) AS open_end,
+                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN ee END) AS laste
+              FROM fjoin GROUP BY cls
+            ),
+            nf AS (
+              SELECT cls, nf0 + CASE WHEN open_end = 1
+                THEN (SELECT ee FROM etot) - laste ELSE 0 END AS nfv
+              FROM spans
+            ),
+            run2 AS (
+              SELECT cd, cls, sgn, ph,
+                SUM(sgn) OVER (PARTITION BY cls ORDER BY cd, ph, evseq, half
+                               ROWS UNBOUNDED PRECEDING) AS cnt
+              FROM (SELECT * FROM d2
+                    UNION ALL
+                    SELECT cit, cat * 336 + prior, 0, -1, evseq, 0 FROM e2)
+            ),
+            agg AS (
+              SELECT cls, SUM(1.0 / cnt) AS sxk, COUNT(*) AS cites
+              FROM run2 WHERE ph = -1 GROUP BY cls
+            ),
+            grid AS (
+              SELECT c.range AS cat, d.deg, c.range * 336 + d.deg AS cls
+              FROM range(0, 4) c
+              CROSS JOIN (SELECT DISTINCT cum + 1 AS deg FROM e2
+                          UNION SELECT 0) d
+            ),
+            tot AS (
+              SELECT SUM(CASE WHEN COALESCE(n2.nfv, 0) = 0 THEN 0.0
+                              ELSE COALESCE(a2.sxk, 0) / n2.nfv END) AS s
+              FROM (SELECT DISTINCT cls FROM d2) c2
+              LEFT JOIN agg a2 ON a2.cls = c2.cls
+              LEFT JOIN nf n2 ON n2.cls = c2.cls
+            )
+            SELECT g.cat::BIGINT AS cat, g.deg::BIGINT AS deg,
+              FLOOR(CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 0.0
+                    ELSE COALESCE(a.sxk, 0) / n.nfv END
+                    / (SELECT s FROM tot) * 1e9 + 0.5) / 1e9 AS kernel,
+              COALESCE(a.cites, 0)::BIGINT AS cites,
+              FLOOR(CASE WHEN COALESCE(n.nfv, 0) = 0 THEN 1.0
+                    ELSE n.nfv END * 1e9 + 0.5) / 1e9 AS norm
+            FROM grid g
+            LEFT JOIN agg a ON a.cls = g.cls
+            LEFT JOIN nf n ON n.cls = g.cls
+            ORDER BY cat, deg
             """,
         # the (in-degree, age-bin) matrix kernel: the same delta
         # timeline plus the closed-form aging schedule — a vertex
