@@ -158,6 +158,7 @@ class _Spec:
         sg = d_sg[order]
         self._seg_sg = sg
         segcls = d_cls[order]
+        self._seg_cls = segcls
         self._starts = np.searchsorted(segcls, np.arange(nflat + 1))
         cum = np.cumsum(sg)
         base = np.zeros(len(sg), dtype=np.int64)
@@ -180,7 +181,20 @@ class _Spec:
     def ntk_at_estimates(self) -> np.ndarray:
         """Class count at each estimate = pre-seed + all deltas from
         bodies of citing nodes < c (strict: body b's deltas are
-        visible from body b+1 on)."""
+        visible from body b+1 on).  One composite-key searchsorted —
+        the segment array is sorted by (class, cd)."""
+        if len(self.est_c) == 0:
+            return np.zeros(0, np.float64)
+        width = np.int64(self.n + 1)
+        if self.nflat * width < (1 << 62):
+            key = self._seg_cls.astype(np.int64) * width + self._seg_cd
+            q = self.est_cls.astype(np.int64) * width + self.est_c
+            pos = np.searchsorted(key, q, side="left")
+            starts = self._starts[self.est_cls]
+            vals = np.where(
+                pos > starts,
+                self._seg_cum[np.maximum(pos - 1, 0)], 0)
+            return vals.astype(np.float64)
         out = np.zeros(len(self.est_c), np.float64)
         for k in np.unique(self.est_cls):
             s, e = self._segment(k)
@@ -202,40 +216,77 @@ class _Spec:
         ncc = ecum_rows.shape[0]
         etot = ecum_rows[:, -1]
         nf = np.zeros((ncc, self.nflat))
-        for k in range(self.nflat):
-            s, e = self._segment(k)
-            if s == e:
-                continue
-            cum = self._seg_cum[s:e]
-            sg = self._seg_sg[s:e]
-            cd = self._seg_cd[s:e]
-            flags = np.flatnonzero(((sg > 0) & (cum == 1))
-                                   | ((sg < 0) & (cum == 0)))
-            ch = np.zeros(ncc)
-            for i in flags:
-                if sg[i] > 0:
-                    ch = ecum_rows[:, cd[i]]
-                else:
-                    nf[:, k] += ecum_rows[:, cd[i]] - ch
-            if cum[-1] != 0:
-                nf[:, k] += etot - ch
+        m = len(self._seg_cd)
+        if m == 0:
+            return nf
+        cum, sg, cd, cls = (self._seg_cum, self._seg_sg, self._seg_cd,
+                            self._seg_cls)
+        # flagged rows: opens (+1 making the count exactly 1) and
+        # closes (-1 making it exactly 0).  Within a class they
+        # strictly alternate open, close, open, ... (a count can only
+        # reach 1 upward through an open and 0 downward through a
+        # close), so every close pairs with the immediately preceding
+        # flagged row of its class.
+        fidx = np.flatnonzero(((sg > 0) & (cum == 1))
+                              | ((sg < 0) & (cum == 0)))
+        if len(fidx):
+            fcls = cls[fidx]
+            fcd = cd[fidx]
+            fopen = sg[fidx] > 0
+            prev_cd = np.empty(len(fidx), np.int64)
+            prev_cd[1:] = fcd[:-1]
+            prev_cd[0] = 0
+            closes = ~fopen
+            # spans for closes, summed per class (per E-counter row)
+            if np.any(closes):
+                spans = (ecum_rows[:, fcd[closes]]
+                         - ecum_rows[:, prev_cd[closes]])
+                np.add.at(nf.T, fcls[closes], spans.T)
+        # final flush mirrors the C exactly: every class whose FINAL
+        # count is nonzero (negative dips from the mirrored l-rescan
+        # quirk included) flushes etot - ch, where ch is the last
+        # open's counter value (0 if the class never opened)
+        ch_cd = np.zeros(self.nflat, np.int64)
+        if len(fidx) and np.any(fopen):
+            ocls = fcls[fopen]
+            ocd = fcd[fopen]
+            last_sel = np.r_[ocls[1:] != ocls[:-1], True]
+            ch_cd[ocls[last_sel]] = ocd[last_sel]
+        nonempty = self._starts[1:] > self._starts[:-1]
+        ends = self._starts[1:] - 1
+        kcls = np.flatnonzero(nonempty)
+        fin = cum[ends[kcls]]
+        fl = kcls[fin != 0]
+        if len(fl):
+            flush = etot[:, None] - ecum_rows[:, ch_cd[fl]]
+            np.add.at(nf.T, fl, flush.T)
         return nf
 
     def integral(self, mu: np.ndarray, mu_end: float) -> np.ndarray:
         """Per-class ∫ count d(mu): the expected-citations integral
         (igraph_revolver_exp_d's count-before-transition × span
-        accumulation, src/revolver_cit.c:341-376)."""
+        accumulation, src/revolver_cit.c:341-376).  Segmented global
+        arithmetic — no per-class loop."""
         out = np.zeros(self.nflat)
-        for k in range(self.nflat):
-            s, e = self._segment(k)
-            if s == e:
-                continue
-            cum = self._seg_cum[s:e]
-            m = mu[self._seg_cd[s:e]]
-            prev = np.r_[0, cum[:-1]]
-            dm = np.diff(np.r_[0.0, m])
-            out[k] = float((prev * dm).sum()) + float(cum[-1]) * (
-                mu_end - m[-1])
+        mtot = len(self._seg_cd)
+        if mtot == 0:
+            return out
+        cum = self._seg_cum
+        m = mu[self._seg_cd]
+        starts_mask = np.zeros(mtot, bool)
+        nonempty = self._starts[:-1][self._starts[:-1]
+                                     < self._starts[1:]]
+        starts_mask[nonempty] = True
+        prev = np.empty(mtot, cum.dtype)
+        prev[1:] = cum[:-1]
+        prev[starts_mask] = 0
+        dm = np.empty(mtot)
+        dm[1:] = m[1:] - m[:-1]
+        dm[starts_mask] = m[starts_mask]          # minus mu "at ch=0"
+        np.add.at(out, self._seg_cls, prev * dm)
+        kcls = np.flatnonzero(self._starts[1:] > self._starts[:-1])
+        ends = self._starts[1:] - 1
+        out[kcls] += cum[ends[kcls]] * (mu_end - m[ends[kcls]])
         return out
 
     def st(self, kernel_flat: np.ndarray) -> np.ndarray:
