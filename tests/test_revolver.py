@@ -2102,3 +2102,41 @@ def test_revolver_ad_expected_matches_reference_replay(seed, agebins):
     # sanity: expected citations total ~ the number of events in
     # exposed classes
     assert out["expected"].sum() > 0
+
+
+# -- hypothesis fuzz: timeline == literal replay on arbitrary histories ------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    @given(hst.integers(0, 2**32 - 1), hst.integers(1, 4))
+    @settings(max_examples=25, deadline=None)
+    def test_revolver_d_fuzz_matches_replay(seed, mean_out):
+        src, dst = cit_graph(30, seed, mean_out=mean_out)
+        if len(src) == 0:
+            return
+        adj = adj_out(src, dst, 30)
+        want = ref_revolver_d(adj, 30, 2)
+        got = revolver_d((src, dst), n=30, niter=2)
+        np.testing.assert_allclose(got["kernel"], want["kernel"],
+                                   atol=1e-12, equal_nan=True)
+        np.testing.assert_allclose(got["norm"], want["norm"], atol=1e-9)
+        np.testing.assert_allclose(got["st"], want["st"], atol=1e-10)
+        np.testing.assert_allclose(got["expected"], want["expected"],
+                                   atol=1e-9)
+
+    @given(hst.integers(0, 2**32 - 1), hst.integers(2, 8))
+    @settings(max_examples=15, deadline=None)
+    def test_revolver_l_fuzz_matches_replay(seed, agebins):
+        src, dst = cit_graph(28, seed)
+        if len(src) == 0:
+            return
+        adj = adj_out(src, dst, 28)
+        kernel, norm, cites = ref_mes_l(adj, 28, np.ones(28), agebins)
+        got = revolver_l((src, dst), agebins, n=28, niter=1)
+        np.testing.assert_allclose(got["kernel"],
+                                   kernel / kernel.sum(), atol=1e-12)
+        np.testing.assert_allclose(got["norm"], norm, atol=1e-9)
+except ImportError:  # pragma: no cover
+    pass
