@@ -6927,16 +6927,31 @@ def oracle_sql() -> dict[str, str]:
             ),
             spans AS (
               SELECT cls,
-                SUM(CASE WHEN sgn < 0 THEN ee - preve ELSE 0 END) AS nf0,
-                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN 1 ELSE 0 END)
-                  AS open_end,
-                MAX(CASE WHEN rdesc = 1 AND sgn > 0 THEN ee END) AS laste
+                SUM(CASE WHEN sgn < 0 THEN ee - preve ELSE 0 END) AS nf0
               FROM fjoin GROUP BY cls
             ),
+            -- exact final flush (the l rescan quirk can leave a class
+            -- count NEGATIVE with no trailing open): flush whenever
+            -- the final running count is nonzero, from the last
+            -- open's counter (0 if the class never opened)
+            fincnt AS (SELECT cls, SUM(sgn) AS fc FROM d2 GROUP BY cls),
+            lastopen AS (
+              SELECT cls, ee FROM (
+                SELECT f.cls, e.ee,
+                  ROW_NUMBER() OVER (PARTITION BY f.cls
+                    ORDER BY f.cd DESC, f.ph DESC, f.k DESC,
+                             f.evseq DESC, f.half DESC) AS rn
+                FROM flags f JOIN ecum e ON e.c = f.cd
+                WHERE f.sgn > 0) q WHERE rn = 1
+            ),
             nf AS (
-              SELECT cls, nf0 + CASE WHEN open_end = 1
-                THEN (SELECT ee FROM etot) - laste ELSE 0 END AS nfv
-              FROM spans
+              SELECT fi.cls,
+                COALESCE(s.nf0, 0) + CASE WHEN fi.fc <> 0
+                  THEN (SELECT ee FROM etot) - COALESCE(lo.ee, 0)
+                  ELSE 0 END AS nfv
+              FROM fincnt fi
+              LEFT JOIN spans s ON s.cls = fi.cls
+              LEFT JOIN lastopen lo ON lo.cls = fi.cls
             ),
             run2 AS (
               SELECT cd, cls, sgn, ph,
