@@ -1090,6 +1090,27 @@ def q_louvain(sf_dir: str):
     return df[["vid", "comm"]]
 
 
+def q_spinglass_single(sf_dir: str):
+    """Community of one vertex (igraph_community_spinglass_single,
+    deterministic greedy affinity growth) on a planted ring of 4
+    cliques of 8, seeded at vertex 10 — exact clique recovery plus the
+    reference's cohesion/adhesion/inner/outer scalars, all SQL-checkable
+    from the regenerated fixture."""
+    from xdata_igraph_ray.exchange import block_refs
+    from xdata_igraph_ray.graph.community import spinglass_single
+
+    r = spinglass_single(block_refs(_ring_cliques_ds(4, 8)), n=32,
+                         vertex=10, P=4)
+    vids = np.sort(r["community"])
+    return pd.DataFrame({
+        "vid": vids.astype(np.int64),
+        "cohesion": np.full(len(vids), r["cohesion"], np.float64),
+        "adhesion": np.full(len(vids), r["adhesion"], np.float64),
+        "inner_links": np.full(len(vids), r["inner_links"], np.int64),
+        "outer_links": np.full(len(vids), r["outer_links"], np.int64),
+    })
+
+
 def q_spinglass(sf_dir: str):
     """Spinglass communities (Reichardt-Bornholdt Potts annealing,
     seeded deterministic heat bath) on a planted ring of 4 cliques of
@@ -3296,6 +3317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohesive_blocks_li": q_cohesive_blocks,
         "louvain_li": q_louvain,
         "spinglass_li": q_spinglass,
+        "spinglass_single_li": q_spinglass_single,
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
         "girvan_newman_li": q_girvan_newman,
@@ -5245,6 +5267,41 @@ def oracle_sql() -> dict[str, str]:
         # certifies exact recovery (sizes probed exact per algorithm)
         "louvain_li": _planted_sql(10, 10),
         "spinglass_li": _planted_sql(4, 8),
+        "spinglass_single_li": """
+            WITH edges AS (
+              SELECT c.range * 8 + i.range AS s, c.range * 8 + j.range AS d
+              FROM range(0, 4) c, range(0, 8) i, range(0, 8) j
+              WHERE i.range < j.range
+              UNION ALL
+              SELECT c.range * 8, ((c.range + 1) % 4) * 8 FROM range(0, 4) c
+            ),
+            deg AS (
+              SELECT v, COUNT(*)::DOUBLE AS dg FROM (
+                SELECT s AS v FROM edges UNION ALL SELECT d FROM edges
+              ) GROUP BY v
+            ),
+            tot AS (SELECT SUM(dg) AS t FROM deg),
+            -- planted community of vertex 10 = its clique, vids 8..15
+            comm AS (SELECT range AS vid FROM range(8, 16)),
+            ks AS (SELECT SUM(dg) AS ks FROM deg WHERE v BETWEEN 8 AND 15),
+            cnt AS (
+              SELECT
+                SUM(CASE WHEN s BETWEEN 8 AND 15 AND d BETWEEN 8 AND 15
+                    THEN 1 ELSE 0 END)::DOUBLE AS inner,
+                SUM(CASE WHEN (s BETWEEN 8 AND 15) <> (d BETWEEN 8 AND 15)
+                    THEN 1 ELSE 0 END)::DOUBLE AS outer
+              FROM edges
+            )
+            SELECT comm.vid::BIGINT AS vid,
+              (cnt.inner - 1.0 / tot.t * ks.ks * ks.ks * 0.5)::DOUBLE
+                AS cohesion,
+              (cnt.outer - 1.0 / tot.t * ks.ks * (tot.t - ks.ks))::DOUBLE
+                AS adhesion,
+              cnt.inner::BIGINT AS inner_links,
+              cnt.outer::BIGINT AS outer_links
+            FROM comm, cnt, ks, tot ORDER BY vid
+        """,
+
         "leading_eigenvector_li": _planted_sql(4, 8),
         "fastgreedy_li": _planted_sql(8, 8),
         "girvan_newman_li": _planted_sql(5, 5),

@@ -202,3 +202,79 @@ def test_spinglass(ray_session):
         "src": np.array([], np.int64),
         "dst": np.array([], np.int64)}))], 4, P=2)
     assert r0["membership"].tolist() == [0, 0, 0, 0]
+
+
+def test_spinglass_single(ray_session):
+    import ray
+
+    from xdata_igraph_ray.graph.community import spinglass_single
+
+    # planted ring of 5 cliques of 6: the community of any vertex is
+    # exactly its clique (plus nothing else)
+    pairs = []
+    k, m = 5, 6
+    for c in range(k):
+        base = c * m
+        pairs += [(base + i, base + j)
+                  for i in range(m) for j in range(i + 1, m)]
+        pairs.append((base, ((c + 1) % k) * m))
+    arcs = pairs + [(b, a) for a, b in pairs]
+    t = pa.table({"src": np.array([a for a, _ in arcs], np.int64),
+                  "dst": np.array([b for _, b in arcs], np.int64)})
+    n = k * m
+    ref = ray.put(t)
+    for seed_v in (0, 7, 29):
+        r = spinglass_single([ref], n, vertex=seed_v, P=2)
+        want = set(range((seed_v // m) * m, (seed_v // m) * m + m))
+        assert set(r["community"].tolist()) == want
+        assert r["size"] == m
+        # clique of 6 has 15 inner edges; 2 ring edges leave it
+        assert r["inner_links"] == 15
+        assert r["outer_links"] == 2
+        # cohesion/adhesion agree with the C formulas
+        T = float(2 * len(pairs))
+        Ks = float(sum(
+            sum(1 for a, b in pairs if a == v or b == v) for v in want))
+        assert np.isclose(r["cohesion"], 15 - 1.0 / T * Ks * Ks / 2)
+        assert np.isclose(r["adhesion"], 2 - 1.0 / T * Ks * (T - Ks))
+        # deterministic
+        r2 = spinglass_single([ref], n, vertex=seed_v, P=2)
+        assert r2["community"].tolist() == r["community"].tolist()
+
+    # weighted: strong triangle {0,1,2} weakly tied to {3,4,5}
+    wpairs = [(0, 1, 10.0), (0, 2, 10.0), (1, 2, 10.0),
+              (3, 4, 10.0), (3, 5, 10.0), (4, 5, 10.0), (2, 3, 0.1)]
+    src = np.array([a for a, _, _ in wpairs] + [b for _, b, _ in wpairs],
+                   np.int64)
+    dst = np.array([b for _, b, _ in wpairs] + [a for a, _, _ in wpairs],
+                   np.int64)
+    ww = np.array([w for _, _, w in wpairs] * 2, np.float64)
+    wt = pa.table({"src": src, "dst": dst, "weight": ww})
+    r = spinglass_single([ray.put(wt)], 6, vertex=0, P=2)
+    assert set(r["community"].tolist()) == {0, 1, 2}
+    # int truncation of the weighted sums, like the C's igraph_integer_t
+    assert r["inner_links"] == 30
+    assert r["outer_links"] == 0  # int(0.1) truncates
+
+    # gamma high enough prefers smaller/denser communities: still the
+    # triangle (sanity that gamma wires through)
+    r = spinglass_single([ray.put(wt)], 6, vertex=0, gamma=2.0, P=2)
+    assert 0 in r["community"].tolist()
+
+    # validation + connectivity gates, mirroring clustertool.cpp
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spinglass_single([ref], n, vertex=0, spins=1, P=2)
+    with _pytest.raises(ValueError):
+        spinglass_single([ref], n, vertex=0, gamma=-1.0, P=2)
+    with _pytest.raises(ValueError):
+        spinglass_single([ref], n, vertex=n + 5, P=2)
+    disc = pa.table({"src": np.array([0, 2], np.int64),
+                     "dst": np.array([1, 3], np.int64)})
+    with _pytest.raises(ValueError, match="unconnected"):
+        spinglass_single([ray.put(disc)], 4, vertex=0, P=2)
+    # n == 1 trivial
+    r1 = spinglass_single([ray.put(pa.table({
+        "src": np.array([], np.int64),
+        "dst": np.array([], np.int64)}))], 1, vertex=0, P=2)
+    assert r1["community"].tolist() == [0] and r1["size"] == 1

@@ -1230,3 +1230,192 @@ def spinglass(
         mod -= (dc / two_m) ** 2
     return {"membership": membership, "modularity": float(mod),
             "temperature": kT, "runs": runs}
+
+
+def spinglass_single(
+    edges, n: int, vertex: int, spins: int = 25, gamma: float = 1.0,
+    P: int = 8, max_steps: int | None = None,
+) -> dict:
+    """Community of a single vertex without clustering the whole graph
+    (igraph_community_spinglass_single, src/clustertool.cpp:427 ->
+    PottsModel::FindCommunityFromStart, src/pottsmodel_2.cpp:918-1170).
+
+    Deterministic greedy affinity growth — the reference's RNG_BEGIN
+    wrapper is vestigial; FindCommunityFromStart draws no random
+    numbers.  Start from {vertex} + N(vertex); each step scans the
+    frontier (``to_do``) for the best ADD (delta = aff_r - aff_s <= 0,
+    ties to the LAST scanned candidate — the reference's ``<=``) and
+    the community for a strictly better REMOVE (delta < best add),
+    where for node weight d, community degree-mass Ks and rest Kr:
+
+        add:    aff_r = kir - g/T*(Kr-d)*d,  aff_s = kis - g/T*Ks*d
+        remove: aff_r = kir - g/T*Kr*d,      aff_s = kis - g/T*(Ks-d)*d
+
+    (kis/kir = weight to community/rest, T = total degree sum = 2W,
+    pottsmodel_2.cpp:1031-1036, 1073-1077 — the ``config`` null model;
+    the ``update_rule`` argument is validated but unused by the
+    reference's kernel, mirrored here.)  Stops when neither an add nor
+    a remove improves; returns cohesion = inner - g/T*Ks^2/2 and
+    adhesion = outer - g/T*Ks*Kr with inner/outer truncated to int
+    exactly like the C's igraph_integer_t stores.
+
+    PINNED DIVERGENCES (documented, result-identical on untied
+    affinities): runs on the collapsed simple support — the undirected
+    edge weight is the per-orientation weight sum, max'd across the
+    two orientations (so the engine's symmetric arc lists and
+    one-sided edge lists both yield the logical weight; parallel
+    same-direction rows sum), self-loops dropped (the reference pushes
+    duplicate list entries and double-counts Ks on multigraphs — a
+    bookkeeping bug we do not mirror); list tie-break order is
+    vertex-id-sorted adjacency instead of edge-insertion order.  Like
+    the reference's own sequential kernel this is a driver-side
+    local-region scan — the one distributed pass is the support
+    collapse.
+
+    Returns {"community" (vids, discovery order), "size", "cohesion",
+    "adhesion", "inner_links", "outer_links"}."""
+    if spins < 2 or spins > 500:
+        raise ValueError("Invalid number of spins")  # clustertool.cpp:448
+    if gamma < 0.0:
+        raise ValueError("Invalid gamma value")
+    if not (0 <= vertex < n):
+        raise ValueError("Invalid vertex id")
+    if isinstance(edges, pa.Table):
+        tables = [edges]
+    elif isinstance(edges, list):
+        tables = ray.get(edges)
+    else:
+        tables = ray.get(block_refs(edges))
+    dirw: dict[tuple[int, int], float] = {}
+    for t in tables:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        ww = (t["weight"].to_numpy().astype(np.float64)
+              if "weight" in t.column_names else np.ones(len(t)))
+        keep = s != d
+        for a, b, x in zip(s[keep].tolist(), d[keep].tolist(),
+                           ww[keep].tolist()):
+            dirw[(a, b)] = dirw.get((a, b), 0.0) + x
+    w: dict[tuple[int, int], float] = {}
+    for (a, b), x in dirw.items():
+        key = (a, b) if a < b else (b, a)
+        w[key] = max(w.get(key, 0.0), x)
+    adj: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for (a, b), x in w.items():
+        adj[a].append((b, float(x)))
+        adj[b].append((a, float(x)))
+    for lst in adj:
+        lst.sort()
+    deg = np.zeros(n, dtype=np.float64)
+    for v in range(n):
+        deg[v] = sum(x for _, x in adj[v])
+    T = float(deg.sum())
+    if n <= 1 or T == 0.0:
+        if n > 1:  # isolated vertices -> unconnected, like the C
+            raise ValueError("Cannot work with unconnected graph")
+        return {"community": np.array([vertex], dtype=np.int64),
+                "size": 1, "cohesion": 0.0, "adhesion": 0.0,
+                "inner_links": 0, "outer_links": 0}
+    # weak-connectivity gate (clustertool.cpp:470-474)
+    seen = np.zeros(n, dtype=bool)
+    stack = [0]
+    seen[0] = True
+    while stack:
+        u = stack.pop()
+        for nb, _ in adj[u]:
+            if not seen[nb]:
+                seen[nb] = True
+                stack.append(nb)
+    if not seen.all():
+        raise ValueError("Cannot work with unconnected graph")
+
+    NONE, COMM, TODO = 0, 1, 2
+    marker = np.zeros(n, dtype=np.int8)
+    community: list[int] = [vertex]
+    marker[vertex] = COMM
+    Ks = float(deg[vertex])
+    Kr = T - Ks
+    for nb, _ in adj[vertex]:
+        community.append(nb)
+        marker[nb] = COMM
+        Ks += deg[nb]
+        Kr -= deg[nb]
+    to_do: list[int] = []
+    for node in community:
+        for nb, _ in adj[node]:
+            if marker[nb] != COMM and marker[nb] != TODO:
+                to_do.append(nb)
+                marker[nb] = TODO
+
+    def _ks(node: int) -> tuple[float, float]:
+        kis = kir = 0.0
+        for nb, x in adj[node]:
+            if marker[nb] == COMM:
+                kis += x
+            else:
+                kir += x
+        return kis, kir
+
+    inner = outer = 0.0
+    add = remove = True
+    steps = 0
+    cap = max_steps if max_steps is not None else 100 * n + 10_000
+    while add or remove:
+        steps += 1
+        if steps > cap:
+            raise RuntimeError(
+                f"spinglass_single: no fixed point after {cap} "
+                f"add/remove steps (oscillating affinities) — the "
+                f"reference loops forever here; raise max_steps to "
+                f"push further")
+        max_delta = 0.0
+        best = -1
+        add = False
+        for node in to_do:
+            d = float(deg[node])
+            kis, kir = _ks(node)
+            aff_r = kir - gamma / T * (Kr - d) * d
+            aff_s = kis - gamma / T * Ks * d
+            if aff_r - aff_s <= max_delta:
+                max_delta = aff_r - aff_s
+                best = node
+                add = True
+        inner = outer = 0.0
+        remove = False
+        for node in community:
+            d = float(deg[node])
+            kis, kir = _ks(node)
+            inner += kis
+            outer += kir
+            aff_r = kir - gamma / T * Kr * d
+            aff_s = kis - gamma / T * (Ks - d) * d
+            if aff_s - aff_r < max_delta:
+                max_delta = aff_s - aff_r
+                best = node
+                remove = True
+                add = False
+        inner *= 0.5
+        if add:
+            community.append(best)
+            marker[best] = COMM
+            to_do.remove(best)
+            Ks += deg[best]
+            Kr -= deg[best]
+            for nb, _ in adj[best]:
+                if marker[nb] != COMM and marker[nb] != TODO:
+                    to_do.append(nb)
+                    marker[nb] = TODO
+        if remove:
+            community.remove(best)
+            marker[best] = TODO
+            Ks -= deg[best]
+            Kr += deg[best]
+            to_do.append(best)
+    return {
+        "community": np.array(community, dtype=np.int64),
+        "size": len(community),
+        "cohesion": float(inner - gamma / T * Ks * Ks * 0.5),
+        "adhesion": float(outer - gamma / T * Ks * Kr),
+        "inner_links": int(inner),
+        "outer_links": int(outer),
+    }
