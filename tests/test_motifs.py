@@ -152,3 +152,17 @@ def test_motifs3_mutual_pair_path_is_open():
                                 "dst": np.array(edges[1], np.int64)}))
     m = motifs_3_undirected(t, 3, P=2)
     assert m == {"path": 1, "triangle": 0}
+
+
+def test_triad_census_24(ray_session):
+    # res2/res4 == the 012/102 rows of the full census (the helper the
+    # reference's igraph_triad_census builds on, src/motifs.c:913)
+    n, m = 40, 150
+    src, dst = gnm_edges(n, m, seed=4)
+    want = _census_nx(src, dst, n)
+    r2, r4 = motifs.triad_census_24(_ds(src, dst), n=n, P=3)
+    assert r2 == int(want["012"])
+    assert r4 == int(want["102"])
+    # handcrafted: single mutual pair in a 4-vertex graph -> two 102s
+    r2, r4 = motifs.triad_census_24(_ds([0, 1], [1, 0]), n=4, P=2)
+    assert (r2, r4) == (0, 2)

@@ -203,6 +203,19 @@ def triad_census(
     return counts
 
 
+def triad_census_24(
+    edges: Dataset | list, n: int, P: int = DEFAULT_PARTITIONS
+) -> tuple[int, int]:
+    """(count of 012 triads, count of 102 triads) — reference
+    igraph_triad_census_24 (src/motifs.c:913-973): the two
+    single-connected-dyad triad classes (one asymmetric / one mutual
+    dyad plus an isolated third vertex).  Same numbers the full census
+    derives from the asym/mut pair totals minus connected-triple
+    corrections; exposed as its own entry point for parity."""
+    c = triad_census(edges, n, P=P)
+    return int(c["012"]), int(c["102"])
+
+
 @ray.remote
 def _rename_pair(t: pa.Table) -> pa.Table:
     return pa.table({"x": t["a"], "y": t["b"], "cxy": t["code"]})
