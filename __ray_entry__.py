@@ -2444,6 +2444,38 @@ def q_bipartite_matching(sf_dir: str):
     return pd.DataFrame({"matching_size": np.array([r["size"]], np.int64)})
 
 
+def q_maximum_matching(sf_dir: str):
+    """General-graph maximum-cardinality matching (Edmonds blossom) —
+    EXTENSION: the reference's igraph_maximum_matching raises
+    UNIMPLEMENTED (src/matching.c:975).  14 deterministic
+    lineitem-derived edges on 10 vertices; the oracle enumerates all
+    2^14 edge subsets and maximizes cardinality over valid matchings."""
+    import ray
+
+    from xdata_igraph_ray.graph.bipartite import maximum_matching
+
+    def mk(tb: pa.Table) -> pa.Table:
+        ok = tb["l_orderkey"].to_numpy()
+        pk = tb["l_partkey"].to_numpy()
+        keep = (ok * 17 + pk) % 13 == 0
+        a = (ok[keep] % 10).astype(np.int64)
+        b = (pk[keep] % 10).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        m = lo != hi
+        return pa.table({"a": lo[m], "b": hi[m]}).group_by(
+            ["a", "b"]).aggregate([])  # per-batch dedup: <=45 rows out
+
+    rows = _read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_partkey"]
+                    ).map_batches(mk, batch_format="pyarrow").take_all()
+    pairs = sorted({(r["a"], r["b"]) for r in rows})[:14]
+    tbl = pa.table({"src": np.array([x for x, _ in pairs], np.int64),
+                    "dst": np.array([y for _, y in pairs], np.int64)})
+    r = maximum_matching([ray.put(tbl)], 10, P=4)
+    return pd.DataFrame(
+        {"matching_size": np.array([r["matching_size"]], np.int64)})
+
+
 def q_cocitation(sf_dir: str):
     """igraph_cocitation (src/cocitation.c:68): sparse nonzero pairs
     of common-citer counts on the 200-vertex derived graph."""
@@ -3354,6 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "st_edge_connectivity_li": q_st_edge_connectivity,
         "is_bipartite_li": q_is_bipartite,
         "bipartite_matching_li": q_bipartite_matching,
+        "maximum_matching_li": q_maximum_matching,
         "random_walks_li": q_random_walks,
         "motifs4_li": q_motifs4,
         "pii_scrub_docs": q_pii_scrub,
@@ -5006,6 +5039,37 @@ def oracle_sql() -> dict[str, str]:
         # maximum bipartite matching = min cut of the unit network
         # s -> L(8) -> R(8) -> t, enumerated over 2^16 middle masks
         # (Koenig duality; arcs: s->every left, every right->t)
+        "maximum_matching_li": """
+            WITH raw AS (
+              SELECT DISTINCT
+                least(l_orderkey % 10, l_partkey % 10) AS a,
+                greatest(l_orderkey % 10, l_partkey % 10) AS b
+              FROM lineitem
+              WHERE (l_orderkey * 17 + l_partkey) % 13 = 0
+                AND l_orderkey % 10 <> l_partkey % 10
+            ),
+            e AS (
+              SELECT a, b, ROW_NUMBER() OVER (ORDER BY a, b) - 1 AS i
+              FROM raw ORDER BY a, b LIMIT 14
+            ),
+            masks AS (SELECT range AS m FROM range(0, 16384)),
+            bad AS (
+              SELECT DISTINCT masks.m
+              FROM masks, e e1, e e2
+              WHERE e1.i < e2.i
+                AND ((masks.m >> e1.i) & 1) = 1
+                AND ((masks.m >> e2.i) & 1) = 1
+                AND (e1.a = e2.a OR e1.a = e2.b
+                     OR e1.b = e2.a OR e1.b = e2.b)
+            ),
+            sz AS (
+              SELECT masks.m, count(e.i) AS c
+              FROM masks LEFT JOIN e ON ((masks.m >> e.i) & 1) = 1
+              WHERE masks.m NOT IN (SELECT m FROM bad)
+              GROUP BY masks.m
+            )
+            SELECT CAST(max(c) AS BIGINT) AS matching_size FROM sz
+            """,
         "bipartite_matching_li": """
             WITH e AS (
               SELECT DISTINCT l_orderkey % 8 AS l, l_suppkey % 8 AS r

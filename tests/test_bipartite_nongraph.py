@@ -221,3 +221,65 @@ def test_plfit_review_edges():
     with pytest.raises(ValueError, match="greater than zero"):
         power_law_fit(np.array([0.5, 1.0, 2.0, 3.0]), xmin=0.0,
                       force_continuous=True)
+
+
+def test_maximum_matching_blossom(ray_session):
+    """General-graph maximum-cardinality matching — extension beyond
+    the reference (igraph_maximum_matching raises UNIMPLEMENTED)."""
+    import networkx as nx
+    import pytest
+    import ray
+
+    from xdata_igraph_ray.graph.bipartite import (
+        is_matching, is_maximal_matching, maximum_matching)
+
+    def _tbl(pairs):
+        return pa.table({
+            "src": np.array([a for a, _ in pairs], np.int64),
+            "dst": np.array([b for _, b in pairs], np.int64)})
+
+    # odd cycle C5 -> 2; blossom contraction is exercised
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    r = maximum_matching([ray.put(_tbl(c5))], 5, P=2)
+    assert r["matching_size"] == 2
+    assert is_matching(_tbl(c5), 5, r["matching"])
+    assert is_maximal_matching(_tbl(c5), 5, r["matching"])
+
+    # Petersen graph has a perfect matching (size 5)
+    pg = nx.petersen_graph()
+    r = maximum_matching([ray.put(_tbl(list(pg.edges())))], 10, P=2)
+    assert r["matching_size"] == 5
+
+    # the classic blossom trap: two triangles joined by a path
+    trap = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5),
+            (5, 6), (6, 4)]
+    r = maximum_matching([ray.put(_tbl(trap))], 7, P=2)
+    g = nx.Graph(trap)
+    want = len(nx.max_weight_matching(g, maxcardinality=True))
+    assert r["matching_size"] == want == 3
+
+    # random graphs: cardinality equals networkx blossom, output valid
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        n = int(rng.integers(6, 24))
+        m = int(rng.integers(n, 3 * n))
+        s = rng.integers(0, n, size=m)
+        d = rng.integers(0, n, size=m)
+        keep = s != d
+        pairs = list(zip(s[keep].tolist(), d[keep].tolist()))
+        g = nx.Graph()
+        g.add_nodes_from(range(n))
+        g.add_edges_from(pairs)
+        want = len(nx.max_weight_matching(g, maxcardinality=True))
+        r = maximum_matching([ray.put(_tbl(pairs))], n, P=2)
+        assert r["matching_size"] == want, (trial, n, pairs)
+        assert is_matching(_tbl(pairs), n, r["matching"])
+        assert is_maximal_matching(_tbl(pairs), n, r["matching"])
+        # deterministic
+        r2 = maximum_matching([ray.put(_tbl(pairs))], n, P=2)
+        assert (r2["matching"] == r["matching"]).all()
+
+    # weighted path mirrors the reference's UNIMPLEMENTED
+    with pytest.raises(NotImplementedError):
+        maximum_matching([ray.put(_tbl(c5))], 5, P=2,
+                         weights=np.ones(5))

@@ -272,3 +272,112 @@ def is_maximal_matching(edges: pa.Table, n: int, matching,
                 types is None or types[a] != types[b]):
             return False
     return True
+
+
+def maximum_matching(edges, n: int, P: int = 8, weights=None) -> dict:
+    """Maximum-cardinality matching on GENERAL graphs (Edmonds
+    blossom, O(V^3) with union-by-base contraction).
+
+    EXTENSION BEYOND THE REFERENCE: igraph_maximum_matching
+    (src/matching.c:975-985) raises IGRAPH_UNIMPLEMENTED for every
+    input — "maximum matching on general graphs not implemented yet".
+    Here the unweighted case is solved exactly; ``weights`` still
+    raises NotImplementedError (the reference has no weighted path
+    either).  Deterministic: vertices are tried in id order over
+    id-sorted adjacency, with a greedy first-unmatched-neighbor seed
+    pass.  Like the reference's own sequential matching kernels this
+    is a driver-side small-graph kernel — the one distributed pass is
+    the support collapse.
+
+    Returns {"matching" (partner-or--1 int64 array, the
+    igraph_is_matching layout), "matching_size"}."""
+    if weights is not None:
+        raise NotImplementedError(
+            "weighted maximum matching on general graphs is not "
+            "implemented (the reference raises IGRAPH_UNIMPLEMENTED "
+            "for all of igraph_maximum_matching)")
+    from collections import deque
+
+    from .separators import collapse_support
+
+    adj_sets = collapse_support(edges, n, P=P)
+    adj = [sorted(s - {v}) for v, s in enumerate(adj_sets)]
+    match = np.full(n, -1, dtype=np.int64)
+    # greedy seed: first unmatched neighbor in id order
+    for v in range(n):
+        if match[v] == -1:
+            for w in adj[v]:
+                if match[w] == -1:
+                    match[v] = w
+                    match[w] = v
+                    break
+
+    p = np.full(n, -1, dtype=np.int64)
+    base = np.arange(n, dtype=np.int64)
+
+    def _lca(a: int, b: int) -> int:
+        seen = np.zeros(n, dtype=bool)
+        while True:
+            a = int(base[a])
+            seen[a] = True
+            if match[a] == -1:
+                break
+            a = int(p[match[a]])
+        while True:
+            b = int(base[b])
+            if seen[b]:
+                return b
+            b = int(p[match[b]])
+
+    def _mark(v: int, cur: int, child: int, flag: np.ndarray) -> None:
+        while int(base[v]) != cur:
+            flag[base[v]] = True
+            flag[base[match[v]]] = True
+            p[v] = child
+            child = int(match[v])
+            v = int(p[child])
+
+    def _augment_from(root: int) -> bool:
+        p[:] = -1
+        base[:] = np.arange(n)
+        used = np.zeros(n, dtype=bool)
+        used[root] = True
+        q = deque([root])
+        while q:
+            v = q.popleft()
+            for to in adj[v]:
+                if base[v] == base[to] or match[v] == to:
+                    continue
+                if to == root or (match[to] != -1
+                                  and p[match[to]] != -1):
+                    # odd cycle: contract the blossom at the LCA
+                    cur = _lca(v, to)
+                    flag = np.zeros(n, dtype=bool)
+                    _mark(v, cur, to, flag)
+                    _mark(to, cur, v, flag)
+                    for i in range(n):
+                        if flag[base[i]]:
+                            base[i] = cur
+                            if not used[i]:
+                                used[i] = True
+                                q.append(i)
+                elif p[to] == -1:
+                    p[to] = v
+                    if match[to] == -1:
+                        u = to  # augment along parent pointers
+                        while u != -1:
+                            pv = int(p[u])
+                            nxt = int(match[pv])
+                            match[u] = pv
+                            match[pv] = u
+                            u = nxt
+                        return True
+                    used[match[to]] = True
+                    q.append(int(match[to]))
+        return False
+
+    for v in range(n):
+        if match[v] == -1:
+            _augment_from(v)
+    return {"matching": match,
+            "matching_size": int((match >= 0).sum()) // 2}
