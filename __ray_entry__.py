@@ -1126,6 +1126,36 @@ def q_spinglass(sf_dir: str):
     })
 
 
+def q_spinglass_negative(sf_dir: str):
+    """Negative-link spinglass (igraph_i_community_spinglass_negative,
+    Traag-Bruggeman gamma_minus semantics) on a signed ring of 4
+    cliques of 8: intra-clique edges +1, ring bridges -1.  Exact
+    planted recovery plus the signed modularity 2Q/(m+ + m-), which
+    the SQL oracle recomputes from a regenerated signed edge table
+    (every intermediate is exactly float64-representable, so the
+    scalar is bit-exact)."""
+    from xdata_igraph_ray.graph.community import spinglass_negative
+
+    ds = _ring_cliques_ds(4, 8)
+
+    def _sign_bridges(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        # the fixture's bridges are exactly the inter-clique arcs
+        w = np.where(s // 8 == d // 8, 1.0, -1.0)
+        return t.append_column("weight", pa.array(w, pa.float64()))
+
+    signed = ds.map_batches(_sign_bridges, batch_format="pyarrow")
+    from xdata_igraph_ray.exchange import block_refs as _brefs
+
+    r = spinglass_negative(_brefs(signed), n=32, spins=10, seed=1)
+    return pd.DataFrame({
+        "vid": np.arange(32, dtype=np.int64),
+        "comm": r["membership"].astype(np.int64),
+        "modularity": np.full(32, r["modularity"], np.float64),
+    })
+
+
 def q_leading_eigenvector(sf_dir: str):
     """Newman leading-eigenvector communities (spectral splits of the
     modularity matrix) on a planted ring of 4 cliques of 8 — exact
@@ -3349,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohesive_blocks_li": q_cohesive_blocks,
         "louvain_li": q_louvain,
         "spinglass_li": q_spinglass,
+        "spinglass_neg_li": q_spinglass_negative,
         "spinglass_single_li": q_spinglass_single,
         "leading_eigenvector_li": q_leading_eigenvector,
         "fastgreedy_li": q_fastgreedy,
@@ -5331,6 +5362,52 @@ def oracle_sql() -> dict[str, str]:
         # certifies exact recovery (sizes probed exact per algorithm)
         "louvain_li": _planted_sql(10, 10),
         "spinglass_li": _planted_sql(4, 8),
+        # signed fixture regenerated in SQL; signed modularity of the
+        # planted membership computed from scratch (WriteClusters
+        # formula: Q = sum_c[(w+_cc - w-_cc) - (D+_c^2/(2m+)
+        # - D-_c^2/(2m-))], result 2Q/(m+ + m-))
+        "spinglass_neg_li": """
+            WITH e AS (
+              SELECT c.range * 8 + i.range AS s,
+                     c.range * 8 + j.range AS d, 1.0 AS w
+              FROM range(0, 4) c, range(0, 8) i, range(0, 8) j
+              WHERE i.range < j.range
+              UNION ALL
+              SELECT c.range * 8, ((c.range + 1) % 4) * 8, -1.0
+              FROM range(0, 4) c
+            ),
+            m AS (SELECT range AS vid, range // 8 AS comm
+                  FROM range(0, 32)),
+            deg AS (
+              SELECT vid,
+                     SUM(CASE WHEN w > 0 THEN w ELSE 0 END) AS dp,
+                     SUM(CASE WHEN w < 0 THEN -w ELSE 0 END) AS dn
+              FROM (SELECT s AS vid, w FROM e
+                    UNION ALL SELECT d, w FROM e)
+              GROUP BY vid
+            ),
+            cd AS (
+              SELECT m.comm, SUM(dp) AS cp, SUM(dn) AS cn
+              FROM deg JOIN m USING (vid) GROUP BY m.comm
+            ),
+            tot AS (SELECT SUM(cp) AS mp, SUM(cn) AS mn FROM cd),
+            intra AS (
+              SELECT SUM(w) AS iw  -- = w+_cc - w-_cc summed over c
+              FROM e JOIN m ms ON ms.vid = e.s
+                     JOIN m md ON md.vid = e.d
+              WHERE ms.comm = md.comm
+            ),
+            qv AS (
+              SELECT intra.iw
+                     - (SELECT SUM(cp * cp) FROM cd) / (2 * tot.mp)
+                     + (SELECT SUM(cn * cn) FROM cd) / (2 * tot.mn)
+                       AS q, tot.mp, tot.mn
+              FROM intra, tot
+            )
+            SELECT m.vid::BIGINT AS vid, m.comm::BIGINT AS comm,
+                   (2 * qv.q / (qv.mp + qv.mn))::DOUBLE AS modularity
+            FROM m, qv ORDER BY vid
+        """,
         "spinglass_single_li": """
             WITH edges AS (
               SELECT c.range * 8 + i.range AS s, c.range * 8 + j.range AS d

@@ -278,3 +278,58 @@ def test_spinglass_single(ray_session):
         "src": np.array([], np.int64),
         "dst": np.array([], np.int64)}))], 1, vertex=0, P=2)
     assert r1["community"].tolist() == [0] and r1["size"] == 1
+
+
+def test_spinglass_negative(ray_session):
+    import ray
+
+    from xdata_igraph_ray.graph.community import spinglass_negative
+
+    # two positive cliques of 6 joined by negative bridges: the
+    # negative links force the split (Traag-Bruggeman semantics)
+    src, dst, w = [], [], []
+    for base in (0, 6):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                src.append(base + i)
+                dst.append(base + j)
+                w.append(1.0)
+    for i in range(3):
+        src.append(i)
+        dst.append(6 + i)
+        w.append(-1.0)
+    t = pa.table({"src": np.array(src, np.int64),
+                  "dst": np.array(dst, np.int64),
+                  "weight": np.array(w, np.float64)})
+    r = spinglass_negative([ray.put(t)], n=12, spins=6, seed=1)
+    assert r["membership"].tolist() == [0] * 6 + [1] * 6
+    # signed modularity by hand: per clique ip=15, D+=30, m+=60,
+    # each bridge endpoint has d-=1 -> D-=3, m-=6
+    # Q = 2*(15 - (30*30/120 - 3*3/12)) = 2*8.25 = 16.5
+    assert np.isclose(r["modularity"], 2 * 16.5 / (60 + 6))
+    # deterministic per seed
+    r2 = spinglass_negative([ray.put(t)], n=12, spins=6, seed=1)
+    assert (r2["membership"] == r["membership"]).all()
+    assert r2["modularity"] == r["modularity"]
+
+    # all-positive input degenerates to plain spinglass behaviour:
+    # planted ring of 4 cliques of 8 recovered exactly
+    src, dst = [], []
+    for c in range(4):
+        base = c * 8
+        for i in range(8):
+            for j in range(i + 1, 8):
+                src.append(base + i)
+                dst.append(base + j)
+        src.append(c * 8)
+        dst.append(((c + 1) % 4) * 8)
+    t2 = pa.table({"src": np.array(src, np.int64),
+                   "dst": np.array(dst, np.int64)})
+    r3 = spinglass_negative([ray.put(t2)], n=32, spins=10, seed=1)
+    assert r3["membership"].tolist() == (np.arange(32) // 8).tolist()
+
+    # empty graph
+    r0 = spinglass_negative([ray.put(pa.table({
+        "src": np.array([], np.int64),
+        "dst": np.array([], np.int64)}))], 3)
+    assert r0["membership"].tolist() == [0, 0, 0]

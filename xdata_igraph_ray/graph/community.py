@@ -1419,3 +1419,135 @@ def spinglass_single(
         "inner_links": int(inner),
         "outer_links": int(outer),
     }
+
+
+def spinglass_negative(
+    edges, n: int, spins: int = 25, gamma: float = 1.0,
+    gamma_minus: float = 1.0, starttemp: float = 1.0,
+    stoptemp: float = 0.01, coolfact: float = 0.99,
+    sweeps: int = 50, seed: int = 42,
+) -> dict:
+    """Spinglass community detection with negative links
+    (igraph_i_community_spinglass_negative, src/clustertool.cpp:536 ->
+    PottsModelN, src/pottsmodel_2.cpp:1589-2030; Traag & Bruggeman
+    2009): heat-bath sweeps where a positive edge rewards and a
+    negative edge penalizes co-membership.  Per candidate spin s, the
+    gain over the current spin ``old`` of vertex v is
+
+        (nbr[s] - exp[s]) - (nbr[old] - exp[old]),
+        nbr[s] = signed weight of v's links into spin s,
+        exp[s] = gamma * d+_v/m+ * D+_s - gamma_minus * d-_v/m- * D-_s
+
+    (pottsmodel_2.cpp:1901-1931; for the old spin the community
+    totals exclude v itself), annealed from ``starttemp`` by
+    ``coolfact`` until ``stoptemp`` or acceptance < (1-1/q)*0.001.
+    Undirected only (the reference's directed branch doubles the
+    expectation terms; web link graphs are symmetrized upstream).
+
+    PINNED DIVERGENCES (same as :func:`spinglass`): seeded numpy RNG
+    replaces igraph's stream and the start temperature is
+    ``starttemp`` directly instead of FindStartTemp's 95%-acceptance
+    probe; parallel edges are pre-summed and loops dropped
+    (_collapse_undirected — all heat-bath quantities are linear in w,
+    so summing is exact; the reference ignores loops in the null
+    model too).
+
+    Returns {"membership" (first-appearance renumbering),
+    "modularity" (signed: 2Q/(m+ + m-), WriteClusters
+    pottsmodel_2.cpp:2196-2285), "temperature", "runs"}."""
+    und_w = _collapse_undirected(edges, n)
+    adj_v: list[list[int]] = [[] for _ in range(n)]
+    adj_w: list[list[float]] = [[] for _ in range(n)]
+    dpos = np.zeros(n)
+    dneg = np.zeros(n)
+    for (a, b), x in und_w.items():
+        adj_v[a].append(b)
+        adj_w[a].append(x)
+        adj_v[b].append(a)
+        adj_w[b].append(x)
+        if x > 0:
+            dpos[a] += x
+            dpos[b] += x
+        else:
+            dneg[a] -= x
+            dneg[b] -= x
+    adj = [np.array(v, dtype=np.int64) for v in adj_v]
+    adjw = [np.array(w, dtype=np.float64) for w in adj_w]
+    m_p = float(dpos.sum())   # = 2 * total positive weight
+    m_n = float(dneg.sum())
+    if m_p + m_n == 0:
+        return {"membership": np.zeros(n, dtype=np.int64),
+                "modularity": 0.0, "temperature": stoptemp, "runs": 0}
+    # HeatBathLookup clamps both totals away from zero
+    # (pottsmodel_2.cpp:1843-1847)
+    m_pt = m_p if m_p >= 0.001 else 1.0
+    m_nt = m_n if m_n >= 0.001 else 1.0
+
+    rng = np.random.default_rng(seed)
+    q = int(spins)
+    sigma = rng.integers(0, q, size=n)
+    Dpos = np.bincount(sigma, weights=dpos, minlength=q)
+    Dneg = np.bincount(sigma, weights=dneg, minlength=q)
+
+    kT = float(starttemp)
+    runs = 0
+    acc_stop = (1.0 - 1.0 / q) * 0.001
+    while kT / stoptemp > 1.0:
+        runs += 1
+        kT *= coolfact
+        beta = 1.0 / kT
+        changes = 0
+        for _ in range(sweeps):
+            for v in rng.integers(0, n, size=n).tolist():
+                old = int(sigma[v])
+                nbr = np.zeros(q)
+                np.add.at(nbr, sigma[adj[v]], adjw[v])
+                kp = gamma * dpos[v] / m_pt
+                kn = gamma_minus * dneg[v] / m_nt
+                exp_s = kp * Dpos - kn * Dneg
+                exp_old = (kp * (Dpos[old] - dpos[v])
+                           - kn * (Dneg[old] - dneg[v]))
+                w = (nbr - exp_s) - (nbr[old] - exp_old)
+                w[old] = 0.0
+                mx = max(float(w.max()), 0.0)   # maxweight starts at 0
+                p = np.exp(beta * (w - mx))
+                new = int(rng.choice(q, p=p / p.sum()))
+                if new != old:
+                    changes += 1
+                    sigma[v] = new
+                    Dpos[old] -= dpos[v]
+                    Dpos[new] += dpos[v]
+                    Dneg[old] -= dneg[v]
+                    Dneg[new] += dneg[v]
+        if changes / (n * sweeps) < acc_stop:
+            break
+
+    remap: dict[int, int] = {}
+    membership = np.empty(n, dtype=np.int64)
+    for v in range(n):
+        s = int(sigma[v])
+        if s not in remap:
+            remap[s] = len(remap)
+        membership[v] = remap[s]
+
+    # signed modularity: Q = sum_c [ (w+_cc - w-_cc)
+    #   - (D+_c^2/(2 m+) - D-_c^2/(2 m-)) ], result 2Q/(m+ + m-)
+    nc = len(remap)
+    ipos = np.zeros(nc)
+    ineg = np.zeros(nc)
+    for (a, b), x in und_w.items():
+        if membership[a] == membership[b]:
+            if x > 0:
+                ipos[membership[a]] += x
+            else:
+                ineg[membership[a]] -= x
+    Cpos = np.bincount(membership, weights=dpos, minlength=nc)
+    Cneg = np.bincount(membership, weights=dneg, minlength=nc)
+    Q = float(
+        (ipos - ineg).sum()
+        - (Cpos ** 2).sum() / (2 * m_p if m_p else 1.0)
+        + (Cneg ** 2).sum() / (2 * m_n if m_n else 1.0)
+    )
+    return {"membership": membership,
+            "modularity": 2.0 * Q / (m_p + m_n),
+            "temperature": kT, "runs": runs}
