@@ -27,7 +27,7 @@ graphs = st.integers(5, 40).flatmap(
 )
 
 SET = settings(
-    max_examples=15, deadline=None,
+    max_examples=15, deadline=None, derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 

@@ -2111,7 +2111,7 @@ try:
     from hypothesis import strategies as hst
 
     @given(hst.integers(0, 2**32 - 1), hst.integers(1, 4))
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=25, deadline=None, derandomize=True)
     def test_revolver_d_fuzz_matches_replay(seed, mean_out):
         src, dst = cit_graph(30, seed, mean_out=mean_out)
         if len(src) == 0:
@@ -2127,7 +2127,7 @@ try:
                                    atol=1e-9)
 
     @given(hst.integers(0, 2**32 - 1), hst.integers(2, 8))
-    @settings(max_examples=15, deadline=None)
+    @settings(max_examples=15, deadline=None, derandomize=True)
     def test_revolver_l_fuzz_matches_replay(seed, agebins):
         src, dst = cit_graph(28, seed)
         if len(src) == 0:
