@@ -244,6 +244,24 @@ def test_get_eid_family():
     assert ops.get_eids_path(t, [0, 1, 2, 0]).tolist() == [0, 1, 3]
 
 
+def test_get_eids_huge_vertex_ids():
+    # ids >= 2^31 (and dst >= 2^32) used to overflow/collide in the
+    # packed scalar key; the void-view key must stay exact.
+    import numpy as np
+    import pyarrow as pa
+    from xdata_igraph_ray.graph import ops
+
+    big = 1 << 62
+    t = pa.table({
+        "src": np.array([big, big, 7, 0], np.int64),
+        "dst": np.array([big + 1, 3, big + 1, 1 << 33], np.int64),
+    })
+    q = [(big, big + 1), (big, 3), (7, big + 1), (0, 1 << 33)]
+    assert ops.get_eids(t, q).tolist() == [0, 1, 2, 3]
+    # a colliding-under-2^32-packing pair that does NOT exist
+    assert ops.get_eids(t, [(big, big)], error=False).tolist() == [-1]
+
+
 def test_mutation_wrappers():
     import numpy as np
     import pyarrow as pa

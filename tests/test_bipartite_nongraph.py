@@ -68,6 +68,11 @@ def test_incidence_roundtrip(ray_session):
                                      (1, 3), (1, 3), (1, 3)]
     t1 = incidence(mat, multiple=False)
     assert sorted(_pairs(t1)) == [(0, 2), (0, 4), (1, 3)]
+    # fractional entries truncate toward zero (reference C long cast):
+    # 2.7 -> 2 edges, 0.9 -> 0 edges (np.rint would give 3 and 1)
+    tf = incidence(np.array([[2.7, 0.9]]), multiple=True)
+    assert sorted(zip(tf["src"].to_numpy().tolist(),
+                      tf["dst"].to_numpy().tolist())) == [(0, 1), (0, 1)]
     # sparse COO export reproduces the counts
     coo = get_incidence(rd.from_arrow(t), n1=2, P=2)
     got = {(int(r), int(c)): int(k) for r, c, k in

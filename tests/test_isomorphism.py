@@ -58,6 +58,25 @@ def test_undirected_mode():
     assert not isomorphic(ring, 8, star, 8, directed=False)
 
 
+def test_multigraph_input_raises():
+    # _adj collapses parallel edges into sets; the reference requires
+    # simple graphs, so multigraph input must error, not silently
+    # report {0->1 x2, 1->2} isomorphic to {0->1, 1->2 x2}.
+    g1 = pa.table({"src": np.array([0, 0, 1], np.int64),
+                   "dst": np.array([1, 1, 2], np.int64)})
+    g2 = pa.table({"src": np.array([0, 1, 1], np.int64),
+                   "dst": np.array([1, 2, 2], np.int64)})
+    with pytest.raises(ValueError, match="simple"):
+        isomorphic(g1, 3, g2, 3)
+    # undirected: (0,1)+(1,0) is the same parallel pair
+    g3 = pa.table({"src": np.array([0, 1, 1], np.int64),
+                   "dst": np.array([1, 0, 2], np.int64)})
+    with pytest.raises(ValueError, match="simple"):
+        isomorphic(g3, 3, g3, 3, directed=False)
+    # ...but a mutual directed pair is simple in directed mode
+    assert isomorphic(g3, 3, g3, 3, directed=True)
+
+
 def test_isomorphic_many_batch():
     pairs = []
     wants = []

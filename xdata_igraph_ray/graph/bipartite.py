@@ -149,7 +149,10 @@ def incidence(mat: np.ndarray, directed: bool = False,
     n1 = mat.shape[0]
     ii, jj = np.nonzero(mat)
     if multiple:
-        reps = np.rint(mat[ii, jj]).astype(np.int64)
+        # truncate toward zero to match the reference's C long cast
+        # (src/bipartite.c incidence element -> (long) entry), not
+        # round-half-even: entry 2.7 means 2 parallel edges there.
+        reps = np.trunc(mat[ii, jj]).astype(np.int64)
         ii = np.repeat(ii, reps)
         jj = np.repeat(jj, reps)
     a = ii.astype(np.int64)

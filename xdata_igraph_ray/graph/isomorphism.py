@@ -25,6 +25,23 @@ import pyarrow as pa
 import ray
 
 
+def _require_simple(edges: pa.Table, directed: bool, who: str) -> None:
+    """The reference's VF2 requires simple graphs (igraph_isomorphic_vf2
+    errors on multigraphs, src/topology.c:1306 via the simple-graph
+    checks); _adj collapses parallel edges into sets, so accepting them
+    silently would give wrong answers — raise instead."""
+    src = edges["src"].to_numpy()
+    dst = edges["dst"].to_numpy()
+    if not directed:
+        src, dst = np.minimum(src, dst), np.maximum(src, dst)
+    pairs = np.stack([src, dst], axis=1)
+    if len(pairs) != len(np.unique(pairs, axis=0)):
+        raise ValueError(
+            f"{who} requires simple graphs (no parallel edges); "
+            "run simplify() first"
+        )
+
+
 def _adj(edges: pa.Table, n: int, directed: bool):
     src = edges["src"].to_numpy()
     dst = edges["dst"].to_numpy()
@@ -91,6 +108,8 @@ def isomorphic(
 ):
     """igraph_isomorphic_vf2 (src/topology.c:1306) for simple graphs.
     Returns bool, or (bool, mapping array | None)."""
+    _require_simple(edges1, directed, "isomorphic")
+    _require_simple(edges2, directed, "isomorphic")
     if n1 != n2 or len(edges1) != len(edges2):
         return (False, None) if return_mapping else False
     out1, in1 = _adj(edges1, n1, directed)

@@ -817,6 +817,16 @@ def get_eid(edges, frm: int, to: int, directed: bool = True,
     return int(out[0])
 
 
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Lexicographic (a, b) sort key as a 16-byte void column.  Big-endian
+    uint64 halves make the bytewise void comparison equal int order for
+    non-negative values, covering the whole int64 vertex-id range."""
+    out = np.empty((len(a), 2), dtype=">u8")
+    out[:, 0] = a.astype(np.uint64)
+    out[:, 1] = b.astype(np.uint64)
+    return np.ascontiguousarray(out).view("V16").ravel()
+
+
 def get_eids(edges, pairs, directed: bool = True,
              error: bool = True) -> np.ndarray:
     """igraph_get_eids / _pairs (src/type_indexededgelist.c:1338):
@@ -831,7 +841,11 @@ def get_eids(edges, pairs, directed: bool = True,
         q = np.stack([qlo, qhi], axis=1)
     order = np.lexsort((np.arange(len(s)), d, s))  # ties -> smallest eid
     ss, dd = s[order], d[order]
-    left = np.searchsorted(ss * (1 << 32) + dd, q[:, 0] * (1 << 32) + q[:, 1],
+    # Two-column key via a big-endian byte view: bytewise void compare
+    # orders (s, d) lexicographically for any non-negative int64, so no
+    # 2^31 overflow / 2^32 collision (the packed-scalar pitfall noted at
+    # the linegraph builder above).
+    left = np.searchsorted(_pack_pairs(ss, dd), _pack_pairs(q[:, 0], q[:, 1]),
                            side="left")
     eids = np.full(len(q), -1, dtype=np.int64)
     ok = (left < len(ss))
