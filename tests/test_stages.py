@@ -26,6 +26,44 @@ def test_token_stats_matches_python():
     assert out["n_tokens"][0] > 3  # punctuation tokens counted
 
 
+def test_byte_kernels_match_python_re():
+    # the byte-level LUT/cumsum kernels must agree with a per-row
+    # regex reference on hostile inputs: unicode, shared-buffer run
+    # boundaries, empties, nulls, underscores, case
+    import re
+
+    from xdata_igraph_ray.stages.text import _STOP_EN, TOKEN_RE
+
+    texts = [
+        "", "the", "THE tHe the.", "xthe they a A aS as", "th",
+        "e start", "ümlaut the\tend", "the_of", "a b" * 3000,
+        "42 naïve 9x9", " \t\n ", "of", None, "endswiththe",
+        "e", "the", "ab",  # adjacent docs whose runs touch in the buffer
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(range(len(texts))),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    got = text.token_stats(ds).to_pandas().sort_values("doc_id")
+    qgot = text.quality_scores(ds).to_pandas().sort_values("doc_id")
+    clean = ["" if t is None else t for t in texts]
+    assert list(got["n_chars"]) == [len(t) for t in clean]
+    assert list(got["n_words"]) == [len(TOKEN_RE.findall(t)) for t in clean]
+    # n_tokens pins RE2 semantics: ascii-\s, one match per symbol cp
+    re2ish = [
+        len(re.findall(r"[A-Za-z]+", t)) + sum(c.isdigit() and c.isascii() for c in t)
+        + sum(1 for c in t if not (c.isascii() and (c.isalnum() or c in "\t\n\f\r ")))
+        for t in clean
+    ]
+    assert list(got["n_tokens"]) == re2ish
+    for t, sr, ml in zip(clean, qgot["stop_ratio"], qgot["mean_word_len"]):
+        ws = TOKEN_RE.findall(t)
+        stop = sum(1 for w in ws if w.lower() in _STOP_EN)
+        assert sr == stop / max(len(ws), 1), t
+        want_ml = float(np.mean([len(w) for w in ws])) if ws else 0.0
+        assert ml == want_ml, t
+
+
 def test_quality_and_langid_and_fingerprint():
     ds = docs_ds()
     q = text.quality_scores(ds).to_pandas()

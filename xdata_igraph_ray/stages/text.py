@@ -27,45 +27,177 @@ _STOP_EN = frozenset(
     "the of and to in a is that it for on as with was at by an be this".split()
 )
 
+# ---- byte-level ASCII text kernels ----------------------------------------
+# The frozen token/char classes are pure ASCII, and ASCII bytes never
+# occur inside UTF-8 multibyte sequences, so every count below can run
+# as numpy lookup-table + cumsum passes over the string column's RAW
+# UTF-8 buffer (zero-copy out of Arrow) — no regex engine, no Python
+# frame per row.  Semantics are pinned to the DuckDB/RE2 oracle
+# (``\s`` = ASCII [\t\n\f\r ], NOT Python's unicode \s).
+
+import string as _string
+
+_ALPHA_LUT = np.zeros(256, np.bool_)
+_ALPHA_LUT[[ord(c) for c in _string.ascii_letters]] = True
+_DIGIT_LUT = np.zeros(256, np.bool_)
+_DIGIT_LUT[[ord(c) for c in _string.digits]] = True
+_ALNUM_LUT = _ALPHA_LUT | _DIGIT_LUT
+_WS_LUT = np.zeros(256, np.bool_)
+_WS_LUT[[9, 10, 12, 13, 32]] = True  # RE2 \s (no \v, no unicode ws)
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+for _c in _string.ascii_uppercase:
+    _LOWER_LUT[ord(_c)] = ord(_c.lower())
+_STOP_BYTES = [np.frombuffer(w.encode(), dtype=np.uint8) for w in _STOP_EN]
+
+
+def _utf8_views(arr) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(clean_arrow_array, data_bytes, offsets) of an Arrow string
+    column — zero-copy for the data buffer, nulls filled with ""."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, "")
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=width)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0]: offs[-1]]
+    if offs[0]:
+        offs = offs - offs[0]  # sliced array: rebase into the view
+    return arr, data, offs
+
+
+def _per_doc(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document sum of a per-byte bool mask via one cumsum.
+    int32 accumulator: a single Arrow block's buffer is < 2^31 bytes."""
+    cs = np.zeros(len(mask) + 1, dtype=np.int32)
+    np.cumsum(mask, out=cs[1:])
+    return (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+
+
+def _run_count(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-document count of maximal True-runs.  Adjacent documents
+    touch in the shared buffer, so a doc that STARTS mid-run gets its
+    clipped run re-counted explicitly."""
+    if len(mask) == 0:
+        return np.zeros(len(offs) - 1, np.int64)
+    starts = mask.copy()
+    starts[1:] &= ~mask[:-1]
+    runs = _per_doc(starts, offs)
+    s = offs[:-1]
+    inner = (s > 0) & (s < offs[1:])
+    si = s[inner]
+    runs[inner] += (mask[si] & mask[si - 1]).astype(np.int64)
+    return runs
+
+
+def _stopword_count(data: np.ndarray, offs: np.ndarray,
+                    alnum: np.ndarray) -> np.ndarray:
+    """Per-document count of tokens (maximal alnum runs) that equal a
+    stopword case-insensitively: direct byte search per stopword with
+    token-boundary checks — no tokenization pass."""
+    n = len(data)
+    ndocs = len(offs) - 1
+    out = np.zeros(ndocs, np.int64)
+    if n == 0:
+        return out
+    low = _LOWER_LUT[data]
+    is_b = np.zeros(n + 1, np.bool_)
+    is_b[offs] = True  # doc boundaries (start/end positions)
+    b_cs = np.zeros(n + 2, dtype=np.int32)
+    np.cumsum(is_b, out=b_cs[1:])
+    for wb in _STOP_BYTES:
+        L = len(wb)
+        if n < L:
+            continue
+        m = low[: n - L + 1] == wb[0]
+        for k in range(1, L):
+            m &= low[k: n - L + 1 + k] == wb[k]
+        pos = np.nonzero(m)[0]
+        if not len(pos):
+            continue
+        # the match may not span a doc boundary
+        ok = (b_cs[pos + L] - b_cs[pos + 1]) == 0
+        # left token boundary: doc start or non-alnum previous byte
+        left = is_b[pos] | ~alnum[np.maximum(pos - 1, 0)]
+        left |= pos == 0
+        # right token boundary: doc end or non-alnum next byte
+        e = pos + L
+        right = is_b[e] | (e == n)
+        inn = e < n
+        right[inn] |= ~alnum[e[inn]]
+        pos = pos[ok & left & right]
+        if len(pos):
+            did = np.searchsorted(offs, pos, side="right") - 1
+            np.add.at(out, did, 1)
+    return out
+
 
 def token_stats(docs: Dataset) -> Dataset:
     """(doc_id, n_chars, n_words, n_tokens): whitespace/regex word count
-    + BPE-ish subword count."""
+    + BPE-ish subword count.
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"]
-        return pd.DataFrame(
+    Fully vectorized over the raw UTF-8 buffer (see the byte-kernel
+    section above): token counts are alnum-run counts, and the BPE-ish
+    count decomposes as alpha_runs + digit_chars + symbol_codepoints
+    because the alternation's three branches are disjoint.  Count
+    semantics are RE2's (the DuckDB oracle's engine), pinned by the
+    n_tokens-vs-``regexp_extract_all`` equality in the driver gate."""
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        clean, data, offs = _utf8_views(tbl["text"])
+        ncp = pc.utf8_length(clean).to_numpy().astype(np.int64)
+        alnum = _ALNUM_LUT[data]
+        n_words = _run_count(alnum, offs)
+        alpha_runs = _run_count(_ALPHA_LUT[data], offs)
+        digits = _per_doc(_DIGIT_LUT[data], offs)
+        alnum_b = _per_doc(alnum, offs)
+        ws_b = _per_doc(_WS_LUT[data], offs)
+        # symbol code points = all code points - ascii-alnum - ascii-ws
+        # (non-ascii chars are [^A-Za-z0-9\s] under RE2's ascii \s)
+        n_tokens = alpha_runs + digits + (ncp - alnum_b - ws_b)
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "n_chars": texts.str.len().astype("int64"),
-                "n_words": texts.map(
-                    lambda t: len(TOKEN_RE.findall(t))
-                ).astype("int64"),
-                "n_tokens": texts.map(
-                    lambda t: len(BPE_RE.findall(t))
-                ).astype("int64"),
+                "doc_id": tbl["doc_id"],
+                "n_chars": pa.array(ncp),
+                "n_words": pa.array(n_words),
+                "n_tokens": pa.array(n_tokens),
             }
         )
 
-    return docs.map_batches(stats, batch_format="pandas", batch_size=4096)
+    return docs.map_batches(stats, batch_format="pyarrow", batch_size=4096)
 
 
 def quality_scores(docs: Dataset) -> Dataset:
     """Heuristic quality features + composite score in [0, 1]
     (length, alpha ratio, stopword ratio, mean word length)."""
 
+    import pyarrow.compute as pc
+
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("")
-        n = texts.str.len().clip(lower=1)
-        words = texts.map(TOKEN_RE.findall)
-        n_words = words.map(len).clip(lower=1)
-        alpha = texts.str.count(r"[A-Za-z]")
-        stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in _STOP_EN))
-        mean_len = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        alpha_ratio = (alpha / n).astype(float)
-        stop_ratio = (stop / n_words).astype(float)
-        len_ok = ((n >= 50) & (n <= 100_000)).astype(float)
-        word_ok = ((mean_len >= 2.5) & (mean_len <= 12.0)).astype(float)
+        clean, data, offs = _utf8_views(pa.array(df["text"].fillna(""),
+                                                 type=pa.string()))
+        # All counts via the byte kernels — no regex, no Python frame
+        # per row; tokens are maximal alnum runs, so per-doc total
+        # token length == per-doc alnum byte count (mean word length
+        # needs no tokenization) and integer sums are exact in float64,
+        # making every ratio bit-identical to the old per-list np.mean.
+        n = np.maximum(pc.utf8_length(clean).to_numpy().astype(np.int64), 1)
+        alnum_mask = _ALNUM_LUT[data]
+        alpha = _per_doc(_ALPHA_LUT[data], offs)
+        n_words = _run_count(alnum_mask, offs)
+        alnum = _per_doc(alnum_mask, offs)
+        stop = _stopword_count(data, offs, alnum_mask)
+        nw = np.maximum(n_words, 1)
+        mean_len = np.where(n_words > 0, alnum / nw, 0.0)
+        alpha_ratio = alpha / n
+        stop_ratio = stop / nw
+        len_ok = ((n >= 50) & (n <= 100_000)).astype(np.float64)
+        word_ok = ((mean_len >= 2.5) & (mean_len <= 12.0)).astype(np.float64)
         q = 0.3 * alpha_ratio + 0.3 * np.minimum(stop_ratio * 4.0, 1.0) \
             + 0.2 * len_ok + 0.2 * word_ok
         # full doubles, no rounding: every value is a ratio/sum of
@@ -75,8 +207,8 @@ def quality_scores(docs: Dataset) -> Dataset:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "alpha_ratio": alpha_ratio,
-                "stop_ratio": stop_ratio,
+                "alpha_ratio": pd.Series(alpha_ratio, index=df.index),
+                "stop_ratio": pd.Series(stop_ratio, index=df.index),
                 "mean_word_len": pd.Series(mean_len, index=df.index),
                 "quality": pd.Series(q, index=df.index),
             }
