@@ -117,6 +117,20 @@ def test_drl_separates_cliques():
     assert inter > intra
 
 
+def test_drl_3d_separates_cliques_and_is_deterministic():
+    edges, n = _two_cliques(5)
+    P = LF.layout_drl_3d(edges, n, seed=11)
+    Q = LF.layout_drl_3d(edges, n, seed=11)
+    assert P.shape == (n, 3) and np.isfinite(P).all()
+    assert np.array_equal(P, Q)
+    c1 = P[:5].mean(axis=0)
+    c2 = P[5:].mean(axis=0)
+    intra = max(np.sqrt(((P[:5] - c1) ** 2).sum(axis=1)).mean(),
+                np.sqrt(((P[5:] - c2) ** 2).sum(axis=1)).mean())
+    inter = np.linalg.norm(c1 - c2)
+    assert inter > intra
+
+
 def test_merge_dla_no_overlap():
     rng = np.random.default_rng(2)
     l1 = rng.uniform(-1, 1, (20, 2))

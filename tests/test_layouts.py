@@ -165,6 +165,35 @@ def test_fr_disconnected_and_3d():
     assert r3.shape == (8, 3) and np.isfinite(r3).all()
 
 
+def test_fr_3d_entrypoint_quality_bounds_determinism():
+    from xdata_igraph_ray.graph.layout import layout_fruchterman_reingold_3d
+
+    n = 16
+    edges = _ring(n)
+    a = layout_fruchterman_reingold_3d(edges, n, niter=150, seed=7)
+    b = layout_fruchterman_reingold_3d(edges, n, niter=150, seed=7)
+    assert a.shape == (n, 3) and np.isfinite(a).all()
+    assert np.array_equal(a, b)
+    # ring neighbors closer than antipodal pairs, in 3d too
+    d_edge = np.mean([np.linalg.norm(a[i] - a[(i + 1) % n])
+                      for i in range(n)])
+    d_far = np.mean([np.linalg.norm(a[i] - a[(i + n // 2) % n])
+                     for i in range(n)])
+    assert d_edge < d_far
+    # z bounds clamp like the reference's minz/maxz vectors
+    minz = np.full(n, -0.25)
+    maxz = np.full(n, 0.25)
+    r = layout_fruchterman_reingold_3d(edges, n, niter=50, seed=2,
+                                       minz=minz, maxz=maxz)
+    assert r[:, 2].min() >= -0.25 - 1e-12
+    assert r[:, 2].max() <= 0.25 + 1e-12
+    # unconnected 3d path (the reference's typo'd branch) stays finite
+    # and symmetric here
+    r2 = layout_fruchterman_reingold_3d([(0, 1), (2, 3)], 4,
+                                        niter=40, seed=3)
+    assert r2.shape == (4, 3) and np.isfinite(r2).all()
+
+
 # ---------------------------------------------------------- KK
 
 def test_kk_reduces_stress_vs_circle_start():

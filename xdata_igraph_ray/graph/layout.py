@@ -395,6 +395,7 @@ def layout_fruchterman_reingold(
     pos: np.ndarray | None = None,
     dim: int = 2,
     minx=None, maxx=None, miny=None, maxy=None,
+    minz=None, maxz=None,
 ) -> np.ndarray:
     """Force-directed FR layout (igraph_layout_fruchterman_reingold,
     layout_fr.c:349).  Semantics mirrored exactly: repulsion d/|d|^2
@@ -421,16 +422,16 @@ def layout_fruchterman_reingold(
         if not conn:
             C = n * math.sqrt(n)
 
+    bounds = ((minx, maxx), (miny, maxy), (minz, maxz))
     if pos is None:
         ids = np.arange(n, dtype=np.uint64)
         pos = np.empty((n, dim))
         for d_ in range(dim):
-            lo = minx if d_ == 0 else miny
-            hi = maxx if d_ == 0 else maxy
+            lo, hi = bounds[d_] if d_ < 3 else (None, None)
             u = _unif(seed, 100 + d_, ids)
-            lov = np.full(n, -width / 2) if (lo is None or d_ >= 2) \
+            lov = np.full(n, -width / 2) if lo is None \
                 else np.asarray(lo, dtype=np.float64)
-            hiv = np.full(n, width / 2) if (hi is None or d_ >= 2) \
+            hiv = np.full(n, width / 2) if hi is None \
                 else np.asarray(hi, dtype=np.float64)
             pos[:, d_] = lov + u * (hiv - lov)
     else:
@@ -463,7 +464,7 @@ def layout_fruchterman_reingold(
         capped = np.where(np.abs(dv) < temp, dv, temp)
         nz = dl > 0
         pos[nz] += dv[nz] / dl[nz, None] * capped[nz]
-        for d_, (lo, hi) in enumerate(((minx, maxx), (miny, maxy))):
+        for d_, (lo, hi) in enumerate(bounds):
             if d_ >= dim:
                 break
             if lo is not None:
@@ -472,6 +473,31 @@ def layout_fruchterman_reingold(
                 pos[:, d_] = np.minimum(pos[:, d_], np.asarray(hi))
         temp -= difftemp
     return pos
+
+
+def layout_fruchterman_reingold_3d(
+    edges,
+    n: int,
+    niter: int = 500,
+    start_temp: float | None = None,
+    seed: int = 42,
+    pos: np.ndarray | None = None,
+    minx=None, maxx=None, miny=None, maxy=None,
+    minz=None, maxz=None,
+) -> np.ndarray:
+    """igraph_layout_fruchterman_reingold_3d (layout_fr.c:462): the
+    same force model over (n, 3) with per-axis z bounds and cubic
+    init frame (depth == width == sqrt(n)).  The reference has no
+    grid-pruned 3d variant, so this is always dense-pairwise.  Pinned
+    divergence: the reference's UNCONNECTED 3d repulsion loop writes
+    the z-term into dispy and never accumulates dispz for v
+    (layout_fr.c:586-588, an upstream typo); this implementation is
+    symmetric in all three axes."""
+    return layout_fruchterman_reingold(
+        edges, n, niter=niter, start_temp=start_temp, grid=False,
+        seed=seed, pos=pos, dim=3,
+        minx=minx, maxx=maxx, miny=miny, maxy=maxy, minz=minz, maxz=maxz,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -485,7 +485,7 @@ def layout_kamada_kawai_3d(edges, n: int, maxiter: int | None = None,
 
 
 def layout_drl(edges, n: int, seed: int = 42,
-               options: dict | None = None) -> np.ndarray:
+               options: dict | None = None, dim: int = 2) -> np.ndarray:
     """DrL / OpenOrd — src/drl_layout.cpp (public OpenOrd schedule):
     five phases (liquid, expansion, cooldown, crunch, simmer) with the
     default iteration/temperature/attraction/damping schedule of
@@ -511,7 +511,7 @@ def layout_drl(edges, n: int, seed: int = 42,
     src, dst = _edges_np(edges)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    P = rng.uniform(-100.0, 100.0, (n, 2))
+    P = rng.uniform(-100.0, 100.0, (n, dim))
     m = len(src)
     for phase in ("liquid", "expansion", "cooldown", "crunch", "simmer"):
         iters, temp, att, damp = defaults[phase]
@@ -527,7 +527,7 @@ def layout_drl(edges, n: int, seed: int = 42,
                 w = (elen <= thresh).astype(np.float64)
             else:
                 w = np.ones(m)
-            F = np.zeros((n, 2))
+            F = np.zeros((n, dim))
             fa = d * (w * elen / max(att, 1e-9))[:, None]
             np.add.at(F, src, -fa)
             np.add.at(F, dst, fa)
@@ -542,9 +542,19 @@ def layout_drl(edges, n: int, seed: int = 42,
             cap = 10.0 * scale
             big = step > cap
             F[big] *= (cap / step[big])[:, None]
-            jitter = rng.uniform(-1, 1, (n, 2)) * scale * 0.1
+            jitter = rng.uniform(-1, 1, (n, dim)) * scale * 0.1
             P += F + jitter
     return P
+
+
+def layout_drl_3d(edges, n: int, seed: int = 42,
+                  options: dict | None = None) -> np.ndarray:
+    """DrL in three dimensions (src/drl_layout_3d.cpp /
+    drl_graph_3d.cpp): the identical five-phase OpenOrd schedule and
+    force model as :func:`layout_drl`, over (n, 3) coordinates — the
+    reference 3d port differs from its 2d code only in the coordinate
+    arity, and so does this one."""
+    return layout_drl(edges, n, seed=seed, options=options, dim=3)
 
 
 # ------------------------------------------------------------ merge DLA
