@@ -107,6 +107,36 @@ def test_asof_join_backward():
     assert df["lag_us"].isna().tolist() == [False, False, True, True, True]
 
 
+def test_asof_join_preserves_right_types():
+    # int64 above 2^53 and strings must come back losslessly (the old
+    # float64 round-trip lost both)
+    ts = lambda s: pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s)  # noqa: E731
+    big = (1 << 60) + 7
+    left = rd.from_arrow(pa.table({
+        "eid": pa.array([1, 2], pa.int64()),
+        "k": pa.array([10, 10], pa.int64()),
+        "ts": pa.array([ts(5), ts(1)], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([10], pa.int64()),
+        "ts": pa.array([ts(3)], pa.timestamp("us")),
+        "big": pa.array([big], pa.int64()),
+        "tag": pa.array(["hello"], pa.string()),
+    }))
+    out = windows.asof_join(left, right, key="k", ts_col="ts",
+                            left_cols=["eid"], right_cols=["big", "tag"],
+                            P=2)
+    import ray
+
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()]).combine_chunks()
+    d = {r["eid"]: r for r in tbl.to_pylist()}
+    assert tbl.schema.field("big").type == pa.int64()
+    assert tbl.schema.field("tag").type == pa.string()
+    assert d[1]["big"] == big and d[1]["tag"] == "hello"
+    assert d[2]["big"] is None and d[2]["tag"] is None
+
+
 def test_asof_join_empty_right():
     left = rd.from_arrow(pa.table({
         "eid": pa.array([1], pa.int64()),

@@ -143,27 +143,19 @@ def asof_join(
     Output: left_cols + right_cols (null where no match) + ``lag_us``
     (left ts - matched right ts, microseconds; null if no match).
 
-    Contract: ``right_cols`` must be NUMERIC and are returned as
-    float64 (nullable) — int64 values above 2^53 would lose precision;
-    pre-cast or split such columns upstream.  The packed (key, ts)
-    searchsorted splits a 63-bit budget between the ts span and the
-    per-partition distinct-key count; both dimensions are guarded with
-    explicit errors rather than silent wraparound.
+    Right columns come back in their INPUT types (nullable where no
+    match) — any Arrow type works, matches are gathered with Arrow
+    ``take`` rather than a float64 round-trip, so int64 above 2^53 and
+    strings survive losslessly.  The packed (key, ts) searchsorted
+    splits a 63-bit budget between the ts span and the per-partition
+    distinct-key count; both dimensions are guarded with explicit
+    errors rather than silent wraparound.
     """
-    for f in right.schema().base_schema:
-        if f.name in right_cols and not (
-            pa.types.is_integer(f.type)
-            or pa.types.is_floating(f.type)
-            or pa.types.is_decimal(f.type)
-            or pa.types.is_boolean(f.type)
-        ):
-            raise TypeError(
-                f"asof_join: right column {f.name!r} has non-numeric "
-                f"type {f.type} — right_cols are returned as float64"
-            )
     out_l = [c for c in left_cols if c != ts_col]
     lschema = left.schema().base_schema
     ltypes = {c: lschema.field(c).type for c in out_l}
+    rschema = right.schema().base_schema
+    rtypes = {c: rschema.field(c).type for c in right_cols}
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {key: t[key],
@@ -172,7 +164,7 @@ def asof_join(
         for c in out_l:
             cols[c] = t[c]
         for c in right_cols:
-            cols[c] = pa.nulls(len(t), pa.float64())
+            cols[c] = pa.nulls(len(t), rtypes[c])
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -184,7 +176,7 @@ def asof_join(
                 continue
             cols[c] = pa.nulls(len(t), ltypes[c])
         for c in right_cols:
-            cols[c] = pc.cast(t[c], pa.float64())
+            cols[c] = t[c]
         return pa.table(cols)
 
     def merge(t: pa.Table) -> pa.Table:
@@ -200,7 +192,7 @@ def asof_join(
             n = len(lt)
             cols["lag_us"] = pa.nulls(n, pa.int64())
             for c in right_cols:
-                cols[c] = pa.nulls(n, pa.float64())
+                cols[c] = pa.nulls(n, t.schema.field(c).type)
             return pa.table(cols)
         ro = np.lexsort((rt, rk))
         rk, rt = rk[ro], rt[ro]
@@ -234,10 +226,15 @@ def asof_join(
         pos = np.maximum(pos, 0)
         lag = np.where(ok, lt - rt[pos], 0)
         cols["lag_us"] = pa.array(lag, pa.int64(), mask=~ok)
+        # gather matched right values with Arrow take (null index ->
+        # null output), preserving the input type losslessly
+        ridx = np.nonzero(rm)[0][ro][pos]
+        idx = pa.array(ridx, type=pa.int64(), mask=~ok)
         for c in right_cols:
-            rv = t[c].to_numpy(zero_copy_only=False)[rm][ro][pos]
-            cols[c] = pa.array(np.where(ok, rv, 0.0), pa.float64(),
-                               mask=~ok)
+            taken = t[c].take(idx)
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cols[c] = taken
         return pa.table(cols)
 
     from ..exchange import block_refs
