@@ -149,6 +149,31 @@ def test_embedding_near_dup_and_knn():
     assert 0 in set(res2["vec_id"])
 
 
+def test_knn_ivf_auto_defaults_planted_recall():
+    # planted nearest neighbors recovered at two corpus sizes with the
+    # auto ~sqrt(N) n_clusters default (no explicit n_clusters)
+    rng = np.random.default_rng(3)
+    for n in (400, 3000):
+        dim = 16
+        base = rng.standard_normal((n, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        # plant: queries = tiny perturbations of rows 0..9
+        qidx = np.arange(10)
+        q = base[qidx] + rng.standard_normal((10, dim)) * 0.01
+        emb = rd.from_arrow(pa.table({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": pa.array(list(base)),
+        }))
+        res = similarity.knn_ivf(emb, q, k=5, nprobe=8, seed=1).to_pandas()
+        hits = 0
+        for qi in range(10):
+            got = set(res[res["query_id"] == qi]["vec_id"])
+            hits += int(qidx[qi] in got)
+        # planted vector sits at cosine ~0.9999 — probing 8 of ~sqrt(N)
+        # lists must recover nearly all of them
+        assert hits >= 9, (n, hits)
+
+
 def test_knn_on_testdata_embeddings():
     emb = rd.read_parquet(f"{SF}/embeddings.parquet")
     q = np.stack(emb.take(2, batch_format=None) if False else

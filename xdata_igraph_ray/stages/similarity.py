@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -86,10 +88,10 @@ def knn_ivf(
     embeddings: Dataset,
     queries: np.ndarray,
     k: int = 10,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     nprobe: int = 4,
     seed: int = 42,
-    sample_size: int = 4096,
+    sample_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
@@ -97,8 +99,24 @@ def knn_ivf(
 
     Centroids are fitted on a sampled subset driver-side (tiny), then
     broadcast; the bucketed search runs as an exchange keyed by
-    centroid id, each partition scanning only its inverted lists."""
+    centroid id, each partition scanning only its inverted lists.
+
+    Scale defaults: when ``n_clusters`` is None it auto-sizes to
+    ~sqrt(N) (min 16) — the standard IVF balance point where each of
+    sqrt(N) lists holds ~sqrt(N) vectors, so probing ``nprobe`` lists
+    scans ~nprobe*sqrt(N) instead of N; ``sample_size`` follows as
+    ~40x n_clusters (k-means fitting needs tens of points per
+    centroid).  Recall/latency trade: expected recall rises roughly
+    with nprobe/n_clusters — raise ``nprobe`` for recall, raise
+    ``n_clusters`` for throughput at the same nprobe.  At 10^9 vectors
+    the auto default gives ~31623 lists; pass explicit values when the
+    corpus size is known upfront to skip the count pass."""
     qn = _normalized(np.asarray(queries, dtype=np.float64))
+    if n_clusters is None:
+        n_total = embeddings.count()
+        n_clusters = max(16, int(math.isqrt(max(n_total, 0))))
+    if sample_size is None:
+        sample_size = max(4096, 40 * n_clusters)
     sample = _normalized(
         _matrix(
             embeddings.limit(sample_size).take_batch(
