@@ -53,6 +53,8 @@ def test_checkpoint_layout(tmp_path):
     assert lineage["algo"] == "pagerank" and lineage["iter"] == last
     metrics = pq.read_table(os.path.join(d, "metrics.parquet"))
     assert set(metrics.column_names) >= {"part", "iter", "wall_s", "delta"}
+    # per-superstep message bytes are measured, not placeholder zeros
+    assert (metrics["bytes"].to_numpy() > 0).all()
     eng.shutdown()
 
 

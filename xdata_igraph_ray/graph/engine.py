@@ -457,13 +457,16 @@ class GraphShard:
         (zero-copy out of the object store)."""
         d = self.meta["pr_damping"]
         acc = np.zeros(self.size)
+        recv_bytes = 0  # message bytes this shard pulled this superstep
         for out in sender_outs:
             c = self._piece(out)
             if isinstance(c, tuple):
                 ids, sums = c
+                recv_bytes += ids.nbytes + sums.nbytes
                 if len(ids):
                     acc[ids - self.lo] += sums
             else:
+                recv_bytes += c.nbytes
                 acc += c
         reset = self.meta["pr_reset"]
         if reset is not None:
@@ -479,6 +482,7 @@ class GraphShard:
             "sum": float(new.sum()),
             "sumfrom": self._pr_sumfrom(),
             "msgs": int(len(self.fw_dst)),
+            "bytes": int(recv_bytes),
         }
 
     def pr_normalize(self, total: float):

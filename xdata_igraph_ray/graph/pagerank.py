@@ -71,6 +71,7 @@ def pagerank(
     }
     it = start_iter
     linf = l1 = float("inf")
+    recv_bytes = 0
     t0 = time.time()
     while it < max_iter and (linf > tol or l1 > tol):
         t_it = time.time()
@@ -82,9 +83,11 @@ def pagerank(
         linf = max(s["linf"] for s in stats)
         l1 = sum(s["l1"] for s in stats)
         sumfrom = sum(s["sumfrom"] for s in stats)
+        recv_bytes += sum(s["bytes"] for s in stats)
         if ckpt_root and (it % ckpt_every == 0 or (linf <= tol and l1 <= tol)):
             rows = [
-                {"part": q, "iter": it, "msgs": stats[q]["msgs"], "bytes": 0,
+                {"part": q, "iter": it, "msgs": stats[q]["msgs"],
+                 "bytes": stats[q]["bytes"],
                  "wall_s": time.time() - t_it, "delta": stats[q]["l1"]}
                 for q in range(P)
             ]
@@ -101,6 +104,10 @@ def pagerank(
         "l1": l1,
         "wall_s": wall,
         "edges_per_sec": engine.edge_count * iters / wall if wall > 0 else 0.0,
+        # message bytes pulled across all shards over the whole run —
+        # the measured numerator of the bandwidth-bound analysis in
+        # BASELINE.md §6 (divide by iterations for bytes/superstep)
+        "recv_bytes": int(recv_bytes),
     }
 
 
