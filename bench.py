@@ -204,7 +204,16 @@ def main():
     eng.shutdown()
 
     # -- triangles on a medium power-law graph -----------------------------
+    # first call pays exchange-pool worker spin-up + parquet read
+    # (BASELINE.md §6 addendum: 3.8 s cold vs 1.3 s warm on the same
+    # count) — report the cold run as an extra and time steady state
     tri_path = _edges_parquet(TRI_V)
+    with _Timed(extras_t := {}, steal, "triangles_web_cold"):
+        total, _ = triangles(
+            _read_pq(tri_path, override_num_blocks=P), n=TRI_V, P=P,
+            per_vertex=False
+        )
+    extras["triangles_web_cold_s"] = extras_t["triangles_web_cold"]
     with _Timed(queries, steal, "triangles_web"):
         total, _ = triangles(
             _read_pq(tri_path, override_num_blocks=P), n=TRI_V, P=P,
@@ -280,6 +289,139 @@ def main():
     return out
 
 
+def scalerun(workload: str):
+    """Child mode: time ONE kernel on the cached BENCH_V graph in this
+    process's fresh Ray session and print one JSON line.  Setup that a
+    steady-state cluster amortizes (engine build, exchange-pool worker
+    spin-up on a tiny graph) runs untimed first, so each leg measures
+    the kernel, not process cold-start."""
+    import ray
+    import ray.data as rd
+
+    probe = _sqrt_probe()
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    P = int(os.environ.get("GRAFT_BENCH_P", max(2, min(NCPU, 32))))
+    path = _edges_parquet(BENCH_V)
+    with open(path, "rb") as f:  # OS page cache warm (real data pass)
+        while f.read(1 << 24):
+            pass
+    edges = _read_pq(path, override_num_blocks=P)
+    queries: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    extras: dict = {"edges": None}
+
+    if workload in ("pagerank", "wcc", "lpa"):
+        from xdata_igraph_ray.graph.components import wcc as wcc_fn
+        from xdata_igraph_ray.graph.lpa import label_propagation
+        from xdata_igraph_ray.graph.pagerank import pagerank
+
+        eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)  # untimed
+        extras["edges"] = eng.edge_count
+        extras["per_dest_refs"] = eng.per_dest_refs
+        if workload == "pagerank":
+            with _Timed(queries, steal, workload):
+                info = pagerank(eng, tol=1e-6)
+            extras["iterations"] = info["iterations"]
+            extras["edges_per_sec"] = round(info["edges_per_sec"])
+            extras["recv_bytes"] = info["recv_bytes"]
+        elif workload == "wcc":
+            with _Timed(queries, steal, workload):
+                wcc_fn(eng)
+        else:
+            with _Timed(queries, steal, workload):
+                info = label_propagation(eng, max_iter=60)
+        eng.shutdown()
+    elif workload == "triangles":
+        from xdata_igraph_ray.graph.triangles import triangles
+
+        tiny = _edges_parquet(20_000)
+        triangles(_read_pq(tiny), n=20_000, P=P, per_vertex=False)  # warm
+        with _Timed(queries, steal, workload):
+            total, _ = triangles(edges, n=BENCH_V, P=P, per_vertex=False)
+        extras["triangles_total"] = total
+    elif workload == "louvain":
+        from xdata_igraph_ray.graph.community import louvain
+
+        with _Timed(queries, steal, workload):
+            _, ncomm = louvain(edges, n=BENCH_V, P=P)
+        extras["communities"] = ncomm
+    else:
+        raise SystemExit(f"unknown scalerun workload {workload!r}")
+
+    print(json.dumps({
+        "workload": workload, "wall_s": queries[workload],
+        "steal_pct": steal[workload], "num_cpus": NCPU, "P": P,
+        "vertices": BENCH_V, "sqrt_probe_s": probe, **extras,
+    }))
+    ray.shutdown()
+
+
+def scaling_all():
+    """Paired 8-vs-32-cpu legs for each workload in
+    $GRAFT_SCALING_WORKLOADS (default: pagerank,lpa,louvain,triangles)
+    on the same cached >=1e8-edge input; prints one JSON line per
+    workload with per-round PAIRED efficiencies (legs of a pair run
+    back-to-back so host drift cancels — BASELINE.md §6)."""
+    scale_v = int(os.environ.get("GRAFT_BENCH_VERTICES", "8000000"))
+    _edges_parquet(scale_v)
+    workloads = os.environ.get(
+        "GRAFT_SCALING_WORKLOADS", "pagerank,lpa,louvain,triangles"
+    ).split(",")
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    lo, hi = 8, 32
+
+    def run(workload: str, ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_VERTICES=str(scale_v))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scalerun", workload],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    results = {}
+    for w in workloads:
+        w = w.strip()
+        lo_r, hi_r = [], []
+        for _ in range(rounds):
+            lo_r.append(run(w, lo))
+            hi_r.append(run(w, hi))
+        t_lo = min(r["wall_s"] for r in lo_r)
+        t_hi = min(r["wall_s"] for r in hi_r)
+        paired = [round((a["wall_s"] / b["wall_s"]) / (hi / lo), 3)
+                  for a, b in zip(lo_r, hi_r)]
+        row = {
+            "sec_8": t_lo, "sec_32": t_hi,
+            "sec_8_rounds": [r["wall_s"] for r in lo_r],
+            "sec_32_rounds": [r["wall_s"] for r in hi_r],
+            "steal_8_rounds": [r["steal_pct"] for r in lo_r],
+            "steal_32_rounds": [r["steal_pct"] for r in hi_r],
+            "probe_8_rounds": [r["sqrt_probe_s"] for r in lo_r],
+            "probe_32_rounds": [r["sqrt_probe_s"] for r in hi_r],
+            "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+            "scaling_efficiency_paired_rounds": paired,
+        }
+        for k in ("edges", "iterations", "recv_bytes", "triangles_total",
+                  "communities", "per_dest_refs"):
+            if k in hi_r[-1]:
+                row[k] = hi_r[-1][k]
+        results[w] = row
+        print(json.dumps({"workload": w, **row}), flush=True)
+    print(json.dumps({
+        "metric": f"scaling N={lo} -> 4N={hi} cpus, "
+                  f"{rounds} paired rounds, vertices={scale_v}",
+        "workloads": results,
+    }))
+
+
 def scaling():
     """Same pagerank job in fresh processes at 8 and 32 CPUs.  Uses a
     ~1e8-edge graph by default: at <2e7 edges the job is latency-bound
@@ -349,7 +491,11 @@ def scaling():
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scalerun" in sys.argv:
+        scalerun(sys.argv[sys.argv.index("--scalerun") + 1])
+    elif "--scaling-all" in sys.argv:
+        scaling_all()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()
