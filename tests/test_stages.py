@@ -62,6 +62,22 @@ def test_byte_kernels_match_python_re():
         assert sr == stop / max(len(ws), 1), t
         want_ml = float(np.mean([len(w) for w in ws])) if ws else 0.0
         assert ml == want_ml, t
+    # fingerprint: vectorized Horner/XOR equals the per-row spec,
+    # including the pathological single long token
+    from xdata_igraph_ray.stages.text import _FP_MOD
+
+    fgot = text.fingerprint(ds).to_pandas().sort_values("doc_id")
+
+    def ref_fp(t):
+        acc = 0
+        for i, tk in enumerate(TOKEN_RE.findall(t), 1):
+            h = 0
+            for ch in tk:
+                h = (h * 131 + ord(ch)) % _FP_MOD
+            acc ^= h * i
+        return acc
+
+    assert list(fgot["fp"]) == [ref_fp(t) for t in clean]
 
 
 def test_quality_and_langid_and_fingerprint():

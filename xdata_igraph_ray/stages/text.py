@@ -267,29 +267,55 @@ def fingerprint(docs: Dataset) -> Dataset:
     split(token, '') with the same lambda)."""
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
-        cache: dict[str, int] = {}
-
-        def tok_h(tok: str) -> int:
-            h = cache.get(tok)
-            if h is None:
-                h = 0
-                for ch in tok:
-                    h = (h * 131 + ord(ch)) % _FP_MOD
-                cache[tok] = h
-            return h
-
-        def roll(t: str) -> int:
-            acc = 0
-            for i, tk in enumerate(TOKEN_RE.findall(t), 1):
-                acc ^= tok_h(tk) * i
-            return acc
-
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "fp": df["text"].map(roll).astype("int64"),
-            }
-        )
+        clean, data, offs = _utf8_views(pa.array(df["text"].fillna(""),
+                                                 type=pa.string()))
+        nrows = len(df)
+        out = np.zeros(nrows, np.int64)
+        n = len(data)
+        if n:
+            alnum = _ALNUM_LUT[data]
+            # token run starts/ends over the shared buffer, forced at
+            # doc boundaries so runs never span documents
+            starts_m = alnum.copy()
+            starts_m[1:] &= ~alnum[:-1]
+            ends_m = alnum.copy()
+            ends_m[:-1] &= ~alnum[1:]
+            nonempty_docs = offs[:-1] < offs[1:]
+            s_off = offs[:-1][nonempty_docs]
+            e_off = offs[1:][nonempty_docs] - 1
+            starts_m[s_off] = alnum[s_off]
+            ends_m[e_off] = alnum[e_off]
+            ts = np.nonzero(starts_m)[0]
+            te = np.nonzero(ends_m)[0] + 1
+            ntok = len(ts)
+            if ntok:
+                lens = te - ts
+                did = np.searchsorted(offs, ts, side="right") - 1
+                # 1-based token position within its doc
+                first = np.searchsorted(did, did, side="left")
+                pos = np.arange(ntok, dtype=np.int64) - first + 1
+                # Horner hash, vectorized over the char index (tokens
+                # are ASCII, so byte value == code point).  Tokens are
+                # processed longest-first so step k touches only the
+                # still-active PREFIX — total work is O(total token
+                # bytes), immune to one pathologically long token.
+                order = np.argsort(-lens, kind="stable")
+                ls = lens[order]
+                tso = ts[order]
+                asc = ls[::-1]
+                hs = np.zeros(ntok, np.int64)
+                for k in range(int(ls[0])):
+                    a = ntok - np.searchsorted(asc, k, side="right")
+                    hs[:a] = (hs[:a] * 131 + data[tso[:a] + k]) % _FP_MOD
+                h = np.empty_like(hs)
+                h[order] = hs
+                contrib = h * pos  # < 2^31 * ntok — safe in int64
+                doc_first = np.searchsorted(did, np.arange(nrows), "left")
+                doc_last = np.searchsorted(did, np.arange(nrows), "right")
+                ne = doc_last > doc_first
+                out[ne] = np.bitwise_xor.reduceat(contrib, doc_first[ne])
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fp": pd.Series(out, index=df.index)})
 
     return docs.map_batches(fp, batch_format="pandas", batch_size=4096)
 
