@@ -270,18 +270,26 @@ class GraphShard:
         ustarts = np.flatnonzero(runs)
         udsts = dsorted[ustarts]
         useg = np.searchsorted(udsts, self.bounds)
+        # static run-end offsets (ends[k] pairs with ustarts[k]) — cached
+        # here because _patch_cache is called once per (receiver, sender)
+        # pair per superstep and rebuilding this O(U) array each call is
+        # O(P^2 * U) memory traffic per superstep at scale
+        uends = (np.concatenate((ustarts[1:], [len(dsorted)]))
+                 if len(ustarts) else np.empty(0, np.int64))
         return (indptr, other, w, dperm, dsorted, seg,
-                own_by_other, ustarts, udsts, useg)
+                own_by_other, ustarts, udsts, useg, uends)
 
     def finalize(self):
         (self.fw_indptr, self.fw_dst, self.fw_w,
          self.fw_dperm, self.fw_dst_sorted, self.fw_seg,
          self.fw_src_by_dst, self.fw_ustarts, self.fw_udsts,
-         self.fw_useg) = self._csr(self._fwd, "src", "dst", self.lo)
+         self.fw_useg, self.fw_uends) = self._csr(
+            self._fwd, "src", "dst", self.lo)
         (self.rv_indptr, self.rv_src, self.rv_w,
          self.rv_sperm, self.rv_src_sorted, self.rv_seg,
          self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
-         self.rv_useg) = self._csr(self._rev, "dst", "src", self.lo)
+         self.rv_useg, self.rv_uends) = self._csr(
+            self._rev, "dst", "src", self.lo)
         self._fwd = self._rev = None
         self.out_deg = np.diff(self.fw_indptr).astype(np.int64)
         self.in_deg = np.diff(self.rv_indptr).astype(np.int64)
@@ -317,7 +325,8 @@ class GraphShard:
         (self.und_indptr, self.und_tgt, _uw,
          _dp, self.und_tgt_sorted, _seg,
          self.und_src_by_tgt, self.und_ustarts, self.und_utgts,
-         self.und_useg) = self._csr_arrays(key, other, None, self.lo)
+         self.und_useg, self.und_uends) = self._csr_arrays(
+            key, other, None, self.lo)
 
     def _piece(self, o):
         """This shard's slice of a sender's scatter output.  Two wire
@@ -856,10 +865,13 @@ class GraphShard:
         labs = lab[idx]
         return [(vids, labs)] * self.P if self.P else []
 
-    def _patch_cache(self, cache, ustarts, ukeys, sperm, indptr_len,
+    def _patch_cache(self, cache, ustarts, ukeys, sperm, uends,
                      vids, labs):
         """Patch per-edge cache positions for updated neighbor vids;
-        returns the patched dst-grouped edge positions."""
+        returns the patched dst-grouped edge positions.  uends is the
+        precomputed static run-end array paired with ustarts (built once
+        in _csr_arrays) — recomputing it here cost O(P^2 * U) per
+        superstep and made lpa2 gather anti-scale at P=32."""
         if len(vids) == 0 or len(ukeys) == 0:
             return np.empty(0, np.int64)
         ki = np.searchsorted(ukeys, vids)
@@ -867,8 +879,7 @@ class GraphShard:
         ki, labs = ki[ok], labs[ok]
         if len(ki) == 0:
             return np.empty(0, np.int64)
-        ends = np.concatenate((ustarts[1:], [indptr_len]))
-        lens = ends[ki] - ustarts[ki]
+        lens = uends[ki] - ustarts[ki]
         total = int(lens.sum())
         # expand [ustarts[k], ends[k]) ranges
         first = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -886,32 +897,42 @@ class GraphShard:
         mode = self.meta["lpa_mode"]
         weighted = self.meta["lpa_weighted"]
         lab = self.state["label"]
+        prof = {} if os.environ.get("XDATA_LPA_PROFILE") else None
+        t0 = time.time()
         affected_parts = []
+        n_patched = 0
         for out in sender_outs:
             vids, labs = self._piece(out)
             pos = self._patch_cache(
                 self.state["_in_cache"], self.rv_ustarts, self.rv_usrcs,
-                self.rv_sperm, len(self.rv_src), vids, labs,
+                self.rv_sperm, self.rv_uends, vids, labs,
             )
             if len(pos):
+                n_patched += len(pos)
                 affected_parts.append(self.rv_dst_local_by_pos(pos))
             if mode == "all":
                 pos2 = self._patch_cache(
                     self.state["_out_cache"], self.fw_ustarts, self.fw_udsts,
-                    self.fw_dperm, len(self.fw_dst), vids, labs,
+                    self.fw_dperm, self.fw_uends, vids, labs,
                 )
                 if len(pos2):
+                    n_patched += len(pos2)
                     affected_parts.append(self.fw_src_local_by_pos(pos2))
         affected_parts.append(self.state["_lpa_pending"])
         affected = np.unique(np.concatenate(affected_parts))
+        if prof is not None:
+            prof["patch_s"] = round(time.time() - t0, 3)
+            prof["n_patched"] = int(n_patched)
+            prof["n_affected"] = int(len(affected))
+            t0 = time.time()
         if len(affected) == 0:
             self.state["_lpa_changed"][:] = False
-            return {"changed": 0, "pending": 0}
+            return {"changed": 0, "pending": 0, **(prof or {})}
 
         # gather each affected vertex's incident neighbor labels
         lbl_l, own_l, w_l = [], [], []
         starts = self.rv_indptr[affected]
-        lens = np.diff(self.rv_indptr)[affected]
+        lens = self.rv_indptr[affected + 1] - starts
         tot = int(lens.sum())
         if tot:
             first = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -924,7 +945,7 @@ class GraphShard:
             )
         if mode == "all":
             starts = self.fw_indptr[affected]
-            lens = np.diff(self.fw_indptr)[affected]
+            lens = self.fw_indptr[affected + 1] - starts
             tot = int(lens.sum())
             if tot:
                 first = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -944,9 +965,16 @@ class GraphShard:
         lbls = np.concatenate(lbl_l)
         owners = np.concatenate(own_l)
         ws = np.concatenate(w_l)
+        if prof is not None:
+            prof["expand_s"] = round(time.time() - t0, 3)
+            prof["n_regather_edges"] = int(len(lbls))
+            t0 = time.time()
 
         uo, ul, uw = _group_pair_sums(owners, lbls, ws, self.n)
         win_o, win_l, win_w, ostarts = _dominant_per_key(uo, ul, uw, self.n)
+        if prof is not None:
+            prof["group_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
         own_rows = ul == lab[uo]
         cur_w = np.add.reduceat(
             np.where(own_rows, uw, 0.0), ostarts
@@ -970,9 +998,12 @@ class GraphShard:
         self.state["_lpa_changed"] = mask
         # masked-out wishes must be revisited even if no neighbor changes
         self.state["_lpa_pending"] = win_o[want & ~allowed]
+        if prof is not None:
+            prof["decide_s"] = round(time.time() - t0, 3)
         return {
             "changed": int(changed.sum()),
             "pending": int((want & ~allowed).sum()),
+            **(prof or {}),
         }
 
     def rv_dst_local_by_pos(self, pos):
@@ -2838,11 +2869,11 @@ class GraphShard:
             changed += len(vids)
             self._patch_cache(
                 self.mf_h_fwd, self.fw_ustarts, self.fw_udsts,
-                self.fw_dperm, len(self.fw_dst), vids, hs,
+                self.fw_dperm, self.fw_uends, vids, hs,
             )
             self._patch_cache(
                 self.mf_h_rev, self.rv_ustarts, self.rv_usrcs,
-                self.rv_sperm, len(self.rv_src), vids, hs,
+                self.rv_sperm, self.rv_uends, vids, hs,
             )
         return changed
 
@@ -2986,7 +3017,7 @@ class GraphShard:
             vids, ones = self._piece(o)
             self._patch_cache(
                 reach_dst, self.fw_ustarts, self.fw_udsts,
-                self.fw_dperm, len(self.fw_dst), vids, ones,
+                self.fw_dperm, self.fw_uends, vids, ones,
             )
         src_sside = np.repeat(
             self.mf_dist == np.iinfo(np.int64).max, np.diff(self.fw_indptr)
