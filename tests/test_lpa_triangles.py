@@ -129,3 +129,32 @@ def test_transitivity():
     want_local = nx.clustering(g)
     for vid, val in zip(lt["vid"], lt["transitivity"]):
         assert abs(val - want_local[vid]) < 1e-12
+
+
+def test_lpa_hub_histogram_path_matches_full_regather():
+    """Vertices with gathered degree >= hub_deg keep an incremental
+    (label -> weight) histogram instead of re-gathering their full
+    in-edge list each superstep (engine.py _lpa_build_hists).
+    Unweighted sums are +-1.0 exact in float64, so forcing EVERY vertex
+    through the hub path must be bit-identical to the default path —
+    on a skewed graph with a planted mega-hub and in both modes.
+    hub_deg is passed as a parameter (not env) because already-running
+    Ray workers do not see driver-side env changes."""
+    rng = np.random.default_rng(77)
+    n = 400
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    # planted hub: half the vertices link to vertex 7
+    extra = np.arange(0, n, 2)
+    src = np.concatenate((src, extra))
+    dst = np.concatenate((dst, np.full(len(extra), 7)))
+    t = pa.table({"src": src, "dst": dst})
+    for mode in ("in", "all"):
+        labs = {}
+        for thr in (2, 999999999):
+            eng = GraphEngine.from_edges(t, n=n, P=3)
+            label_propagation(eng, mode=mode, renumber=False,
+                              max_iter=200, hub_deg=thr)
+            labs[thr] = eng.state_arrays("label")
+            eng.shutdown()
+        assert (labs[2] == labs[999999999]).all(), mode

@@ -845,16 +845,25 @@ class GraphShard:
     # patched incident edge.  Message volume: O(n) round 0, O(changed)
     # after — instead of O(E) every round.
 
-    def lpa2_init(self, mode: str, weighted: bool, initial=None, fixed=None):
+    def lpa2_init(self, mode: str, weighted: bool, initial=None, fixed=None,
+                  hub_deg=None):
         self.lpa_init(initial, fixed)
         self.meta["lpa_mode"] = mode
         self.meta["lpa_weighted"] = bool(weighted and self.weighted)
+        self.meta["lpa_hub_deg"] = int(
+            hub_deg if hub_deg is not None
+            else os.environ.get("XDATA_LPA_HUB_DEG", "16384")
+        )
         # neighbor-label caches in CSR (vertex-grouped) edge order
         self.state["_in_cache"] = np.zeros(len(self.rv_src), dtype=np.int64)
         if mode == "all":
             self.state["_out_cache"] = np.zeros(len(self.fw_dst), dtype=np.int64)
         self.state["_lpa_changed"] = np.ones(self.size, dtype=bool)
         self.state["_lpa_pending"] = np.empty(0, dtype=np.int64)
+        # hub histograms are built on the first gather, once the caches
+        # are fully patched (round 0 / resume republish all labels)
+        self._lpa_hist = None
+        self._lpa_hub_mask = None
 
     def lpa2_scatter(self):
         """Publish changed (vid, label) pairs per subscriber shard."""
@@ -866,19 +875,22 @@ class GraphShard:
         return [(vids, labs)] * self.P if self.P else []
 
     def _patch_cache(self, cache, ustarts, ukeys, sperm, uends,
-                     vids, labs):
+                     vids, labs, want_old=False):
         """Patch per-edge cache positions for updated neighbor vids;
-        returns the patched dst-grouped edge positions.  uends is the
-        precomputed static run-end array paired with ustarts (built once
-        in _csr_arrays) — recomputing it here cost O(P^2 * U) per
-        superstep and made lpa2 gather anti-scale at P=32."""
+        returns the patched dst-grouped edge positions (and, with
+        ``want_old``, the pre/post labels per position for incremental
+        hub-histogram deltas).  uends is the precomputed static run-end
+        array paired with ustarts (built once in _csr_arrays) —
+        recomputing it here cost O(P^2 * U) per superstep and made lpa2
+        gather anti-scale at P=32."""
+        empty = np.empty(0, np.int64)
         if len(vids) == 0 or len(ukeys) == 0:
-            return np.empty(0, np.int64)
+            return (empty, empty, empty) if want_old else empty
         ki = np.searchsorted(ukeys, vids)
         ok = (ki < len(ukeys)) & (ukeys[np.minimum(ki, len(ukeys) - 1)] == vids)
         ki, labs = ki[ok], labs[ok]
         if len(ki) == 0:
-            return np.empty(0, np.int64)
+            return (empty, empty, empty) if want_old else empty
         lens = uends[ki] - ustarts[ki]
         total = int(lens.sum())
         # expand [ustarts[k], ends[k]) ranges
@@ -887,8 +899,100 @@ class GraphShard:
             ustarts[ki], lens
         )
         edge_pos = sperm[flat]  # dst-grouped positions
-        cache[edge_pos] = np.repeat(labs, lens)
+        newl = np.repeat(labs, lens)
+        if want_old:
+            old = cache[edge_pos]
+            cache[edge_pos] = newl
+            return edge_pos, old, newl
+        cache[edge_pos] = newl
         return edge_pos
+
+    # -- hub histograms ------------------------------------------------------
+    #
+    # A web-scale graph has mega-in-degree hubs (everyone links to the
+    # front pages); a changed label ANYWHERE in a hub's in-neighborhood
+    # makes the hub "affected", so the naive delta-LPA re-gathers the
+    # hub's full multi-million-edge label list every superstep (profiled
+    # on the 101.6M-edge bench graph: 250 affected vertices -> 79.7M
+    # edges re-gathered per superstep).  For vertices with gathered
+    # degree >= XDATA_LPA_HUB_DEG (default 16384) we instead keep a
+    # persistent per-hub (label -> weight) histogram, updated
+    # incrementally from the patch deltas (old label -w, new label +w)
+    # and compacted when stale zero rows accumulate.  Unweighted LPA
+    # sums +-1.0 — exact in float64 — so the histogram path is
+    # bit-identical to the full re-gather; weighted LPA keeps the full
+    # re-gather to avoid float accumulation-order drift.
+
+    def _lpa_build_hists(self, mode):
+        thr = self.meta["lpa_hub_deg"]
+        deg = self.in_deg
+        if mode == "all":
+            deg = deg + self.out_deg
+        mask = deg >= thr
+        self._lpa_hub_mask = mask
+        self._lpa_hist = {}
+        in_cache = self.state["_in_cache"]
+        out_cache = self.state.get("_out_cache")
+        for o in np.flatnonzero(mask):
+            o = int(o)
+            parts = [in_cache[self.rv_indptr[o]:self.rv_indptr[o + 1]]]
+            if mode == "all":
+                parts.append(
+                    out_cache[self.fw_indptr[o]:self.fw_indptr[o + 1]]
+                )
+            lbls = np.sort(np.concatenate(parts))
+            new = np.ones(len(lbls), dtype=bool)
+            new[1:] = lbls[1:] != lbls[:-1]
+            idx = np.flatnonzero(new)
+            cnt = np.diff(np.concatenate((idx, [len(lbls)]))).astype(
+                np.float64
+            )
+            self._lpa_hist[o] = [lbls[idx], cnt]
+
+    def _lpa_apply_hub_deltas(self, owners, lbls, dws):
+        """Merge grouped (hub, label, +-w) deltas into the per-hub
+        histograms.  Per superstep this is O(deltas), not O(hub deg)."""
+        uo, ul, uw = _group_pair_sums(owners, lbls, dws, self.n)
+        starts = np.flatnonzero(
+            np.concatenate(([True], uo[1:] != uo[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(uo)]))
+        for s, e in zip(starts, ends):
+            o = int(uo[s])
+            dl, dw = ul[s:e], uw[s:e]
+            hl, hw = self._lpa_hist[o]
+            i = np.searchsorted(hl, dl)
+            exist = i < len(hl)
+            if len(hl):
+                exist &= hl[np.minimum(i, len(hl) - 1)] == dl
+            np.add.at(hw, i[exist], dw[exist])
+            if not exist.all():
+                ni = i[~exist]
+                hl = np.insert(hl, ni, dl[~exist])
+                hw = np.insert(hw, ni, dw[~exist])
+            dead = hw == 0.0
+            ndead = int(dead.sum())
+            if ndead > 32 and ndead * 4 > len(hw):
+                hl, hw = hl[~dead], hw[~dead]
+            self._lpa_hist[o] = [hl, hw]
+
+    def _lpa_hub_decide(self, hubs, lab):
+        """(win label, win weight, own-label weight) per hub from the
+        histograms — same (max weight, min label) rule as
+        _dominant_per_key."""
+        win_l = np.empty(len(hubs), dtype=np.int64)
+        win_w = np.empty(len(hubs))
+        cur_w = np.zeros(len(hubs))
+        for j, o in enumerate(hubs):
+            hl, hw = self._lpa_hist[int(o)]
+            m = hw.max()
+            win_w[j] = m
+            win_l[j] = hl[hw == m].min()
+            c = lab[o]
+            i = int(np.searchsorted(hl, c))
+            if i < len(hl) and hl[i] == c:
+                cur_w[j] = hw[i]
+        return win_l, win_w, cur_w
 
     def lpa2_gather(self, parity, *sender_outs):
         """Patch caches, recompute dominant labels for affected
@@ -899,27 +1003,59 @@ class GraphShard:
         lab = self.state["label"]
         prof = {} if os.environ.get("XDATA_LPA_PROFILE") else None
         t0 = time.time()
+        use_hubs = not weighted
+        track = (use_hubs and self._lpa_hist is not None
+                 and bool(self._lpa_hub_mask.any()))
         affected_parts = []
         n_patched = 0
+        d_own, d_lbl, d_w = [], [], []
         for out in sender_outs:
             vids, labs = self._piece(out)
-            pos = self._patch_cache(
+            res = self._patch_cache(
                 self.state["_in_cache"], self.rv_ustarts, self.rv_usrcs,
-                self.rv_sperm, self.rv_uends, vids, labs,
+                self.rv_sperm, self.rv_uends, vids, labs, want_old=track,
             )
+            pos, old, newl = res if track else (res, None, None)
             if len(pos):
                 n_patched += len(pos)
-                affected_parts.append(self.rv_dst_local_by_pos(pos))
+                owners = self.rv_dst_local_by_pos(pos)
+                affected_parts.append(owners)
+                if track:
+                    hm = self._lpa_hub_mask[owners]
+                    if hm.any():
+                        ho = owners[hm]
+                        d_own += [ho, ho]
+                        d_lbl += [old[hm], newl[hm]]
+                        d_w += [np.full(len(ho), -1.0), np.ones(len(ho))]
             if mode == "all":
-                pos2 = self._patch_cache(
+                res = self._patch_cache(
                     self.state["_out_cache"], self.fw_ustarts, self.fw_udsts,
-                    self.fw_dperm, self.fw_uends, vids, labs,
+                    self.fw_dperm, self.fw_uends, vids, labs, want_old=track,
                 )
+                pos2, old2, newl2 = res if track else (res, None, None)
                 if len(pos2):
                     n_patched += len(pos2)
-                    affected_parts.append(self.fw_src_local_by_pos(pos2))
+                    owners2 = self.fw_src_local_by_pos(pos2)
+                    affected_parts.append(owners2)
+                    if track:
+                        hm = self._lpa_hub_mask[owners2]
+                        if hm.any():
+                            ho = owners2[hm]
+                            d_own += [ho, ho]
+                            d_lbl += [old2[hm], newl2[hm]]
+                            d_w += [np.full(len(ho), -1.0), np.ones(len(ho))]
         affected_parts.append(self.state["_lpa_pending"])
         affected = np.unique(np.concatenate(affected_parts))
+        if use_hubs:
+            if self._lpa_hist is None:
+                # caches are fully patched on the first gather (round 0
+                # and checkpoint resume republish every label)
+                self._lpa_build_hists(mode)
+            elif d_own:
+                self._lpa_apply_hub_deltas(
+                    np.concatenate(d_own), np.concatenate(d_lbl),
+                    np.concatenate(d_w),
+                )
         if prof is not None:
             prof["patch_s"] = round(time.time() - t0, 3)
             prof["n_patched"] = int(n_patched)
@@ -929,23 +1065,31 @@ class GraphShard:
             self.state["_lpa_changed"][:] = False
             return {"changed": 0, "pending": 0, **(prof or {})}
 
-        # gather each affected vertex's incident neighbor labels
+        if use_hubs:
+            hm = self._lpa_hub_mask[affected]
+            hub_aff = affected[hm]
+            rest = affected[~hm]
+        else:
+            hub_aff = np.empty(0, dtype=np.int64)
+            rest = affected
+
+        # gather each affected non-hub vertex's incident neighbor labels
         lbl_l, own_l, w_l = [], [], []
-        starts = self.rv_indptr[affected]
-        lens = self.rv_indptr[affected + 1] - starts
+        starts = self.rv_indptr[rest]
+        lens = self.rv_indptr[rest + 1] - starts
         tot = int(lens.sum())
         if tot:
             first = np.concatenate(([0], np.cumsum(lens)))[:-1]
             flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(starts, lens)
             lbl_l.append(self.state["_in_cache"][flat])
-            own_l.append(np.repeat(affected, lens))
+            own_l.append(np.repeat(rest, lens))
             w_l.append(
                 self.rv_w[flat] if (weighted and self.rv_w is not None)
                 else np.ones(tot)
             )
         if mode == "all":
-            starts = self.fw_indptr[affected]
-            lens = self.fw_indptr[affected + 1] - starts
+            starts = self.fw_indptr[rest]
+            lens = self.fw_indptr[rest + 1] - starts
             tot = int(lens.sum())
             if tot:
                 first = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -953,32 +1097,43 @@ class GraphShard:
                     starts, lens
                 )
                 lbl_l.append(self.state["_out_cache"][flat])
-                own_l.append(np.repeat(affected, lens))
+                own_l.append(np.repeat(rest, lens))
                 w_l.append(
                     self.fw_w[flat] if (weighted and self.fw_w is not None)
                     else np.ones(tot)
                 )
-        if not lbl_l:
+        if not lbl_l and len(hub_aff) == 0:
             self.state["_lpa_changed"][:] = False
             self.state["_lpa_pending"] = np.empty(0, dtype=np.int64)
-            return {"changed": 0, "pending": 0}
-        lbls = np.concatenate(lbl_l)
-        owners = np.concatenate(own_l)
-        ws = np.concatenate(w_l)
+            return {"changed": 0, "pending": 0, **(prof or {})}
+        if lbl_l:
+            lbls = np.concatenate(lbl_l)
+            owners = np.concatenate(own_l)
+            ws = np.concatenate(w_l)
+        else:
+            lbls = owners = np.empty(0, dtype=np.int64)
+            ws = np.empty(0)
         if prof is not None:
             prof["expand_s"] = round(time.time() - t0, 3)
             prof["n_regather_edges"] = int(len(lbls))
+            prof["n_hub_affected"] = int(len(hub_aff))
             t0 = time.time()
 
         uo, ul, uw = _group_pair_sums(owners, lbls, ws, self.n)
         win_o, win_l, win_w, ostarts = _dominant_per_key(uo, ul, uw, self.n)
-        if prof is not None:
-            prof["group_s"] = round(time.time() - t0, 3)
-            t0 = time.time()
         own_rows = ul == lab[uo]
         cur_w = np.add.reduceat(
             np.where(own_rows, uw, 0.0), ostarts
         ) if len(ostarts) else np.zeros(0)
+        if len(hub_aff):
+            h_l, h_w, h_c = self._lpa_hub_decide(hub_aff, lab)
+            win_o = np.concatenate((win_o, hub_aff))
+            win_l = np.concatenate((win_l, h_l))
+            win_w = np.concatenate((win_w, h_w))
+            cur_w = np.concatenate((cur_w, h_c))
+        if prof is not None:
+            prof["group_s"] = round(time.time() - t0, 3)
+            t0 = time.time()
         base = ~self.state["lpa_fixed"][win_o] & (cur_w < win_w)
         want = (lab[win_o] != win_l) & base
         if parity is not None:

@@ -39,6 +39,7 @@ def label_propagation(
     ckpt_every: int = 10,
     resume: bool = False,
     plateau_patience: int | None = 2,
+    hub_deg: int | None = None,
 ) -> dict:
     """Labels land in shard state ``label``; export with
     ``engine.state_dataset(["label"])``.  Checkpoint/resume follows
@@ -56,7 +57,8 @@ def label_propagation(
         last = GraphEngine.latest_checkpoint(ckpt_root, "lpa")
         if last is not None:
             ray.get([
-                s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
+                s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
+                                   hub_deg)
                 for s in shards
             ])
             engine.restore(ckpt_root, "lpa", last, ["label"])
@@ -64,7 +66,8 @@ def label_propagation(
             restored = True
     if not restored:
         ray.get([
-            s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref)
+            s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
+                                   hub_deg)
             for s in shards
         ])
     lineage = {"algo": "lpa", "mode": mode, "weighted": bool(weighted),
