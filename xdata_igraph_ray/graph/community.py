@@ -45,32 +45,52 @@ def _symmetrize(t: pa.Table) -> pa.Table:
 def _local_move(
     engine: GraphEngine, m_total: float, max_rounds: int,
     sync_rounds: int = 0, min_moves: int = 0,
+    min_gain_frac: float = 1e-4,
 ) -> int:
-    """Synchronous local-moving rounds.  ``min_moves``: stop once a
-    full (undamped) round moves at most this many vertices — the
-    reference's epsilon stop (src/community.c:2430 uses a modularity
-    gain threshold); 0 = exact fixpoint.  Tail rounds that shuffle a
-    handful of vertices cost a full superstep each and change
-    modularity in the 4th decimal; the contraction levels above clean
-    them up anyway.
+    """Synchronous local-moving rounds, hash-parity damped EVERY
+    round (half the would-be movers move).  Undamped rounds are
+    destructive: applying 100% of the simultaneous wishes crashes
+    true modularity (measured -0.24/-0.26 dips after each formerly
+    "full" 4th round on the 12.7M-edge bench graph, with the next 3
+    damped rounds spent repairing), because simultaneous moves
+    invalidate each other's gains.
 
-    ``sync_rounds=0`` (default): EVERY round except each 4th is
-    hash-parity damped (half the would-be movers move).  Fully
-    synchronous early rounds measurably thrash on power-law graphs —
-    ~100% of vertices re-move every round because simultaneous moves
-    re-create each other's gains; profiled at 2M edges, damping all
-    rounds reached the same-or-better modularity (0.2686 vs 0.2672)
-    in 24 rounds instead of pinning at the 50-round cap."""
+    Stops: ``min_moves`` — stop once a round's PRE-damping would-move
+    count is at most this (the true-fixpoint signal; matching the
+    reference's epsilon stop, src/community.c:2430); 0 = exact
+    fixpoint.  ``min_gain_frac`` — stop once the TRUE modularity
+    improvement across a 4-round window drops below this, measured
+    from per-round piggybacked scalars (internal arc weight + sum of
+    Sigma_tot^2; exact up to the assignment-invariant loop term, no
+    extra exchange).  Per-move gain sums are useless as a signal —
+    they claimed dQ 0.1-0.6 per round on a graph whose final Q is
+    0.06 — and on power-law graphs the would-move count plateaus at
+    20-40% of vertices shuffling between equal-modularity
+    assignments, so without the Q-window stop every level burns the
+    whole round budget at O(E) a round.  The contraction levels above
+    clean up the 4th-decimal tail anyway.
+
+    ``sync_rounds``: force the first K rounds undamped (kept for
+    callers pinning legacy trajectories; default 0)."""
     shards = engine.shards
     ray.get([s.lou_init.remote() for s in shards])
     moved_any = 0
+    w_arc = 2.0 * m_total
+    q_ref: float | None = None
     for rnd in range(max_rounds):
-        full = rnd < sync_rounds or rnd % 4 == 3
+        # every round is hash-parity damped (profiled: an undamped
+        # "full" round applies 100%% of the simultaneous wishes and
+        # CRASHES true modularity — measured -0.24/-0.26 dips after
+        # each full round on the bench graph, with the next 3 damped
+        # rounds spent repairing); convergence is decided from the
+        # pre-damping would-move count instead
+        full = rnd < sync_rounds
         sig_parts = [s.lou_sigma_split.remote() for s in shards]
-        ray.get([
+        sig_stats = ray.get([
             shards[q].lou_sigma_collect.remote(*sig_parts)
             for q in range(engine.P)
         ])
+        sigsq = sum(s[1] for s in sig_stats)
         outs = engine.scatter("lou_scatter")
         queries = [
             shards[q].lou_candidates.remote(*engine.pieces(outs, q))
@@ -80,15 +100,26 @@ def _local_move(
             shards[q].lou_sigma_answer.remote(*queries)
             for q in range(engine.P)
         ]
-        moves = sum(ray.get([
+        res = ray.get([
             shards[q].lou_move.remote(
                 m_total, None if full else rnd, *answers
             )
             for q in range(engine.P)
-        ]))
+        ])
+        moves = sum(r[0] for r in res)
+        would = sum(r[1] for r in res)
         moved_any += moves
-        if moves <= min_moves and full:
+        # exact round-START modularity (up to the assignment-invariant
+        # loop term) from piggybacked scalars — no extra exchange
+        q_start = (
+            sum(r[2] for r in res) / w_arc - sigsq / (w_arc * w_arc)
+        )
+        if would <= min_moves:
             break
+        if rnd % 4 == 3:
+            if q_ref is not None and q_start - q_ref < min_gain_frac:
+                break
+            q_ref = q_start
     return moved_any
 
 
@@ -131,6 +162,7 @@ def louvain(
     P: int = 8,
     max_levels: int = 10,
     max_rounds: int = 24,
+    min_gain_frac: float = 1e-4,
 ) -> tuple[Dataset, int]:
     """(membership Dataset (vid, comm), community count).  Communities
     renumbered 0..k-1 by ascending min member vid."""
@@ -151,7 +183,8 @@ def louvain(
         m_total = sum(
             float(np.sum(t["out_strength"].to_numpy())) for t in strengths
         ) / 2.0
-        _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200)
+        _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200,
+                    min_gain_frac=min_gain_frac)
         k = eng.renumber_labels("comm")
         lvl_map = eng.state_dataset(["comm"]).materialize()
         eng.shutdown()

@@ -1276,7 +1276,9 @@ class GraphShard:
         self._lou_sig_sum = (
             np.add.reduceat(ss, starts) if len(ul) else ss[:0]
         )
-        return len(ul)
+        # sum of Sigma_tot^2 over owned communities: the degree term of
+        # the exact round-start modularity (driver's convergence signal)
+        return len(ul), float(np.sum(self._lou_sig_sum ** 2))
 
     def lou_scatter(self):
         """(dst, my community, arc weight) messages, loop arcs
@@ -1347,10 +1349,14 @@ class GraphShard:
             out.append(vals)
         return out
 
-    def lou_move(self, m_total: float, parity, *owner_answers) -> int:
+    def lou_move(self, m_total: float, parity, *owner_answers):
         """Synchronous greedy move: argmax of
         k_in(c) - k_i * (Sigma_tot(c) - [c == own] k_i) / (2m),
-        min-label tie-break, hash-parity damping on non-full rounds."""
+        min-label tie-break, hash-parity damping on non-full rounds.
+        Returns (moves, gain): gain = sum of accepted score
+        improvements, i.e. m * the round's estimated modularity gain
+        (exact for sequential moves; an upper-bound estimate under
+        synchronous simultaneous moves) — the driver's epsilon stop."""
         sig_by_label = np.concatenate(
             [self._piece(a) for a in owner_answers]
         )
@@ -1377,6 +1383,7 @@ class GraphShard:
         ov, osc = v[own], score[own]
         own_score[np.searchsorted(win_v, ov)] = osc
         want = (win_l != comm[win_v]) & (win_s > own_score + 1e-12)
+        would = int(want.sum())  # pre-damping: true-fixpoint signal
         if parity is not None:
             with np.errstate(over="ignore"):
                 h = (
@@ -1386,8 +1393,13 @@ class GraphShard:
                 )
             want &= ((h >> np.uint64(33)) & np.uint64(1)) == 0
         comm[win_v[want]] = win_l[want]
+        # round-start internal arc weight (sum over own-community
+        # candidate rows; loop arcs are excluded from candidates but
+        # their Q contribution is assignment-invariant, so the driver's
+        # dQ stop signal is exact)
+        own_w = float(np.sum(w[own]))
         self._lou_cand_v = self._lou_cand_l = self._lou_cand_w = None
-        return int(want.sum())
+        return int(want.sum()), would, own_w
 
     def label_min_vids(self):
         """(label, min vid carrying it) pairs for first-appearance
