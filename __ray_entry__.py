@@ -279,9 +279,11 @@ def q_scc(sf_dir: str):
 
 
 def q_pagerank_li(sf_dir: str):
-    """Fixed-iteration PageRank on the lineitem graph (no dangling
-    vertices, asserted in tests -> the SQL oracle needs no dangling
-    term).  Scores rounded to 6 dp for float-order robustness."""
+    """Fixed-iteration PageRank on the lineitem graph.  The SQL oracle
+    replays igraph's sumfrom teleport (dangling mass + (1-d) of the
+    rest) over the full vertex universe, so it matches at every sf —
+    sf0.001 has 7 dangling vertex ids.  Scores rounded to 6 dp for
+    float-order robustness."""
     from xdata_igraph_ray.graph.pagerank import pagerank
 
     eng = _engine(sf_dir)
@@ -3600,8 +3602,13 @@ def oracle_sql() -> dict[str, str]:
             v AS {_LI_V},
             deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
             pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
+              -- full vertex universe (LEFT JOIN: dangling outdeg 0) and
+              -- igraph's sumfrom teleport term (dangling mass + (1-d) of
+              -- the rest, uniformly redistributed) so the replay matches
+              -- the engine at EVERY sf, not just the dangling-free ones
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE),
+                     CAST(coalesce(d.outdeg, 0) AS DOUBLE), 0
+              FROM v LEFT JOIN deg d ON d.vid = v.vid
               UNION ALL
               SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
               FROM (
@@ -3609,8 +3616,17 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
                 FROM pr p JOIN e ON e.src = p.v
                 UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.outdeg, p.iter
-                FROM pr p
+                SELECT v2.vid AS v, sf.sumfrom / {NV} AS val,
+                       CAST(NULL AS DOUBLE) AS outdeg2, sf.iter AS iter
+                FROM (
+                  SELECT min(iter) AS iter,
+                         sum(CASE WHEN outdeg = 0 THEN score
+                                  ELSE (1.0 - {PR_DAMPING}) * score END)
+                         AS sumfrom
+                  FROM pr
+                ) sf CROSS JOIN v v2
+                UNION ALL
+                SELECT p.v, 0.0, p.outdeg, p.iter FROM pr p
               ) m
               GROUP BY m.v
               HAVING min(m.iter) < {PR_ITERS}
@@ -4036,8 +4052,9 @@ def oracle_sql() -> dict[str, str]:
             v AS {_LI_V},
             deg AS (SELECT src AS vid, count(*) AS outdeg FROM e GROUP BY src),
             pr(v, score, outdeg, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(d.outdeg AS DOUBLE), 0
-              FROM v JOIN deg d ON d.vid = v.vid
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE),
+                     CAST(coalesce(d.outdeg, 0) AS DOUBLE), 0
+              FROM v LEFT JOIN deg d ON d.vid = v.vid
               UNION ALL
               SELECT m.v, sum(m.val), any_value(m.outdeg2), min(m.iter) + 1
               FROM (
@@ -4045,11 +4062,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS DOUBLE) AS outdeg2, p.iter AS iter
                 FROM pr p JOIN e ON e.src = p.v
                 UNION ALL
-                SELECT p.v,
-                       (1.0 - {PR_DAMPING})
-                       * (CASE p.v WHEN 0 THEN 0.6 WHEN 1 THEN 0.4 ELSE 0.0 END),
-                       p.outdeg, p.iter
-                FROM pr p
+                -- sumfrom (dangling mass + (1-d) of the rest) lands on
+                -- the reset distribution, not uniformly
+                SELECT v2.vid AS v,
+                       sf.sumfrom
+                       * (CASE v2.vid WHEN 0 THEN 0.6 WHEN 1 THEN 0.4
+                          ELSE 0.0 END) AS val,
+                       CAST(NULL AS DOUBLE) AS outdeg2, sf.iter AS iter
+                FROM (
+                  SELECT min(iter) AS iter,
+                         sum(CASE WHEN outdeg = 0 THEN score
+                                  ELSE (1.0 - {PR_DAMPING}) * score END)
+                         AS sumfrom
+                  FROM pr
+                ) sf CROSS JOIN v v2
+                UNION ALL
+                SELECT p.v, 0.0, p.outdeg, p.iter FROM pr p
               ) m
               GROUP BY m.v
               HAVING min(m.iter) < {PR_ITERS}
@@ -4673,8 +4701,9 @@ def oracle_sql() -> dict[str, str]:
             v AS {_LI_V},
             st AS (SELECT src AS vid, sum(w) AS s FROM e GROUP BY src),
             pr(v, score, s, iter) AS (
-              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE), CAST(st.s AS DOUBLE), 0
-              FROM v JOIN st ON st.vid = v.vid
+              SELECT v.vid, CAST(1.0 / {NV} AS DOUBLE),
+                     CAST(coalesce(st.s, 0) AS DOUBLE), 0
+              FROM v LEFT JOIN st ON st.vid = v.vid
               UNION ALL
               SELECT m.v, sum(m.val), any_value(m.s2), min(m.iter) + 1
               FROM (
@@ -4682,8 +4711,17 @@ def oracle_sql() -> dict[str, str]:
                        CAST(NULL AS DOUBLE) AS s2, p.iter AS iter
                 FROM pr p JOIN e ON e.src = p.v
                 UNION ALL
-                SELECT p.v, (1.0 - {PR_DAMPING}) / {NV}, p.s, p.iter
-                FROM pr p
+                SELECT v2.vid AS v, sf.sumfrom / {NV} AS val,
+                       CAST(NULL AS DOUBLE) AS s2, sf.iter AS iter
+                FROM (
+                  SELECT min(iter) AS iter,
+                         sum(CASE WHEN s = 0 THEN score
+                                  ELSE (1.0 - {PR_DAMPING}) * score END)
+                         AS sumfrom
+                  FROM pr
+                ) sf CROSS JOIN v v2
+                UNION ALL
+                SELECT p.v, 0.0, p.s, p.iter FROM pr p
               ) m
               GROUP BY m.v
               HAVING min(m.iter) < {PR_ITERS}
