@@ -289,6 +289,86 @@ def main():
     return out
 
 
+def _bw_worker(barrier, n, passes, q):
+    """STREAM-style 'add' kernel: c = a + b over n float64 elements,
+    3 x 8 bytes of memory traffic per element per pass."""
+    import numpy as np
+
+    a = np.ones(n)
+    b = np.ones(n)
+    c = np.zeros(n)
+    np.add(a, b, out=c)  # fault every page before the timed window
+    barrier.wait()
+    t0 = time.time()
+    for _ in range(passes):
+        np.add(a, b, out=c)
+    q.put(time.time() - t0)
+
+
+def _sqrt_worker(barrier, iters, q):
+    import math
+
+    barrier.wait()
+    t0 = time.time()
+    x = 0.0
+    for i in range(iters):
+        x += math.sqrt(i)
+    q.put(time.time() - t0)
+
+
+def bwprobe():
+    """Direct evidence for the single-node memory-bandwidth ceiling
+    (BASELINE.md §6/§7): measure aggregate DRAM bandwidth with P
+    barrier-synced STREAM-add processes (arrays 16x any LLC) and, as a
+    control, aggregate scalar-compute throughput with the same process
+    counts.  If compute scales ~P/8 from 8 to 32 procs while bandwidth
+    stays ~flat, a bandwidth-bound kernel CANNOT scale 8->32 cpus on
+    this box — while a real N->4N *node* scale-out adds memory
+    controllers per node.  Prints one JSON line."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    n = (128 << 20) // 8  # 128 MiB per array, 3 arrays per process
+    passes = 8
+    sqrt_iters = 10_000_000
+    levels = [1, 8, 32]
+    bw, sq = {}, {}
+    for P in levels:
+        for kind in ("bw", "sqrt"):
+            barrier = ctx.Barrier(P)
+            q = ctx.Queue()
+            target = _bw_worker if kind == "bw" else _sqrt_worker
+            args = ((barrier, n, passes, q) if kind == "bw"
+                    else (barrier, sqrt_iters, q))
+            procs = [ctx.Process(target=target, args=args)
+                     for _ in range(P)]
+            for p in procs:
+                p.start()
+            times = sorted(q.get() for _ in procs)
+            for p in procs:
+                p.join()
+            if kind == "bw":
+                gbps = P * passes * 3 * 8 * n / max(times) / 1e9
+                bw[str(P)] = {"GBps": round(gbps, 1),
+                              "t_min": round(times[0], 3),
+                              "t_max": round(times[-1], 3)}
+            else:
+                rate = P * sqrt_iters / max(times) / 1e6
+                sq[str(P)] = {"Mops": round(rate, 1),
+                              "t_min": round(times[0], 3),
+                              "t_max": round(times[-1], 3)}
+    print(json.dumps({
+        "metric": "memory-bandwidth ceiling probe (STREAM add, 128 MiB "
+                  "arrays, barrier-synced) + scalar-compute control",
+        "stream_add": bw,
+        "sqrt_compute": sq,
+        "bw_scaling_8_to_32":
+            round(bw["32"]["GBps"] / bw["8"]["GBps"], 2),
+        "sqrt_scaling_8_to_32":
+            round(sq["32"]["Mops"] / sq["8"]["Mops"], 2),
+    }))
+
+
 def scalerun(workload: str):
     """Child mode: time ONE kernel on the cached BENCH_V graph in this
     process's fresh Ray session and print one JSON line.  Setup that a
@@ -491,7 +571,9 @@ def scaling():
 
 
 if __name__ == "__main__":
-    if "--scalerun" in sys.argv:
+    if "--bwprobe" in sys.argv:
+        bwprobe()
+    elif "--scalerun" in sys.argv:
         scalerun(sys.argv[sys.argv.index("--scalerun") + 1])
     elif "--scaling-all" in sys.argv:
         scaling_all()
