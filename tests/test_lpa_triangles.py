@@ -158,3 +158,29 @@ def test_lpa_hub_histogram_path_matches_full_regather():
             labs[thr] = eng.state_arrays("label")
             eng.shutdown()
         assert (labs[2] == labs[999999999]).all(), mode
+
+
+def test_lpa_subscription_filter_matches_broadcast():
+    """The subscription-filtered scatter (engine.py lpa2_scatter) sends
+    each destination exactly the (vid, label) pairs its _patch_cache
+    keeps — the broadcast's searchsorted misses carry no information —
+    so trajectories must be bit-identical, including the hub-histogram
+    path and both modes.  subfilter flows as a parameter, not env,
+    because running Ray workers do not see driver env changes."""
+    rng = np.random.default_rng(101)
+    n = 500
+    src = rng.integers(0, n, 6000)
+    dst = rng.integers(0, n, 6000)
+    extra = np.arange(0, n, 2)  # planted hub to exercise histograms
+    src = np.concatenate((src, extra))
+    dst = np.concatenate((dst, np.full(len(extra), 11)))
+    t = pa.table({"src": src, "dst": dst})
+    for mode in ("in", "all"):
+        labs = {}
+        for sub in (True, False):
+            eng = GraphEngine.from_edges(t, n=n, P=4)
+            label_propagation(eng, mode=mode, renumber=False,
+                              max_iter=200, hub_deg=8, subfilter=sub)
+            labs[sub] = eng.state_arrays("label")
+            eng.shutdown()
+        assert (labs[True] == labs[False]).all(), mode

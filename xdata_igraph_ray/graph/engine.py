@@ -846,9 +846,10 @@ class GraphShard:
     # after — instead of O(E) every round.
 
     def lpa2_init(self, mode: str, weighted: bool, initial=None, fixed=None,
-                  hub_deg=None):
+                  hub_deg=None, subfilter: bool = True):
         self.lpa_init(initial, fixed)
         self.meta["lpa_mode"] = mode
+        self.meta["lpa_subfilter"] = bool(subfilter)
         self.meta["lpa_weighted"] = bool(weighted and self.weighted)
         self.meta["lpa_hub_deg"] = int(
             hub_deg if hub_deg is not None
@@ -864,15 +865,71 @@ class GraphShard:
         # are fully patched (round 0 / resume republish all labels)
         self._lpa_hist = None
         self._lpa_hub_mask = None
+        # static per-vertex subscriber-shard lists: shard q needs local
+        # vid v's label iff v is in q's patch keys — q's rv_usrcs (v has
+        # an out-edge into q's range) plus, in "all" mode, q's fw_udsts
+        # (v has an in-edge from q's range).  The r3 scatter broadcast
+        # the full changed list to every shard, so each receiver paid
+        # O(P x changed) searchsorted work per superstep — the measured
+        # LPA anti-scaling at P=32 (BASELINE.md §7).  Filtering sends
+        # exactly the pairs each receiver's _patch_cache keeps, so the
+        # trajectory is bit-identical.  Packed key v*P+q is safe:
+        # v < size <= n and n*P << 2^63 at any realistic scale.
+        if not subfilter:
+            self._lpa_sub_q = self._lpa_sub_indptr = None
+            return
+        pv, pq = [], []
+        if len(self.fw_dst):
+            pv.append(np.repeat(
+                np.arange(self.size), np.diff(self.fw_indptr)))
+            pq.append(
+                np.searchsorted(self.bounds, self.fw_dst, side="right") - 1)
+        if mode == "all" and len(self.rv_src):
+            pv.append(np.repeat(
+                np.arange(self.size), np.diff(self.rv_indptr)))
+            pq.append(
+                np.searchsorted(self.bounds, self.rv_src, side="right") - 1)
+        if pv:
+            packed = np.unique(
+                np.concatenate(pv) * np.int64(self.P) + np.concatenate(pq))
+            vs, qs = packed // self.P, packed % self.P
+        else:
+            vs = qs = np.empty(0, np.int64)
+        self._lpa_sub_q = qs.astype(np.int32)
+        self._lpa_sub_indptr = np.concatenate(
+            ([0], np.cumsum(np.bincount(vs, minlength=self.size)))
+        ).astype(np.int64)
 
     def lpa2_scatter(self):
-        """Publish changed (vid, label) pairs per subscriber shard."""
+        """Publish changed (vid, label) pairs per subscriber shard,
+        filtered by the static subscription index built in lpa2_init
+        (per-superstep cost O(sum of subscriber counts over changed
+        vertices), not O(P x changed)).  subfilter=False at lpa2_init
+        falls back to the r3 broadcast (A/B toggle; output-equal —
+        test_lpa_subscription_filter_matches_broadcast)."""
+        if not self.P:
+            return []
         lab = self.state["label"]
-        changed = self.state["_lpa_changed"]
-        idx = np.flatnonzero(changed)
-        vids = idx + self.lo
-        labs = lab[idx]
-        return [(vids, labs)] * self.P if self.P else []
+        idx = np.flatnonzero(self.state["_lpa_changed"])
+        if not self.meta["lpa_subfilter"]:
+            return [(idx + self.lo, lab[idx])] * self.P
+        starts = self._lpa_sub_indptr[idx]
+        lens = self._lpa_sub_indptr[idx + 1] - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            e = np.empty(0, np.int64)
+            return [(e, e)] * self.P
+        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(
+            starts, lens)
+        qs = self._lpa_sub_q[flat]
+        order = np.argsort(qs, kind="stable")
+        qs = qs[order]
+        vs = np.repeat(idx + self.lo, lens)[order]
+        ls = np.repeat(lab[idx], lens)[order]
+        seg = np.searchsorted(qs, np.arange(self.P + 1))
+        return [(vs[seg[q]:seg[q + 1]], ls[seg[q]:seg[q + 1]])
+                for q in range(self.P)]
 
     def _patch_cache(self, cache, ustarts, ukeys, sperm, uends,
                      vids, labs, want_old=False):

@@ -19,6 +19,7 @@ vertex-id order, exactly reproducing src/community.c:2320-2339.
 
 from __future__ import annotations
 
+import os
 import time
 
 import ray
@@ -40,6 +41,7 @@ def label_propagation(
     resume: bool = False,
     plateau_patience: int | None = 2,
     hub_deg: int | None = None,
+    subfilter: bool | None = None,
 ) -> dict:
     """Labels land in shard state ``label``; export with
     ``engine.state_dataset(["label"])``.  Checkpoint/resume follows
@@ -49,6 +51,11 @@ def label_propagation(
     labels, so the trajectory continues exactly — the red/black
     phase is preserved via the restored iteration number)."""
     P, shards = engine.P, engine.shards
+    # subscription-filtered scatter (engine.lpa2_scatter) is the
+    # default; None reads the env DRIVER-side so bench A/B legs can
+    # toggle it (actor-side env reads would miss driver env changes)
+    if subfilter is None:
+        subfilter = os.environ.get("XDATA_LPA_SUBFILTER", "1") != "0"
     init_ref = ray.put(initial) if initial is not None else None
     fixed_ref = ray.put(fixed) if fixed is not None else None
     start_iter = 0
@@ -58,7 +65,7 @@ def label_propagation(
         if last is not None:
             ray.get([
                 s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
-                                   hub_deg)
+                                   hub_deg, subfilter)
                 for s in shards
             ])
             engine.restore(ckpt_root, "lpa", last, ["label"])
@@ -67,7 +74,7 @@ def label_propagation(
     if not restored:
         ray.get([
             s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
-                                   hub_deg)
+                                   hub_deg, subfilter)
             for s in shards
         ])
     lineage = {"algo": "lpa", "mode": mode, "weighted": bool(weighted),
