@@ -184,3 +184,32 @@ def test_lpa_subscription_filter_matches_broadcast():
             labs[sub] = eng.state_arrays("label")
             eng.shutdown()
         assert (labs[True] == labs[False]).all(), mode
+
+
+def test_lpa_prefill_matches_republish():
+    """With initial=None every vertex's label is its vid, so lpa2_init
+    pre-fills the neighbor-label caches directly from the CSR arrays
+    and skips round 0's O(E) publish+patch (engine.py lpa2_init
+    prefill).  All vertices start pending, so round-0 decisions still
+    happen — the trajectory must be bit-identical to an explicit
+    initial=arange republish (which takes the non-prefill path)."""
+    rng = np.random.default_rng(202)
+    n = 450
+    src = rng.integers(0, n, 5000)
+    dst = rng.integers(0, n, 5000)
+    extra = np.arange(1, n, 2)
+    src = np.concatenate((src, extra))
+    dst = np.concatenate((dst, np.full(len(extra), 3)))
+    t = pa.table({"src": src, "dst": dst})
+    for mode in ("in", "all"):
+        labs = {}
+        for init in (None, np.arange(n, dtype=np.int64)):
+            eng = GraphEngine.from_edges(t, n=n, P=4)
+            info = label_propagation(eng, mode=mode, initial=init,
+                                     renumber=False, max_iter=200,
+                                     hub_deg=8)
+            labs[init is None] = (eng.state_arrays("label"),
+                                  info["iterations"])
+            eng.shutdown()
+        assert labs[True][1] == labs[False][1], mode
+        assert (labs[True][0] == labs[False][0]).all(), mode

@@ -846,7 +846,8 @@ class GraphShard:
     # after — instead of O(E) every round.
 
     def lpa2_init(self, mode: str, weighted: bool, initial=None, fixed=None,
-                  hub_deg=None, subfilter: bool = True):
+                  hub_deg=None, subfilter: bool = True,
+                  prefill: bool = False):
         self.lpa_init(initial, fixed)
         self.meta["lpa_mode"] = mode
         self.meta["lpa_subfilter"] = bool(subfilter)
@@ -855,12 +856,29 @@ class GraphShard:
             hub_deg if hub_deg is not None
             else os.environ.get("XDATA_LPA_HUB_DEG", "16384")
         )
-        # neighbor-label caches in CSR (vertex-grouped) edge order
-        self.state["_in_cache"] = np.zeros(len(self.rv_src), dtype=np.int64)
-        if mode == "all":
-            self.state["_out_cache"] = np.zeros(len(self.fw_dst), dtype=np.int64)
-        self.state["_lpa_changed"] = np.ones(self.size, dtype=bool)
-        self.state["_lpa_pending"] = np.empty(0, dtype=np.int64)
+        # neighbor-label caches in CSR (vertex-grouped) edge order.
+        # prefill (initial=None, no restore pending): every vertex's
+        # label IS its vid, so the caches equal rv_src / fw_dst
+        # directly — this replaces round 0's O(E) publish-and-patch
+        # (profiled 5.0 s of a 10.2 s run at 101.6M edges / P=32:
+        # round 0 random-writes every cache position with the value
+        # it would hold anyway).  All vertices start pending so the
+        # round-0 DECISIONS still happen for every vertex, giving a
+        # bit-identical trajectory (test_lpa_prefill_matches_republish).
+        if prefill:
+            self.state["_in_cache"] = self.rv_src.astype(np.int64)
+            if mode == "all":
+                self.state["_out_cache"] = self.fw_dst.astype(np.int64)
+            self.state["_lpa_changed"] = np.zeros(self.size, dtype=bool)
+            self.state["_lpa_pending"] = np.arange(self.size, dtype=np.int64)
+        else:
+            self.state["_in_cache"] = np.zeros(len(self.rv_src),
+                                               dtype=np.int64)
+            if mode == "all":
+                self.state["_out_cache"] = np.zeros(len(self.fw_dst),
+                                                    dtype=np.int64)
+            self.state["_lpa_changed"] = np.ones(self.size, dtype=bool)
+            self.state["_lpa_pending"] = np.empty(0, dtype=np.int64)
         # hub histograms are built on the first gather, once the caches
         # are fully patched (round 0 / resume republish all labels)
         self._lpa_hist = None

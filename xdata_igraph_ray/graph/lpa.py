@@ -65,16 +65,18 @@ def label_propagation(
         if last is not None:
             ray.get([
                 s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
-                                   hub_deg, subfilter)
+                                   hub_deg, subfilter, False)
                 for s in shards
             ])
             engine.restore(ckpt_root, "lpa", last, ["label"])
             start_iter = last + 1
             restored = True
     if not restored:
+        # prefill: with vid-valued initial labels the caches equal the
+        # CSR neighbor arrays, skipping round 0's O(E) publish+patch
         ray.get([
             s.lpa2_init.remote(mode, weighted, init_ref, fixed_ref,
-                                   hub_deg, subfilter)
+                               hub_deg, subfilter, initial is None)
             for s in shards
         ])
     lineage = {"algo": "lpa", "mode": mode, "weighted": bool(weighted),
