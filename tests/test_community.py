@@ -333,3 +333,54 @@ def test_spinglass_negative(ray_session):
         "src": np.array([], np.int64),
         "dst": np.array([], np.int64)}))], 3)
     assert r0["membership"].tolist() == [0, 0, 0]
+
+
+def _louvain_df(t, n, **kw):
+    ds, k = louvain(rd.from_arrow(t), n=n, P=4, **kw)
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    return df, k
+
+
+def test_louvain_delta_matches_rebuild():
+    """Delta local-move rounds (persistent candidate sums patched by
+    moved-vertex messages, engine.py lou_delta_candidates) must be
+    bit-identical to the legacy O(E)-rebuild rounds: with
+    integer-valued weights every incremental float add is exact, and
+    the assembled candidate/query arrays replicate the rebuild's
+    construction including the zero-weight own-community rows.
+    Exercised on a loop/multi-edge graph and an integer-weighted one."""
+    rng = np.random.default_rng(33)
+    n = 300
+    src = rng.integers(0, n, 2500)
+    dst = rng.integers(0, n, 2500)
+    # loops + forced multi-edges + a hub
+    src = np.concatenate((src, np.arange(0, n, 7), src[:200],
+                          np.arange(0, n, 2)))
+    dst = np.concatenate((dst, np.arange(0, n, 7), dst[:200],
+                          np.full((n + 1) // 2, 5)))
+    cases = [
+        pa.table({"src": src, "dst": dst}),
+        pa.table({"src": src, "dst": dst,
+                  "weight": rng.integers(1, 9, len(src)).astype(float)}),
+    ]
+    for t in cases:
+        a, ka = _louvain_df(t, n, delta="force")
+        b, kb = _louvain_df(t, n, delta="off")
+        assert ka == kb
+        assert a.equals(b)
+
+
+def test_louvain_delta_auto_gates_on_nonintegral_weights():
+    """auto mode must fall back to the legacy rebuild when weights are
+    not integer-valued (incremental float adds would drift) — result
+    equals an explicit delta="off" run."""
+    rng = np.random.default_rng(34)
+    n = 200
+    src = rng.integers(0, n, 1500)
+    dst = rng.integers(0, n, 1500)
+    w = rng.random(len(src)) + 0.25
+    t = pa.table({"src": src, "dst": dst, "weight": w})
+    a, ka = _louvain_df(t, n, delta="auto")
+    b, kb = _louvain_df(t, n, delta="off")
+    assert ka == kb
+    assert a.equals(b)

@@ -18,6 +18,8 @@ into a single (c, c) arc of weight 2w automatically)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -45,7 +47,7 @@ def _symmetrize(t: pa.Table) -> pa.Table:
 def _local_move(
     engine: GraphEngine, m_total: float, max_rounds: int,
     sync_rounds: int = 0, min_moves: int = 0,
-    min_gain_frac: float = 1e-4,
+    min_gain_frac: float = 1e-4, delta: str = "auto",
 ) -> int:
     """Synchronous local-moving rounds, hash-parity damped EVERY
     round (half the would-be movers move).  Undamped rounds are
@@ -71,9 +73,18 @@ def _local_move(
     clean up the 4th-decimal tail anyway.
 
     ``sync_rounds``: force the first K rounds undamped (kept for
-    callers pinning legacy trajectories; default 0)."""
+    callers pinning legacy trajectories; default 0).
+
+    ``delta``: "auto" runs incremental delta rounds (persistent
+    candidate sums patched by moved-vertex messages instead of the
+    O(E) scatter + rebuild every round) whenever every shard reports
+    them exact — integer-valued positive weights, which unweighted
+    input satisfies at every contraction level; "off" forces the
+    legacy rebuild; "force" is for equality tests.  Both paths are
+    bit-identical when delta rounds are exact
+    (test_louvain_delta_matches_rebuild)."""
     shards = engine.shards
-    ray.get([s.lou_init.remote() for s in shards])
+    use_delta = all(ray.get([s.lou_init.remote(delta) for s in shards]))
     moved_any = 0
     w_arc = 2.0 * m_total
     q_ref: float | None = None
@@ -91,11 +102,19 @@ def _local_move(
             for q in range(engine.P)
         ])
         sigsq = sum(s[1] for s in sig_stats)
-        outs = engine.scatter("lou_scatter")
-        queries = [
-            shards[q].lou_candidates.remote(*engine.pieces(outs, q))
-            for q in range(engine.P)
-        ]
+        if use_delta:
+            outs = engine.scatter("lou_delta_scatter")
+            queries = [
+                shards[q].lou_delta_candidates.remote(
+                    *engine.pieces(outs, q))
+                for q in range(engine.P)
+            ]
+        else:
+            outs = engine.scatter("lou_scatter")
+            queries = [
+                shards[q].lou_candidates.remote(*engine.pieces(outs, q))
+                for q in range(engine.P)
+            ]
         answers = [
             shards[q].lou_sigma_answer.remote(*queries)
             for q in range(engine.P)
@@ -163,9 +182,14 @@ def louvain(
     max_levels: int = 10,
     max_rounds: int = 24,
     min_gain_frac: float = 1e-4,
+    delta: str | None = None,
 ) -> tuple[Dataset, int]:
     """(membership Dataset (vid, comm), community count).  Communities
-    renumbered 0..k-1 by ascending min member vid."""
+    renumbered 0..k-1 by ascending min member vid.  ``delta``
+    ("auto"/"off"/"force", default env XDATA_LOU_DELTA or "auto")
+    selects the incremental local-move rounds — see _local_move."""
+    if delta is None:
+        delta = os.environ.get("XDATA_LOU_DELTA", "auto")
     refs = edges if isinstance(edges, list) else block_refs(edges)
     arcs = [_symmetrize.remote(r) for r in refs]
     mapping: Dataset | None = None  # original vid -> current comm
@@ -184,7 +208,7 @@ def louvain(
             float(np.sum(t["out_strength"].to_numpy())) for t in strengths
         ) / 2.0
         _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200,
-                    min_gain_frac=min_gain_frac)
+                    min_gain_frac=min_gain_frac, delta=delta)
         k = eng.renumber_labels("comm")
         lvl_map = eng.state_dataset(["comm"]).materialize()
         eng.shutdown()

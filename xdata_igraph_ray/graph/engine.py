@@ -894,15 +894,22 @@ class GraphShard:
         # trajectory is bit-identical.  Packed key v*P+q is safe:
         # v < size <= n and n*P << 2^63 at any realistic scale.
         if not subfilter:
-            self._lpa_sub_q = self._lpa_sub_indptr = None
+            self._lpa_sub = None
             return
+        self._lpa_sub = self._build_subscriptions(
+            use_fw=True, use_rv=(mode == "all"))
+
+    def _build_subscriptions(self, use_fw: bool, use_rv: bool):
+        """(indptr, shard) CSR over local vids: the destination shards
+        that consume vid's state — owners of its fw dsts (use_fw)
+        and/or of its rv srcs (use_rv)."""
         pv, pq = [], []
-        if len(self.fw_dst):
+        if use_fw and len(self.fw_dst):
             pv.append(np.repeat(
                 np.arange(self.size), np.diff(self.fw_indptr)))
             pq.append(
                 np.searchsorted(self.bounds, self.fw_dst, side="right") - 1)
-        if mode == "all" and len(self.rv_src):
+        if use_rv and len(self.rv_src):
             pv.append(np.repeat(
                 np.arange(self.size), np.diff(self.rv_indptr)))
             pq.append(
@@ -913,10 +920,33 @@ class GraphShard:
             vs, qs = packed // self.P, packed % self.P
         else:
             vs = qs = np.empty(0, np.int64)
-        self._lpa_sub_q = qs.astype(np.int32)
-        self._lpa_sub_indptr = np.concatenate(
+        indptr = np.concatenate(
             ([0], np.cumsum(np.bincount(vs, minlength=self.size)))
         ).astype(np.int64)
+        return indptr, qs.astype(np.int32)
+
+    def _sub_scatter(self, sub, idx, vals):
+        """Expand changed local indices ``idx`` (carrying per-index
+        payload ``vals``) through a subscription CSR into per-dest
+        (global vid, payload) pairs."""
+        indptr, qarr = sub
+        starts = indptr[idx]
+        lens = indptr[idx + 1] - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            e = np.empty(0, np.int64)
+            return [(e, e)] * self.P
+        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(
+            starts, lens)
+        qs = qarr[flat]
+        order = np.argsort(qs, kind="stable")
+        qs = qs[order]
+        vs = np.repeat(idx + self.lo, lens)[order]
+        ls = np.repeat(vals, lens)[order]
+        seg = np.searchsorted(qs, np.arange(self.P + 1))
+        return [(vs[seg[q]:seg[q + 1]], ls[seg[q]:seg[q + 1]])
+                for q in range(self.P)]
 
     def lpa2_scatter(self):
         """Publish changed (vid, label) pairs per subscriber shard,
@@ -931,23 +961,7 @@ class GraphShard:
         idx = np.flatnonzero(self.state["_lpa_changed"])
         if not self.meta["lpa_subfilter"]:
             return [(idx + self.lo, lab[idx])] * self.P
-        starts = self._lpa_sub_indptr[idx]
-        lens = self._lpa_sub_indptr[idx + 1] - starts
-        tot = int(lens.sum())
-        if tot == 0:
-            e = np.empty(0, np.int64)
-            return [(e, e)] * self.P
-        first = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        flat = np.arange(tot) - np.repeat(first, lens) + np.repeat(
-            starts, lens)
-        qs = self._lpa_sub_q[flat]
-        order = np.argsort(qs, kind="stable")
-        qs = qs[order]
-        vs = np.repeat(idx + self.lo, lens)[order]
-        ls = np.repeat(lab[idx], lens)[order]
-        seg = np.searchsorted(qs, np.arange(self.P + 1))
-        return [(vs[seg[q]:seg[q + 1]], ls[seg[q]:seg[q + 1]])
-                for q in range(self.P)]
+        return self._sub_scatter(self._lpa_sub, idx, lab[idx])
 
     def _patch_cache(self, cache, ustarts, ukeys, sperm, uends,
                      vids, labs, want_old=False):
@@ -1315,11 +1329,140 @@ class GraphShard:
     #    src/community.c:2361+: synchronous distributed variant —
     #    Grappolo-style parity damping replaces the sequential sweep) --------
 
-    def lou_init(self):
+    def lou_init(self, delta: str = "off") -> bool:
+        """``delta``: "off" = legacy rebuild rounds; "auto" = delta
+        rounds when exact (integer-valued positive weights and a
+        non-overflowing (vid, comm) packed key); "force" = delta
+        rounds unconditionally (tests).  Returns whether THIS shard
+        can run delta rounds — the driver ANDs across shards."""
         self.state["comm"] = np.arange(self.lo, self.hi, dtype=np.int64)
         # arc strength (the symmetric-arc representation makes this
         # the modularity k_i, loops pre-doubled by convention)
         self.meta["lou_k"] = self.out_strength.copy()
+        self.state["_lou_changed"] = np.zeros(self.size, dtype=bool)
+        self._lou_K = self._lou_W = self._lou_sub = None
+        if delta == "off":
+            return False
+        if delta == "auto":
+            # delta rounds maintain the candidate sums incrementally;
+            # float adds are exact only for integer-valued weights
+            # (+-1.0-style sums, same argument as the LPA hub
+            # histograms), and the (vid, comm) pack needs n^2 < 2^62.
+            # Louvain over an unweighted graph satisfies both at every
+            # level (contracted weights are integer arc counts).
+            w = self.rv_w
+            ok = int(self.n) * int(self.n) < (1 << 62)
+            if ok and w is not None and len(w):
+                ok = bool(np.isfinite(w).all() and (w > 0).all()
+                          and (w == np.floor(w)).all())
+            if not ok:
+                return False
+        # per-arc neighbor-community cache (dst-grouped rv order),
+        # pre-filled: initial communities ARE vids, so the cache is
+        # rv_src itself (the LPA prefill trick)
+        self._lou_cache = self.rv_src.astype(np.int64)
+        owners = np.repeat(
+            np.arange(self.size, dtype=np.int64), np.diff(self.rv_indptr))
+        w_eff = (self.rv_w.astype(np.float64) if self.rv_w is not None
+                 else np.ones(len(self.rv_src)))
+        # loop arcs never enter the candidate lists (they move with
+        # the vertex; assignment-invariant for the argmax) — zero
+        # their weight so patches at loop positions are no-ops
+        w_eff = w_eff.copy()
+        w_eff[self.rv_src == owners + self.lo] = 0.0
+        self._lou_w_eff = w_eff
+        # persistent candidate sums keyed by packed (global v, comm)
+        width = np.int64(self.n)
+        keys = (owners + self.lo) * width + self._lou_cache
+        order = np.argsort(keys, kind="stable")
+        k, w = keys[order], w_eff[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        idx = np.flatnonzero(new)
+        uk = k[idx]
+        uw = np.add.reduceat(w, idx) if len(idx) else w[:0]
+        keep = uw != 0.0
+        self._lou_K, self._lou_W = uk[keep], uw[keep]
+        self._lou_sub = self._build_subscriptions(use_fw=True,
+                                                  use_rv=False)
+        return True
+
+    def lou_delta_scatter(self):
+        """Publish moved (vid, community) pairs to subscriber shards
+        (empty on round 0: lou_init pre-fills the candidate sums)."""
+        if not self.P:
+            return []
+        idx = np.flatnonzero(self.state["_lou_changed"])
+        return self._sub_scatter(self._lou_sub, idx,
+                                 self.state["comm"][idx])
+
+    def lou_delta_candidates(self, *sender_outs):
+        """Delta round: patch the per-arc community cache for moved
+        in-neighbors, fold the (owner, old comm, -w) / (owner, new
+        comm, +w) deltas into the persistent candidate sums, then
+        assemble the same (_lou_cand_v/l/w, _lou_query) arrays the
+        legacy O(E)-rebuild lou_candidates produces — bit-identical
+        for integer-valued weights (test_louvain_delta_matches_rebuild)."""
+        width = np.int64(self.n)
+        d_keys, d_ws = [], []
+        for out in sender_outs:
+            vids, comms = self._piece(out)
+            pos, old, newc = self._patch_cache(
+                self._lou_cache, self.rv_ustarts, self.rv_usrcs,
+                self.rv_sperm, self.rv_uends, vids, comms, want_old=True,
+            )
+            if len(pos):
+                w = self._lou_w_eff[pos]
+                nz = w != 0.0  # loop arcs patch the cache, never sums
+                if nz.any():
+                    og = (self.rv_dst_local_by_pos(pos[nz])
+                          + self.lo) * width
+                    d_keys += [og + old[nz], og + newc[nz]]
+                    d_ws += [-w[nz], w[nz]]
+        K, W = self._lou_K, self._lou_W
+        if d_keys:
+            ks = np.concatenate(d_keys)
+            ws = np.concatenate(d_ws)
+            order = np.argsort(ks, kind="stable")
+            ks, ws = ks[order], ws[order]
+            new = np.ones(len(ks), dtype=bool)
+            new[1:] = ks[1:] != ks[:-1]
+            idx = np.flatnonzero(new)
+            uk = ks[idx]
+            dw = np.add.reduceat(ws, idx) if len(idx) else ws[:0]
+            pos = np.searchsorted(K, uk)
+            exist = pos < len(K)
+            if len(K):
+                exist &= K[np.minimum(pos, len(K) - 1)] == uk
+            np.add.at(W, pos[exist], dw[exist])
+            miss = ~exist
+            if miss.any():
+                K = np.insert(K, pos[miss], uk[miss])
+                W = np.insert(W, pos[miss], dw[miss])
+            keep = W != 0.0  # keep sums exactly the legacy key set
+            if not keep.all():
+                K, W = K[keep], W[keep]
+            self._lou_K, self._lou_W = K, W
+        # assemble: stored sums + zero-weight own-community rows for
+        # vertices whose (v, comm) key has no arc-derived row
+        comm = self.state["comm"]
+        own_k = (np.arange(self.lo, self.hi, dtype=np.int64) * width
+                 + comm)
+        pos = np.searchsorted(K, own_k)
+        exist = pos < len(K)
+        if len(K):
+            exist &= K[np.minimum(pos, len(K) - 1)] == own_k
+        miss = ~exist
+        if miss.any():
+            K = np.insert(K, pos[miss], own_k[miss])
+            W = np.insert(W, pos[miss], np.zeros(int(miss.sum())))
+        self._lou_cand_v = (K // width) - self.lo
+        self._lou_cand_l = K % width
+        self._lou_cand_w = W.copy() if W is self._lou_W else W
+        uniq = np.unique(self._lou_cand_l)
+        self._lou_query = uniq
+        seg = np.searchsorted(uniq, self.bounds)
+        return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
 
     def lou_sigma_split(self):
         """Per-community k_i sums of OWN vertices, split by community
@@ -1468,6 +1611,10 @@ class GraphShard:
                 )
             want &= ((h >> np.uint64(33)) & np.uint64(1)) == 0
         comm[win_v[want]] = win_l[want]
+        # movers publish next delta round (lou_delta_scatter)
+        mask = np.zeros(self.size, dtype=bool)
+        mask[win_v[want]] = True
+        self.state["_lou_changed"] = mask
         # round-start internal arc weight (sum over own-community
         # candidate rows; loop arcs are excluded from candidates but
         # their Q contribution is assignment-invariant, so the driver's
