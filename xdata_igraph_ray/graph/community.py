@@ -190,6 +190,17 @@ def louvain(
     selects the incremental local-move rounds — see _local_move."""
     if delta is None:
         delta = os.environ.get("XDATA_LOU_DELTA", "auto")
+    prof = os.environ.get("XDATA_LOU_PROFILE")
+    t_mark = [__import__("time").perf_counter()]
+
+    def _tick(label: str, level: int) -> None:
+        if not prof:
+            return
+        now = __import__("time").perf_counter()
+        print(f"[lou-prof] level={level} {label}: "
+              f"{now - t_mark[0]:.2f}s", flush=True)
+        t_mark[0] = now
+
     refs = edges if isinstance(edges, list) else block_refs(edges)
     arcs = [_symmetrize.remote(r) for r in refs]
     mapping: Dataset | None = None  # original vid -> current comm
@@ -200,6 +211,7 @@ def louvain(
         # 6k-vertex level doesn't amortize 8 of them)
         P_lvl = max(2, min(P, n_cur // 4000)) if n_cur < 4000 * P else P
         eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl, weighted=True)
+        _tick("engine build", level)
         # total und weight = sum of arc strengths / 2
         strengths = ray.get([
             s.degree_table.remote() for s in eng.shards
@@ -209,9 +221,11 @@ def louvain(
         ) / 2.0
         _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200,
                     min_gain_frac=min_gain_frac, delta=delta)
+        _tick("local move", level)
         k = eng.renumber_labels("comm")
         lvl_map = eng.state_dataset(["comm"]).materialize()
         eng.shutdown()
+        _tick("renumber+map", level)
         if mapping is None:
             mapping = lvl_map
         else:
@@ -223,12 +237,14 @@ def louvain(
             mapping = to_dataset([
                 _project_mapping.remote(r) for r in joined
             ]).materialize()
+            _tick("mapping join", level)
         # a level that merged <0.1% of vertices has converged — more
         # levels would each pay an engine build to move a handful
         if k >= n_cur - max(1, n_cur // 1000):
             n_cur = k
             break
         arcs = _contract(arcs, lvl_map, P)
+        _tick("contract", level)
         n_cur = k
     return mapping, n_cur
 
