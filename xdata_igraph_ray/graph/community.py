@@ -48,7 +48,7 @@ def _local_move(
     engine: GraphEngine, m_total: float, max_rounds: int,
     sync_rounds: int = 0, min_moves: int = 0,
     min_gain_frac: float = 1e-4, delta: str = "auto",
-) -> int:
+) -> tuple[int, bool]:
     """Synchronous local-moving rounds, hash-parity damped EVERY
     round (half the would-be movers move).  Undamped rounds are
     destructive: applying 100% of the simultaneous wishes crashes
@@ -88,7 +88,12 @@ def _local_move(
     moved_any = 0
     w_arc = 2.0 * m_total
     q_ref: float | None = None
+    prof = os.environ.get("XDATA_LOU_PROFILE")
+    if prof:
+        import time as _time
     for rnd in range(max_rounds):
+        if prof:
+            t_rnd = _time.perf_counter()
         # every round is hash-parity damped (profiled: an undamped
         # "full" round applies 100%% of the simultaneous wishes and
         # CRASHES true modularity — measured -0.24/-0.26 dips after
@@ -128,6 +133,10 @@ def _local_move(
         moves = sum(r[0] for r in res)
         would = sum(r[1] for r in res)
         moved_any += moves
+        if prof:
+            print(f"[lou-prof]   round={rnd} "
+                  f"{_time.perf_counter() - t_rnd:.2f}s moves={moves} "
+                  f"would={would}", flush=True)
         # exact round-START modularity (up to the assignment-invariant
         # loop term) from piggybacked scalars — no extra exchange
         q_start = (
@@ -139,7 +148,36 @@ def _local_move(
             if q_ref is not None and q_start - q_ref < min_gain_frac:
                 break
             q_ref = q_start
-    return moved_any
+    return moved_any, use_delta
+
+
+def _cache_contract(engine: GraphEngine, k: int, P: int):
+    """Contract through the delta path's resident per-arc neighbor-
+    community caches: one tiny old-label->dense-rank exchange (distinct
+    cached labels only), then each shard emits its rv arcs as partial
+    (comm_src, comm_dst, w) sums — the O(E) arc table never moves,
+    unlike _contract's two hash joins.  Output identical to _contract
+    for integer weights (test_louvain_cache_contract)."""
+    shards = engine.shards
+    offsets = engine._renumber_offsets
+    qouts = [s.lou_cache_uniq_split.remote() for s in shards]
+    answers = [
+        shards[q].lou_cache_rank_answer.remote(int(offsets[q]), *qouts)
+        for q in range(engine.P)
+    ]
+    parts = [
+        shards[q].lou_contract_emit.remote(k, *answers)
+        for q in range(engine.P)
+    ]
+    out = groupby_agg(
+        parts, ["src", "dst"], [("weight", "sum", "weight")], P=P,
+        as_refs=True,
+    )
+    # the emitting actors die at shutdown(); make sure their outputs
+    # exist in the object store first (completed actor-task results
+    # outlive the actor)
+    ray.wait(parts, num_returns=len(parts), fetch_local=False)
+    return out
 
 
 def _contract(edges_refs, mapping: Dataset, P: int):
@@ -210,7 +248,8 @@ def louvain(
         # down with them (each shard actor costs ~0.2 s to spawn and a
         # 6k-vertex level doesn't amortize 8 of them)
         P_lvl = max(2, min(P, n_cur // 4000)) if n_cur < 4000 * P else P
-        eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl, weighted=True)
+        eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl, weighted=True,
+                                     symmetric=True)
         _tick("engine build", level)
         # total und weight = sum of arc strengths / 2
         strengths = ray.get([
@@ -219,11 +258,25 @@ def louvain(
         m_total = sum(
             float(np.sum(t["out_strength"].to_numpy())) for t in strengths
         ) / 2.0
-        _local_move(eng, m_total, max_rounds, min_moves=n_cur // 200,
-                    min_gain_frac=min_gain_frac, delta=delta)
+        _, use_delta = _local_move(
+            eng, m_total, max_rounds, min_moves=n_cur // 200,
+            min_gain_frac=min_gain_frac, delta=delta)
         _tick("local move", level)
+        if use_delta:
+            # the final round's movers were never published — bring the
+            # arc caches current before they feed the contraction
+            outs = eng.scatter("lou_delta_scatter")
+            ray.get([
+                eng.shards[q].lou_cache_flush.remote(*eng.pieces(outs, q))
+                for q in range(eng.P)
+            ])
         k = eng.renumber_labels("comm")
         lvl_map = eng.state_dataset(["comm"]).materialize()
+        new_arcs = None
+        if use_delta and k < n_cur - max(1, n_cur // 1000):
+            # shard-local contraction through the resident arc caches
+            # (no O(E) joins); only when another level will consume it
+            new_arcs = _cache_contract(eng, k, P)
         eng.shutdown()
         _tick("renumber+map", level)
         if mapping is None:
@@ -243,7 +296,8 @@ def louvain(
         if k >= n_cur - max(1, n_cur // 1000):
             n_cur = k
             break
-        arcs = _contract(arcs, lvl_map, P)
+        arcs = new_arcs if new_arcs is not None else _contract(
+            arcs, lvl_map, P)
         _tick("contract", level)
         n_cur = k
     return mapping, n_cur

@@ -279,17 +279,36 @@ class GraphShard:
         return (indptr, other, w, dperm, dsorted, seg,
                 own_by_other, ustarts, udsts, useg, uends)
 
-    def finalize(self):
-        (self.fw_indptr, self.fw_dst, self.fw_w,
-         self.fw_dperm, self.fw_dst_sorted, self.fw_seg,
-         self.fw_src_by_dst, self.fw_ustarts, self.fw_udsts,
-         self.fw_useg, self.fw_uends) = self._csr(
-            self._fwd, "src", "dst", self.lo)
+    def finalize(self, symmetric: bool = False):
         (self.rv_indptr, self.rv_src, self.rv_w,
          self.rv_sperm, self.rv_src_sorted, self.rv_seg,
          self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
          self.rv_useg, self.rv_uends) = self._csr(
             self._rev, "dst", "src", self.lo)
+        if symmetric:
+            # caller asserts the arc multiset is symmetric (every
+            # {a, b} present both directions, loops pre-doubled —
+            # louvain's _symmetrize convention): the fw CSR equals the
+            # rv CSR per vertex AS A MULTISET, so alias instead of
+            # routing/sorting a second direction.  Only order-
+            # insensitive fw reads are valid on such engines (set
+            # subscriptions, lexsort-normalized candidate sums,
+            # strength reductions) — which is all the community path
+            # touches.
+            (self.fw_indptr, self.fw_dst, self.fw_w,
+             self.fw_dperm, self.fw_dst_sorted, self.fw_seg,
+             self.fw_src_by_dst, self.fw_ustarts, self.fw_udsts,
+             self.fw_useg, self.fw_uends) = (
+                self.rv_indptr, self.rv_src, self.rv_w,
+                self.rv_sperm, self.rv_src_sorted, self.rv_seg,
+                self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
+                self.rv_useg, self.rv_uends)
+        else:
+            (self.fw_indptr, self.fw_dst, self.fw_w,
+             self.fw_dperm, self.fw_dst_sorted, self.fw_seg,
+             self.fw_src_by_dst, self.fw_ustarts, self.fw_udsts,
+             self.fw_useg, self.fw_uends) = self._csr(
+                self._fwd, "src", "dst", self.lo)
         self._fwd = self._rev = None
         self.out_deg = np.diff(self.fw_indptr).astype(np.int64)
         self.in_deg = np.diff(self.rv_indptr).astype(np.int64)
@@ -1591,12 +1610,28 @@ class GraphShard:
         own = l == comm[v]
         eff_sig = sig - np.where(own, k[v], 0.0)
         score = w - k[v] * eff_sig / (2.0 * m_total)
-        # per vertex: best (score desc, label asc); and own score
-        order = np.lexsort((l, -score, v))
-        sv, sl, ss = v[order], l[order], score[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = sv[1:] != sv[:-1]
-        win_v, win_l, win_s = sv[first], sl[first], ss[first]
+        # per vertex: best (score desc, label asc).  Candidate rows
+        # arrive sorted by (v, l) from both assembly paths, so the
+        # argmax is a segmented reduceat + first-occurrence-of-max scan
+        # (min-label tie-break falls out of the ascending-l order) —
+        # O(K), replacing a 3-key lexsort that measured 3.3 s per 6.3M
+        # rows per shard per round at the 1e8-edge scale.  Bit-identical
+        # to the lexsort (exact float equality against the segment max).
+        if len(v):
+            first = np.ones(len(v), dtype=bool)
+            first[1:] = v[1:] != v[:-1]
+            starts = np.flatnonzero(first)
+            seg_id = np.cumsum(first) - 1
+            mx = np.maximum.reduceat(score, starts)
+            pos = np.flatnonzero(score == mx[seg_id])
+            sid = seg_id[pos]
+            fp = np.ones(len(pos), dtype=bool)
+            fp[1:] = sid[1:] != sid[:-1]
+            best = pos[fp]
+            win_v, win_l, win_s = v[best], l[best], score[best]
+        else:
+            win_v = win_l = np.empty(0, np.int64)
+            win_s = np.empty(0)
         own_score = np.zeros(len(win_v))
         ov, osc = v[own], score[own]
         own_score[np.searchsorted(win_v, ov)] = osc
@@ -1622,6 +1657,68 @@ class GraphShard:
         own_w = float(np.sum(w[own]))
         self._lou_cand_v = self._lou_cand_l = self._lou_cand_w = None
         return int(want.sum()), would, own_w
+
+    def lou_cache_flush(self, *sender_outs):
+        """Patch the per-arc neighbor-community cache for the FINAL
+        round's movers (their lou_delta_scatter fires after the driver
+        loop breaks, so without this flush the cache is one round
+        stale for them)."""
+        for out in sender_outs:
+            vids, comms = self._piece(out)
+            self._patch_cache(
+                self._lou_cache, self.rv_ustarts, self.rv_usrcs,
+                self.rv_sperm, self.rv_uends, vids, comms,
+            )
+
+    def lou_cache_uniq_split(self):
+        """Distinct OLD community labels present in the arc cache,
+        split by label owner (labels are vids -> bounds give
+        ownership) for the old->dense-rank translation round."""
+        uniq = np.unique(self._lou_cache)
+        self._lou_cache_uniq = uniq
+        seg = np.searchsorted(uniq, self.bounds)
+        return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
+
+    def lou_cache_rank_answer(self, offset: int, *sender_outs):
+        """Owner side: dense rank (renumber_labels order) of each
+        sender's queried old labels.  Valid only immediately after
+        renumber_labels, while _relabel_dom is still resident; every
+        queried label is in the domain by construction (a cached label
+        is some vertex's current community, and the flush above made
+        the cache current)."""
+        dom = self._relabel_dom
+        return [offset + np.searchsorted(dom, self._piece(o))
+                for o in sender_outs]
+
+    def lou_contract_emit(self, k_total: int, *owner_answers):
+        """Shard-local community contraction: every rv arc (u -> own v)
+        becomes (comm[u], comm[v], w) using the resident arc cache for
+        comm[u] (translated old->dense via the owner answers) and own
+        renumbered state for comm[v]; partial-aggregated by packed key
+        (k_total^2 < 2^62 is implied by the delta-round guard n^2 <
+        2^62 since k <= n).  Each arc lives in exactly one shard's rv,
+        so the union over shards covers the arc multiset once — no
+        joins touch the O(E) arc table (vs _contract's two hash joins,
+        the dominant cost of the next level's build at 1e8 edges)."""
+        uniq = self._lou_cache_uniq
+        self._lou_cache_uniq = None
+        ranks = np.concatenate([self._piece(a) for a in owner_answers])
+        cache_new = ranks[np.searchsorted(uniq, self._lou_cache)]
+        cdst = self.state["comm"][np.repeat(
+            np.arange(self.size, dtype=np.int64),
+            np.diff(self.rv_indptr))]
+        w = (self.rv_w.astype(np.float64) if self.rv_w is not None
+             else np.ones(len(self.rv_src)))
+        kt = np.int64(k_total)
+        key = cache_new * kt + cdst
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        idx = np.flatnonzero(new)
+        uk = ks[idx]
+        uw = np.add.reduceat(ws, idx) if len(idx) else ws[:0]
+        return pa.table({"src": uk // kt, "dst": uk % kt, "weight": uw})
 
     def label_min_vids(self):
         """(label, min vid carrying it) pairs for first-appearance
@@ -3665,6 +3762,7 @@ class GraphEngine:
         weighted: bool = False,
         per_dest_refs: bool | None = None,
         bounds=None,
+        symmetric: bool = False,
     ) -> "GraphEngine":
         if isinstance(edges, pa.Table):
             refs = [ray.put(edges)]
@@ -3710,17 +3808,21 @@ class GraphEngine:
         fwd_parts: list[list] = [[] for _ in range(P)]
         rev_parts: list[list] = [[] for _ in range(P)]
         for r in refs:
-            fparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "src")
+            if not symmetric:
+                fparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "src")
+                fparts = [fparts] if P == 1 else fparts
+                for p in range(P):
+                    fwd_parts[p].append(fparts[p])
             rparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
-            fparts = [fparts] if P == 1 else fparts
             rparts = [rparts] if P == 1 else rparts
             for p in range(P):
-                fwd_parts[p].append(fparts[p])
                 rev_parts[p].append(rparts[p])
-        waits = [shards[p].ingest_fwd.remote(*fwd_parts[p]) for p in range(P)]
+        waits = [] if symmetric else [
+            shards[p].ingest_fwd.remote(*fwd_parts[p]) for p in range(P)
+        ]
         waits += [shards[p].ingest_rev.remote(*rev_parts[p]) for p in range(P)]
         ray.get(waits)
-        infos = ray.get([s.finalize.remote() for s in shards])
+        infos = ray.get([s.finalize.remote(symmetric) for s in shards])
         edges_total = sum(i["edges"] for i in infos)
         return cls(shards, bounds, n, edges_total, weighted,
                    per_dest_refs=per_dest_refs)
@@ -3778,6 +3880,9 @@ class GraphEngine:
         ray.get([
             s.relabel_apply.remote(state_key, *answers) for s in self.shards
         ])
+        # owners keep _relabel_dom; callers needing a second old->rank
+        # query round (louvain's cache contraction) reuse these offsets
+        self._renumber_offsets = offsets
         return int(offsets[-1])
 
     def renumber_labels_first_appearance(self, state_key="label"):
