@@ -1419,7 +1419,7 @@ class GraphShard:
         """Delta round: patch the per-arc community cache for moved
         in-neighbors, fold the (owner, old comm, -w) / (owner, new
         comm, +w) deltas into the persistent candidate sums, then
-        assemble the same (_lou_cand_v/l/w, _lou_query) arrays the
+        assemble the same (_lou_cand_v/l/w, query) arrays the
         legacy O(E)-rebuild lou_candidates produces — bit-identical
         for integer-valued weights (test_louvain_delta_matches_rebuild)."""
         width = np.int64(self.n)
@@ -1478,8 +1478,11 @@ class GraphShard:
         self._lou_cand_v = (K // width) - self.lo
         self._lou_cand_l = K % width
         self._lou_cand_w = W.copy() if W is self._lou_W else W
-        uniq = np.unique(self._lou_cand_l)
-        self._lou_query = uniq
+        # return_inverse: lou_move needs each candidate's position in
+        # the sorted query (0.62 s vs 0.12+1.18 s for unique + a
+        # separate 6.3M-row searchsorted, measured at bench scale)
+        uniq, inv = np.unique(self._lou_cand_l, return_inverse=True)
+        self._lou_query_inv = inv
         seg = np.searchsorted(uniq, self.bounds)
         return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
 
@@ -1564,8 +1567,8 @@ class GraphShard:
         self._lou_cand_v = k[idx] - self.lo
         self._lou_cand_l = l[idx]
         self._lou_cand_w = np.add.reduceat(w, idx)
-        uniq = np.unique(self._lou_cand_l)
-        self._lou_query = uniq
+        uniq, inv = np.unique(self._lou_cand_l, return_inverse=True)
+        self._lou_query_inv = inv
         seg = np.searchsorted(uniq, self.bounds)
         return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
 
@@ -1598,10 +1601,10 @@ class GraphShard:
             [self._piece(a) for a in owner_answers]
         )
         # align: owner answers arrive in owner order, i.e. exactly the
-        # sorted-label order of self._lou_query
-        q = self._lou_query
-        pos = np.searchsorted(q, self._lou_cand_l)
-        sig = sig_by_label[pos]
+        # sorted-label order of the query; the inverse was
+        # precomputed by the candidate assembly's np.unique
+        sig = sig_by_label[self._lou_query_inv]
+        self._lou_query_inv = None
         v = self._lou_cand_v
         l = self._lou_cand_l
         w = self._lou_cand_w
