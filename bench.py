@@ -431,6 +431,25 @@ def scalerun(workload: str):
         with _Timed(queries, steal, workload):
             _, ncomm = louvain(edges, n=BENCH_V, P=P)
         extras["communities"] = ncomm
+    elif workload in ("extract", "minhash"):
+        # webtext data-pipeline stages over the sf fixture (these don't
+        # consume the cached edge graph)
+        import __ray_entry__ as entry
+
+        if workload == "extract":
+            from xdata_igraph_ray.stages.extract import extracted_edges
+
+            paths = entry.pages_fixture(SF_DIR)
+            pages = _read_pq(paths["pages"])
+            pages.count()  # warm the read
+            with _Timed(queries, steal, workload):
+                out = extracted_edges(pages).materialize()
+            extras["rows"] = out.count()
+        else:
+            entry.q_lineitem_pricing(SF_DIR).materialize()  # warm session
+            with _Timed(queries, steal, workload):
+                out = entry.q_minhash_pairs(SF_DIR).materialize()
+            extras["rows"] = out.count()
     else:
         raise SystemExit(f"unknown scalerun workload {workload!r}")
 
