@@ -262,3 +262,30 @@ def test_gomory_hu_vs_networkx():
     for a in range(0, n, 3):
         for b in range(a + 1, n, 2):
             assert abs(tree_mincut(a, b) - nx_mincut(a, b)) < 1e-6, (a, b)
+
+
+def test_maxflow_per_dest_refs_wire_mode_equal():
+    """The fused 3-barrier round (mf_push_gather_relabel via
+    engine.gather_scatter) must produce identical flow values and flow
+    tables in BOTH wire layouts — per-destination refs is what a
+    multi-node cluster uses."""
+    rng = np.random.default_rng(77)
+    n, m = 60, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    caps = rng.integers(1, 9, m).astype(float)
+    t = _edges_table(list(zip(src, dst)), caps)
+    results = []
+    for pdr in (False, True):
+        eng = flow.flow_network([ray.put(t)], n=n, P=3,
+                                min_shard_vertices=0)
+        eng.per_dest_refs = pdr
+        r = flow.maxflow(eng, 0, n - 1, with_flow=True, with_cut=True)
+        ftab = (r["flow"].to_pandas().sort_values(["src", "dst"])
+                .reset_index(drop=True))
+        results.append((r["value"], ftab,
+                        float(sum(r["cut"]["capacity"].to_pylist()))))
+        eng.shutdown()
+    (v0, f0, c0), (v1, f1, c1) = results
+    assert v0 == v1 == c0 == c1
+    assert f0.equals(f1)

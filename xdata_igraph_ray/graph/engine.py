@@ -3520,6 +3520,23 @@ class GraphShard:
             "src": own[m], "dst": self.fw_dst[m], "capacity": self.mf_cap[m],
         })
 
+    def mf_push_gather_relabel(self, *sender_outs):
+        """Fused push-gather + relabel-scatter: the relabel reads this
+        shard's post-push residual caches, so running it in the same
+        actor call is semantically the sequential pair with one less
+        BSP barrier — on a multi-node cluster each barrier is a network
+        round-trip and deep networks run many rounds (88 on the 50x2000
+        bench network); locally the rounds are numpy-bound so the
+        fusion is about wire latency, not CPU."""
+        self.mf_push_gather(*sender_outs)
+        return self.mf_relabel_scatter()
+
+    def mf_heights_gather_stats(self, *sender_outs):
+        """Fused heights-gather + round stats (saves the separate
+        mf_stats barrier per round)."""
+        self.mf_heights_gather(*sender_outs)
+        return self.mf_stats()
+
     def mf_stats(self):
         s, t = self.meta["mf_s"], self.meta["mf_t"]
         ex = self.mf_e.copy()
@@ -3753,6 +3770,22 @@ class GraphEngine:
     def pieces(self, outs, q: int):
         """The args to pass to receiver ``q``'s gather for ``outs``."""
         return [o[q] if isinstance(o, list) else o for o in outs]
+
+    def gather_scatter(self, method: str, outs, *args):
+        """Fused receive-then-send stage: each shard consumes its
+        pieces of ``outs`` and returns a fresh scatter, with the same
+        wire-mode handling as scatter() — one BSP barrier instead of
+        two for gather stages whose output feeds the next exchange."""
+        if self.per_dest_refs and self.P > 1:
+            return [
+                getattr(s, method).options(num_returns=self.P).remote(
+                    *args, *self.pieces(outs, q))
+                for q, s in enumerate(self.shards)
+            ]
+        return [
+            getattr(s, method).remote(*args, *self.pieces(outs, q))
+            for q, s in enumerate(self.shards)
+        ]
 
     # -- construction --------------------------------------------------------
 

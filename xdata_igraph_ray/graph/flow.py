@@ -115,17 +115,26 @@ def _run_phase(engine: GraphEngine, s: int, t: int, phase: int,
     shards = engine.shards
     rounds = 0
     while True:
+        # 3-barrier round (was 5): push scatter -> fused push-gather +
+        # relabel-scatter -> fused heights-gather + stats.  Pushes and
+        # relabels are identical to the unfused sequence (the relabel
+        # reads post-push state either way).  On one node the rounds
+        # are numpy-compute-bound (~65 ms/round at ANY P on the 50x2000
+        # bench network — the active wave is O(active x deg) work), so
+        # the local gain is small; on a multi-node cluster each barrier
+        # is a network round-trip, and 88-round networks pay 2 fewer
+        # RTTs per round.
         outs = engine.scatter("mf_push_scatter")
-        ray.get([
-            shards[q].mf_push_gather.remote(*engine.pieces(outs, q))
-            for q in range(engine.P)
-        ])
-        outs = engine.scatter("mf_relabel_scatter")
-        ray.get([
-            shards[q].mf_heights_gather.remote(*engine.pieces(outs, q))
+        routs = engine.gather_scatter("mf_push_gather_relabel", outs)
+        stats = ray.get([
+            shards[q].mf_heights_gather_stats.remote(
+                *engine.pieces(routs, q))
             for q in range(engine.P)
         ])
         rounds += 1
+        active = sum(x["active"] for x in stats)
+        if active == 0:
+            return
         if rounds % global_relabel_every == 0:
             if phase == 1:
                 _global_relabel_p1(engine, t)
@@ -138,9 +147,6 @@ def _run_phase(engine: GraphEngine, s: int, t: int, phase: int,
                     for sh in engine.shards
                 ])
                 _sync_heights(engine)
-        active, _ = _stats(engine)
-        if active == 0:
-            return
         if rounds > cap:
             raise RuntimeError(f"maxflow: phase {phase} did not settle")
 
