@@ -102,11 +102,16 @@ def _local_move(
         # pre-damping would-move count instead
         full = rnd < sync_rounds
         sig_parts = [s.lou_sigma_split.remote() for s in shards]
-        sig_stats = ray.get([
+        # NOT ray.get'd here: actor tasks run in submission order per
+        # shard, so collect is guaranteed to precede answer on every
+        # owner; blocking the driver on the sigma exchange before
+        # submitting the scatter/candidates chain idled the actors for
+        # the exchange's round-trip each round.  sigsq is only needed
+        # after lou_move.
+        sig_stats_f = [
             shards[q].lou_sigma_collect.remote(*sig_parts)
             for q in range(engine.P)
-        ])
-        sigsq = sum(s[1] for s in sig_stats)
+        ]
         if use_delta:
             outs = engine.scatter("lou_delta_scatter")
             queries = [
@@ -130,6 +135,7 @@ def _local_move(
             )
             for q in range(engine.P)
         ])
+        sigsq = sum(s[1] for s in ray.get(sig_stats_f))
         moves = sum(r[0] for r in res)
         would = sum(r[1] for r in res)
         moved_any += moves
