@@ -114,12 +114,19 @@ def betweenness(
         sources = np.arange(engine.n)
     for ws in _ms_waves(engine, sources, wave):
         maxlevel = _ms_forward(engine, ws, max_level=cutoff)
+        # the whole backward sweep is one submitted DAG: per-actor
+        # submission order serializes scatter(lev) -> gather(lev) ->
+        # scatter(lev-1) on every shard, and cross-shard deps ride the
+        # refs — the driver needs nothing per level, so the per-level
+        # ray.get was a pure stall (43 levels x RTT on the bench graph)
+        gathers = []
         for lev in range(maxlevel, 0, -1):
             outs = engine.scatter("ms_bwd_scatter", lev)
-            ray.get([
+            gathers += [
                 shards[q].ms_bwd_gather.remote(lev, *engine.pieces(outs, q))
                 for q in range(engine.P)
-            ])
+            ]
+        ray.get(gathers)  # one barrier for the whole sweep (surfaces errors)
         ray.get([s.ms_accumulate_bc.remote() for s in shards])
     ray.get([s.ms_free.remote() for s in shards])
     return engine.state_arrays("bc")
@@ -146,12 +153,15 @@ def edge_betweenness(
         sources = np.arange(engine.n)
     for ws in _ms_waves(engine, sources, wave):
         maxlevel = _ms_forward(engine, ws, max_level=cutoff)
+        # one submitted DAG per sweep — see betweenness()
+        gathers = []
         for lev in range(maxlevel, 0, -1):
             outs = engine.scatter("ms_bwd_scatter", lev)
-            ray.get([
+            gathers += [
                 shards[q].ms_bwd_gather.remote(lev, *engine.pieces(outs, q))
                 for q in range(engine.P)
-            ])
+            ]
+        ray.get(gathers)  # one barrier for the whole sweep
         ship = engine.scatter("ms_eb_src_ship")
         ray.get([
             shards[q].ms_eb_accumulate.remote(*engine.pieces(ship, q))
