@@ -490,3 +490,16 @@ def test_louvain_cache_contract_matches_join_contract():
     eng.shutdown()
     assert len(a) == len(b)
     assert a.equals(b)
+
+
+def test_louvain_delta_matches_rebuild_powerlaw_midsize():
+    """Same delta==rebuild bit-identity on a 5000-vertex power-law web
+    graph (hubs, multi-levels of contraction engaged) — the shape the
+    bench kernels run on, vs the small adversarial graphs above."""
+    from xdata_igraph_ray.sources.synth import generate_edges
+
+    t = generate_edges(5000, seed=11)
+    a, ka = _louvain_df(t, 5000, delta="force")
+    b, kb = _louvain_df(t, 5000, delta="off")
+    assert ka == kb
+    assert a.equals(b)

@@ -3800,6 +3800,12 @@ class GraphEngine:
         bounds=None,
         symmetric: bool = False,
     ) -> "GraphEngine":
+        """``symmetric=True``: caller asserts the arc multiset is
+        symmetric; only the rv direction is routed/sorted and the fw
+        CSR aliases it (see GraphShard.finalize).  Safe for callers
+        that read fw only through order-insensitive reductions (the
+        community path); do NOT combine with _ensure_und traversals
+        (mode="all"), which would double every arc's multiplicity."""
         if isinstance(edges, pa.Table):
             refs = [ray.put(edges)]
         elif isinstance(edges, list):
