@@ -3389,29 +3389,45 @@ class GraphShard:
         self.mf_changed[mine - self.lo] = True
 
     def mf_resbfs_scatter(self, direction: str):
+        """Frontier-indexed residual BFS expansion: only the CHANGED
+        vertices' arcs are touched, so a whole BFS costs O(E) total —
+        the previous full-arc-mask version (np.repeat over every arc
+        at every level) cost O(E x depth) per BFS, the dominant hidden
+        cost of maxflow's periodic global relabels on deep networks
+        (~51 levels x 12 relabels on the 50x2000 bench network)."""
         d = self.mf_dist
-        act = self.mf_changed
+        idx = np.flatnonzero(self.mf_changed)
         keys_l, val_l = [], []
-        counts_f = np.diff(self.fw_indptr)
-        counts_r = np.diff(self.rv_indptr)
-        if direction == "to":
-            m = np.repeat(act, counts_r) & (
-                self.mf_rcap - self.mf_rflow > 1e-12
-            )
-            keys_l.append(self.rv_src[m])
-            val_l.append(np.repeat(d, counts_r)[m] + 1)
-            m = np.repeat(act, counts_f) & (self.mf_flow > 1e-12)
-            keys_l.append(self.fw_dst[m])
-            val_l.append(np.repeat(d, counts_f)[m] + 1)
-        else:
-            m = np.repeat(act, counts_f) & (
-                self.mf_cap - self.mf_flow > 1e-12
-            )
-            keys_l.append(self.fw_dst[m])
-            val_l.append(np.repeat(d, counts_f)[m] + 1)
-            m = np.repeat(act, counts_r) & (self.mf_rflow > 1e-12)
-            keys_l.append(self.rv_src[m])
-            val_l.append(np.repeat(d, counts_r)[m] + 1)
+        if len(idx):
+            if direction == "to":
+                specs = (
+                    (self.rv_indptr, self.rv_src, "rcap_rflow"),
+                    (self.fw_indptr, self.fw_dst, "flow_pos"),
+                )
+            else:
+                specs = (
+                    (self.fw_indptr, self.fw_dst, "cap_flow"),
+                    (self.rv_indptr, self.rv_src, "rflow_pos"),
+                )
+            for indptr, others, kind in specs:
+                fa, fb = indptr[idx], indptr[idx + 1]
+                lens = fb - fa
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                first = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                flat = (np.arange(tot) - np.repeat(first, lens)
+                        + np.repeat(fa, lens))
+                if kind == "rcap_rflow":
+                    m = self.mf_rcap[flat] - self.mf_rflow[flat] > 1e-12
+                elif kind == "flow_pos":
+                    m = self.mf_flow[flat] > 1e-12
+                elif kind == "cap_flow":
+                    m = self.mf_cap[flat] - self.mf_flow[flat] > 1e-12
+                else:
+                    m = self.mf_rflow[flat] > 1e-12
+                keys_l.append(others[flat[m]])
+                val_l.append(np.repeat(d[idx], lens)[m] + 1)
         keys = np.concatenate(keys_l) if keys_l else np.empty(0, np.int64)
         vals = np.concatenate(val_l) if val_l else np.empty(0, np.int64)
         return self._split_sparse_min(keys, vals)

@@ -81,13 +81,20 @@ def _resbfs(engine: GraphEngine, seeds, direction: str) -> None:
         s.mf_resbfs_init.remote(np.atleast_1d(np.asarray(seeds, np.int64)))
         for s in shards
     ])
+    # stop-check every 8 levels instead of every level: the frontier is
+    # monotone (once a level changes nothing, no later level can), so
+    # overshoot levels are exact no-ops — and with the frontier-indexed
+    # scatter they cost ~nothing, while the per-level ray.get was a
+    # driver stall x BFS depth (~51 on the layered bench network)
     while True:
-        outs = engine.scatter("mf_resbfs_scatter", direction)
-        stats = ray.get([
-            shards[q].mf_resbfs_gather.remote(*engine.pieces(outs, q))
-            for q in range(engine.P)
-        ])
-        if sum(s["changed"] for s in stats) == 0:
+        stats_f = []
+        for _ in range(8):
+            outs = engine.scatter("mf_resbfs_scatter", direction)
+            stats_f.extend(
+                shards[q].mf_resbfs_gather.remote(*engine.pieces(outs, q))
+                for q in range(engine.P)
+            )
+        if sum(s["changed"] for s in ray.get(stats_f)) == 0:
             break
 
 
@@ -157,7 +164,7 @@ def maxflow(
     t: int,
     with_flow: bool = True,
     with_cut: bool = True,
-    global_relabel_every: int = 8,
+    global_relabel_every: int = 16,
 ) -> dict:
     """Returns {"value", "flow" (Dataset src/dst/flow, optional),
     "partition1" (Dataset of s-side vids, optional), "cut" (Table of
