@@ -73,18 +73,37 @@ def _ms_forward(engine: GraphEngine, wave_sources,
     (undirected view — lazily-built union CSR on the shards)."""
     shards = engine.shards
     ray.get([s.ms_init.remote(wave_sources) for s in shards])
+    # stop-check every 4 levels: the frontier is monotone (a level that
+    # assigns nothing leaves every later level empty), so overshoot
+    # levels are exact no-ops and the backward pass tolerates them
+    # (empty masks); the per-level ray.get was a driver stall x BFS
+    # depth (43 levels on the power-law bench graph)
     level = 0
     while max_level is None or level < max_level:
-        outs = engine.scatter("ms_fwd_scatter", level, direction)
-        newly = sum(ray.get([
-            shards[q].ms_fwd_gather.remote(
-                level, *engine.pieces(outs, q), direction=direction
-            )
-            for q in range(engine.P)
-        ]))
-        if newly == 0:
+        batch = []
+        for _ in range(4):
+            if max_level is not None and level + len(batch) >= max_level:
+                break
+            outs = engine.scatter(
+                "ms_fwd_scatter", level + len(batch), direction)
+            batch.append([
+                shards[q].ms_fwd_gather.remote(
+                    level + len(batch), *engine.pieces(outs, q),
+                    direction=direction,
+                )
+                for q in range(engine.P)
+            ])
+        if not batch:
             break
-        level += 1
+        per_level = [sum(ray.get(refs)) for refs in batch]
+        done = False
+        for newly in per_level:
+            if newly == 0:
+                done = True
+                break
+            level += 1
+        if done:
+            break
     return level
 
 
