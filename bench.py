@@ -431,6 +431,31 @@ def scalerun(workload: str):
         with _Timed(queries, steal, workload):
             _, ncomm = louvain(edges, n=BENCH_V, P=P)
         extras["communities"] = ncomm
+    elif workload == "betweenness":
+        from xdata_igraph_ray.graph.centrality import betweenness
+
+        tri_path = _edges_parquet(TRI_V)
+        eng2 = GraphEngine.from_edges(
+            _read_pq(tri_path, override_num_blocks=P), n=TRI_V, P=P)
+        extras["edges"] = eng2.edge_count
+        import numpy as _np
+
+        with _Timed(queries, steal, workload):
+            bc = betweenness(
+                eng2, sources=_np.arange(0, TRI_V, TRI_V // 64), wave=64)
+        extras["bc_sum"] = round(float(bc.sum()), 2)
+        eng2.shutdown()
+    elif workload == "maxflow":
+        from xdata_igraph_ray.graph import flow as flowmod
+
+        mf_path = _layered_flow_parquet()
+        eng3 = flowmod.flow_network(
+            _read_pq(mf_path), n=50 * 2000 + 2, P=P)  # untimed build
+        with _Timed(queries, steal, workload):
+            r = flowmod.maxflow(eng3, 50 * 2000, 50 * 2000 + 1,
+                                with_flow=False, with_cut=False)
+        extras["maxflow_value"] = r["value"]
+        eng3.shutdown()
     elif workload in ("extract", "minhash"):
         # webtext data-pipeline stages over the sf fixture (these don't
         # consume the cached edge graph)
