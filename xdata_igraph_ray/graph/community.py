@@ -246,7 +246,11 @@ def louvain(
         t_mark[0] = now
 
     refs = edges if isinstance(edges, list) else block_refs(edges)
-    arcs = [_symmetrize.remote(r) for r in refs]
+    # level 0 builds straight from the DIRECTED refs via symmetrizing
+    # route tasks — the doubled arc table is never materialized; arcs
+    # holds symmetric refs only from level 1 on (contraction output),
+    # or lazily if the level-0 join-contract fallback needs it
+    arcs: list | None = None
     mapping: Dataset | None = None  # original vid -> current comm
     n_cur = n
     for level in range(max_levels):
@@ -254,8 +258,12 @@ def louvain(
         # down with them (each shard actor costs ~0.2 s to spawn and a
         # 6k-vertex level doesn't amortize 8 of them)
         P_lvl = max(2, min(P, n_cur // 4000)) if n_cur < 4000 * P else P
-        eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl, weighted=True,
-                                     symmetric=True)
+        if arcs is None:
+            eng = GraphEngine.from_edges(refs, n=n_cur, P=P_lvl,
+                                         weighted=True, symmetrize=True)
+        else:
+            eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl,
+                                         weighted=True, symmetric=True)
         _tick("engine build", level)
         # total und weight = sum of arc strengths / 2
         strengths = ray.get([
@@ -302,8 +310,12 @@ def louvain(
         if k >= n_cur - max(1, n_cur // 1000):
             n_cur = k
             break
-        arcs = new_arcs if new_arcs is not None else _contract(
-            arcs, lvl_map, P)
+        if new_arcs is not None:
+            arcs = new_arcs
+        else:
+            if arcs is None:  # join-contract fallback at level 0
+                arcs = [_symmetrize.remote(r) for r in refs]
+            arcs = _contract(arcs, lvl_map, P)
         _tick("contract", level)
         n_cur = k
     return mapping, n_cur

@@ -120,6 +120,52 @@ def _route(block: pa.Table, bounds, col: str):
     return tuple(out) if P > 1 else out[0]
 
 
+@ray.remote
+def _route_sym(block: pa.Table, bounds):
+    """Symmetrizing dst-route for rev-CSR ingest of a DIRECTED edge
+    block: each undirected edge {a, b} contributes the arc (a, b) to
+    owner(b) and (b, a) to owner(a) — both orientations emitted here,
+    so the caller never materializes the doubled arc table (louvain's
+    _symmetrize copied 2x the edges into the object store before
+    routing).  A self-loop (v, v) lands twice as two weight-w arcs —
+    equivalent to the 1-arc/2w convention for every consumer (strength
+    sums, candidate sums with loop weights zeroed, grouped
+    contraction)."""
+    from ..exchange import _coerce_arrow
+
+    block = _coerce_arrow(block)
+    P = len(bounds) - 1
+    s = block["src"].to_numpy()
+    d = block["dst"].to_numpy()
+    if len(s):
+        mx = max(int(s.max()), int(d.max()))
+        mn = min(int(s.min()), int(d.min()))
+        if mn < 0 or mx >= int(bounds[-1]):
+            raise ValueError(
+                f"edge endpoint out of range [0, {int(bounds[-1])}): "
+                f"min={mn}, max={mx} — pass a correct n"
+            )
+    w = (block["weight"].to_numpy().astype(np.float64)
+         if "weight" in block.column_names
+         else np.ones(len(s)))
+    key = np.concatenate((d, s))       # arc dst (= rev-CSR owner)
+    oth = np.concatenate((s, d))       # arc src
+    ww = np.concatenate((w, w))
+    part = np.searchsorted(bounds, key, side="right") - 1
+    order = np.argsort(part, kind="stable")
+    key, oth, ww = key[order], oth[order], ww[order]
+    cuts = np.searchsorted(part[order], np.arange(P + 1))
+    out = [
+        pa.table({
+            "src": oth[cuts[p]:cuts[p + 1]],
+            "dst": key[cuts[p]:cuts[p + 1]],
+            "weight": ww[cuts[p]:cuts[p + 1]],
+        })
+        for p in range(P)
+    ]
+    return tuple(out) if P > 1 else out[0]
+
+
 def _fs_for(path: str):
     """(pyarrow filesystem, path) for a local path or fs URI."""
     from pyarrow import fs as pafs
@@ -3815,13 +3861,18 @@ class GraphEngine:
         per_dest_refs: bool | None = None,
         bounds=None,
         symmetric: bool = False,
+        symmetrize: bool = False,
     ) -> "GraphEngine":
         """``symmetric=True``: caller asserts the arc multiset is
         symmetric; only the rv direction is routed/sorted and the fw
         CSR aliases it (see GraphShard.finalize).  Safe for callers
         that read fw only through order-insensitive reductions (the
         community path); do NOT combine with _ensure_und traversals
-        (mode="all"), which would double every arc's multiplicity."""
+        (mode="all"), which would double every arc's multiplicity.
+        ``symmetrize=True``: input refs are DIRECTED edges; the route
+        tasks emit both orientations (weight column added as 1.0 when
+        absent), building the same symmetric engine without ever
+        materializing the doubled arc table.  Implies symmetric."""
         if isinstance(edges, pa.Table):
             refs = [ray.put(edges)]
         elif isinstance(edges, list):
@@ -3863,6 +3914,8 @@ class GraphEngine:
         shards = [
             GraphShard.remote(p, bounds, n, weighted) for p in range(P)
         ]
+        if symmetrize:
+            symmetric = True
         fwd_parts: list[list] = [[] for _ in range(P)]
         rev_parts: list[list] = [[] for _ in range(P)]
         for r in refs:
@@ -3871,8 +3924,12 @@ class GraphEngine:
                 fparts = [fparts] if P == 1 else fparts
                 for p in range(P):
                     fwd_parts[p].append(fparts[p])
-            rparts = _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
-            rparts = [rparts] if P == 1 else rparts
+            router = (
+                _route_sym.options(num_returns=P if P > 1 else 1).remote(r, bounds)
+                if symmetrize else
+                _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
+            )
+            rparts = [router] if P == 1 else router
             for p in range(P):
                 rev_parts[p].append(rparts[p])
         waits = [] if symmetric else [
