@@ -76,7 +76,14 @@ def plan_bounds(refs, n: int, P: int) -> np.ndarray:
     endpoints (degree-based repartitioning: out-hubs shrink their
     range AND in-hubs shrink theirs — balancing only by src left the
     in-hub owner's rev CSR ~10x oversized, a measured 6.4 s finalize
-    straggler vs the 1.1 s median)."""
+    straggler vs the 1.1 s median).
+
+    The 'both' count is also exact for symmetrize=True builds: there
+    shard p holds every arc whose dst falls in its range, and each
+    directed input edge {a, b} lands once at owner(a) and once at
+    owner(b) — i.e. shard load == endpoint occurrences in range,
+    which is precisely what 'both' measures on the single-orientation
+    refs.  No doubled arc table is needed for planning."""
     width = max(1, -(-n // _PLAN_BUCKETS))
     nbuckets = -(-n // width)
     counts = sum(ray.get([_bucket_counts.remote(r, "both", width, nbuckets) for r in refs]))
@@ -326,6 +333,7 @@ class GraphShard:
                 own_by_other, ustarts, udsts, useg, uends)
 
     def finalize(self, symmetric: bool = False):
+        self.symmetric = bool(symmetric)
         (self.rv_indptr, self.rv_src, self.rv_w,
          self.rv_sperm, self.rv_src_sorted, self.rv_seg,
          self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
@@ -375,6 +383,12 @@ class GraphShard:
         kept — distances are unaffected, and the relation is
         symmetric, which the hub-broadcast receiver expansion relies
         on).  Built once per shard on first mode='all' traversal."""
+        if getattr(self, "symmetric", False):
+            # a symmetric engine aliases fw to rv: the union view would
+            # see every arc twice.  Fail loudly rather than corrupt.
+            raise RuntimeError(
+                "mode='all' traversal on a symmetric-aliased engine "
+                "(finalize(symmetric=True)); build a directed engine")
         if getattr(self, "und_indptr", None) is not None:
             return
         kf = np.repeat(
@@ -1736,8 +1750,17 @@ class GraphShard:
         is some vertex's current community, and the flush above made
         the cache current)."""
         dom = self._relabel_dom
-        return [offset + np.searchsorted(dom, self._piece(o))
-                for o in sender_outs]
+        out = []
+        for o in sender_outs:
+            q = self._piece(o)
+            idx = np.searchsorted(dom, q)
+            if len(q) and not np.array_equal(dom[np.minimum(
+                    idx, len(dom) - 1)], q):
+                raise RuntimeError(
+                    "lou_cache_rank_answer: cached label absent from "
+                    "renumber domain (stale cache — missing flush?)")
+            out.append(offset + idx)
+        return out
 
     def lou_contract_emit(self, k_total: int, *owner_answers):
         """Shard-local community contraction: every rv arc (u -> own v)
@@ -2409,6 +2432,11 @@ class GraphShard:
 
     def ms_fwd_scatter(self, level: int, direction: str = "fwd"):
         mask = self.ms_dist == level
+        if not mask.any():
+            # overshoot no-op level (the stop-check is batched):
+            # allocation-free — skip the dense np.where(mask, sigma, 0)
+            e = np.empty(0, np.int64)
+            return [(e, e.copy(), np.empty(0))] * self.P
         S = mask.shape[1]
         if direction == "fwd":
             indptr, targets = self.fw_indptr, self.fw_dst

@@ -87,14 +87,22 @@ def _resbfs(engine: GraphEngine, seeds, direction: str) -> None:
     # scatter they cost ~nothing, while the per-level ray.get was a
     # driver stall x BFS depth (~51 on the layered bench network)
     while True:
-        stats_f = []
+        level_refs = []
         for _ in range(8):
             outs = engine.scatter("mf_resbfs_scatter", direction)
-            stats_f.extend(
+            level_refs.append([
                 shards[q].mf_resbfs_gather.remote(*engine.pieces(outs, q))
                 for q in range(engine.P)
-            )
-        if sum(s["changed"] for s in ray.get(stats_f)) == 0:
+            ])
+        # per-level sums (gathers grouped per level): the frontier is
+        # monotone, so the first all-zero level proves convergence —
+        # break there instead of launching another full 8-level batch
+        done = False
+        for refs in level_refs:
+            if sum(s["changed"] for s in ray.get(refs)) == 0:
+                done = True
+                break
+        if done:
             break
 
 
