@@ -541,7 +541,23 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 class SimHasher:
     """64-bit SimHash over token hashes (stateful: compiled token
-    regex, kept as a class for the actor-pool pattern)."""
+    regex, kept as a class for the actor-pool pattern).
+
+    The batch path (:meth:`hash_column`) is a byte-level kernel over
+    the string column's raw UTF-8 buffer: maximal ``[A-Za-z0-9]+``
+    runs are located with the text.py lookup tables, ASCII-lowered,
+    gathered into one contiguous buffer, dictionary-encoded (so
+    ``pd.util.hash_array`` runs ONCE per batch over the unique
+    tokens, not once per document over Python objects), and the
+    per-document ±1 bit sums reduce with ``np.add.reduceat`` over
+    unpacked hash bits.  Bit-identical to the per-document
+    :meth:`simhash` except on text containing U+0130 or U+212A — the
+    only two code points whose ``str.lower()`` emits ASCII
+    alphanumerics (exhaustively enumerated) — which trigger an exact
+    per-document fallback for the batch."""
+
+    # UTF-8 byte sequences of U+0130 (c4 b0) and U+212A (e2 84 aa)
+    _RISKY = (b"\xc4\xb0", b"\xe2\x84\xaa")
 
     def __init__(self, text_col: str = "text"):
         from .text import TOKEN_RE
@@ -562,11 +578,103 @@ class SimHasher:
             ).astype(np.int64)
         )
 
+    def hash_column(self, col) -> np.ndarray:
+        """Vectorized simhash of an Arrow string column -> int64[n]."""
+        from .text import _ALNUM_LUT, _LOWER_LUT, _utf8_views
+
+        arr, data, offs = _utf8_views(col)
+        ndocs = len(offs) - 1
+        if len(data) and any(
+            data.tobytes().find(seq) != -1 for seq in self._RISKY
+        ):
+            return np.fromiter(
+                (self.simhash(t if t is not None else "")
+                 for t in arr.to_pylist()),
+                dtype=np.int64, count=ndocs,
+            )
+        out = np.zeros(ndocs, np.int64)
+        n = len(data)
+        if n == 0:
+            return out
+        mask = _ALNUM_LUT[data]
+        # token (run) starts/ends, broken at document boundaries
+        prev = np.zeros(n, np.bool_)
+        prev[1:] = mask[:-1]
+        prev[offs[:-1][offs[:-1] < n]] = False
+        starts = np.flatnonzero(mask & ~prev)
+        if not len(starts):
+            return out
+        # a run ends at p if mask[p] and the next position is a doc
+        # boundary, the buffer end, or non-alnum
+        nxt = np.zeros(n, np.bool_)
+        nxt[:-1] = mask[1:]
+        bnd = offs[1:-1]  # interior doc-start positions
+        nxt[bnd[bnd > 0] - 1] = False
+        ends = np.flatnonzero(mask & ~nxt)
+        lens = ends - starts + 1
+        tot = int(lens.sum())
+        # gather lowered token bytes into one contiguous buffer
+        first = np.concatenate(([0], np.cumsum(lens)))
+        flat = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(first[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        tok_data = _LOWER_LUT[data][flat]
+        tok_arr = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(first.astype(np.int32)),
+             pa.py_buffer(tok_data)],
+        )
+        enc = tok_arr.dictionary_encode()
+        uniq = np.asarray(
+            [b.decode("ascii") for b in enc.dictionary.to_pylist()],
+            dtype=object,
+        )
+        uh = pd.util.hash_array(uniq)
+        h = uh[enc.indices.to_numpy()]
+        # per-doc ±1 bit sums: unpack hash bits, reduceat per document
+        unpacked = np.unpackbits(
+            h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        did = np.searchsorted(offs, starts, side="right") - 1
+        ntok = np.bincount(did, minlength=ndocs)
+        nz = ntok > 0
+        ntok_nz = ntok[nz]
+        doc_first = np.concatenate(([0], np.cumsum(ntok)))[:-1][nz]
+        # two-level SWAR reduction: reduceat directly on the int32
+        # expansion is O(tot x 64 x 4) bytes of traffic (8 GB at 30M
+        # tokens).  Instead view each 64-byte bit row as 8 uint64
+        # words (8 independent 8-bit lanes each, zero-copy) and sum
+        # sub-segments of <= 255 tokens — no lane overflows — then
+        # finish with a second reduceat over the tiny per-subsegment
+        # matrix.
+        nsp = -(-ntok_nz // 255)
+        sp_first = np.concatenate(([0], np.cumsum(nsp)))
+        within = (
+            np.arange(int(sp_first[-1]), dtype=np.int64)
+            - np.repeat(sp_first[:-1], nsp)
+        )
+        fine = np.repeat(doc_first, nsp) + 255 * within
+        sub = np.add.reduceat(unpacked.view(np.uint64), fine, axis=0)
+        sub8 = (
+            sub.view(np.uint8).reshape(len(fine), 64).astype(np.int32)
+        )
+        ones = np.add.reduceat(sub8, sp_first[:-1], axis=0)
+        v = 2 * ones - ntok_nz[:, None]
+        sh = np.packbits(
+            (v > 0).astype(np.uint8), axis=1, bitorder="little"
+        ).view(np.uint64).ravel()
+        out[nz] = sh.astype(np.int64)
+        return out
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(),
-                "sh": df[self.text_col].map(self.simhash).astype("int64"),
+                "sh": self.hash_column(
+                    pa.array(df[self.text_col], type=pa.string())
+                ),
             }
         )
 
@@ -574,10 +682,7 @@ class SimHasher:
 @ray.remote
 def _simhash_block(tbl: pa.Table, text_col: str) -> pa.Table:
     hasher = SimHasher(text_col)
-    sh = np.fromiter(
-        (hasher.simhash(t) for t in tbl[text_col].to_pylist()),
-        dtype=np.int64, count=len(tbl),
-    )
+    sh = hasher.hash_column(tbl[text_col])
     return pa.table({"doc_id": tbl["doc_id"], "sh": sh})
 
 
