@@ -154,6 +154,14 @@ def _local_move(
             if q_ref is not None and q_start - q_ref < min_gain_frac:
                 break
             q_ref = q_start
+    if os.environ.get("XDATA_LOU_SHPROF"):
+        dumps = ray.get([s.lou_prof_dump.remote() for s in shards])
+        keys = sorted({k for d in dumps for k in d})
+        agg = {k: (max(d.get(k, 0.0) for d in dumps),
+                   sum(d.get(k, 0.0) for d in dumps)) for k in keys}
+        print("[lou-shprof] " + "  ".join(
+            f"{k}=max{mx:.2f}/sum{sm:.1f}" for k, (mx, sm) in agg.items()
+        ), flush=True)
     return moved_any, use_delta
 
 
@@ -258,12 +266,19 @@ def louvain(
         # down with them (each shard actor costs ~0.2 s to spawn and a
         # 6k-vertex level doesn't amortize 8 of them)
         P_lvl = max(2, min(P, n_cur // 4000)) if n_cur < 4000 * P else P
+        # collapse_multi: duplicate (u, v) arcs aggregate into summed
+        # weights at CSR build — exact for modularity (k_i, Sigma,
+        # candidate sums are weight sums; integer weights keep float
+        # adds exact) and it shrinks a web hub's resident arc list by
+        # its duplicate factor, de-straggling the shard that owns it
         if arcs is None:
             eng = GraphEngine.from_edges(refs, n=n_cur, P=P_lvl,
-                                         weighted=True, symmetrize=True)
+                                         weighted=True, symmetrize=True,
+                                         collapse_multi=True)
         else:
             eng = GraphEngine.from_edges(arcs, n=n_cur, P=P_lvl,
-                                         weighted=True, symmetric=True)
+                                         weighted=True, symmetric=True,
+                                         collapse_multi=True)
         _tick("engine build", level)
         # total und weight = sum of arc strengths / 2
         strengths = ray.get([

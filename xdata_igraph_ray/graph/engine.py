@@ -128,7 +128,7 @@ def _route(block: pa.Table, bounds, col: str):
 
 
 @ray.remote
-def _route_sym(block: pa.Table, bounds):
+def _route_sym(block: pa.Table, bounds, collapse: bool = False):
     """Symmetrizing dst-route for rev-CSR ingest of a DIRECTED edge
     block: each undirected edge {a, b} contributes the arc (a, b) to
     owner(b) and (b, a) to owner(a) — both orientations emitted here,
@@ -158,6 +158,21 @@ def _route_sym(block: pa.Table, bounds):
     key = np.concatenate((d, s))       # arc dst (= rev-CSR owner)
     oth = np.concatenate((s, d))       # arc src
     ww = np.concatenate((w, w))
+    n_tot = int(bounds[-1])
+    if collapse and len(key) and n_tot * n_tot < (1 << 62):
+        # per-block partial collapse (combiner): duplicate (dst, src)
+        # arcs within this block aggregate before shipping; the shard
+        # CSR build finishes the job across blocks (_csr_arrays).
+        # Exact for integer-valued weights (sums order-independent).
+        pack = key * np.int64(n_tot) + oth
+        order = np.argsort(pack)
+        ps = pack[order]
+        runs = np.ones(len(ps), dtype=bool)
+        runs[1:] = ps[1:] != ps[:-1]
+        idx = np.flatnonzero(runs)
+        key = key[order][idx]
+        oth = oth[order][idx]
+        ww = np.add.reduceat(ww[order], idx)
     part = np.searchsorted(bounds, key, side="right") - 1
     order = np.argsort(part, kind="stable")
     key, oth, ww = key[order], oth[order], ww[order]
@@ -265,7 +280,9 @@ class GraphShard:
     inside BSP calls; reserving a CPU per shard would let an engine of
     P shards starve every other task on a P-CPU node (actor-capacity
     deadlock).  The OS schedules the actual superstep compute."""
-    def __init__(self, part_id: int, bounds, n: int, weighted: bool):
+    def __init__(self, part_id: int, bounds, n: int, weighted: bool,
+                 collapse_multi: bool = False):
+        self.collapse_multi = bool(collapse_multi)
         self.p = part_id
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -300,6 +317,24 @@ class GraphShard:
         return self._csr_arrays(key, other, w, lo)
 
     def _csr_arrays(self, key, other, w, lo):
+        if (self.collapse_multi and w is not None and len(key)
+                and int(self.n) * int(self.n) < (1 << 62)):
+            # aggregate duplicate (key, other) arcs into summed
+            # weights — exact for weight-sum consumers (the community
+            # path: integer weights, order-independent sums).  A
+            # web-graph mega-hub's arc list shrinks by its duplicate
+            # factor (measured 25.8M -> 5.0M incident arcs on the
+            # 101.6M-edge bench hub), which is what keeps the shard
+            # that owns it from straggling every O(local arcs) phase.
+            pack = key * np.int64(self.n) + other
+            order = np.argsort(pack)
+            ps = pack[order]
+            runs = np.ones(len(ps), dtype=bool)
+            runs[1:] = ps[1:] != ps[:-1]
+            idx = np.flatnonzero(runs)
+            key = key[order][idx]
+            other = other[order][idx]
+            w = np.add.reduceat(w[order], idx)
         order = np.argsort(key, kind="stable")
         indptr = np.concatenate(
             ([0], np.cumsum(np.bincount(key - lo, minlength=self.size)))
@@ -1415,6 +1450,11 @@ class GraphShard:
         rounds unconditionally (tests).  Returns whether THIS shard
         can run delta rounds — the driver ANDs across shards."""
         self.state["comm"] = np.arange(self.lo, self.hi, dtype=np.int64)
+        # per-phase wall accumulator (XDATA_LOU_SHPROF=1 in the
+        # actor's env; fetched once via lou_prof_dump)
+        self._lou_prof = (
+            {} if os.environ.get("XDATA_LOU_SHPROF") else None
+        )
         # arc strength (the symmetric-arc representation makes this
         # the modularity k_i, loops pre-doubled by convention)
         self.meta["lou_k"] = self.out_strength.copy()
@@ -1471,9 +1511,14 @@ class GraphShard:
         (empty on round 0: lou_init pre-fills the candidate sums)."""
         if not self.P:
             return []
+        t0 = time.perf_counter() if self._lou_prof is not None else 0.0
         idx = np.flatnonzero(self.state["_lou_changed"])
-        return self._sub_scatter(self._lou_sub, idx,
-                                 self.state["comm"][idx])
+        out = self._sub_scatter(self._lou_sub, idx,
+                                self.state["comm"][idx])
+        if self._lou_prof is not None:
+            self._lou_prof["scatter"] = self._lou_prof.get(
+                "scatter", 0.0) + (time.perf_counter() - t0)
+        return out
 
     def lou_delta_candidates(self, *sender_outs):
         """Delta round: patch the per-arc community cache for moved
@@ -1482,6 +1527,17 @@ class GraphShard:
         assemble the same (_lou_cand_v/l/w, query) arrays the
         legacy O(E)-rebuild lou_candidates produces — bit-identical
         for integer-valued weights (test_louvain_delta_matches_rebuild)."""
+        prof = self._lou_prof
+        _t = time.perf_counter() if prof is not None else 0.0
+
+        def _mark(key):
+            nonlocal _t
+            if prof is None:
+                return
+            now = time.perf_counter()
+            prof[key] = prof.get(key, 0.0) + (now - _t)
+            _t = now
+
         width = np.int64(self.n)
         d_keys, d_ws = [], []
         for out in sender_outs:
@@ -1498,11 +1554,16 @@ class GraphShard:
                           + self.lo) * width
                     d_keys += [og + old[nz], og + newc[nz]]
                     d_ws += [-w[nz], w[nz]]
+        _mark("patch")
         K, W = self._lou_K, self._lou_W
         if d_keys:
             ks = np.concatenate(d_keys)
             ws = np.concatenate(d_ws)
-            order = np.argsort(ks, kind="stable")
+            # default (unstable) sort: 2.9x faster than stable on
+            # int64 here, and the fold's reduceat sums are
+            # order-independent for the integer-valued weights the
+            # delta path requires
+            order = np.argsort(ks)
             ks, ws = ks[order], ws[order]
             new = np.ones(len(ks), dtype=bool)
             new[1:] = ks[1:] != ks[:-1]
@@ -1522,6 +1583,7 @@ class GraphShard:
             if not keep.all():
                 K, W = K[keep], W[keep]
             self._lou_K, self._lou_W = K, W
+        _mark("fold")
         # assemble: stored sums + zero-weight own-community rows for
         # vertices whose (v, comm) key has no arc-derived row
         comm = self.state["comm"]
@@ -1538,17 +1600,21 @@ class GraphShard:
         self._lou_cand_v = (K // width) - self.lo
         self._lou_cand_l = K % width
         self._lou_cand_w = W.copy() if W is self._lou_W else W
+        _mark("assemble")
         # return_inverse: lou_move needs each candidate's position in
         # the sorted query (0.62 s vs 0.12+1.18 s for unique + a
         # separate 6.3M-row searchsorted, measured at bench scale)
         uniq, inv = np.unique(self._lou_cand_l, return_inverse=True)
         self._lou_query_inv = inv
         seg = np.searchsorted(uniq, self.bounds)
+        _mark("unique")
         return [uniq[seg[q]:seg[q + 1]] for q in range(self.P)]
 
     def lou_sigma_split(self):
         """Per-community k_i sums of OWN vertices, split by community
         owner (labels are vids, so bounds give ownership)."""
+        t0 = (time.perf_counter()
+              if getattr(self, "_lou_prof", None) is not None else 0.0)
         comm = self.state["comm"]
         k = self.meta["lou_k"]
         order = np.argsort(comm, kind="stable")
@@ -1556,6 +1622,9 @@ class GraphShard:
         uc, starts = np.unique(cs, return_index=True)
         sums = np.add.reduceat(ks, starts) if len(uc) else ks[:0]
         seg = np.searchsorted(uc, self.bounds)
+        if self._lou_prof is not None:
+            self._lou_prof["sigma_split"] = self._lou_prof.get(
+                "sigma_split", 0.0) + (time.perf_counter() - t0)
         return [
             (uc[seg[q]:seg[q + 1]], sums[seg[q]:seg[q + 1]])
             for q in range(self.P)
@@ -1657,6 +1726,17 @@ class GraphShard:
         improvements, i.e. m * the round's estimated modularity gain
         (exact for sequential moves; an upper-bound estimate under
         synchronous simultaneous moves) — the driver's epsilon stop."""
+        prof = self._lou_prof
+        _t = time.perf_counter() if prof is not None else 0.0
+
+        def _mark(key):
+            nonlocal _t
+            if prof is None:
+                return
+            now = time.perf_counter()
+            prof[key] = prof.get(key, 0.0) + (now - _t)
+            _t = now
+
         sig_by_label = np.concatenate(
             [self._piece(a) for a in owner_answers]
         )
@@ -1673,6 +1753,7 @@ class GraphShard:
         own = l == comm[v]
         eff_sig = sig - np.where(own, k[v], 0.0)
         score = w - k[v] * eff_sig / (2.0 * m_total)
+        _mark("score")
         # per vertex: best (score desc, label asc).  Candidate rows
         # arrive sorted by (v, l) from both assembly paths, so the
         # argmax is a segmented reduceat + first-occurrence-of-max scan
@@ -1719,7 +1800,11 @@ class GraphShard:
         # dQ stop signal is exact)
         own_w = float(np.sum(w[own]))
         self._lou_cand_v = self._lou_cand_l = self._lou_cand_w = None
+        _mark("move")
         return int(want.sum()), would, own_w
+
+    def lou_prof_dump(self) -> dict:
+        return dict(self._lou_prof or {})
 
     def lou_cache_flush(self, *sender_outs):
         """Patch the per-arc neighbor-community cache for the FINAL
@@ -3890,6 +3975,7 @@ class GraphEngine:
         bounds=None,
         symmetric: bool = False,
         symmetrize: bool = False,
+        collapse_multi: bool = False,
     ) -> "GraphEngine":
         """``symmetric=True``: caller asserts the arc multiset is
         symmetric; only the rv direction is routed/sorted and the fw
@@ -3940,7 +4026,8 @@ class GraphEngine:
         else:
             bounds = plan_bounds(refs, n, P)
         shards = [
-            GraphShard.remote(p, bounds, n, weighted) for p in range(P)
+            GraphShard.remote(p, bounds, n, weighted, collapse_multi)
+            for p in range(P)
         ]
         if symmetrize:
             symmetric = True
@@ -3953,7 +4040,8 @@ class GraphEngine:
                 for p in range(P):
                     fwd_parts[p].append(fparts[p])
             router = (
-                _route_sym.options(num_returns=P if P > 1 else 1).remote(r, bounds)
+                _route_sym.options(num_returns=P if P > 1 else 1).remote(
+                    r, bounds, collapse_multi)
                 if symmetrize else
                 _route.options(num_returns=P if P > 1 else 1).remote(r, bounds, "dst")
             )

@@ -95,38 +95,75 @@ def label_propagation(
     while it < max_iter:
         # past sync_iters (or once a plateau is detected), damp
         # oscillations with hash-subsampled rounds; every 4th round
-        # is full and decides convergence
-        full = (not damped_on and it < sync_iters) or it % 4 == 3
+        # is full and decides convergence.  In that damped regime
+        # ``full`` depends only on it%4, so there are no intra-batch
+        # schedule decisions: submit up to two 4-round groups (ending
+        # on full rounds) as one chained DAG and barrier ONCE — the
+        # convergence tail was superstep-LATENCY bound (26-200 ms
+        # rounds x a driver get each).  Overshoot rounds past a
+        # converged full round are exact no-ops (the LPA fixpoint is
+        # stable; damped rounds update a subset), so labels are
+        # bit-identical to the one-round-per-barrier loop.
+        damped_phase = (damped_on or it >= sync_iters) and (
+            os.environ.get("XDATA_LPA_BATCH", "1") != "0"
+        )
+        if damped_phase:
+            first_full = it + (3 - it % 4) % 4
+            rounds = [i for i in range(it, first_full + 5)
+                      if i < max_iter]
+            if rounds and rounds[-1] % 4 != 3:
+                rounds = rounds[:1]  # max_iter clamp mid-group
+        else:
+            rounds = [it]
         t_it = time.time()
-        outs = engine.scatter("lpa2_scatter")
-        stats = ray.get([
-            shards[q].lpa2_gather.remote(
-                None if full else it, *engine.pieces(outs, q))
-            for q in range(P)
-        ])
-        changed = sum(s["changed"] for s in stats)
-        pending = sum(s.get("pending", 0) for s in stats)
-        if full and plateau_patience is not None and not damped_on:
-            if (prev_full_changed is not None and changed > 0
-                    and changed >= 0.95 * prev_full_changed):
-                plateau_hits += 1
-                if plateau_hits >= plateau_patience:
-                    damped_on = True
-            else:
-                plateau_hits = 0
-            prev_full_changed = changed
-        done = changed == 0 and pending == 0 and full
-        if ckpt_root and (it % ckpt_every == 0 or done):
+        per_round = []
+        for i in rounds:
+            full_i = (not damped_on and i < sync_iters) or i % 4 == 3
+            outs = engine.scatter("lpa2_scatter")
+            per_round.append((i, full_i, [
+                shards[q].lpa2_gather.remote(
+                    None if full_i else i, *engine.pieces(outs, q))
+                for q in range(P)
+            ]))
+        all_stats = ray.get([r for _, _, refs in per_round
+                             for r in refs])
+        done = False
+        stats = None
+        for bi, (i, full, refs) in enumerate(per_round):
+            stats = all_stats[bi * P:(bi + 1) * P]
+            changed = sum(s["changed"] for s in stats)
+            pending = sum(s.get("pending", 0) for s in stats)
+            if full and plateau_patience is not None and not damped_on:
+                if (prev_full_changed is not None and changed > 0
+                        and changed >= 0.95 * prev_full_changed):
+                    plateau_hits += 1
+                    if plateau_hits >= plateau_patience:
+                        damped_on = True
+                else:
+                    plateau_hits = 0
+                prev_full_changed = changed
+            it = i + 1
+            if changed == 0 and pending == 0 and full:
+                done = True
+                break
+        # checkpoint at batch boundaries only: shard label state is
+        # post-batch, which equals post-round-``it-1`` (overshoot
+        # rounds after a converged full round change nothing), so the
+        # saved (iter, labels) pair stays consistent; the cadence may
+        # drift by up to the batch length
+        if ckpt_root and (
+            done or any(i % ckpt_every == 0 for i, _, _ in per_round[
+                :([i for i, _, _ in per_round].index(it - 1) + 1)])
+        ):
             rows = [
-                {"part": q, "iter": it, "msgs": 0, "bytes": 0,
+                {"part": q, "iter": it - 1, "msgs": 0, "bytes": 0,
                  "wall_s": time.time() - t_it,
                  "delta": float(stats[q]["changed"])}
                 for q in range(P)
             ]
             engine.checkpoint(
-                ckpt_root, "lpa", it, ["label"], rows, lineage
+                ckpt_root, "lpa", it - 1, ["label"], rows, lineage
             )
-        it += 1
         if done:
             break
 
