@@ -401,9 +401,12 @@ def scalerun(workload: str):
         from xdata_igraph_ray.graph.lpa import label_propagation
         from xdata_igraph_ray.graph.pagerank import pagerank
 
-        eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P)  # untimed
+        narrow = os.environ.get("GRAFT_NARROW", "0") == "1"
+        eng = GraphEngine.from_edges(edges, n=BENCH_V, P=P,
+                                     narrow=narrow)  # untimed
         extras["edges"] = eng.edge_count
         extras["per_dest_refs"] = eng.per_dest_refs
+        extras["narrow"] = narrow
         if workload == "pagerank":
             with _Timed(queries, steal, workload):
                 info = pagerank(eng, tol=1e-6)

@@ -97,3 +97,28 @@ def test_distributed_first_appearance_renumber():
 def test_route_rejects_out_of_range():
     with pytest.raises(Exception, match="out of range"):
         _engine([0, 5], [1, 99], n=10, P=2)
+
+
+def test_narrow_engine_identical():
+    """narrow=True (int32 CSR arrays) must be bit-identical to the
+    int64 engine for the north-rule kernels."""
+    from xdata_igraph_ray.graph.components import wcc as wcc_fn
+    from xdata_igraph_ray.graph.lpa import label_propagation
+    from xdata_igraph_ray.graph.pagerank import pagerank
+    from xdata_igraph_ray.sources.synth import generate_edges
+
+    edges = generate_edges(20_000, seed=5)
+    out = {}
+    for narrow in (False, True):
+        eng = GraphEngine.from_edges(edges, n=20_000, P=3, narrow=narrow)
+        pagerank(eng, tol=1e-8)
+        pr = eng.state_arrays("pr")
+        wcc_fn(eng)
+        w = eng.state_arrays("label")
+        label_propagation(eng, max_iter=80)
+        lab = eng.state_arrays("label")
+        out[narrow] = (pr, w, lab)
+        eng.shutdown()
+    np.testing.assert_array_equal(out[False][0], out[True][0])
+    np.testing.assert_array_equal(out[False][1], out[True][1])
+    np.testing.assert_array_equal(out[False][2], out[True][2])

@@ -281,8 +281,18 @@ class GraphShard:
     P shards starve every other task on a P-CPU node (actor-capacity
     deadlock).  The OS schedules the actual superstep compute."""
     def __init__(self, part_id: int, bounds, n: int, weighted: bool,
-                 collapse_multi: bool = False):
+                 collapse_multi: bool = False, narrow: bool = False):
         self.collapse_multi = bool(collapse_multi)
+        # narrow=True stores the O(E) CSR arrays (neighbor vids, arc
+        # permutations, run offsets) as int32 when n and the local arc
+        # count fit — halves resident bytes AND the per-superstep DRAM
+        # scan, the measured bottleneck of the bandwidth-bound
+        # kernels.  All packed-key arithmetic multiplies by an
+        # np.int64 width (promotes), and local id + lo stays < n <
+        # 2^31, so no intermediate can wrap.  Opt-in; validated
+        # end-to-end for the north-rule kernels (pagerank/wcc/lpa) by
+        # equality tests against the int64 engine.
+        self.narrow = bool(narrow) and int(n) < (1 << 31)
         self.p = part_id
         self.bounds = np.asarray(bounds, dtype=np.int64)
         self.P = len(self.bounds) - 1
@@ -364,6 +374,16 @@ class GraphShard:
         # O(P^2 * U) memory traffic per superstep at scale
         uends = (np.concatenate((ustarts[1:], [len(dsorted)]))
                  if len(ustarts) else np.empty(0, np.int64))
+        if self.narrow and len(other) < (1 << 31):
+            # int32 the O(E) arrays (values: vids < n < 2^31 or local
+            # arc indices < len(other) < 2^31); indptr/seg stay int64
+            other = other.astype(np.int32)
+            dperm = dperm.astype(np.int32)
+            dsorted = dsorted.astype(np.int32)
+            own_by_other = own_by_other.astype(np.int32)
+            ustarts = ustarts.astype(np.int32)
+            udsts = udsts.astype(np.int32)
+            uends = uends.astype(np.int32)
         return (indptr, other, w, dperm, dsorted, seg,
                 own_by_other, ustarts, udsts, useg, uends)
 
@@ -374,6 +394,7 @@ class GraphShard:
          self.rv_dst_by_src, self.rv_ustarts, self.rv_usrcs,
          self.rv_useg, self.rv_uends) = self._csr(
             self._rev, "dst", "src", self.lo)
+        self._rev = None  # free raw pieces before building fw (peak)
         if symmetric:
             # caller asserts the arc multiset is symmetric (every
             # {a, b} present both directions, loops pre-doubled —
@@ -1805,6 +1826,40 @@ class GraphShard:
 
     def lou_prof_dump(self) -> dict:
         return dict(self._lou_prof or {})
+
+    def mem_report(self) -> dict:
+        """Resident numpy bytes by family (soak instrumentation)."""
+        out = {"csr": 0, "state": 0, "caches": 0, "rss": 0}
+        csr_names = [a + b for a in ("fw_", "rv_", "und_") for b in (
+            "indptr", "dst", "src", "tgt", "w", "dperm", "sperm",
+            "dst_sorted", "src_sorted", "tgt_sorted", "seg",
+            "src_by_dst", "dst_by_src", "src_by_tgt", "ustarts",
+            "udsts", "usrcs", "utgts", "useg", "uends")]
+        seen = set()
+        for nm in csr_names:
+            v = getattr(self, nm, None)
+            if isinstance(v, np.ndarray) and id(v) not in seen:
+                seen.add(id(v))
+                out["csr"] += v.nbytes
+        for v in self.state.values():
+            if isinstance(v, np.ndarray):
+                out["state"] += v.nbytes
+        for nm in dir(self):
+            if nm.startswith("_") and not nm.startswith("__"):
+                try:
+                    v = getattr(self, nm)
+                except Exception:
+                    continue
+                if isinstance(v, np.ndarray) and id(v) not in seen:
+                    seen.add(id(v))
+                    out["caches"] += v.nbytes
+        try:
+            with open("/proc/self/statm") as f:
+                out["rss"] = int(f.read().split()[1]) * os.sysconf(
+                    "SC_PAGE_SIZE")
+        except Exception:
+            pass
+        return out
 
     def lou_cache_flush(self, *sender_outs):
         """Patch the per-arc neighbor-community cache for the FINAL
@@ -3976,6 +4031,7 @@ class GraphEngine:
         symmetric: bool = False,
         symmetrize: bool = False,
         collapse_multi: bool = False,
+        narrow: bool = False,
     ) -> "GraphEngine":
         """``symmetric=True``: caller asserts the arc multiset is
         symmetric; only the rv direction is routed/sorted and the fw
@@ -4026,7 +4082,8 @@ class GraphEngine:
         else:
             bounds = plan_bounds(refs, n, P)
         shards = [
-            GraphShard.remote(p, bounds, n, weighted, collapse_multi)
+            GraphShard.remote(p, bounds, n, weighted, collapse_multi,
+                              narrow)
             for p in range(P)
         ]
         if symmetrize:
