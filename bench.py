@@ -419,21 +419,29 @@ def scalerun(workload: str):
         else:
             with _Timed(queries, steal, workload):
                 info = label_propagation(eng, max_iter=60)
+            extras["iterations"] = info["iterations"]
+            extras["recv_bytes"] = info["recv_bytes"]
         eng.shutdown()
     elif workload == "triangles":
         from xdata_igraph_ray.graph.triangles import triangles
 
         tiny = _edges_parquet(20_000)
         triangles(_read_pq(tiny), n=20_000, P=P, per_vertex=False)  # warm
+        tri_stats: dict = {}
         with _Timed(queries, steal, workload):
-            total, _ = triangles(edges, n=BENCH_V, P=P, per_vertex=False)
+            total, _ = triangles(edges, n=BENCH_V, P=P,
+                                 per_vertex=False, stats=tri_stats)
         extras["triangles_total"] = total
+        extras.update(tri_stats)
     elif workload == "louvain":
+        from xdata_igraph_ray.graph import community as communitymod
         from xdata_igraph_ray.graph.community import louvain
 
         with _Timed(queries, steal, workload):
             _, ncomm = louvain(edges, n=BENCH_V, P=P)
         extras["communities"] = ncomm
+        extras["recv_bytes"] = communitymod.LAST_RUN_STATS.get(
+            "recv_bytes")
     elif workload == "betweenness":
         from xdata_igraph_ray.graph.centrality import betweenness
 

@@ -227,6 +227,11 @@ def _project_contract(t: pa.Table) -> pa.Table:
     )
 
 
+# per-run message-byte accounting for the most recent louvain() call
+# (local-move rounds across all levels); read by bench.py
+LAST_RUN_STATS: dict = {}
+
+
 def louvain(
     edges: Dataset | list,
     n: int,
@@ -253,6 +258,8 @@ def louvain(
               f"{now - t_mark[0]:.2f}s", flush=True)
         t_mark[0] = now
 
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS["recv_bytes"] = 0
     refs = edges if isinstance(edges, list) else block_refs(edges)
     # level 0 builds straight from the DIRECTED refs via symmetrizing
     # route tasks — the doubled arc table is never materialized; arcs
@@ -290,6 +297,13 @@ def louvain(
         _, use_delta = _local_move(
             eng, m_total, max_rounds, min_moves=n_cur // 200,
             min_gain_frac=min_gain_frac, delta=delta)
+        # local-move message-byte accounting (scatter + sigma + query
+        # traffic; contraction exchanges not included) — bench reads
+        # LAST_RUN_STATS for the bytes/iter attribution table
+        LAST_RUN_STATS["recv_bytes"] += sum(
+            d.get("recv_bytes", 0) for d in
+            ray.get([s.lou_prof_dump.remote() for s in eng.shards])
+        )
         _tick("local move", level)
         if use_delta:
             # the final round's movers were never published — bring the

@@ -1232,9 +1232,11 @@ class GraphShard:
                  and bool(self._lpa_hub_mask.any()))
         affected_parts = []
         n_patched = 0
+        recv_bytes = 0
         d_own, d_lbl, d_w = [], [], []
         for out in sender_outs:
             vids, labs = self._piece(out)
+            recv_bytes += vids.nbytes + labs.nbytes
             res = self._patch_cache(
                 self.state["_in_cache"], self.rv_ustarts, self.rv_usrcs,
                 self.rv_sperm, self.rv_uends, vids, labs, want_old=track,
@@ -1287,7 +1289,8 @@ class GraphShard:
             t0 = time.time()
         if len(affected) == 0:
             self.state["_lpa_changed"][:] = False
-            return {"changed": 0, "pending": 0, **(prof or {})}
+            return {"changed": 0, "pending": 0, "bytes": int(recv_bytes),
+                    **(prof or {})}
 
         if use_hubs:
             hm = self._lpa_hub_mask[affected]
@@ -1329,7 +1332,8 @@ class GraphShard:
         if not lbl_l and len(hub_aff) == 0:
             self.state["_lpa_changed"][:] = False
             self.state["_lpa_pending"] = np.empty(0, dtype=np.int64)
-            return {"changed": 0, "pending": 0, **(prof or {})}
+            return {"changed": 0, "pending": 0, "bytes": int(recv_bytes),
+                    **(prof or {})}
         if lbl_l:
             lbls = np.concatenate(lbl_l)
             owners = np.concatenate(own_l)
@@ -1382,6 +1386,7 @@ class GraphShard:
         return {
             "changed": int(changed.sum()),
             "pending": int((want & ~allowed).sum()),
+            "bytes": int(recv_bytes),
             **(prof or {}),
         }
 
@@ -1481,6 +1486,7 @@ class GraphShard:
         self.meta["lou_k"] = self.out_strength.copy()
         self.state["_lou_changed"] = np.zeros(self.size, dtype=bool)
         self._lou_K = self._lou_W = self._lou_sub = None
+        self._lou_recv = 0
         if delta == "off":
             return False
         if delta == "auto":
@@ -1563,6 +1569,7 @@ class GraphShard:
         d_keys, d_ws = [], []
         for out in sender_outs:
             vids, comms = self._piece(out)
+            self._lou_recv += vids.nbytes + comms.nbytes
             pos, old, newc = self._patch_cache(
                 self._lou_cache, self.rv_ustarts, self.rv_usrcs,
                 self.rv_sperm, self.rv_uends, vids, comms, want_old=True,
@@ -1655,6 +1662,7 @@ class GraphShard:
         labs, sums = [], []
         for o in sender_outs:
             l, s = self._piece(o)
+            self._lou_recv += l.nbytes + s.nbytes
             labs.append(l)
             sums.append(s)
         labs = np.concatenate(labs) if labs else np.empty(0, np.int64)
@@ -1728,6 +1736,7 @@ class GraphShard:
         out = []
         for o in sender_outs:
             q = self._piece(o)
+            self._lou_recv += q.nbytes
             pos = np.searchsorted(self._lou_sig_lab, q)
             ok = (pos < len(self._lou_sig_lab)) & (
                 self._lou_sig_lab[np.minimum(
@@ -1761,6 +1770,7 @@ class GraphShard:
         sig_by_label = np.concatenate(
             [self._piece(a) for a in owner_answers]
         )
+        self._lou_recv += sig_by_label.nbytes
         # align: owner answers arrive in owner order, i.e. exactly the
         # sorted-label order of the query; the inverse was
         # precomputed by the candidate assembly's np.unique
@@ -1825,7 +1835,9 @@ class GraphShard:
         return int(want.sum()), would, own_w
 
     def lou_prof_dump(self) -> dict:
-        return dict(self._lou_prof or {})
+        out = dict(self._lou_prof or {})
+        out["recv_bytes"] = int(getattr(self, "_lou_recv", 0))
+        return out
 
     def mem_report(self) -> dict:
         """Resident numpy bytes by family (soak instrumentation)."""

@@ -91,6 +91,7 @@ def label_propagation(
     # None disables — the replay oracles pin all-full supersteps.
     damped_on = False
     plateau_hits = 0
+    recv_bytes = 0
     prev_full_changed: int | None = None
     while it < max_iter:
         # past sync_iters (or once a plateau is detected), damp
@@ -127,6 +128,7 @@ def label_propagation(
             ]))
         all_stats = ray.get([r for _, _, refs in per_round
                              for r in refs])
+        recv_bytes += sum(s.get("bytes", 0) for s in all_stats)
         done = False
         stats = None
         for bi, (i, full, refs) in enumerate(per_round):
@@ -177,5 +179,6 @@ def label_propagation(
         "iterations": it - start_iter,
         "communities": ncomm,
         "wall_s": time.time() - t0,
+        "recv_bytes": int(recv_bytes),
         "resumed_from": start_iter - 1 if restored else None,
     }

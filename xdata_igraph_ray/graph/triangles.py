@@ -71,10 +71,23 @@ def _rank(deg: np.ndarray, vid: np.ndarray) -> np.ndarray:
     return deg.astype(np.int64) * (1 << 40) + vid
 
 
-def _triangle_matches(edges: Dataset | list, P: int):
+@ray.remote
+def _tbl_bytes(t: pa.Table) -> int:
+    return int(t.nbytes)
+
+
+def _stage_bytes(stats, key, refs):
+    if stats is not None:
+        stats[key] = int(sum(ray.get([_tbl_bytes.remote(r) for r in refs])))
+
+
+def _triangle_matches(edges: Dataset | list, P: int, stats=None):
     """Shared wedge-probe pipeline: refs of (pivot, x, y) rows, one
-    per triangle."""
+    per triangle.  ``stats`` (optional dict) receives the byte size of
+    each shuffled intermediate — the kernel's wire-traffic
+    attribution (support/oriented/wedges/matches)."""
     und = undirected_support(edges, P=P)
+    _stage_bytes(stats, "support_bytes", und)
 
     # degrees on the simplified support
     def both(t: pa.Table) -> pa.Table:
@@ -97,11 +110,13 @@ def _triangle_matches(edges: Dataset | list, P: int):
         keys=["b"], P=P, as_refs=True,
     )
     oriented = [_orient.remote(r) for r in j2]
+    _stage_bytes(stats, "oriented_bytes", oriented)
 
     # wedges per pivot (exchange keyed by pivot, pair-expand per group)
     wedges = exchange(
         oriented, ["pivot"], P=P, reduce_fn=_wedges_of_partition, as_refs=True
     )
+    _stage_bytes(stats, "wedge_bytes", wedges)
 
     # probe wedges against oriented edges on (x, y)
     return hash_join(
@@ -119,12 +134,14 @@ def triangles(
     n: int,
     P: int = DEFAULT_PARTITIONS,
     per_vertex: bool = True,
+    stats=None,
 ):
     """Returns (total_triangles, per-vertex Dataset (vid, count) or None).
 
     Per-vertex counts are igraph_adjacent_triangles semantics
     (src/triangles.c:507-546)."""
-    matches = _triangle_matches(edges, P)
+    matches = _triangle_matches(edges, P, stats=stats)
+    _stage_bytes(stats, "match_bytes", matches)
     total = int(sum(ray.get([_rows.remote(r) for r in matches])))
     if not per_vertex:
         return total, None
