@@ -117,12 +117,16 @@ class _StorePeak(threading.Thread):
 
     def spill_bytes(self) -> int:
         tot = 0
-        for d in glob.glob("/tmp/ray/session_*/ray_spilled_objects*"):
-            for f in glob.glob(os.path.join(d, "*")):
-                try:
-                    tot += os.path.getsize(f)
-                except OSError:
-                    pass
+        pats = ("/tmp/ray/session_*/ray_spilled_objects*",
+                "/tmp/ray/ray/session_*/ray_spilled_objects*",
+                "/tmp/ray/*/session_*/ray_spilled_objects*")
+        for pat in pats:
+            for d in glob.glob(pat):
+                for f in glob.glob(os.path.join(d, "*")):
+                    try:
+                        tot += os.path.getsize(f)
+                    except OSError:
+                        pass
         return tot
 
 

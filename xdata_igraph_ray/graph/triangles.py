@@ -81,6 +81,12 @@ def _stage_bytes(stats, key, refs):
         stats[key] = int(sum(ray.get([_tbl_bytes.remote(r) for r in refs])))
 
 
+def _both_endpoints(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
+    )
+
+
 def _triangle_matches(edges: Dataset | list, P: int, stats=None):
     """Shared wedge-probe pipeline: refs of (pivot, x, y) rows, one
     per triangle.  ``stats`` (optional dict) receives the byte size of
@@ -89,14 +95,8 @@ def _triangle_matches(edges: Dataset | list, P: int, stats=None):
     und = undirected_support(edges, P=P)
     _stage_bytes(stats, "support_bytes", und)
 
-    # degrees on the simplified support
-    def both(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"vid": np.concatenate((t["a"].to_numpy(), t["b"].to_numpy()))}
-        )
-
     deg = groupby_agg(
-        [_project.remote(both, r) for r in und],
+        [_project.remote(_both_endpoints, r) for r in und],
         ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
     )
 
@@ -129,23 +129,156 @@ def _triangle_matches(edges: Dataset | list, P: int, stats=None):
     )
 
 
+@ray.remote
+def _wedge_est(tbl: pa.Table) -> int:
+    """Exact wedge count of a pivot partition: sum C(k, 2)."""
+    piv = tbl["pivot"].to_numpy()
+    if not len(piv):
+        return 0
+    _, counts = np.unique(piv, return_counts=True)
+    return int(np.sum(counts * (counts - 1) // 2))
+
+
+@ray.remote
+def _wave_split(tbl: pa.Table, wave: int, waves: int, P: int):
+    """This wave's wedges of one pivot partition, hash-split by
+    (x, y) for the probe join."""
+    from ..exchange import split_by_hash
+
+    parts = split_by_hash(_wedge_pairs(tbl, wave, waves), ["x", "y"], P)
+    return tuple(parts) if P > 1 else parts[0]
+
+
+@ray.remote(num_returns=2)
+def _wave_match(per_vertex: bool, probe: pa.Table, *wedge_parts):
+    """Join one (x, y) partition's wave wedges against its probe
+    bucket; returns (match count, per-corner count partial)."""
+    tbls = [t for t in wedge_parts if t is not None and len(t)]
+    if not tbls:
+        return 0, pa.table({"vid": pa.array([], pa.int64()),
+                            "c": pa.array([], pa.int64())})
+    w = pa.concat_tables(tbls, promote_options="default")
+    m = w.join(probe, keys=["x", "y"], join_type="inner",
+               use_threads=False)
+    if not per_vertex or m.num_rows == 0:
+        return m.num_rows, pa.table({"vid": pa.array([], pa.int64()),
+                                     "c": pa.array([], pa.int64())})
+    vid = np.concatenate((m["x"].to_numpy(), m["y"].to_numpy(),
+                          m["pivot"].to_numpy()))
+    uv, cnt = np.unique(vid, return_counts=True)
+    return m.num_rows, pa.table({"vid": uv, "c": cnt.astype(np.int64)})
+
+
+@ray.remote
+def _merge_counts(acc: pa.Table | None, part: pa.Table) -> pa.Table:
+    if acc is None or len(acc) == 0:
+        return part
+    if len(part) == 0:
+        return acc
+    vid = np.concatenate((acc["vid"].to_numpy(), part["vid"].to_numpy()))
+    c = np.concatenate((acc["c"].to_numpy(), part["c"].to_numpy()))
+    uv, inv = np.unique(vid, return_inverse=True)
+    sums = np.zeros(len(uv), np.int64)
+    np.add.at(sums, inv, c)
+    return pa.table({"vid": uv, "c": sums})
+
+
 def triangles(
     edges: Dataset | list,
     n: int,
     P: int = DEFAULT_PARTITIONS,
     per_vertex: bool = True,
     stats=None,
+    wave_budget_bytes: int | None = None,
 ):
     """Returns (total_triangles, per-vertex Dataset (vid, count) or None).
 
     Per-vertex counts are igraph_adjacent_triangles semantics
-    (src/triangles.c:507-546)."""
-    matches = _triangle_matches(edges, P, stats=stats)
-    _stage_bytes(stats, "match_bytes", matches)
-    total = int(sum(ray.get([_rows.remote(r) for r in matches])))
+    (src/triangles.c:507-546).
+
+    WAVE-BATCHED: the wedge table (sum of C(oriented-outdeg, 2) rows)
+    is never materialized whole.  Pivot rows expand in waves keyed by
+    a hash of the lower-rank wedge member; each wave's probes are
+    joined, counted, and freed before the next wave starts, so peak
+    wedge footprint is ~wave_budget_bytes regardless of graph size
+    (the monolithic wedge exchange spilled >200 GB to disk and died
+    on the 10^9-edge soak).  The probe buckets and pivot partitions
+    are exchanged ONCE and reused across waves.  One wave reproduces
+    the old single-shot pipeline."""
+    import os as _os
+
+    und = undirected_support(edges, P=P)
+    _stage_bytes(stats, "support_bytes", und)
+    deg = groupby_agg(
+        [_project.remote(_both_endpoints, r) for r in und],
+        ["vid"], [(None, "count", "deg")], P=P, as_refs=True,
+    )
+    j1 = hash_join(
+        und, [_rename.remote(r, {"vid": "a", "deg": "deg_a"}) for r in deg],
+        keys=["a"], P=P, as_refs=True,
+    )
+    j2 = hash_join(
+        j1, [_rename.remote(r, {"vid": "b", "deg": "deg_b"}) for r in deg],
+        keys=["b"], P=P, as_refs=True,
+    )
+    oriented = [_orient.remote(r) for r in j2]
+    _stage_bytes(stats, "oriented_bytes", oriented)
+    piv_parts = exchange(oriented, ["pivot"], P=P, as_refs=True)
+    probe_parts = exchange(
+        [_probe_table.remote(r) for r in oriented], ["x", "y"], P=P,
+        as_refs=True,
+    )
+    wedge_rows = int(sum(ray.get([_wedge_est.remote(r)
+                                  for r in piv_parts])))
+    budget = wave_budget_bytes or int(_os.environ.get(
+        "XDATA_TRI_WAVE_BYTES", str(8 << 30)))
+    W = max(1, int(-(-wedge_rows * 24 // budget)))
+    if stats is not None:
+        stats["wedge_rows"] = wedge_rows
+        stats["wedge_bytes"] = wedge_rows * 24
+        stats["waves"] = W
+    total = 0
+    match_rows = 0
+    acc: list = [None] * P
+    for w in range(W):
+        spl: list[list] = [[] for _ in range(P)]
+        for r in piv_parts:
+            outs = _wave_split.options(
+                num_returns=P if P > 1 else 1).remote(r, w, W, P)
+            outs = [outs] if P == 1 else outs
+            for p, o in enumerate(outs):
+                spl[p].append(o)
+        cnt_refs, corner_refs = [], []
+        for p in range(P):
+            c_ref, k_ref = _wave_match.remote(
+                per_vertex, probe_parts[p], *spl[p])
+            cnt_refs.append(c_ref)
+            corner_refs.append(k_ref)
+        if per_vertex:
+            for p in range(P):
+                acc[p] = _merge_counts.remote(acc[p], corner_refs[p])
+        # barrier per wave: frees this wave's wedge pieces before the
+        # next wave expands
+        counts = ray.get(cnt_refs)
+        match_rows += int(sum(counts))
+    total = match_rows
+    if stats is not None:
+        stats["match_rows"] = match_rows
     if not per_vertex:
         return total, None
-    return _per_vertex_counts(matches, n, P, total)
+    zeros = block_refs(
+        rd.range(n).map_batches(
+            lambda b: pa.table(
+                {"vid": b["id"], "c": np.zeros(len(b["id"]), np.int64)}
+            ),
+            batch_format="numpy",
+        )
+    )
+    counts = groupby_agg(
+        [a for a in acc if a is not None] + zeros,
+        ["vid"], [("c", "sum", "count")], P=P,
+    )
+    return total, counts
 
 
 def list_triangles(edges: Dataset | list,
@@ -221,13 +354,25 @@ def _orient(tbl: pa.Table) -> pa.Table:
     )
 
 
-def _wedges_of_partition(tbl: pa.Table) -> pa.Table:
-    """All rank-ordered out-neighbor pairs per pivot: probes (x,y,pivot)."""
+_EMPTY_WEDGES = None
+
+
+def _empty_wedges() -> pa.Table:
+    return pa.table(
+        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
+         "pivot": pa.array([], pa.int64())}
+    )
+
+
+def _wedge_pairs(tbl: pa.Table, wave: int = 0, waves: int = 1) -> pa.Table:
+    """Rank-ordered out-neighbor pairs per pivot: probes (x, y, pivot).
+
+    ``waves > 1`` emits only the pairs whose LOWER-rank member x hashes
+    into this wave — partitioning by x (not pivot) keeps a mega-hub
+    pivot's O(sqrt(m)^2) pair block spread evenly across waves, so
+    each wave's wedge table is ~total/waves regardless of skew."""
     if len(tbl) == 0:
-        return pa.table(
-            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
-             "pivot": pa.array([], pa.int64())}
-        )
+        return _empty_wedges()
     piv = tbl["pivot"].to_numpy()
     head = tbl["head"].to_numpy()
     rk = tbl["rank_head"].to_numpy()
@@ -240,20 +385,30 @@ def _wedges_of_partition(tbl: pa.Table) -> pa.Table:
     pos = np.arange(len(piv)) - np.repeat(starts, sizes)
     k = np.repeat(sizes, sizes)
     tail = k - 1 - pos  # pairs where this row is the lower-rank member
+    if waves > 1:
+        with np.errstate(over="ignore"):
+            h = (head.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        tail = np.where(h % np.uint64(waves) == np.uint64(wave), tail, 0)
     total = int(tail.sum())
     if total == 0:
-        return pa.table(
-            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
-             "pivot": pa.array([], pa.int64())}
-        )
-    row_i = np.repeat(np.arange(len(piv)), tail)
-    # offset of each pair within its row's tail
-    first_pair = np.concatenate(([0], np.cumsum(tail)))[:-1]
+        return _empty_wedges()
+    sel = np.flatnonzero(tail)
+    t_sel = tail[sel]
+    row_i = np.repeat(sel, t_sel)
+    first_pair = np.zeros(len(tail), np.int64)
+    first_pair[sel] = np.concatenate(([0], np.cumsum(t_sel)))[:-1]
     off = np.arange(total) - first_pair[row_i]
     row_j = row_i + 1 + off
     return pa.table(
         {"x": head[row_i], "y": head[row_j], "pivot": piv[row_i]}
     )
+
+
+def _wedges_of_partition(tbl: pa.Table) -> pa.Table:
+    """All rank-ordered out-neighbor pairs per pivot (full set —
+    list_triangles / matches path)."""
+    return _wedge_pairs(tbl, 0, 1)
 
 
 @ray.remote
