@@ -166,7 +166,8 @@ def _wave_match(per_vertex: bool, probe: pa.Table, *wedge_parts):
     vid = np.concatenate((m["x"].to_numpy(), m["y"].to_numpy(),
                           m["pivot"].to_numpy()))
     uv, cnt = np.unique(vid, return_counts=True)
-    return m.num_rows, pa.table({"vid": uv, "c": cnt.astype(np.int64)})
+    return m.num_rows, pa.table({"vid": uv.astype(np.int64),
+                                 "c": cnt.astype(np.int64)})
 
 
 @ray.remote
@@ -223,11 +224,16 @@ def triangles(
     )
     oriented = [_orient.remote(r) for r in j2]
     _stage_bytes(stats, "oriented_bytes", oriented)
+    # drop upstream refs so plasma frees each stage as the next one
+    # lands (at soak scale every live stage is ~15-30 GB; holding the
+    # whole chain spilled past the disk)
+    del und, deg, j1, j2
     piv_parts = exchange(oriented, ["pivot"], P=P, as_refs=True)
     probe_parts = exchange(
         [_probe_table.remote(r) for r in oriented], ["x", "y"], P=P,
         as_refs=True,
     )
+    del oriented
     wedge_rows = int(sum(ray.get([_wedge_est.remote(r)
                                   for r in piv_parts])))
     budget = wave_budget_bytes or int(_os.environ.get(
@@ -292,7 +298,7 @@ def list_triangles(edges: Dataset | list,
     def rows(t: pa.Table) -> pa.Table:
         tri = np.sort(np.stack([t["pivot"].to_numpy(),
                                 t["x"].to_numpy(),
-                                t["y"].to_numpy()]), axis=0)
+                                t["y"].to_numpy()]), axis=0).astype(np.int64)
         return pa.table({"a": tri[0], "b": tri[1], "c": tri[2]})
 
     return to_dataset([_project.remote(rows, r) for r in matches])
@@ -345,6 +351,12 @@ def _orient(tbl: pa.Table) -> pa.Table:
     lo_first = ra < rb
     pivot = np.where(lo_first, a, b)
     head = np.where(lo_first, b, a)
+    if len(pivot) == 0 or max(int(pivot.max()), int(head.max())) < (1 << 31):
+        # int32 vids: the oriented + probe tables are the largest
+        # resident intermediates at soak scale — half the bytes, half
+        # the spill (wedge x/y and the join keys inherit the dtype)
+        pivot = pivot.astype(np.int32)
+        head = head.astype(np.int32)
     return pa.table(
         {
             "pivot": pivot,
@@ -354,13 +366,11 @@ def _orient(tbl: pa.Table) -> pa.Table:
     )
 
 
-_EMPTY_WEDGES = None
-
-
-def _empty_wedges() -> pa.Table:
+def _empty_wedges(dt=np.int64) -> pa.Table:
+    t = pa.from_numpy_dtype(np.dtype(dt))
     return pa.table(
-        {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64()),
-         "pivot": pa.array([], pa.int64())}
+        {"x": pa.array([], t), "y": pa.array([], t),
+         "pivot": pa.array([], t)}
     )
 
 
@@ -372,7 +382,8 @@ def _wedge_pairs(tbl: pa.Table, wave: int = 0, waves: int = 1) -> pa.Table:
     pivot's O(sqrt(m)^2) pair block spread evenly across waves, so
     each wave's wedge table is ~total/waves regardless of skew."""
     if len(tbl) == 0:
-        return _empty_wedges()
+        return _empty_wedges(tbl["pivot"].type.to_pandas_dtype()
+                             if len(tbl.schema) else np.int64)
     piv = tbl["pivot"].to_numpy()
     head = tbl["head"].to_numpy()
     rk = tbl["rank_head"].to_numpy()
@@ -392,7 +403,7 @@ def _wedge_pairs(tbl: pa.Table, wave: int = 0, waves: int = 1) -> pa.Table:
         tail = np.where(h % np.uint64(waves) == np.uint64(wave), tail, 0)
     total = int(tail.sum())
     if total == 0:
-        return _empty_wedges()
+        return _empty_wedges(head.dtype)
     sel = np.flatnonzero(tail)
     t_sel = tail[sel]
     row_i = np.repeat(sel, t_sel)
@@ -417,10 +428,7 @@ def _probe_table(tbl: pa.Table) -> pa.Table:
     y=head) ordered by rank — but wedge pairs (x, y) are rank-ordered,
     and an edge between x and y is oriented x->y exactly when
     rank(x)<rank(y), so the oriented pair matches directly."""
-    return pa.table(
-        {"x": tbl["pivot"], "y": tbl["head"],
-         "hit": pa.array(np.ones(len(tbl), np.int8))}
-    )
+    return pa.table({"x": tbl["pivot"], "y": tbl["head"]})
 
 
 @ray.remote
@@ -428,8 +436,9 @@ def _corners(tbl: pa.Table) -> pa.Table:
     return pa.table(
         {
             "vid": np.concatenate(
-                (tbl["x"].to_numpy(), tbl["y"].to_numpy(), tbl["pivot"].to_numpy())
-            ),
+                (tbl["x"].to_numpy(), tbl["y"].to_numpy(),
+                 tbl["pivot"].to_numpy())
+            ).astype(np.int64),
             "c": np.ones(3 * len(tbl), np.int64),
         }
     )
