@@ -467,6 +467,34 @@ def scalerun(workload: str):
                                 with_flow=False, with_cut=False)
         extras["maxflow_value"] = r["value"]
         eng3.shutdown()
+    elif workload in ("extract10x", "minhash10x"):
+        # 10x-the-fixture corpora so the compute portion dominates the
+        # fixed session/stage overhead (the sf0.1 legs are floor-bound:
+        # 100k pages / 5k docs — BASELINE §7 webtext table)
+        if workload == "extract10x":
+            from xdata_igraph_ray.sources.synth import generate_pages
+            from xdata_igraph_ray.stages.extract import extracted_edges
+
+            paths = generate_pages("/tmp/graft_bench/pages_1m",
+                                   1_000_000, seed=42)
+            pages = rd.read_parquet(paths["pages"],
+                                    override_num_blocks=2 * P)
+            pages.count()  # warm the read
+            with _Timed(queries, steal, workload):
+                out = extracted_edges(pages).materialize()
+            extras["rows"] = out.count()
+        else:
+            from xdata_igraph_ray.sources.synth import generate_documents
+            from xdata_igraph_ray.stages.dedup import minhash_lsh_pairs
+
+            ddir = generate_documents("/tmp/graft_bench/docs_100k",
+                                      100_000, seed=42)
+            docs = rd.read_parquet(ddir, override_num_blocks=P)
+            docs.count()  # warm
+            with _Timed(queries, steal, workload):
+                out = minhash_lsh_pairs(
+                    docs, threshold=0.7, P=P).materialize()
+            extras["rows"] = out.count()
     elif workload in ("extract", "minhash"):
         # webtext data-pipeline stages over the sf fixture (these don't
         # consume the cached edge graph)

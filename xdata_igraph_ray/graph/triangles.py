@@ -140,12 +140,41 @@ def _wedge_est(tbl: pa.Table) -> int:
 
 
 @ray.remote
-def _wave_split(tbl: pa.Table, wave: int, waves: int, P: int):
+def _wave_split(tbl: pa.Table, wave: int, waves: int, P: int,
+                agg: bool = False):
     """This wave's wedges of one pivot partition, hash-split by
-    (x, y) for the probe join."""
+    (x, y) for the probe join.
+
+    ``agg=True`` (count-only mode): aggregate to (x, y, cnt) before
+    shipping.  On web graphs the same (x, y) pair recurs once per
+    common lower-rank neighbor — two mega-hubs shared ~58M pivots on
+    the 10^9-edge soak graph, i.e. 58M IDENTICAL rows all hashing to
+    one wave+partition (a 20 GB straggler task) — and a triangle
+    count only needs the multiplicity."""
     from ..exchange import split_by_hash
 
-    parts = split_by_hash(_wedge_pairs(tbl, wave, waves), ["x", "y"], P)
+    pairs = _wedge_pairs(tbl, wave, waves)
+    # the (x << 31 | y) pack needs vids < 2^31, i.e. the int32 path
+    agg = agg and pairs["x"].type == pa.int32()
+    if agg:
+        dt = pairs["x"].type.to_pandas_dtype()
+        if len(pairs):
+            x = pairs["x"].to_numpy().astype(np.int64)
+            y = pairs["y"].to_numpy().astype(np.int64)
+            pack = (x << np.int64(31)) | y
+            uk, cnt = np.unique(pack, return_counts=True)
+            pairs = pa.table({
+                "x": (uk >> np.int64(31)).astype(dt),
+                "y": (uk & np.int64((1 << 31) - 1)).astype(dt),
+                "cnt": cnt.astype(np.int64),
+            })
+        else:
+            pairs = pa.table({
+                "x": pa.array([], pa.int32()),
+                "y": pa.array([], pa.int32()),
+                "cnt": pa.array([], pa.int64()),
+            })
+    parts = split_by_hash(pairs, ["x", "y"], P)
     return tuple(parts) if P > 1 else parts[0]
 
 
@@ -160,6 +189,13 @@ def _wave_match(per_vertex: bool, probe: pa.Table, *wedge_parts):
     w = pa.concat_tables(tbls, promote_options="default")
     m = w.join(probe, keys=["x", "y"], join_type="inner",
                use_threads=False)
+    if "cnt" in m.column_names:
+        # count-only mode: triangles = sum of matched multiplicities
+        import pyarrow.compute as _pc
+
+        total = int(_pc.sum(m["cnt"]).as_py() or 0)
+        return total, pa.table({"vid": pa.array([], pa.int64()),
+                                "c": pa.array([], pa.int64())})
     if not per_vertex or m.num_rows == 0:
         return m.num_rows, pa.table({"vid": pa.array([], pa.int64()),
                                      "c": pa.array([], pa.int64())})
@@ -250,7 +286,8 @@ def triangles(
         spl: list[list] = [[] for _ in range(P)]
         for r in piv_parts:
             outs = _wave_split.options(
-                num_returns=P if P > 1 else 1).remote(r, w, W, P)
+                num_returns=P if P > 1 else 1).remote(
+                    r, w, W, P, not per_vertex)
             outs = [outs] if P == 1 else outs
             for p, o in enumerate(outs):
                 spl[p].append(o)

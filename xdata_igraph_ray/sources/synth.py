@@ -249,3 +249,83 @@ def generate_embeddings(
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+def generate_documents(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 42,
+    rows_per_batch: int = 20_000,
+) -> str:
+    """Synthetic ``documents``-shaped table (doc_id, text) for
+    dedup-stage benchmarks past the sf fixtures' 5k-doc overhead
+    floor.  Deterministic per (n_docs, seed); ~8% of docs are planted
+    near-duplicates of an earlier doc (a few token substitutions), so
+    MinHash/SimHash stages have real work.  Chunk-parallel when a Ray
+    session is up; idempotent via a done marker."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = os.path.join(out_dir, f"_DONE_v{GEN_VERSION}_{n_docs}_{seed}")
+    if os.path.exists(done):
+        return out_dir
+
+    def batch_table(lo: int, hi: int) -> pa.Table:
+        rng = np.random.default_rng(np.random.PCG64(seed * 7919 + lo))
+        size = hi - lo
+        n_tok = rng.integers(40, 400, size)
+        ids = rng.zipf(1.3, int(n_tok.sum())) % len(_WORDS)
+        off = np.concatenate(([0], np.cumsum(n_tok)))
+        texts = [
+            " ".join(_WORDS[ids[off[i]:off[i + 1]]])
+            for i in range(size)
+        ]
+        # plant near-dups within the batch: ~8% of docs copy an
+        # earlier doc with a few token substitutions
+        dup = np.flatnonzero(rng.random(size) < 0.08)
+        for d in dup:
+            if d == 0:
+                continue
+            src = int(rng.integers(0, d))
+            toks = texts[src].split(" ")
+            for _ in range(max(1, len(toks) // 50)):
+                toks[int(rng.integers(0, len(toks)))] = str(
+                    _WORDS[int(rng.integers(0, len(_WORDS)))]
+                )
+            texts[d] = " ".join(toks)
+        return pa.table({
+            "doc_id": np.arange(lo, hi, dtype=np.int64),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    bounds = [
+        (lo, min(lo + rows_per_batch, n_docs), i)
+        for i, lo in enumerate(range(0, n_docs, rows_per_batch))
+    ]
+    use_ray = False
+    if len(bounds) > 2:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _task(lo, hi, i):
+            pq.write_table(
+                batch_table(lo, hi),
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            )
+            return i
+
+        ray.get([_task.remote(lo, hi, i) for lo, hi, i in bounds])
+    else:
+        for lo, hi, i in bounds:
+            pq.write_table(
+                batch_table(lo, hi),
+                os.path.join(out_dir, f"part-{i:05d}.parquet"),
+            )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
