@@ -67,8 +67,16 @@ def undirected_support(edges: Dataset | list, P: int = DEFAULT_PARTITIONS):
 
 
 def _rank(deg: np.ndarray, vid: np.ndarray) -> np.ndarray:
-    """Order-isomorphic scalar encoding of (degree, vid) rank."""
-    return deg.astype(np.int64) * (1 << 40) + vid
+    """Order-isomorphic scalar encoding of (degree, vid) rank.
+
+    Shift is 31 bits: vid < 2^31 occupies the low bits exclusively and
+    deg <= n < 2^31 keeps the product under 2^62.  A 40-bit shift
+    OVERFLOWED int64 for degrees >= 2^23 (8.4M) — web-scale hub
+    degrees (50.4M on the 10^9-edge soak graph) flipped the
+    orientation and made mega-hubs pivots, inflating the wedge count
+    to 10^15.  Caught by the soak; all smaller inputs were below the
+    overflow line."""
+    return deg.astype(np.int64) * np.int64(1 << 31) + vid
 
 
 @ray.remote
@@ -187,6 +195,11 @@ def _wave_match(per_vertex: bool, probe: pa.Table, *wedge_parts):
         return 0, pa.table({"vid": pa.array([], pa.int64()),
                             "c": pa.array([], pa.int64())})
     w = pa.concat_tables(tbls, promote_options="default")
+    if len(w) > 50_000_000:
+        import sys as _sys
+
+        print(f"[tri-wave] fat partition: wedges={len(w)} "
+              f"probe={len(probe)}", file=_sys.stderr, flush=True)
     m = w.join(probe, keys=["x", "y"], join_type="inner",
                use_threads=False)
     if "cnt" in m.column_names:
@@ -304,6 +317,12 @@ def triangles(
         # next wave expands
         counts = ray.get(cnt_refs)
         match_rows += int(sum(counts))
+        if W > 1:
+            import sys as _sys
+
+            print(f"[tri-wave] wave {w + 1}/{W} done "
+                  f"(running total {match_rows})",
+                  file=_sys.stderr, flush=True)
     total = match_rows
     if stats is not None:
         stats["match_rows"] = match_rows
