@@ -967,7 +967,10 @@ def q_get_stochastic(sf_dir: str):
     from xdata_igraph_ray.graph.ops import get_stochastic
 
     out = get_stochastic(_li_edges(sf_dir), P=8).to_pandas()
-    out["p"] = np.round(out["p"], 6)
+    # round-half-AWAY to match SQL ROUND (np.round banker's-rounds:
+    # p = 1/640 = 0.0015625 exactly ties at 6 decimals and diverged
+    # at sf0.1); values differ from np.round only on exact ties
+    out["p"] = np.floor(out["p"] * 1e6 + 0.5) / 1e6
     return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
@@ -3460,7 +3463,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    n_pages = _pages_n("/root/testdata/sf0.01")
+    # the pages-fixture path embeds the page count, which scales with
+    # sf; the driver gate runs at sf0.01 (the default), and the local
+    # gate (tools/check_oracles.py) exports GRAFT_ORACLE_SF_DIR so
+    # the SQL reads the same fixture the queries used at other scales
+    n_pages = _pages_n(os.environ.get(
+        "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"))
     pages_pq = os.path.join(
         FIXTURE_ROOT, f"pages_{n_pages}", "pages", "*.parquet"
     )
@@ -6411,6 +6419,13 @@ def oracle_sql() -> dict[str, str]:
             sep AS MATERIALIZED (
               SELECT s.m FROM seed s JOIN rec ON rec.m = s.m
               WHERE rec.cnt < 12 - bit_count(s.m::BIGINT)
+              UNION ALL
+              -- reference special case (src/separators.c:692): a
+              -- COMPLETE graph (conn = n-1) returns the n sets
+              -- V \ {i}, though none of them disconnects anything.
+              -- The sf0.1 sample hits all 66 pairs.
+              SELECT xor(4095, 1 << i.range)::BIGINT FROM range(0, 12) i
+              WHERE (SELECT count(*) FROM e) = 66
             ),
             mins AS (
               SELECT m FROM sep

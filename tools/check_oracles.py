@@ -91,6 +91,7 @@ def main():
     rd.DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
