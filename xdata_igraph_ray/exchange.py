@@ -68,9 +68,91 @@ def split_by_hash(tbl: pa.Table, keys: Sequence[str], P: int) -> list[pa.Table]:
         return [tbl] * P
     part = (key_hash(tbl, keys) % np.uint64(P)).astype(np.int64)
     order = np.argsort(part, kind="stable")
-    sorted_tbl = tbl.take(pa.array(order))
+    sorted_tbl = _safe_take(tbl, order)
     bounds = np.searchsorted(part[order], np.arange(P + 1))
     return [sorted_tbl.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+
+
+_TAKE_CHILD_LIMIT = 3 << 30  # stay clear of Arrow's 4 GiB wraparound
+
+
+def _gather_list_numpy(col: pa.ChunkedArray | pa.Array,
+                       order: np.ndarray) -> pa.ChunkedArray:
+    """Row gather of a list<primitive> column done entirely in numpy,
+    emitting output chunks whose children stay under the byte limit.
+    flatten() per chunk is safe at any size (it is the child itself);
+    only Arrow's take/concat gathers wrap past 4 GiB."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    v_parts, l_parts = [], []
+    for ch in chunks:
+        v_parts.append(ch.flatten().to_numpy(zero_copy_only=False))
+        l_parts.append(
+            ch.value_lengths().to_numpy(zero_copy_only=False
+                                        ).astype(np.int64))
+    vals = np.concatenate(v_parts) if v_parts else np.empty(0)
+    lens = (np.concatenate(l_parts) if l_parts
+            else np.empty(0, np.int64))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    sel_lens = lens[order]
+    tot = int(sel_lens.sum())
+    first = np.concatenate(([0], np.cumsum(sel_lens)))
+    flat = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(first[:-1], sel_lens)
+        + np.repeat(offs[order], sel_lens)
+    )
+    new_vals = vals[flat]
+    max_elems = max(1, _TAKE_CHILD_LIMIT // max(new_vals.dtype.itemsize, 1))
+    out = []
+    row = 0
+    n = len(order)
+    while row < n:
+        end = int(np.searchsorted(
+            first, first[row] + max_elems, side="right") - 1)
+        end = min(max(end, row + 1), n)
+        sub_offs = (first[row:end + 1] - first[row]).astype(np.int32)
+        out.append(pa.ListArray.from_arrays(
+            pa.array(sub_offs),
+            pa.array(new_vals[first[row]:first[end]]),
+        ))
+        row = end
+    return pa.chunked_array(out)
+
+
+def _safe_take(tbl: pa.Table, order: np.ndarray) -> pa.Table:
+    """``tbl.take`` that is SAFE for list columns with huge children.
+
+    pyarrow (observed on 16.1.0) silently corrupts ``list<T>``
+    columns whose flattened child exceeds 4 GiB during take/concat
+    gathers: rows read from SOURCE byte offsets past 4 GiB come back
+    shifted with their lengths intact (uint32 wraparound).  Surfaced
+    as inflated ngram-Jaccard intersections on the sf0.1 oracle gate
+    and reproduced standalone.  Affected list columns (primitive
+    child, no nulls — the only shape our payloads use) are gathered
+    in numpy instead; everything else takes the normal kernel."""
+    big_cols = []
+    for idx, col in enumerate(tbl.columns):
+        for ch in (col.chunks if isinstance(col, pa.ChunkedArray)
+                   else [col]):
+            if ((pa.types.is_list(ch.type)
+                 or pa.types.is_large_list(ch.type))
+                    and ch.values.nbytes > _TAKE_CHILD_LIMIT
+                    and pa.types.is_primitive(ch.type.value_type)
+                    and col.null_count == 0):
+                big_cols.append(idx)
+                break
+    if not big_cols:
+        return tbl.take(pa.array(order))
+    names = tbl.column_names
+    cols = {}
+    rest = tbl.drop_columns([names[i] for i in big_cols])
+    rest = rest.take(pa.array(order))
+    for i, nm in enumerate(names):
+        if i in big_cols:
+            cols[nm] = _gather_list_numpy(tbl.column(i), order)
+        else:
+            cols[nm] = rest[nm]
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------

@@ -766,6 +766,30 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, values) of an Arrow list column — safe for sliced
+    views AND >4 GiB children.  pyarrow 16's take/concat kernels
+    silently wrap list-child BYTE offsets past 4 GiB (lengths
+    preserved, contents shifted — surfaced as inflated ngram
+    intersections on the sf0.1 gate), so this never combines chunks:
+    each chunk flattens independently (applying its view) and numpy
+    concatenates, with offsets rebuilt from per-row lengths."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    v_parts, l_parts = [], []
+    for ch in chunks:
+        v_parts.append(ch.flatten().to_numpy(zero_copy_only=False))
+        ln = ch.value_lengths().to_numpy(zero_copy_only=False)
+        if ln.dtype.kind == "f":
+            ln = np.where(np.isnan(ln), 0, ln)
+        l_parts.append(ln.astype(np.int64))
+    vals = (np.concatenate(v_parts) if v_parts
+            else np.empty(0, np.int64))
+    lens = (np.concatenate(l_parts) if l_parts
+            else np.empty(0, np.int64))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    return offs, vals
+
+
 def _attach_sets(pair_refs, set_refs, side: str, P: int, pair_fields):
     """One tagged exchange: pairs keyed by ``side`` (a or b) land in
     the same partition as their document's shingle set; the reduce
@@ -816,9 +840,7 @@ def _attach_sets(pair_refs, set_refs, side: str, P: int, pair_fields):
         so = np.argsort(sj, kind="stable")
         sj = sj[so]
         sc = sets["_c"].to_numpy()[so]
-        lst = sets["_set"].combine_chunks()
-        offs = lst.offsets.to_numpy()
-        vals = lst.values.to_numpy()
+        offs, vals = _list_view(sets["_set"])
         pos = np.searchsorted(sj, pj)
         if (pos >= len(sj)).any() or (sj[np.minimum(pos, len(sj) - 1)] != pj).any():
             raise ValueError("ngram_jaccard_pairs: candidate doc lost its set")
@@ -995,14 +1017,12 @@ def ngram_jaccard_pairs(
 
     @ray.remote
     def verify(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
         ca = t["c_a"].to_numpy()
         cb = t["c_b"].to_numpy()
-        la, lb = t["set_a"].combine_chunks(), t["set_b"].combine_chunks()
-        oa, va = la.offsets.to_numpy(), la.values.to_numpy()
-        ob, vb = lb.offsets.to_numpy(), lb.values.to_numpy()
+        oa, va = _list_view(t["set_a"])
+        ob, vb = _list_view(t["set_b"])
         inter = np.array(
             [
                 len(
