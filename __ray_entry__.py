@@ -6562,6 +6562,14 @@ def oracle_sql() -> dict[str, str]:
                    JOIN u y2 ON y2.a = c4.c AND y2.b = y1.b
                    JOIN u y3 ON y3.a = c4.b AND y3.b = y1.b
                    JOIN u y4 ON y4.a = c4.a AND y4.b = y1.b),
+            c6 AS MATERIALIZED (SELECT c5.a, c5.b, c5.c, c5.d, c5.e,
+                          z1.b AS f
+                   FROM c5
+                   JOIN u z1 ON z1.a = c5.e
+                   JOIN u z2 ON z2.a = c5.d AND z2.b = z1.b
+                   JOIN u z3 ON z3.a = c5.c AND z3.b = z1.b
+                   JOIN u z4 ON z4.a = c5.b AND z4.b = z1.b
+                   JOIN u z5 ON z5.a = c5.a AND z5.b = z1.b),
             -- extension sets (k-cliques with a common neighbor),
             -- computed as hash joins + GROUP BY (a correlated NOT
             -- EXISTS per clique row nested-loops and times out)
@@ -6583,6 +6591,13 @@ def oracle_sql() -> dict[str, str]:
                              JOIN nb z ON z.v = c5.c AND z.w = x.w
                              JOIN nb q ON q.v = c5.d AND q.w = x.w
                              JOIN nb r ON r.v = c5.e AND r.w = x.w),
+            ext6 AS (SELECT DISTINCT c6.a, c6.b, c6.c, c6.d, c6.e, c6.f
+                     FROM c6 JOIN nb x ON x.v = c6.a
+                             JOIN nb y ON y.v = c6.b AND y.w = x.w
+                             JOIN nb z ON z.v = c6.c AND z.w = x.w
+                             JOIN nb q ON q.v = c6.d AND q.w = x.w
+                             JOIN nb r ON r.v = c6.e AND r.w = x.w
+                             JOIN nb t ON t.v = c6.f AND t.w = x.w),
             m2 AS (SELECT (SELECT count(*) FROM u)
                         - (SELECT count(*) FROM ext2) AS n),
             m3 AS (SELECT (SELECT count(*) FROM c3)
@@ -6590,12 +6605,18 @@ def oracle_sql() -> dict[str, str]:
             m4 AS (SELECT (SELECT count(*) FROM c4)
                         - (SELECT count(*) FROM ext4) AS n),
             m5 AS (SELECT (SELECT count(*) FROM c5)
-                        - (SELECT count(*) FROM ext5) AS n)
+                        - (SELECT count(*) FROM ext5) AS n),
+            m6 AS (SELECT (SELECT count(*) FROM c6)
+                        - (SELECT count(*) FROM ext6) AS n)
+            -- enumerates maximal cliques up to size 6 (the derived
+            -- graph's clique number at the gate scales; networkx
+            -- confirms max clique 6 at sf0.1, 4 at sf0.01)
             SELECT * FROM (
               SELECT 2::BIGINT AS size, (SELECT n FROM m2) AS count
               UNION ALL SELECT 3, (SELECT n FROM m3)
               UNION ALL SELECT 4, (SELECT n FROM m4)
               UNION ALL SELECT 5, (SELECT n FROM m5)
+              UNION ALL SELECT 6, (SELECT n FROM m6)
             ) WHERE count > 0 ORDER BY size
             """,
         # EXACT maximal-clique oracle: enumerate all 2^16 vertex
@@ -6854,12 +6875,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             mx AS (SELECT MAX(cum) + 1 AS maxind FROM e2),
             d2 AS (
-              SELECT cit AS cd, cat * 336 + cum AS cls, -1 AS sgn, 0 AS ph,
+              SELECT cit AS cd, cat * (SELECT maxind + 1 FROM mx) + cum AS cls, -1 AS sgn, 0 AS ph,
                      evseq, 0 AS half FROM e2
               UNION ALL
-              SELECT cit, cat * 336 + cum + 1, 1, 0, evseq, 1 FROM e2
+              SELECT cit, cat * (SELECT maxind + 1 FROM mx) + cum + 1, 1, 0, evseq, 1 FROM e2
               UNION ALL
-              SELECT r.range, (r.range % 4) * 336, 1, 1, 0, 0
+              SELECT r.range, (r.range % 4) * (SELECT maxind + 1 FROM mx), 1, 1, 0, 0
               FROM range(0, 400) r
             ),
             runs AS (
@@ -6905,14 +6926,14 @@ def oracle_sql() -> dict[str, str]:
                                ROWS UNBOUNDED PRECEDING) AS cnt
               FROM (SELECT * FROM d2
                     UNION ALL
-                    SELECT cit, cat * 336 + prior, 0, -1, evseq, 0 FROM e2)
+                    SELECT cit, cat * (SELECT maxind + 1 FROM mx) + prior, 0, -1, evseq, 0 FROM e2)
             ),
             agg AS (
               SELECT cls, SUM(1.0 / cnt) AS sxk, COUNT(*) AS cites
               FROM run2 WHERE ph = -1 GROUP BY cls
             ),
             grid AS (
-              SELECT c.range AS cat, d.deg, c.range * 336 + d.deg AS cls
+              SELECT c.range AS cat, d.deg, c.range * (SELECT maxind + 1 FROM mx) + d.deg AS cls
               FROM range(0, 4) c
               CROSS JOIN (SELECT DISTINCT cum + 1 AS deg FROM e2
                           UNION SELECT 0) d
