@@ -482,9 +482,11 @@ def _nrows(t: pa.Table) -> int:
 def _m4_edge_apex(t: pa.Table) -> pa.Table:
     """Each triangle (pivot, x, y) -> 3 (edge, apex) records with the
     edge canonicalized (min, max)."""
-    p = t["pivot"].to_numpy()
-    x = t["x"].to_numpy()
-    y = t["y"].to_numpy()
+    # the triangle pipeline emits int32 vids at scale; the downstream
+    # join is against the int64 support table — normalize here
+    p = t["pivot"].to_numpy().astype(np.int64)
+    x = t["x"].to_numpy().astype(np.int64)
+    y = t["y"].to_numpy().astype(np.int64)
     e1a, e1b, ap1 = np.minimum(x, y), np.maximum(x, y), p
     e2a, e2b, ap2 = np.minimum(p, x), np.maximum(p, x), y
     e3a, e3b, ap3 = np.minimum(p, y), np.maximum(p, y), x
