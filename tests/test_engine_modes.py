@@ -122,3 +122,38 @@ def test_narrow_engine_identical():
     np.testing.assert_array_equal(out[False][0], out[True][0])
     np.testing.assert_array_equal(out[False][1], out[True][1])
     np.testing.assert_array_equal(out[False][2], out[True][2])
+
+
+def test_safe_take_list_gather(monkeypatch):
+    """exchange._safe_take must route big-child list columns through
+    the numpy gather (pyarrow >4 GiB wraparound workaround) and
+    produce exactly what a plain take produces below the limit."""
+    from xdata_igraph_ray import exchange as ex
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    lens = rng.integers(1, 40, n)
+    tot = int(lens.sum())
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    vals = np.repeat(np.arange(n, dtype=np.int64) * 100, lens) + (
+        np.arange(tot) - np.repeat(starts, lens))
+    offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    import pyarrow as pa
+    arr = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(vals, pa.int64()))
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                  "set": arr})
+    order = rng.permutation(n)
+    want = t.take(pa.array(order))
+    # force the numpy-gather path with a tiny limit
+    monkeypatch.setattr(ex, "_TAKE_CHILD_LIMIT", 1024)
+    got = ex._safe_take(t, order)
+    assert got["k"].to_pylist() == want["k"].to_pylist()
+    assert got["set"].to_pylist() == want["set"].to_pylist()
+    # chunked + sliced input too
+    t2 = pa.concat_tables([t.slice(100, 2000), t.slice(0, 100),
+                           t.slice(2100, 2900)])
+    order2 = rng.permutation(len(t2))
+    got2 = ex._safe_take(t2, order2)
+    want2 = t2.combine_chunks().take(pa.array(order2))
+    assert got2["set"].to_pylist() == want2["set"].to_pylist()
